@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall time of the headline set (lower is
+better). Each query is executed once after a shared-session warmup;
+results are consumed via count() to materialize the full plan without
+driver-side collection of large results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = (
+    "agg_conditional_sum",
+    "join_star",
+    "agg_count_per_key",
+    "window_topk_per_group",
+    "window_moving_frame",
+    "join_asof",
+    "stream_session",
+    "dedup_near_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_token_stats",
+    "text_fingerprint",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+    from talkdesk_async_etl_spark.session import build_session
+
+    spark = build_session(app_name="tde_bench", cpus=cpus)
+    registry = load_all()
+
+    # Warmup: touch each table once so the JVM/codegen and file
+    # listing are warm before timing.
+    from talkdesk_async_etl_spark.schemas import TESTDATA_TABLES
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    for name in TESTDATA_TABLES:
+        read_table(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        try:
+            n = spec.fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = float("nan")
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v == v), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""As-of (point-in-time) join — SURVEY.md §2.3 J6.
+
+Spark has no native ASOF JOIN (DuckDB does — the oracle uses it). The
+engine expresses it as the union-window pattern: interleave the two
+event streams per key, sort by time, and carry the last "quote" forward
+onto each "trade" with ``last(..., ignorenulls=True)``.
+
+Scale: ONE shuffle on the key (user_id) + per-partition sort — the same
+cost as a groupBy, with no range-condition join explosion. The naive
+alternative (non-equi join ``v.ts <= p.ts`` + max) is O(n·m) per key
+pair and is exactly what this pattern avoids at 100 TB. Skewed keys
+(one user with 10^8 events) would sort wide; mitigate by time-bucketing
+the partition key (salt on day) and as-of-joining bucket-locally with a
+carry-in boundary row — documented here, not needed at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+
+@query(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS prior_view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: for each purchase, the latest view by the same user at or
+    before the purchase time (time-series enrichment). Implemented with
+    the union-window pattern; ties at identical ts resolve view-first,
+    matching the oracle's inclusive ``v.ts <= p.ts``."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    both = e.filter(F.col("event_type").isin("purchase", "view")).withColumn(
+        "is_view", (F.col("event_type") == "view").cast("int")
+    )
+    # Views sort before purchases at equal ts (is_view DESC) so an
+    # exactly-simultaneous view is visible to the purchase (<= semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.withColumn(
+        "prior_view_ts",
+        F.last(F.when(F.col("is_view") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_view_ts")
+    )

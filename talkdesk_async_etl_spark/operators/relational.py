@@ -1,0 +1,782 @@
+"""Relational operators: scans, filters, joins, aggregations, sorts, sets.
+
+Covers SURVEY.md §2.1 (S1/S2/S4), §2.2 (F1-F7), §2.3 (J1-J5, J7),
+§2.4 (A1-A9), §2.6 (O1-O3), §2.7 (set ops). Reference behaviors are
+transplanted onto the driver testdata star schema: the reference's
+config/monitoring tables (report_config, job_monitoring — see
+ddl/ddl_talkdesk_config.py:10-34) have the same relational shapes as
+orders/lineitem here (filtered scans, single-key equi joins, grouped
+conditional counts), so each query id exercises the identical operator
+on the oracle-checkable tables.
+
+Scale notes are inline per operator: what shuffles, what broadcasts,
+what prunes. All plans are pure DataFrame expressions — Catalyst pushes
+filters/projections into the parquet scans (verify via
+``.explain("formatted")`` → ``PushedFilters``/``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: plain columnar scan (reference scans its Delta config tables,
+    databricks/talkdesk_databricks_etl.py:191-200)."""
+    return t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders WHERE o_orderkey % 10 = 0
+        GROUP BY o_orderstatus
+    """,
+    tags=("scan", "csv"),
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5: write a slice of orders to a CSV sink and read it back
+    with an explicit schema (the reference round-trips every payload
+    through CSV text, DB:437/441-446), then aggregate — proves the CSV
+    codec preserves values. Distributed write (directory of parts), no
+    ``coalesce(1)`` bottleneck."""
+    out = os.path.join(tempfile.gettempdir(), "tde_csv_roundtrip")
+    slice_df = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    slice_df.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE").option(
+        "header", True
+    ).csv(out)
+    # Money sums go through DECIMAL: double summation is
+    # order-dependent (parallel partial aggregates reorder terms), so a
+    # rounded double sum can flip a cent vs the oracle at any SF.
+    # Decimal accumulation is exact and order-free on both engines.
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Filters / projections
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_conj_eq",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("filter",),
+)
+def filter_conj_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: conjunctive equality filter — the reference's config-scan
+    predicate ``enabled = true AND env = 'prod'`` (DB:192-194). Both
+    conjuncts push down into the parquet scan."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "filter_col_eq",
+    oracle="SELECT event_id, user_id, value FROM events WHERE event_type = 'error'",
+    tags=("filter",),
+)
+def filter_col_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: single column-expression equality (reference
+    ``.filter(F.col('status') == 'SUCCESS')``, DIST:259-263)."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "filter_limit1",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey LIMIT 1
+    """,
+    tags=("filter", "limit"),
+)
+def filter_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: filter → LIMIT 1 lookup (reference's pandas
+    ``mask → iloc[0]``, DB:537-541). Deterministic via ORDER BY key;
+    Spark plans TakeOrderedAndProject — no full sort."""
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .orderBy("c_custkey")
+        .limit(1)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "filter_date_range",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    tags=("filter", "date"),
+)
+def filter_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: date-range predicate (reference's 7-day dashboard windows,
+    README.md:455). Parameterized to a fixed literal week for oracle
+    determinism; at scale this predicate prunes date partitions."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@query(
+    "project_columns",
+    oracle="SELECT o_orderkey, o_orderdate, o_totalprice FROM orders",
+    tags=("filter", "projection"),
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: column pruning — ReadSchema must list exactly these three
+    columns (the scan must not read the other 3)."""
+    return t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@query(
+    "filter_null_handling",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_not_null,
+               count(coalesce(nullif(l_returnflag, 'N'), NULL)) AS n_counted
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("filter", "null"),
+)
+def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: null semantics — isNull / isNotNull / coalesce / null-skipping
+    count (reference: FAILED rows carry error_message, NULL otherwise,
+    README.md:484)."""
+    li = t(spark, sf_dir, "lineitem")
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(flag.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(flag.isNotNull(), 1).otherwise(0)).alias("n_not_null"),
+        F.count(flag).alias("n_counted"),
+    )
+
+
+@query(
+    "filter_in_like",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand, p_type
+        FROM part
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND p_type LIKE '%a%'
+    """,
+    tags=("filter",),
+)
+def filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: IN-list + LIKE pattern predicates (report-name routing
+    generalized from DB:536-541). Both push down to the scan."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & F.col("p_type").like("%a%"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_using",
+    oracle="""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("join",),
+)
+def join_inner_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: single-key equi inner join, USING-style deduplicated key
+    (the reference's ``report_df.join(endpoint_df, 'endpoint_type')``,
+    DIST:53). Both sides tiny → AQE broadcasts automatically."""
+    nation = t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "regionkey")
+    region = t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "regionkey")
+    return nation.join(region, "regionkey").select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "join_broadcast_lookup",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'MACHINERY' AND o_orderstatus = 'O'
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: dimension-lookup join with an explicit broadcast hint —
+    replaces the reference's driver-side pandas row loop (DB:536-541):
+    never loop rows on the driver; ship the small side to every
+    executor and stream the fact table through it (no shuffle of the
+    big side)."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_mktsegment")
+    )
+
+
+@query(
+    "join_fk_monitoring",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(count(l_orderkey) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderstatus
+    """,
+    tags=("join", "agg"),
+)
+def join_fk_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+A2: FK join + per-key counts — the reference's per-job report
+    counts (``SELECT COUNT(*) FROM reports WHERE job_id=?`` ×3,
+    local/monitoring_db.py:71-90) collapsed into ONE shuffle: a single
+    groupBy computes all conditional counts per key instead of three
+    correlated scans."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left outer join preserving zero-match rows (the reference's
+    zero-report job case, local/monitoring_db.py:99-100)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5a: left-semi join (EXISTS) — customers with a finished order.
+    Semi join never duplicates the left side, unlike inner+distinct."""
+    cust = t(spark, sf_dir, "customer")
+    fin = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(fin, cust.c_custkey == fin.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5b: left-anti join (NOT EXISTS) — customers with no orders."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_star",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    tags=("join", "agg"),
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: multi-way star join (TPC-H shape). Scale strategy: the one
+    genuinely large join (lineitem ⋈ orders) is left to AQE —
+    sort-merge with skew splitting at 100 TB; the three dimension hops
+    (customer/nation/region) get explicit broadcast hints so the big
+    fact stream never reshuffles after its first join."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            # revenue is a 4-decimal-logical product (2dp × 2dp):
+            # decimal(18,4) accumulation is exact and order-free, so the
+            # parallel partial-agg term order can't flip cents.
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_count",
+    oracle="""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: counts by status in ONE pass — the reference issues two
+    separate filtered ``.count()`` actions (DIST:262-263), i.e. two
+    full scans; a single groupBy is one scan + map-side partial agg."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_count_per_key",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("agg",),
+)
+def agg_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: all per-key conditional counts in one shuffle (replaces the
+    reference's three correlated COUNT queries per job,
+    local/monitoring_db.py:71-90)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        )
+    )
+
+
+FLAGSHIP_ORACLE = """
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+@query("agg_conditional_sum", oracle=FLAGSHIP_ORACLE, tags=("agg", "flagship"))
+def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+X1+X8 (flagship): daily grouped conditional aggregation — the
+    reference's job-summary dashboard (README.md:447-457,
+    ``SUM(CASE WHEN status='X' THEN 1 ELSE 0 END) GROUP BY
+    date(start_time)``) transplanted onto orders. One shuffle; the
+    CASE/`when` folds into the partial aggregate map-side."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_partial"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "agg_group_counts",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-group success/failure split (reference README.md:462-471
+    per-report-name monitoring counts)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("n_other"),
+        )
+    )
+
+
+@query(
+    "agg_sum_two_keys",
+    oracle="""
+        SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY CAST(l_shipdate AS DATE), l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_sum_two_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: two-key grouped SUM (reference's daily rows-written summary,
+    README.md:491-500)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("ship_date"), F.col("l_returnflag"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "agg_status_rollup",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                   sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CASE WHEN n_o = 0 THEN 'SUCCESS'
+                    WHEN n_f = 0 THEN 'FAILED'
+                    ELSE 'PARTIAL_SUCCESS' END AS derived_status,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM per_order GROUP BY 1
+    """,
+    tags=("agg",),
+)
+def agg_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the reference's job-status derivation fold
+    (``fail==0 → SUCCESS; ok==0 → FAILED; else PARTIAL_SUCCESS``,
+    DB:563-568) as a two-level aggregate, treating each order's
+    lineitems as a job's reports."""
+    per_order = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_f"),
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_o"),
+        )
+    )
+    status = F.when(F.col("n_o") == 0, "SUCCESS").when(F.col("n_f") == 0, "FAILED").otherwise(
+        "PARTIAL_SUCCESS"
+    )
+    return per_order.groupBy(status.alias("derived_status")).agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "agg_multi",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(l_quantity) / count(*) AS avg_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: many aggregates in one pass — one shuffle computes all five
+    (generalizes the reference's row-count reporting, DB:438)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            # avg as explicit sum/count: quantities are integer-valued so
+            # the double sum is exact; an engine-internal incremental-mean
+            # avg would not be reproducible across engines.
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8a: exact distinct count (Catalyst expands to a two-stage
+    partial-distinct aggregate — no driver-side set)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8b: HyperLogLog++ approximate distinct — the 100 TB path (fixed
+    sketch memory instead of a per-group hash set; mergeable map-side).
+    No exact oracle → rows-only check."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: hierarchical rollup (status, priority) → (status) → () — the
+    reference's day+report / day / total summary levels in one plan."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.5) AS p50_price,
+               quantile_disc(l_extendedprice, 0.95) AS p95_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10a: exact discrete percentiles (report-latency p50/p95 in the
+    reference's monitoring workload). Discrete (not interpolated)
+    percentiles return actual data values, so both engines agree
+    bit-for-bit — interpolated variants differ in last-ulp float
+    arithmetic and flip rounded cents at boundaries."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50_price"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p95_price"),
+        )
+    )
+
+
+@query("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10b: approximate percentiles — the scale path (fixed-size
+    mergeable sketch vs. exact percentile's full sort per group)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_pcts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderpriority ASC, o_orderkey ASC
+        LIMIT 100
+    """,
+    tags=("sort",),
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: multi-key mixed-direction sort (reference README.md:500
+    ``ORDER BY date DESC, report_name``) with a unique tie-break key.
+    With LIMIT, Spark plans TakeOrderedAndProject — per-partition
+    top-100 then merge, never a global sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderpriority").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    )
+
+
+@query(
+    "sort_topk_global",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("sort",),
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: global top-K — TakeOrderedAndProject keeps K rows per
+    partition then merges K·P rows on the driver; O(K) memory at any
+    scale."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op: UNION (distinct) — nations having customers or
+    suppliers (the reference's dev/prod env-diff admin query shape,
+    ddl_talkdesk_config.py:72-88)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op: INTERSECT — nations with both customers and suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("set",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op: EXCEPT (distinct) — nations with customers but no
+    suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)

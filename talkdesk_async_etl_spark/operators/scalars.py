@@ -1,0 +1,219 @@
+"""Scalar-function operators (SURVEY.md §2.8 X1-X12).
+
+The reference's scalar surface is dates (truncation, arithmetic,
+formatting — DB:495-497, README.md:449-455), string building
+(URL/path concat — async_utils.py:56-106), escaping (DB:226-228), and
+CASE logic (DB:563-568). Extended with math, JSON, array, and string
+toolkits over the testdata's events/embeddings/documents columns.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen. No Python executes per row anywhere here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+
+@query(
+    "scalar_date_arith",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               CAST(o_orderdate AS DATE) - 7 AS week_before,
+               date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+        FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: date add/sub/diff (the reference's yesterday→today window
+    defaults, DB:495-497, and 7-day dashboard ranges, README.md:455)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.date_sub(d, 7).alias("week_before"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "scalar_date_format",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start
+        FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X3: formatting/parsing the reference's ``YYYY-MM-DD`` date
+    strings (DB:497) and month truncation."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month_start"),
+    )
+
+
+@query(
+    "scalar_string_concat",
+    oracle="""
+        SELECT c_custkey,
+               '/data/' || c_mktsegment || '/' || c_name || '.csv' AS output_path,
+               concat_ws('_', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key
+        FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: path/URL building (the reference's
+    ``{base}/{report}/{from}_to_{to}.csv`` output contract,
+    DB:441-444)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.lit("/data/"), F.col("c_mktsegment"), F.lit("/"), F.col("c_name"), F.lit(".csv")).alias(
+            "output_path"
+        ),
+        F.concat_ws("_", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_key"),
+    )
+
+
+@query(
+    "scalar_string_replace",
+    oracle="""
+        SELECT p_partkey,
+               replace(p_name, ' ', '_') AS name_snake,
+               regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowels
+        FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: replace/regexp_replace. The reference replaces quotes to
+    build SQL literals (DB:226-228) — obsolete here by design (DataFrame
+    writes, no string-SQL interpolation); shown as data cleaning."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_replace(F.col("p_type"), "[aeiou]", "").alias("type_novowels"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+               round(abs(l_discount - 0.05), 4) AS disc_dev,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(l_orderkey % 7 AS BIGINT) AS bucket
+        FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: arithmetic expression toolkit (TPC-H charge expression,
+    abs/floor/modulo)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias(
+            "charge"
+        ),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor(F.col("l_quantity")).alias("qty_floor"),
+        (F.col("l_orderkey") % 7).alias("bucket"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                    THEN 'high' ELSE 'low' END AS k_bucket
+        FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: JSON extraction from the events.props string column.
+    ``get_json_object`` stays JVM-side; at scale prefer parsing once
+    via ``from_json`` into a struct column and pruning fields."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@query(
+    "scalar_array_ops",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               embedding[1] AS first_elem,
+               round(list_sum(CAST(embedding AS DOUBLE[])), 3) AS vec_sum,
+               round(list_max(CAST(embedding AS DOUBLE[])), 6) AS vec_max
+        FROM embeddings WHERE vec_id % 10 = 0
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: array ops over the embedding column (size, element access,
+    fold, max) — all JVM higher-order functions, no UDF."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 3).alias("vec_sum"),
+        F.round(F.array_max(vec), 6).alias("vec_max"),
+    )
+
+
+@query(
+    "scalar_string_toolkit",
+    oracle="""
+        SELECT doc_id,
+               lower(substr(text, 1, 20)) AS head_lower,
+               CAST(length(text) AS INTEGER) AS text_len,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               upper(lang) AS lang_upper,
+               trim(source) AS source_trim
+        FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: string toolkit over documents.text
+    (lower/substring/length/split/upper/trim)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 20)).alias("head_lower"),
+        F.length("text").alias("text_len"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.upper("lang").alias("lang_upper"),
+        F.trim(F.col("source")).alias("source_trim"),
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embeddings (SURVEY.md §2.10 D3).
+
+Two paths:
+
+- ``sim_topk_cosine`` — brute-force top-k cosine: broadcast the (small)
+  query set, stream the corpus through it once, two-phase top-k.
+  Exact; oracle-checked.
+- ``sim_topk_ivf`` — random-hyperplane LSH (IVF-style bucketing):
+  corpus is bucketed by an 8-bit hyperplane signature; each query
+  probes only its own bucket and hamming-1 neighbors (multi-probe).
+  Approximate; rows-only check + recall unit test.
+
+Scale: brute force is O(corpus × queries) — right when queries are few
+or the corpus fits a single scan (it parallelizes perfectly and never
+shuffles the corpus). The IVF/LSH path bounds work per query to
+~(9/256) of the corpus; at 100 TB the bucket id becomes a partition
+key so a query touches only its probe partitions (partition pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+_N_QUERIES = 5  # query set: vec_id < 5
+_TOP_K = 10
+_N_PLANES = 8
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(vcol):
+    return F.sqrt(F.aggregate(F.transform(vcol, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+_TOPK_ORACLE = f"""
+    SELECT q_id, neighbor_id, cos_sim, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("sim_topk_cosine", oracle=_TOPK_ORACLE, tags=("similarity",))
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 baseline: exact top-10 cosine neighbors for query vectors
+    vec_id < 5. The query side is broadcast (it is tiny by
+    construction); the corpus is scanned once with JVM-side
+    ``zip_with`` dot products; ranking is a window over q_id with a
+    deterministic vec_id tie-break."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    with_norm = emb.withColumn("norm", _norm("v"))
+    q = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    c = with_norm.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("sim", dot / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int = 64, n: int = _N_PLANES) -> list[list[float]]:
+    """Deterministic random hyperplanes (seed pinned)."""
+    import random
+
+    rng = random.Random(7)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+@query("sim_topk_ivf", oracle=None, tags=("similarity", "lsh"))
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale path: random-hyperplane LSH bucketing (IVF-style).
+    Signature bit i = sign(v · plane_i); corpus vectors land in 2^8
+    buckets; each query probes its own bucket plus the 8 hamming-1
+    buckets (multi-probe) and ranks candidates exactly. Approximate
+    (recall < 1) → rows-only check; recall measured in tests.
+
+    At 100 TB: write the corpus partitioned by ``bucket`` — a query
+    then reads 9/256 of the data via partition pruning, and the
+    per-bucket top-k merges through one small shuffle."""
+    planes = _hyperplanes()
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        dot_p = F.aggregate(F.zip_with("v", plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        sig = sig + F.when(dot_p > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    bucketed = emb.withColumn("bucket", sig).withColumn("norm", _norm("v"))
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(
+            F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)])
+        ).alias("probe"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+        F.col("bucket").alias("probe"),
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    scored = (
+        c.join(F.broadcast(q), "probe")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("sim", dot / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
+    )

@@ -1,0 +1,232 @@
+"""Text-analysis operators (SURVEY.md §2.10 D4/D5 + north-star extras).
+
+Language-ID, quality scoring, token counting (whitespace + regex
+tokenizers), document fingerprinting, term statistics — the analysis
+passes a large-scale training-data pipeline runs over raw text. All
+JVM-side (split / higher-order functions / regexp), no Python per row;
+every op here is a single scan + at most one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+# Tiny per-language marker lexicons for the n-gram/keyword language-ID
+# heuristic. Real pipelines plug a fastText-style model in via
+# mapInPandas; the heuristic keeps the operator fully SQL-expressible.
+_LANG_MARKERS = {
+    "de": ("der", "die", "und", "nicht"),
+    "es": ("el", "los", "que", "por"),
+    "fr": ("le", "les", "est", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4"),
+}
+_STOPWORDS = ("the", "a", "of", "and", "scan", "batch")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: corpus token statistics per language — one scan, one
+    shuffle, all aggregates in a single pass."""
+    d = t(spark, sf_dir, "documents").withColumn("n_tokens", F.size(F.split("text", " ")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               round(len(list_filter(string_split(text, ' '),
+                         x -> list_contains(['the','a','of','and','scan','batch'], x))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio
+        FROM documents
+        WHERE n_chars BETWEEN 60 AND 400
+          AND len(string_split(text, ' ')) >= 15
+          AND lang IN ('en', 'de')
+    """,
+    tags=("text", "filter"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: quality gates — length bounds, minimum token count, language
+    allow-list — plus a stopword-ratio quality score (the
+    length/punct/stopword family of pretraining filters)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return (
+        d.withColumn("n_tokens", F.size(toks))
+        .withColumn("stopword_ratio", F.round(n_stop * F.lit(1.0) / F.col("n_tokens"), 6))
+        .filter(
+            F.col("n_chars").between(60, 400)
+            & (F.col("n_tokens") >= 15)
+            & F.col("lang").isin("en", "de")
+        )
+        .select("doc_id", "lang", "n_chars", "n_tokens", "stopword_ratio")
+    )
+
+
+def _lang_case_sql() -> str:
+    branches = []
+    for lang, markers in _LANG_MARKERS.items():
+        cond = " + ".join(
+            f"len(list_filter(string_split(text, ' '), x -> x = '{m}'))" for m in markers
+        )
+        branches.append((lang, cond))
+    score_cols = ", ".join(f"({cond}) AS score_{lang}" for lang, cond in branches)
+    pick = (
+        "CASE "
+        + " ".join(
+            f"WHEN score_{lang} > 0 AND score_{lang} >= score_de AND score_{lang} >= score_es "
+            f"AND score_{lang} >= score_fr AND score_{lang} >= score_zh THEN '{lang}'"
+            for lang in _LANG_MARKERS
+        )
+        + " ELSE 'en' END"
+    )
+    return f"""
+        SELECT doc_id, lang AS labeled_lang, {pick} AS predicted_lang
+        FROM (SELECT doc_id, lang, {score_cols} FROM documents)
+    """
+
+
+@query("text_lang_id", oracle=_lang_case_sql(), tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/north star: keyword-lexicon language identification. Scores
+    each document against per-language marker lexicons (token-exact
+    matches, ties broken by lexicon order, default 'en'). The testdata
+    corpus is synthetic word soup, so the heuristic mostly defaults —
+    the operator verifies the scoring mechanism end-to-end against the
+    oracle; production swaps the lexicons, not the plan."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    # NB: the lambda must take exactly one parameter — a two-parameter
+    # lambda is treated by F.filter as (element, index).
+    def marker_count(m: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(m)))
+
+    scores = {
+        lang: sum((marker_count(m) for m in markers), F.lit(0))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    d = d.select("doc_id", F.col("lang").alias("labeled_lang"), *[v.alias(f"score_{k}") for k, v in scores.items()])
+    pred = F.lit(None).cast("string")
+    expr = None
+    for lang in _LANG_MARKERS:
+        cond = (F.col(f"score_{lang}") > 0)
+        for other in _LANG_MARKERS:
+            cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{other}"))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("en")
+    return d.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+        SELECT fingerprint,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+        FROM (
+            SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents
+        ) GROUP BY fingerprint
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/north star: document fingerprinting — md5 over
+    whitespace-normalized, lowercased text; the 128-bit digest is what
+    a 100 TB exact-dedup groups on instead of shipping full documents
+    through the shuffle (same answer as dedup_exact, 1/50th the shuffle
+    bytes here)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+@query(
+    "text_token_count_regex",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_re_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INTEGER)
+                   AS n_unique_tokens
+        FROM documents WHERE doc_id % 7 = 0
+    """,
+    tags=("text",),
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/north star: token counting two ways — whitespace split and a
+    BPE-ish regex tokenizer (letter runs | digit runs | single
+    punctuation), plus unique-token counts. The regex stays in the
+    shared RE2/Java-compatible subset so both engines tokenize
+    identically."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    # idx=0 = whole match (the pattern has no capture groups; Spark's
+    # default idx=1 would error, DuckDB's default is already 0).
+    re_toks = F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(re_toks).alias("n_re_tokens"),
+        F.size(F.array_distinct(re_toks)).alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "text_dominant_term",
+    oracle="""
+        SELECT doc_id, term, CAST(n AS BIGINT) AS n FROM (
+            SELECT doc_id, term, n,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, term ASC) AS rn
+            FROM (
+                SELECT doc_id, term, count(*) AS n
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+                GROUP BY doc_id, term
+            )
+        ) WHERE rn = 1
+    """,
+    tags=("text",),
+)
+def text_dominant_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: dominant term per document (mode with deterministic
+    alphabetical tie-break) — explode → count → top-1 window. The
+    explode/groupBy shape is the UDTF-equivalent surface from SURVEY.md
+    §2.11."""
+    d = t(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = terms.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("term").asc())
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "doc_id", "term", "n"
+    )

@@ -1,0 +1,93 @@
+"""Pandas-UDF surface demonstrations (SURVEY.md §2.11).
+
+The reference has no Spark UDFs — its custom logic is driver-side
+Python (TokenManager DB:76-131, retry DB:285-327). Engine policy:
+built-ins first; when Python must run in-plan it is Arrow-batched
+(``pandas_udf`` / ``applyInPandas``), never row-at-a-time. These two
+queries exist to pin the pattern (and its oracle parity) down; the real
+uses live in pipeline/runner.py (mapInPandas connector fan-out) and
+operators/multimodal.py (decode stubs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+
+# Type object (not a DDL string): string return types need an active
+# SparkContext to parse, which would break import-time registration.
+@F.pandas_udf(T.DoubleType())
+def _charge_udf(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized charge expression: one Arrow batch in, one out.
+    (Built-in column arithmetic would be faster still — this exists to
+    demonstrate the scalar pandas_udf path.) No per-row rounding:
+    IEEE double arithmetic in the same order is bit-identical to the
+    oracle's; rounding would reintroduce engine-specific tie-breaking."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS total_charge,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF in a grouped aggregate plan. The UDF output
+    feeds a normal JVM-side aggregation — only the scalar projection
+    crosses the Arrow boundary."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("charge", _charge_udf("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("l_returnflag")
+        .agg(
+            # charge is 6-decimal-logical (2dp price × 2dp discount ×
+            # 2dp tax): decimal(18,6) accumulation is exact/order-free.
+            F.sum(F.col("charge").cast("decimal(18,6)")).cast("double").alias("total_charge"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _cust_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group pandas aggregation: order count + price spread."""
+    return pd.DataFrame(
+        {
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "price_spread": [round(pdf["o_totalprice"].max() - pdf["o_totalprice"].min(), 2)],
+        }
+    )
+
+
+@query(
+    "udaf_grouped_apply",
+    oracle="""
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(max(o_totalprice) - min(o_totalprice), 2) AS price_spread
+        FROM orders GROUP BY o_custkey
+    """,
+    tags=("udf",),
+)
+def udaf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (UDAF-equivalent): one shuffle on the
+    group key, then each group visits Python once as an Arrow batch.
+    State is bounded by the largest single group — at 100 TB, guard
+    against skewed keys (pre-aggregate or salt) before this boundary."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        _cust_stats, schema="o_custkey bigint, n_orders bigint, price_spread double"
+    )

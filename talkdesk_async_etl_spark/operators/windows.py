@@ -1,0 +1,135 @@
+"""Window functions (SURVEY.md §2.5 W1-W4).
+
+The reference has no window functions; its monitoring workload implies
+them (latest run per report, run-over-run deltas, moving 7-day sums —
+README.md:447-500). All windows carry a unique tie-break key
+(o_orderkey) so ranking is deterministic for the oracle comparison.
+
+Scale note: a window over ``partitionBy(k)`` is one shuffle on k plus a
+per-partition sort — same cost envelope as a groupBy on k. Skewed
+partition keys (one customer with 10^9 orders) are the hazard; the
+top-k-per-group pattern below keeps state at O(rows-in-partition), and
+for heavy-hitter keys the two-phase "partial top-k per map task, then
+final window" variant applies (see similarity.py for an instance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+
+@query(
+    "window_row_number",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    tags=("window",),
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest row per key — the "dedup to latest run" version of the
+    reference's per-report monitoring query (README.md:462-471)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@query(
+    "window_lag",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice - lag(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS price_delta
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag analytic — run-over-run delta per key (the reference's
+    run-over-run rows_written comparison implied by README.md:491-500).
+    First row per key yields NULL, preserved for the oracle."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+    )
+
+
+@query(
+    "window_moving_frame",
+    oracle="""
+        WITH daily AS (
+            SELECT l_returnflag,
+                   date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_num,
+                   sum(l_quantity) AS day_qty
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag, day_num,
+               round(sum(day_qty) OVER (
+                   PARTITION BY l_returnflag ORDER BY day_num
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS qty_7d
+        FROM daily
+    """,
+    tags=("window",),
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: moving 7-day frame over a daily pre-aggregate (windowed
+    version of the reference's daily summary, README.md:491-500).
+    Two-level: groupBy collapses ~10^11 rows to ~10^4 days before the
+    window runs — the window never sees raw fact rows. RANGE frame on a
+    numeric day index handles calendar gaps correctly (a ROWS frame
+    would span across missing days)."""
+    li = t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("day_num"),
+    ).agg(F.sum("l_quantity").alias("day_qty"))
+    w = Window.partitionBy("l_returnflag").orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "l_returnflag",
+        "day_num",
+        F.round(F.sum("day_qty").over(w), 2).alias("qty_7d"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-K per group. Spark pushes a per-partition rank limit
+    (WindowGroupLimit since 3.5) before the shuffle, so each map task
+    forwards ≤K rows per key — the shuffle carries O(K·groups), not the
+    full table. Verify in .explain: ``WindowGroupLimit``."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )

@@ -1,0 +1,111 @@
+"""Batch readers/writers (SURVEY.md §2.1 S1/S2/S4/S5/S6).
+
+The reference reads managed Delta tables
+(databricks/talkdesk_databricks_etl.py:191-200) and writes per-report
+CSV files (DB:441-446) plus Delta monitoring appends (DB:221-223).
+Here every read is a parquet/CSV/JSON scan that Catalyst can push
+filters and projections into; sinks are directory-based and
+date/report-partitioned so a 100 TB table prunes partitions at read
+time instead of re-scanning everything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: columnar scan. Filters/projections applied by callers are
+    pushed into the parquet reader by Catalyst (check ``PushedFilters``
+    in ``.explain``).
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it arrives as epoch-nanos LongType and is truncated here to a
+    microsecond timestamp — the same truncation DuckDB applies on
+    ``CAST(ts AS TIMESTAMP)``, so oracle SQL casts likewise."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    """Expose tables to the SQL API under their bare names."""
+    for n in names:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_json_doc(path: str) -> dict:
+    """S2: driver-side JSON config document load (reference
+    local/async_utils.py:11-15). Small orchestration metadata — a plain
+    ``json.load``, never a Spark job."""
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = True,
+) -> DataFrame:
+    """S4: CSV parse. Schema inference mirrors the reference's
+    ``pd.read_csv`` (DB:437) but should be replaced with an explicit
+    schema once a report's shape is known (inference = 2 passes)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", infer).csv(path)
+
+
+def csv_from_text(spark: SparkSession, csv_text: str) -> DataFrame:
+    """Parse an in-memory CSV payload (the HTTP connector's output,
+    reference DB:437) into a DataFrame via ``spark.createDataFrame`` on
+    the parsed lines — used only at the ingestion boundary for
+    driver-fetched payloads; partition-side ingestion goes through
+    ``mapInPandas`` instead (pipeline.runner)."""
+    import io
+
+    import pandas as pd
+
+    pdf = pd.read_csv(io.StringIO(csv_text))
+    return spark.createDataFrame(pdf)
+
+
+def write_csv_report(df: DataFrame, base: str, report_name: str, from_date: str, to_date: str) -> str:
+    """S5: CSV sink with the reference's path contract
+    ``{base}/{report_name}/{from}_to_{to}.csv`` (DB:441-444,
+    local/talkdesk_local_etl.py:67-69). Spark writes a directory; the
+    contract's ``.csv`` leaf becomes a directory of part files, which
+    keeps the write parallel at scale (a single-file ``coalesce(1)``
+    sink would serialize 100 TB through one task)."""
+    out = os.path.join(base, report_name, f"{from_date}_to_{to_date}.csv")
+    df.write.mode("overwrite").option("header", True).csv(out)
+    return out
+
+
+def append_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """S6: append sink (Delta in production, parquet in the test
+    profile — delta jars are not on the classpath here). Monitoring
+    sinks partition by nothing (tiny); payload sinks partition by
+    (report_name, run_date) mirroring the reference's path layout so
+    date-predicate queries prune partitions."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,115 @@
+"""Streaming-shaped operators, batch-first (SURVEY.md §2.9 T1-T3).
+
+The reference is a pure batch daily job (README.md:152-155); the north
+star requires streaming semantics over the events table. Each operator
+is implemented batch-first on the same ``F.window`` /
+``F.session_window`` expressions the streaming engine uses, so a DuckDB
+oracle exists; streaming/streams.py re-exposes the identical plans over
+``readStream`` with watermarks.
+
+Scale: windowed aggregation shuffles on (window, key) — time-bucketed
+keys are naturally balanced; session windows shuffle on user_id and
+merge-sort per user (state bounded by events-per-user-per-gap-chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-hour window × event_type. Identical expression
+    runs under readStream with a watermark (streams.py)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # value is 2-decimal-logical; decimal accumulation is exact
+            # and order-free (double sums are partial-agg-order-dependent).
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+        SELECT time_bucket(INTERVAL 15 MINUTES, ts) - (k * INTERVAL 15 MINUTES) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events, range(4) r(k)
+        GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding window (1 h length, 15 min slide) — each event lands
+    in exactly 4 windows. The oracle expands the window assignment
+    explicitly (bucket(ts) − k·slide for k ∈ 0..3), which is also
+    precisely what Spark's window expression generates internally."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTES
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTES AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("streaming",),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: session windows per user with a 30-minute gap.
+    ``session_window`` is the native Spark operator (works in batch and
+    streaming); the oracle is the classic lag-gap-cumsum island SQL.
+    Session end = last event + gap, matching Spark's definition."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,105 @@
+"""Structured Streaming profile (SURVEY.md §2.9 T1-T5).
+
+Re-exposes the batch twins' window expressions over ``readStream``:
+the SAME groupBy/window/session_window plans, plus the
+streaming-only pieces — watermarks (T4), streaming dedup (T5), and a
+``foreachBatch`` sink that reuses the batch parquet writers.
+
+Tests drive these with a file-source replay of the events table and
+``processAllAvailable()`` (synchronous batch-to-stream smoke), the
+standard local harness for streaming plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.sources.io import table_path
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table (schema must be explicit
+    for readStream)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(table_path(sf_dir, "events"))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T1+T4: tumbling 1 h window with late-data watermark. State for a
+    window is dropped once the watermark passes its end — bounded state
+    at any scale; late events beyond the watermark are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T2: sliding 1 h / 15 min window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """T3: session windows per user (same expression as the batch twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5: stateful streaming dedup on event_id.
+    ``dropDuplicatesWithinWatermark`` bounds state to the watermark
+    horizon (plain dropDuplicates would hold every id forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming plan to completion against the current files
+    (tests/smoke): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def foreach_batch_parquet(stream_df: DataFrame, out_path: str, checkpoint: str):
+    """Exactly-once-ish sink reusing the batch parquet writer
+    (idempotent overwrite per epoch directory would complete the
+    exactly-once story on a transactional table format)."""
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -65,6 +65,12 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Benchmark hygiene: drop persisted intermediates (operators
+        # persist self-join inputs) and force a full GC so one query's
+        # cached blocks/garbage can't tax the next — left to itself the
+        # shared local JVM degrades later queries by 10-30×.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v == v), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
@@ -53,6 +54,15 @@ def _shingles(text_col, k: int = 3):
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
     )
+
+
+def _shingle_hashes(text_col, k: int = 3):
+    """Distinct 64-bit shingle hashes (xxhash64 per shingle). All
+    pairwise work joins/compares these 8-byte longs instead of the
+    shingle strings — same set semantics (collision probability over a
+    corpus's shingle vocabulary is ~n²/2⁶⁴), a fraction of the shuffle
+    bytes."""
+    return F.array_distinct(F.transform(_shingles(text_col, k), lambda s: F.xxhash64(s)))
 
 
 @query(
@@ -103,31 +113,39 @@ _JACCARD_ORACLE = """
 @query("dedup_near_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 (exact formulation): document pairs with 3-shingle Jaccard
-    ≥ 0.6. Shingle → explode → self-join on shingle → per-pair common
-    count → Jaccard. The Jaccard value is a ratio of exact integers, so
-    it is bit-identical across engines.
+    ≥ 0.6. Shingle-hash → explode → self-join on the 8-byte hash →
+    per-pair common count → Jaccard. The Jaccard value is a ratio of
+    exact integers, so it is bit-identical across engines (the oracle
+    computes on shingle strings; hashing preserves the set sizes).
 
-    This exact self-join is the oracle-checkable semantics; its cost is
-    Σ_shingle (docs_with_shingle)² — fine here, quadratic on hot
-    shingles at 100 TB, where dedup_minhash_lsh replaces it."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", _shingles(F.col("text")).alias("shs"))
-    sh = docs.select("doc_id", F.explode("shs").alias("sh"))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    Scale shape: set sizes come free from ``size(shs)`` (no counting
+    aggregation); the self-join shuffles longs, not shingle strings;
+    per-doc set sizes ride along the exploded rows so no extra join is
+    needed afterwards. Cost remains Σ_shingle (docs_with_shingle)² —
+    the oracle-checkable exact semantics; dedup_minhash_lsh is the
+    100 TB path."""
+    docs = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+    )
+    # Persist: both self-join sides read this; without it the whole
+    # shingle pipeline is recomputed per side. (At 100 TB this is a
+    # checkpoint to a signatures table, not executor memory.)
+    sh = docs.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("c"))
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .filter(jac >= 0.6)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return pairs.filter(jac >= 0.6).select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
 @query("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
@@ -140,48 +158,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     become candidates → candidates verified with EXACT Jaccard on their
     shingle sets → pairs ≥ 0.6.
 
-    Cost at scale: signatures are linear in total tokens; the only join
-    is bucket-local (band_key equality); verification touches candidate
-    pairs only. Output ⊆ dedup_near_jaccard's (banding can miss pairs —
-    P(miss) ≈ (1−j²)³² ≈ 10⁻⁷ at j = 0.6), hence rows-only check +
-    equality unit test vs the exact operator at test scale."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", _shingles(F.col("text")).alias("shs"))
-    sh = docs.select("doc_id", F.explode("shs").alias("sh")).withColumn(
-        "h", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE31))
+    Cost at scale: signatures are computed entirely inside the scan
+    task as array expressions — zero shuffle until banding (the naive
+    shingle×perm row explosion shuffles |shingles|·64 rows; this
+    shuffles |docs|·32 band keys). The only join is bucket-local
+    (band_key equality); verification touches candidate pairs only.
+    Output ⊆ dedup_near_jaccard's (banding can miss pairs — P(miss) ≈
+    (1−j²)³² ≈ 10⁻⁷ at j = 0.6), hence rows-only check + equality
+    unit test vs the exact operator at test scale."""
+    docs = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("hs")
     )
     params = _perm_params(_MINHASH_PERMS)
-    perms = F.array(
-        *[F.struct(F.lit(i).alias("p"), F.lit(a).alias("a"), F.lit(b).alias("b")) for i, (a, b) in enumerate(params)]
-    )
-    # (doc, shingle) × perms → (doc, perm, permuted hash); min per (doc, perm).
-    sig = (
-        sh.select("doc_id", "h", F.explode(perms).alias("pp"))
-        .select(
-            "doc_id",
-            F.col("pp.p").alias("p"),
-            ((F.col("pp.a") * F.col("h") + F.col("pp.b")) % _MERSENNE31).alias("ph"),
+    # 64 universal-hash minima as one array column — per-doc compute,
+    # no explode, no shuffle. hs keeps full 64-bit hashes (verification
+    # Jaccard stays collision-free); permutations fold to 31 bits so
+    # a·h+b stays exact in a 64-bit long. (Closure factory, not lambda
+    # defaults: higher-order-function lambdas must take exactly one
+    # parameter.)
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform("hs", lambda h: (F.lit(a) * F.pmod(h, F.lit(_MERSENNE31)) + F.lit(b)) % _MERSENNE31)
         )
-        .groupBy("doc_id", "p")
-        .agg(F.min("ph").alias("minh"))
+
+    sig = F.array(*[perm_min(a, b) for (a, b) in params])
+    # Persist: the candidate self-join and both verification sides all
+    # read signatures; unpersisted, the 64-permutation pipeline would
+    # re-run once per consumer. (At 100 TB: checkpoint to a signatures
+    # table instead.)
+    signed = docs.select("doc_id", "hs", sig.alias("sig")).persist(StorageLevel.MEMORY_AND_DISK)
+    n_bands = _MINHASH_PERMS // _LSH_BAND_ROWS
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.lit(i), *[F.col("sig")[i * _LSH_BAND_ROWS + r] for r in range(_LSH_BAND_ROWS)])
+            for i in range(n_bands)
+        ]
     )
-    bands = (
-        sig.withColumn("band", (F.col("p") / _LSH_BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("p", "minh"))).alias("rows"))
-        .withColumn("band_key", F.xxhash64(F.to_json(F.struct("band", "rows"))))
-        .select("doc_id", "band_key")
-    )
+    bands = signed.select("doc_id", F.explode(band_keys).alias("band_key"))
     x, y = bands.alias("x"), bands.alias("y")
     candidates = (
         x.join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verification on candidates only.
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    union = F.size(F.array_union("shs_a", "shs_b"))
+    # Exact verification on candidates only (hash-set Jaccard).
+    sa = signed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = signed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
     jac = inter / union
     return (
         candidates.join(sa, "doc_a")
@@ -198,29 +222,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature; candidate pairs via pigeonhole banding (4 × 16-bit
     chunks — hamming ≤ 3 ⟹ at least one chunk identical) → verified
     with ``bit_count(xor) ≤ 3``. Entirely JVM-side; the join is
-    chunk-equality only. Hash-seeded → rows-only check (unit-tested
-    against a pure-Python model)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("toks"))
-    votes = (
-        docs.select("doc_id", F.explode("toks").alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-        .select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"))
-        # F.shiftrightunsigned only takes a literal shift amount; the
-        # SQL form accepts a column.
-        .withColumn(
-            "vote",
-            F.when(F.expr("shiftrightunsigned(h, bit) & 1") == 1, 1).otherwise(-1),
+    chunk-equality only. Hash-seeded → rows-only check.
+
+    Scale shape: the signature is 64 array-filter expressions over the
+    per-doc token-hash array — all inside the scan task, zero shuffle
+    (the naive formulation explodes tokens×64 bit rows through two
+    aggregations). First shuffle is the 4-chunk candidate join."""
+    docs = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok)).alias("hs")
+    )
+
+    # Bit b of the signature is the sign of Σ_tokens (±1) votes: set
+    # when more than half the token hashes have bit b set.
+    def bit_term(b: int):
+        ones = F.size(F.filter("hs", lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1))
+        return F.when(ones * 2 > F.size("hs"), F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, cast(bit as int))")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+
+    # Persist: both chunk-join sides read the signatures.
+    sig = docs.select(
+        "doc_id", sum((bit_term(b) for b in range(64)), F.lit(0).cast("long")).alias("simhash")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -266,12 +289,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order-function dot products — the oracle-checkable
     semantics; the LSH-bucketed scale path is sim_topk_ivf
     (similarity.py). All math in float64."""
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     with_norm = emb.withColumn(
         "norm", F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = with_norm.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = with_norm.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
@@ -61,8 +62,9 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); the corpus is scanned once with JVM-side
     ``zip_with`` dot products; ranking is a window over q_id with a
     deterministic vec_id tie-break."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
-    with_norm = emb.withColumn("norm", _norm("v"))
+    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", _as_double("embedding").alias("v"))
+    # Persist: the query and corpus sides both read this projection.
+    with_norm = emb.withColumn("norm", _norm("v")).persist(StorageLevel.MEMORY_AND_DISK)
     q = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
@@ -102,13 +104,15 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     then reads 9/256 of the data via partition pruning, and the
     per-bucket top-k merges through one small shuffle."""
     planes = _hyperplanes()
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", _as_double("embedding").alias("v"))
     sig = F.lit(0)
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(x) for x in p])
         dot_p = F.aggregate(F.zip_with("v", plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
         sig = sig + F.when(dot_p > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    bucketed = emb.withColumn("bucket", sig).withColumn("norm", _norm("v"))
+    bucketed = emb.withColumn("bucket", sig).withColumn("norm", _norm("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),

@@ -44,7 +44,7 @@ _STOPWORDS = ("the", "a", "of", "and", "scan", "batch")
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4: corpus token statistics per language — one scan, one
     shuffle, all aggregates in a single pass."""
-    d = t(spark, sf_dir, "documents").withColumn("n_tokens", F.size(F.split("text", " ")))
+    d = t(spark, sf_dir, "documents", spread=True).withColumn("n_tokens", F.size(F.split("text", " ")))
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -74,7 +74,7 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: quality gates — length bounds, minimum token count, language
     allow-list — plus a stopword-ratio quality score (the
     length/punct/stopword family of pretraining filters)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
@@ -121,7 +121,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is synthetic word soup, so the heuristic mostly defaults —
     the operator verifies the scoring mechanism end-to-end against the
     oracle; production swaps the lexicons, not the plan."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     toks = F.split("text", " ")
 
     # NB: the lambda must take exactly one parameter — a two-parameter
@@ -164,7 +164,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB exact-dedup groups on instead of shipping full documents
     through the shuffle (same answer as dedup_exact, 1/50th the shuffle
     bytes here)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     return (
         d.select("doc_id", fp.alias("fingerprint"))
@@ -191,7 +191,7 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation), plus unique-token counts. The regex stays in the
     shared RE2/Java-compatible subset so both engines tokenize
     identically."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    d = t(spark, sf_dir, "documents", spread=True).filter(F.col("doc_id") % 7 == 0)
     # idx=0 = whole match (the pattern has no capture groups; Spark's
     # default idx=1 would error, DuckDB's default is already 0).
     re_toks = F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
@@ -223,7 +223,7 @@ def text_dominant_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetical tie-break) — explode → count → top-1 window. The
     explode/groupBy shape is the UDTF-equivalent surface from SURVEY.md
     §2.11."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", spread=True)
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     counts = terms.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
     w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("term").asc())

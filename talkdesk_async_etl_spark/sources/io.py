@@ -22,7 +22,7 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """S1: columnar scan. Filters/projections applied by callers are
     pushed into the parquet reader by Catalyst (check ``PushedFilters``
     in ``.explain``).
@@ -31,12 +31,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark's reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
     it arrives as epoch-nanos LongType and is truncated here to a
     microsecond timestamp — the same truncation DuckDB applies on
-    ``CAST(ts AS TIMESTAMP)``, so oracle SQL casts likewise."""
+    ``CAST(ts AS TIMESTAMP)``, so oracle SQL casts likewise.
+
+    ``spread=True`` repartitions the scan to the session's default
+    parallelism. Use it for compute-heavy operators over the small
+    single-row-group testdata files (a one-row-group parquet scan is
+    ONE task, serializing everything downstream onto one core). On a
+    real cluster multi-file tables split naturally and the repartition
+    of an already-parallel scan is a cheap narrow-ish shuffle relative
+    to the compute it feeds."""
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

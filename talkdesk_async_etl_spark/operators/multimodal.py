@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.schemas import MEDIA_SCHEMA
 
 
@@ -90,6 +91,33 @@ def extract_image_features(media: DataFrame, decoder=decode_image_fake) -> DataF
         per_batch,
         schema="media_id long, n_bytes long, px_mean double, px_std double, width int, height int",
     )
+
+
+@query("multimodal_image_features", oracle=None, tags=("multimodal", "udf"))
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: image decode → feature extraction over mapInPandas.
+    The decode is the deterministic fake (codec libs absent); the Arrow
+    batch shape, schema, and partition-streaming plumbing are the real
+    production pattern. Rows-only check (pixel stats come from the
+    seeded fake decoder, not SQL-expressible)."""
+    return extract_image_features(synthetic_media_df(spark))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CAST(unnest(range(0, 1000 * (1 + i % 5) + 1, 500)) AS BIGINT) AS frame_ts_ms
+        FROM range(64) t(i) WHERE i % 3 = 2
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: video frame-timestamp sampling (every 500 ms) from
+    the typed meta struct — JVM-side ``sequence``+``explode`` BEFORE any
+    decode so frame tasks parallelize. The oracle re-derives the same
+    frame grid from the synthetic fixture's arithmetic."""
+    return sample_video_frames(synthetic_media_df(spark), every_ms=500)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:

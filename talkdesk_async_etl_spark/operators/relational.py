@@ -79,6 +79,55 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's 8 seeded report kinds (ddl/ddl_talkdesk_config.py:72-88,
+# config.example.json:11-20) — the fixture content for scan_json_doc.
+_SEED_REPORTS = (
+    "agent_activity", "call_volume", "queue_activity", "call_details",
+    "inbound_calls", "outbound_calls", "service_level", "call_dispositions",
+)
+
+
+@query(
+    "scan_json_doc",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{r}', 3, {60 if r == 'call_details' else 30})" for r in _SEED_REPORTS
+    )
+    + ") t(report_name, retries, timeout_sec)",
+    tags=("scan", "json"),
+)
+def scan_json_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON config-document load (reference ``load_config()``,
+    local/async_utils.py:11-15). Writes the reference-shaped document,
+    loads it driver-side into the typed config model, and returns the
+    report rows as a DataFrame — config is orchestration metadata, so
+    it is parsed on the driver (one small doc), never as a Spark job."""
+    import json
+
+    from talkdesk_async_etl_spark.sources.io import read_json_doc
+
+    doc = {
+        "base_url": "https://api.example.com",
+        "output_base_path": "/tmp/tde_out",
+        "reports": [
+            {
+                "report_name": r,
+                "retries": 3,
+                "timeout_sec": 60 if r == "call_details" else 30,
+            }
+            for r in _SEED_REPORTS
+        ],
+    }
+    path = os.path.join(tempfile.gettempdir(), "tde_scan_json_doc.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)
+    loaded = read_json_doc(path)
+    return spark.createDataFrame(
+        [(r["report_name"], r["retries"], r["timeout_sec"]) for r in loaded["reports"]],
+        "report_name STRING, retries INT, timeout_sec INT",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 Filters / projections
 # ---------------------------------------------------------------------------

@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.scalars",
     "talkdesk_async_etl_spark.operators.asof",
     "talkdesk_async_etl_spark.operators.udfs",
+    "talkdesk_async_etl_spark.operators.multimodal",
     "talkdesk_async_etl_spark.operators.dedup",
     "talkdesk_async_etl_spark.operators.similarity",
     "talkdesk_async_etl_spark.operators.text",

@@ -17,20 +17,27 @@ from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.sources.io import table_path
 
+# ts is declared BIGINT: the events parquet stores TIMESTAMP(NANOS),
+# which arrives as epoch-nanos longs under the session's nanosAsLong
+# setting (see sources.io.read_table) and is truncated to a microsecond
+# timestamp below.
 EVENTS_DDL = (
-    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source replay of the events table (schema must be explicit
-    for readStream)."""
-    return (
+    """File-source replay of the events table. The file source monitors
+    a DIRECTORY (new files appear → new micro-batches); the glob filter
+    selects the events file within the testdata dir."""
+    raw = (
         spark.readStream.schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", 1)
-        .parquet(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

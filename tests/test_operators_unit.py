@@ -1,0 +1,145 @@
+"""Per-operator unit tests on tiny inline DataFrames (SURVEY.md §5.2)
+plus dedup idempotence/consistency properties (§5.5) and the
+multimodal plumbing checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.functions.expressions import (
+    charge,
+    cosine,
+    count_if,
+    dot,
+    normalized_text,
+    revenue,
+)
+from talkdesk_async_etl_spark.operators.multimodal import (
+    decode_image_fake,
+    extract_image_features,
+    sample_video_frames,
+    synthetic_media_df,
+)
+from talkdesk_async_etl_spark.plans.registry import load_all
+from tests.conftest import SF_SMALL
+
+
+def test_dedup_exact_idempotent(spark):
+    """op(op(x)) == op(x): dedup output re-deduped is unchanged."""
+    fn = load_all()["dedup_exact"].fn
+    once = fn(spark, SF_SMALL)
+    again = (
+        once.groupBy("text")
+        .agg(
+            F.min("canonical_doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    assert once.count() == again.count()
+    assert again.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    """LSH candidates verified with exact Jaccard must be ⊆ the exact
+    operator's answer — and at this scale equal (miss prob ≈ 1e-7)."""
+    reg = load_all()
+    exact = {
+        (r["doc_a"], r["doc_b"]) for r in reg["dedup_near_jaccard"].fn(spark, SF_SMALL).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in reg["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    assert lsh <= exact
+    assert lsh == exact  # banding should not miss at j >= 0.6
+
+
+def test_simhash_pairs_symmetric_and_verified(spark):
+    rows = load_all()["dedup_simhash"].fn(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """sim_topk_ivf is approximate; measure recall vs the exact top-k
+    at test scale (multi-probe over 2^8 buckets on word-soup vectors
+    is lossy — the point is the mechanism + a recall floor)."""
+    reg = load_all()
+    exact = {
+        (r["q_id"], r["neighbor_id"]) for r in reg["sim_topk_cosine"].fn(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"]) for r in reg["sim_topk_ivf"].fn(spark, SF_SMALL).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 6 planes × hamming-2 probes gives ~0.45-0.6 on this corpus
+    # (near-orthogonal word-soup vectors — the hard case for LSH).
+    assert recall >= 0.35, f"recall collapsed: {recall}"
+
+
+def test_expression_library_values(spark):
+    df = spark.createDataFrame(
+        [(100.0, 0.1, 0.05)], "l_extendedprice double, l_discount double, l_tax double"
+    )
+    row = df.select(revenue().alias("rev"), charge().alias("chg")).first()
+    assert abs(row["rev"] - 90.0) < 1e-9
+    assert abs(row["chg"] - 94.5) < 1e-9
+    assert df.agg(count_if(F.col("l_discount") > 0).alias("cnt")).first()["cnt"] == 1
+
+
+def test_vector_expressions(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], "a array<double>, b array<double>")
+    row = df.select(dot("a", "b").alias("d"), cosine("a", "b").alias("c")).first()
+    assert abs(row["d"] - 18.0) < 1e-9
+    assert abs(row["c"] - 1.0) < 1e-9  # parallel vectors
+
+
+def test_normalized_text(spark):
+    df = spark.createDataFrame([("  A  b\t\tC  ",)], "t string")
+    assert df.select(normalized_text("t").alias("n")).first()["n"] == "a b c"
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthetic_media_df(spark, n=30)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 10  # i % 3 == 0 → images
+    assert set(feats.columns) == {"media_id", "n_bytes", "px_mean", "px_std", "width", "height"}
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["n_bytes"] == 128
+    # Deterministic fake decoder → stable stats across runs.
+    px = decode_image_fake(bytes(range(128)), 32, 16)
+    assert px.shape == (16, 32)
+    assert (px == decode_image_fake(bytes(range(128)), 32, 16)).all()
+
+
+def test_multimodal_frame_grid(spark):
+    media = synthetic_media_df(spark, n=9)
+    frames = sample_video_frames(media, every_ms=500)
+    got = {(r["media_id"], r["frame_ts_ms"]) for r in frames.collect()}
+    expected = set()
+    for i in (2, 5, 8):  # kind == video
+        dur = 1000 * (1 + i % 5)
+        expected |= {(i, ts) for ts in range(0, dur + 1, 500)}
+    assert got == expected
+
+
+def test_csv_text_ingestion(spark):
+    from talkdesk_async_etl_spark.sources.io import csv_from_text
+
+    df = csv_from_text(spark, "a,b\n1,x\n2,y\n")
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_secrets_provider_fail_fast(monkeypatch):
+    import pytest
+
+    from talkdesk_async_etl_spark.sources.secrets import EnvSecretsProvider, MissingSecretError
+
+    monkeypatch.setenv("TDE_CLIENT_ID", "abc")
+    p = EnvSecretsProvider()
+    assert p.get("client-id") == "abc"
+    with pytest.raises(MissingSecretError):
+        p.get("nonexistent_key")
+    with pytest.raises(MissingSecretError, match="client-id.*nope|nope"):
+        p.load_required(("client-id", "nope"))

@@ -1,0 +1,275 @@
+"""End-to-end pipeline tests (SURVEY.md §5.3) + retry/orchestration
+tests (§5.4) + status-derivation property checks (§5.5).
+
+The fake HTTP source is a local-file double for the reference's
+POST→GET pair (databricks/talkdesk_databricks_etl.py:330-382); the
+pipeline must reproduce the reference's output-path contract
+(``{base}/{report}/{from}_to_{to}.csv``, DB:441-444) and monitoring
+semantics (§1.2 status rules).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from talkdesk_async_etl_spark.pipeline.config import (
+    EndpointConfig,
+    PipelineConfig,
+    ReportConfig,
+    build_report_plan,
+    config_dataframes,
+    from_json_doc,
+)
+from talkdesk_async_etl_spark.pipeline.monitoring import MonitoringStore, derive_job_status
+from talkdesk_async_etl_spark.pipeline.retry import HttpStatusError, RetryPolicy, is_retriable
+from talkdesk_async_etl_spark.pipeline.runner import run_pipeline
+from talkdesk_async_etl_spark.pipeline.token import TokenManager
+from talkdesk_async_etl_spark.sources.http_source import LocalFileReportSource, fetch_report_csv
+
+REPORTS = ("agent_activity", "call_volume", "queue_activity")
+
+
+@pytest.fixture()
+def fixture_dir(tmp_path):
+    d = tmp_path / "fixtures"
+    d.mkdir()
+    for i, name in enumerate(REPORTS):
+        rows = "\n".join(f"r{j},{j * (i + 1)}" for j in range(5 + i))
+        (d / f"{name}.csv").write_text(f"key,value\n{rows}\n", encoding="utf-8")
+    return str(d)
+
+
+def make_cfg(tmp_path, reports=REPORTS) -> PipelineConfig:
+    return PipelineConfig(
+        env="dev",
+        output_base_path=str(tmp_path / "out"),
+        reports=tuple(ReportConfig(report_name=r) for r in reports),
+        endpoints=(
+            EndpointConfig(
+                endpoint_type="standard",
+                base_url="https://api.example.com",
+                auth_endpoint="/oauth/token",
+                post_endpoint="/reports/generate",
+                get_endpoint="/reports/download",
+            ),
+        ),
+    )
+
+
+def test_pipeline_end_to_end_success(spark, tmp_path, fixture_dir):
+    cfg = make_cfg(tmp_path)
+    source = LocalFileReportSource(fixture_dir)
+    mon = MonitoringStore(spark, str(tmp_path / "mon"))
+    out = run_pipeline(spark, cfg, source, mon, "2024-01-01", "2024-01-02")
+
+    assert out.status == "SUCCESS" and out.ok == 3 and out.fail == 0
+    # Reference output-path contract (DB:441-444).
+    for name in REPORTS:
+        p = os.path.join(cfg.output_base_path, name, "2024-01-01_to_2024-01-02.csv")
+        assert os.path.exists(p), p
+    # Monitoring: job latest-wins state + per-report rows.
+    job = mon.jobs().filter(f"run_id = '{out.run_id}'").first()
+    assert job["status"] == "SUCCESS" and job["success_count"] == 3
+    reports = {r["report_name"]: r for r in mon.reports().collect()}
+    assert reports["agent_activity"]["rows_written"] == 5
+    assert reports["queue_activity"]["rows_written"] == 7
+    assert mon.job_summary(out.run_id) == {"total": 3, "ok": 3, "fail": 0}
+
+
+def test_pipeline_partial_and_total_failure(spark, tmp_path, fixture_dir):
+    cfg = make_cfg(tmp_path)
+    # One report fails with a final (non-retriable) 400 → PARTIAL_SUCCESS.
+    source = LocalFileReportSource(fixture_dir, fail_reports={"call_volume": 400})
+    mon = MonitoringStore(spark, str(tmp_path / "mon1"))
+    out = run_pipeline(spark, cfg, source, mon, "2024-01-01", "2024-01-02")
+    assert out.status == "PARTIAL_SUCCESS" and out.ok == 2 and out.fail == 1
+    failed = mon.reports().filter("status = 'FAILED'").collect()
+    assert len(failed) == 1 and "400" in failed[0]["error_message"]
+
+    # All reports fail → FAILED.
+    source2 = LocalFileReportSource(fixture_dir, fail_reports={r: 403 for r in REPORTS})
+    mon2 = MonitoringStore(spark, str(tmp_path / "mon2"))
+    out2 = run_pipeline(spark, cfg, source2, mon2, "2024-01-01", "2024-01-02")
+    assert out2.status == "FAILED" and out2.ok == 0
+
+    # Zero enabled reports → SUCCESS with 0 (reference MON:99-100).
+    cfg0 = make_cfg(tmp_path, reports=())
+    mon3 = MonitoringStore(spark, str(tmp_path / "mon3"))
+    out3 = run_pipeline(spark, cfg0, LocalFileReportSource(fixture_dir), mon3, "2024-01-01", "2024-01-02")
+    assert out3.status == "SUCCESS" and out3.total == 0
+
+
+def test_pipeline_distributed_profile(spark, tmp_path, fixture_dir):
+    """mapInPandas fan-out returns status rows; driver writes once
+    (fixes reference bug E6 — no executor-side SparkSession use)."""
+    cfg = make_cfg(tmp_path)
+    mon = MonitoringStore(spark, str(tmp_path / "mon_dist"))
+    out = run_pipeline(
+        spark, cfg, LocalFileReportSource(fixture_dir), mon,
+        "2024-01-01", "2024-01-02",
+        profile="distributed",
+        source_factory=lambda: LocalFileReportSource(fixture_dir),
+    )
+    assert out.status == "SUCCESS" and out.ok == 3
+    assert {r.report_name for r in out.results} == set(REPORTS)
+
+
+def test_retry_then_succeed_schedule(fixture_dir):
+    """429/5xx retried with b·2^(attempt−1) backoff (reference DB:324);
+    schedule asserted with an injected fake sleep."""
+    delays: list[float] = []
+
+    async def fake_sleep(s: float) -> None:
+        delays.append(s)
+
+    source = LocalFileReportSource(fixture_dir, fail_reports={"call_volume": 503}, fail_times=2)
+    policy = RetryPolicy(max_attempts=3, backoff_base_sec=1.0)
+    text = asyncio.run(
+        fetch_report_csv(source, "call_volume", "2024-01-01", "2024-01-02", policy, sleep=fake_sleep)
+    )
+    assert text.startswith("key,value")
+    assert delays == [1.0, 2.0]  # attempts 1 and 2 failed → backoff 1s, 2s
+    # POST once (never failed), GET three times (2 failures + success).
+    assert source.calls.count(("get", "call_volume")) == 3
+
+
+def test_retry_final_4xx_no_retry(fixture_dir):
+    delays: list[float] = []
+
+    async def fake_sleep(s: float) -> None:
+        delays.append(s)
+
+    source = LocalFileReportSource(fixture_dir, fail_reports={"call_volume": 404})
+    with pytest.raises(HttpStatusError):
+        asyncio.run(
+            fetch_report_csv(
+                source, "call_volume", "2024-01-01", "2024-01-02",
+                RetryPolicy(max_attempts=3), sleep=fake_sleep,
+            )
+        )
+    assert delays == []  # 4xx is final — zero backoffs
+    assert source.calls.count(("get", "call_volume")) == 1
+
+
+def test_is_retriable_classification():
+    assert is_retriable(HttpStatusError(429))
+    assert is_retriable(HttpStatusError(503))
+    assert not is_retriable(HttpStatusError(400))
+    assert not is_retriable(HttpStatusError(404))
+    assert is_retriable(ConnectionError())
+    assert is_retriable(asyncio.TimeoutError())
+    assert not is_retriable(ValueError("boom"))
+
+
+def test_token_manager_refresh_buffer_and_single_flight():
+    """Reference DB:109-114: refresh 300 s early (floor 60 s), cached
+    token reused, concurrent callers trigger ONE fetch."""
+    now = {"t": 1000.0}
+    fetches = []
+
+    async def fetch():
+        fetches.append(now["t"])
+        return (f"tok{len(fetches)}", 3600.0)
+
+    tm = TokenManager(fetch, clock=lambda: now["t"])
+
+    async def drive():
+        toks = await asyncio.gather(*[tm.get_token() for _ in range(8)])
+        assert set(toks) == {"tok1"}
+        # Valid until 1000 + 3600 - 300(buffer); just before → cached.
+        now["t"] = 1000.0 + 3600.0 - 300.0 - 1.0
+        assert await tm.get_token() == "tok1"
+        now["t"] += 2.0  # past the early-refresh point
+        assert await tm.get_token() == "tok2"
+
+    asyncio.run(drive())
+    assert len(fetches) == 2
+
+    # Short-lived token: buffer floors at min(300, expires/2)→then 60s floor.
+    fetches.clear()
+
+    async def fetch_short():
+        fetches.append(now["t"])
+        return ("s", 100.0)
+
+    tm2 = TokenManager(fetch_short, clock=lambda: now["t"])
+
+    async def drive2():
+        await tm2.get_token()
+        assert tm2._expires_at == now["t"] + 100.0 - 60.0  # MIN_BUFFER floor
+
+    asyncio.run(drive2())
+
+
+@given(
+    ok=st.integers(min_value=0, max_value=1000),
+    fail=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=200, deadline=None)
+def test_job_status_derivation_property(ok, fail):
+    """Property form of the reference rule (DB:563-568, MON:96-106)."""
+    status = derive_job_status(ok + fail, ok, fail)
+    if fail == 0:
+        assert status == "SUCCESS"
+    elif ok == 0:
+        assert status == "FAILED"
+    else:
+        assert status == "PARTIAL_SUCCESS"
+
+
+def test_config_plan_filters_and_join(spark, tmp_path):
+    """The reference's config plan (DIST:42-53): enabled+env filters
+    feed a broadcast equi join on endpoint_type."""
+    cfg = PipelineConfig(
+        env="prod",
+        output_base_path=str(tmp_path),
+        reports=(
+            ReportConfig("a", env="prod"),
+            ReportConfig("b", env="prod", enabled=False),  # filtered: disabled
+            ReportConfig("c", env="dev"),  # filtered: wrong env
+        ),
+        endpoints=(
+            EndpointConfig("standard", "https://x", "/a", "/p", "/g", env="prod"),
+            EndpointConfig("standard", "https://y", "/a", "/p", "/g", env="dev"),
+        ),
+    )
+    report_df, endpoint_df = config_dataframes(spark, cfg)
+    plan = build_report_plan(report_df, endpoint_df, "prod").collect()
+    assert len(plan) == 1
+    assert plan[0]["report_name"] == "a" and plan[0]["base_url"] == "https://x"
+
+
+def test_config_from_json_doc_shapes():
+    doc = {
+        "base_url": "https://api",
+        "output_base_path": "/tmp/o",
+        "reports": ["r1", {"report_name": "r2", "retries": 5}],
+    }
+    cfg = from_json_doc(doc)
+    assert cfg.reports[0].report_name == "r1" and cfg.reports[0].retries == 3
+    assert cfg.reports[1].retries == 5
+    assert cfg.endpoints[0].base_url == "https://api"
+
+
+def test_monitoring_quote_and_latest_wins(spark, tmp_path):
+    """Quote-bearing error messages survive (the reference needed manual
+    SQL escaping, DB:226-228 — DataFrame writes don't); job close row
+    wins over the RUNNING row."""
+    from talkdesk_async_etl_spark.pipeline.monitoring import ReportResult, utc_now
+
+    mon = MonitoringStore(spark, str(tmp_path / "monq"))
+    msg = "it's a 'quoted' failure; DROP TABLE x; --"
+    mon.log_job_start("run1", "2024-01-01", "2024-01-02", 1)
+    mon.log_reports(
+        "run1", "2024-01-01", "2024-01-02",
+        [ReportResult("r", "FAILED", 0, error_message=msg, start_time=utc_now(), end_time=utc_now())],
+    )
+    mon.log_job_end("run1", "2024-01-01", "2024-01-02", 1, 0, 1)
+    assert mon.reports().first()["error_message"] == msg
+    job = mon.jobs().filter("run_id = 'run1'").collect()
+    assert len(job) == 1 and job[0]["status"] == "FAILED"  # latest-wins, not RUNNING

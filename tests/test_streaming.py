@@ -94,3 +94,40 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() > 0
     assert set(written.columns) == {"window_start", "event_type", "n_events", "total_value"}
+
+
+def test_stateful_running_totals(spark, events_batch):
+    """applyInPandasWithState: per-user running totals must converge to
+    the batch groupBy answer once all files are processed."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.streaming.streams import running_user_totals
+
+    q = run_to_memory_sink(
+        running_user_totals(read_events_stream(spark, SF_SMALL)), "t_state", "update"
+    )
+    try:
+        # update mode re-emits per batch: latest row per user wins.
+        latest = spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rn FROM t_state
+            ) WHERE rn = 1
+            """
+        )
+        got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in latest.collect()}
+        want = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in events_batch.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("tv"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        mismatch = {u: (got[u], want[u]) for u in want if got[u][0] != want[u][0]}
+        assert not mismatch, f"count mismatches: {dict(list(mismatch.items())[:3])}"
+    finally:
+        q.stop()

@@ -48,3 +48,22 @@ def normalized_text(col) -> Column:
     """Whitespace-collapsed, lowercased, trimmed text (fingerprint
     normalization)."""
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def salted_join(fact, dim, key: str, n_salts: int = 8, how: str = "inner"):
+    """Skew-mitigated equi join: a hot key that would land one shuffle
+    partition with 10^9 rows is split across ``n_salts`` partitions by
+    salting the fact side randomly and replicating the (small) dim side
+    across every salt value. AQE's skew-join splitting covers
+    sort-merge joins automatically; this explicit form is for when the
+    dim side is too big to broadcast but small enough to replicate
+    n_salts times, or when AQE is unavailable (streaming joins).
+
+    Cost: dim side grows ×n_salts (an explode, no extra shuffle rounds);
+    the fact side's hot keys spread evenly across salted partitions."""
+    from pyspark.sql import DataFrame
+
+    assert isinstance(fact, DataFrame) and isinstance(dim, DataFrame)
+    salted_fact = fact.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_dim = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return salted_fact.join(salted_dim, [key, "_salt"], how).drop("_salt")

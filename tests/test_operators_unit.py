@@ -175,3 +175,43 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_same_answer(spark):
+    """Salting must not change the join result — only its shuffle-key
+    distribution."""
+    from talkdesk_async_etl_spark.functions.expressions import salted_join
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    li = read_table(spark, SF_SMALL, "lineitem").selectExpr("l_orderkey as k", "l_quantity")
+    o = read_table(spark, SF_SMALL, "orders").selectExpr("o_orderkey as k", "o_orderstatus")
+    plain = li.join(o, "k").groupBy("o_orderstatus").count()
+    salted = salted_join(li, o, "k").groupBy("o_orderstatus").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """Date-partitioned sink (the reference's {report}/{date} path
+    layout as REAL partition columns): a date-filtered read must show a
+    partition filter and touch only matching partition directories."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.sources.io import append_parquet, read_table
+
+    events = read_table(spark, SF_SMALL, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "part_events")
+    append_parquet(events, out, partition_by=("event_date",))
+    back = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-03")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    n_days = events.select("event_date").distinct().count()
+    assert back.count() == events.filter(F.col("event_date") == "2024-01-03").count()
+    assert back.count() > 0 and n_days > 1

@@ -30,6 +30,7 @@ HEADLINE = (
     "dedup_near_jaccard",
     "dedup_minhash_lsh",
     "sim_topk_cosine",
+    "sim_topk_blocked",
     "text_token_stats",
     "text_fingerprint",
 )
@@ -53,24 +54,30 @@ def main() -> None:
     for name in TESTDATA_TABLES:
         read_table(spark, sf_dir, name).count()
 
+    # Best-of-2 per query: the first execution pays codegen compilation
+    # and (on this host) suffers multi-second scheduling noise; the
+    # second run measures the steady-state plan. Hygiene between runs:
+    # drop persisted intermediates and force a GC so one query's cached
+    # blocks/garbage can't tax the next (unchecked, the shared local JVM
+    # degrades later queries 10-30×).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        t0 = time.perf_counter()
+        best, n = float("nan"), 0
         try:
-            n = spec.fn(spark, sf_dir).count()
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = spec.fn(spark, sf_dir).count()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best != best else min(best, elapsed)
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
         except Exception as exc:  # noqa: BLE001
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = float("nan")
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # Benchmark hygiene: drop persisted intermediates (operators
-        # persist self-join inputs) and force a full GC so one query's
-        # cached blocks/garbage can't tax the next — left to itself the
-        # shared local JVM degrades later queries by 10-30×.
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
 
     total = round(sum(v for v in timings.values() if v == v), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -215,3 +215,18 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     n_days = events.select("event_date").distinct().count()
     assert back.count() == events.filter(F.col("event_date") == "2024-01-03").count()
     assert back.count() > 0 and n_days > 1
+
+
+def test_blocked_topk_matches_exact(spark):
+    """Block-matmul top-k must agree with the sequential exact operator
+    up to float-tie reordering (recall floor 0.9; typically 1.0)."""
+    reg = load_all()
+    exact = {
+        (r["q_id"], r["neighbor_id"]) for r in reg["sim_topk_cosine"].fn(spark, SF_SMALL).collect()
+    }
+    blocked = {
+        (r["q_id"], r["neighbor_id"]) for r in reg["sim_topk_blocked"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(blocked) == len(exact)
+    recall = len(exact & blocked) / len(exact)
+    assert recall >= 0.9, f"blocked top-k diverged: {recall}"

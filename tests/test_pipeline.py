@@ -273,3 +273,22 @@ def test_monitoring_quote_and_latest_wins(spark, tmp_path):
     assert mon.reports().first()["error_message"] == msg
     job = mon.jobs().filter("run_id = 'run1'").collect()
     assert len(job) == 1 and job[0]["status"] == "FAILED"  # latest-wins, not RUNNING
+
+
+def test_auto_dates_defaults_and_validation():
+    """E8: yesterday→today UTC defaults; YYYY-MM-DD validation."""
+    import datetime as dt
+
+    import pytest
+
+    from talkdesk_async_etl_spark.pipeline.params import auto_dates, parse_args
+
+    f, t_ = auto_dates(today=dt.date(2024, 3, 1))
+    assert (f, t_) == ("2024-02-29", "2024-03-01")  # leap-day boundary
+    assert auto_dates("2024-01-05", None, today=dt.date(2024, 3, 1)) == ("2024-01-05", "2024-03-01")
+    with pytest.raises(ValueError, match="YYYY-MM-DD"):
+        auto_dates("01/05/2024", "2024-01-06")
+    with pytest.raises(ValueError, match="after"):
+        auto_dates("2024-02-02", "2024-02-01")
+    args = parse_args(["--env", "prod", "--from-date", "2024-01-01", "--to-date", "2024-01-02"])
+    assert args.env == "prod" and args.from_date == "2024-01-01" and args.profile == "driver-async"

@@ -118,7 +118,7 @@ def scalar_string_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge,
                round(abs(l_discount - 0.05), 4) AS disc_dev,
                CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
                CAST(l_orderkey % 7 AS BIGINT) AS bucket
@@ -133,7 +133,13 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias(
+        # Rounded at 6 decimals, not 2: the charge is 6-decimal-logical
+        # (2dp × 2dp × 2dp), so a 2dp round can land EXACTLY on a
+        # half-cent boundary where Spark (BigDecimal HALF_UP on the
+        # exact double) and DuckDB (×100 then std::round) disagree; at
+        # 6 decimals the data sits ~1e-10 from the value, never on the
+        # 5e-7 boundary.
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6).alias(
             "charge"
         ),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
@@ -163,6 +169,35 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         k.alias("k_val"),
         F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@query(
+    "scalar_json_struct",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+        FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 scale path: parse the JSON props column ONCE into a typed
+    struct with ``from_json``, then aggregate the extracted field.
+    Repeated ``get_json_object`` calls re-parse the JSON per expression;
+    from_json parses once and Catalyst prunes unneeded struct fields
+    (OptimizeJsonExprs also rewrites single-field cases)."""
+    from pyspark.sql import types as T
+
+    e = t(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = e.withColumn("p", F.from_json("props", props_schema))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k")).alias("k_sum"),
+        F.max(F.col("p.k")).alias("k_max"),
     )
 
 

@@ -33,7 +33,7 @@ _STOPWORDS = ("the", "a", "of", "and", "scan", "batch")
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 1.0 / count(*) AS avg_tokens,
                CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
                CAST(min(n_chars) AS BIGINT) AS min_chars,
                CAST(max(n_chars) AS BIGINT) AS max_chars
@@ -48,7 +48,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        # Exact int-sum / count division, unrounded: identical doubles
+        # on both engines; a rounded avg can land on a round-half
+        # boundary where the engines' rounding modes diverge.
+        (F.sum("n_tokens").cast("long") * 1.0 / F.count("*")).alias("avg_tokens"),
         F.countDistinct("source").alias("n_sources"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),

@@ -61,7 +61,9 @@ def _shingle_hashes(text_col, k: int = 3):
     pairwise work joins/compares these 8-byte longs instead of the
     shingle strings — same set semantics (collision probability over a
     corpus's shingle vocabulary is ~n²/2⁶⁴), a fraction of the shuffle
-    bytes."""
+    bytes. (Measured alternative — hashing k consecutive token hashes
+    via element_at — is no faster: referencing the token-hash array
+    inside a lambda re-embeds its subtree per access.)"""
     return F.array_distinct(F.transform(_shingles(text_col, k), lambda s: F.xxhash64(s)))
 
 

@@ -88,8 +88,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_ORACLE = """
-    WITH toks AS (
+_JACCARD_CTES = """
+    toks AS (
         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ),
     sh AS (
@@ -102,13 +102,34 @@ _JACCARD_ORACLE = """
         FROM sh a JOIN sh b USING (sh)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+        FROM common
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.6
     )
-    SELECT doc_a, doc_b,
-           round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
-    FROM common
-    JOIN cnt ca ON ca.doc_id = doc_a
-    JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.6
+"""
+
+_JACCARD_ORACLE = f"WITH {_JACCARD_CTES} SELECT doc_a, doc_b, jaccard FROM jpairs"
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS component_id
+    FROM reach GROUP BY src
 """
 
 
@@ -148,6 +169,56 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return pairs.filter(jac >= 0.6).select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("dedup", "graph"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 completion: duplicate-CLUSTER resolution. Near-dup pairs form
+    a graph; the canonical document per cluster is the component
+    minimum, not the pair minimum (a~b, b~c must keep ONE of {a,b,c}).
+    Min-label propagation to fixpoint: each round every node takes the
+    min of its own and its neighbors' labels — converges in ≤ graph
+    diameter rounds (dup clusters are tiny, so 2-4).
+
+    Scale shape: one shuffle (join + groupBy on the edge key) per
+    round on the PAIRS table only — never the corpus; lineage is cut
+    per round with localCheckpoint so plans don't nest. The oracle is
+    DuckDB's recursive-CTE transitive closure over the same pairs."""
+    pairs = (
+        dedup_near_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
 @query("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))

@@ -691,6 +691,56 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9b: full cube — all four grouping combinations (status×priority,
+    status, priority, total) in one plan; the cross-dimension companion
+    to agg_rollup's hierarchy."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_counts",
+    oracle="SELECT CAST(ts AS DATE) AS event_date, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END) AS BIGINT) AS {et}"
+        for et in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY CAST(ts AS DATE)",
+    tags=("agg", "pivot"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): daily counts per event type as columns.
+    The pivot values are declared explicitly — an undeclared pivot
+    costs an extra distinct-values job and makes the output schema
+    data-dependent, both wrong at scale."""
+    e = t(spark, sf_dir, "events").withColumn("event_date", F.col("ts").cast("date"))
+    return (
+        e.groupBy("event_date")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))  # count("*") is invalid inside pivot
+        .select(
+            "event_date",
+            *[F.coalesce(F.col(et), F.lit(0)).cast("long").alias(et) for et in _EVENT_TYPES],
+        )
+    )
+
+
+@query(
     "agg_percentile",
     oracle="""
         SELECT l_returnflag,

@@ -33,6 +33,9 @@ HEADLINE = (
     "sim_topk_blocked",
     "text_token_stats",
     "text_fingerprint",
+    "dedup_components",
+    "pivot_event_counts",
+    "scalar_json_struct",
 )
 
 

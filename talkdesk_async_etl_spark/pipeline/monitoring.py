@@ -120,7 +120,15 @@ class MonitoringStore:
         )
 
     def reports(self) -> DataFrame:
-        return self.spark.read.parquet(self.report_path)
+        """Latest row per (run_id, report_name): a Spark task retry or
+        an operator re-run can append a duplicate status row; readers
+        must stay idempotent (SURVEY.md §7 risk register). Same W1
+        latest-wins pattern as jobs()."""
+        raw = self.spark.read.parquet(self.report_path)
+        w = Window.partitionBy("run_id", "report_name").orderBy(
+            F.col("end_time").desc_nulls_last(), F.col("start_time").desc_nulls_last()
+        )
+        return raw.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     def job_summary(self, run_id: str) -> dict:
         """Per-run counts in one aggregate pass (replaces the

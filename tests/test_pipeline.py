@@ -292,3 +292,23 @@ def test_auto_dates_defaults_and_validation():
         auto_dates("2024-02-02", "2024-02-01")
     args = parse_args(["--env", "prod", "--from-date", "2024-01-01", "--to-date", "2024-01-02"])
     assert args.env == "prod" and args.from_date == "2024-01-01" and args.profile == "driver-async"
+
+
+def test_monitoring_reports_idempotent_under_duplicate_appends(spark, tmp_path):
+    """A retried task/append must not double-count a report: reads
+    resolve to the latest row per (run_id, report_name)."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.pipeline.monitoring import ReportResult
+
+    mon = MonitoringStore(spark, str(tmp_path / "monr"))
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    t2 = dt.datetime(2024, 1, 1, 10, 5, 0)
+    first = ReportResult("r1", "FAILED", 0, error_message="attempt 1", start_time=t1, end_time=t1)
+    retry = ReportResult("r1", "SUCCESS", 42, start_time=t2, end_time=t2)
+    mon.log_reports("run9", "2024-01-01", "2024-01-02", [first])
+    mon.log_reports("run9", "2024-01-01", "2024-01-02", [retry])  # duplicate append
+    rows = mon.reports().filter("run_id = 'run9'").collect()
+    assert len(rows) == 1
+    assert rows[0]["status"] == "SUCCESS" and rows[0]["rows_written"] == 42
+    assert mon.job_summary("run9") == {"total": 1, "ok": 1, "fail": 0}

@@ -24,6 +24,49 @@ from talkdesk_async_etl_spark.sources.io import read_table as t
 
 
 @query(
+    "join_range",
+    oracle="""
+        SELECT p.event_id,
+               CAST(count(v.event_id) AS BIGINT) AS n_prior_views
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+         AND v.ts <= p.ts
+        GROUP BY p.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6b: range (interval) join — views by the same user within the
+    hour before each purchase. The equality key (user_id) carries the
+    shuffle; the time-range condition evaluates as the join filter
+    inside each key's sorted partition, so cost is bounded by events
+    per (user, hour) rather than |views|×|purchases|. At 100 TB,
+    time-bucket both sides on (user_id, hour) to make the range
+    bucket-local; AQE handles hot users via skew split."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy(F.col("p_id").alias("event_id")).agg(
+        F.count("v_id").alias("n_prior_views")
+    )
+
+
+@query(
     "join_asof",
     oracle="""
         SELECT p.event_id, p.user_id, p.ts, v.ts AS prior_view_ts

@@ -70,8 +70,10 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
         SELECT p.event_id, p.user_id, p.ts, v.ts AS prior_view_ts
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                        FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND v.ts <= p.ts
     """,
     tags=("join", "asof"),

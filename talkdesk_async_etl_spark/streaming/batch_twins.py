@@ -24,7 +24,7 @@ from talkdesk_async_etl_spark.sources.io import read_table as t
 @query(
     "stream_tumbling",
     oracle="""
-        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
                event_type,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -51,7 +51,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding",
     oracle="""
-        SELECT time_bucket(INTERVAL 15 MINUTES, ts) - (k * INTERVAL 15 MINUTES) AS window_start,
+        SELECT time_bucket(INTERVAL 15 MINUTES, CAST(ts AS TIMESTAMP)) - (k * INTERVAL 15 MINUTES)
+               AS window_start,
                event_type,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events, range(4) r(k)
@@ -75,13 +76,16 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_session",
     oracle="""
-        WITH flagged AS (
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        flagged AS (
             SELECT user_id, ts,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                              > INTERVAL 30 MINUTES
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            FROM ev
         ),
         numbered AS (
             SELECT user_id, ts,

@@ -189,9 +189,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The iteration works on the PAIRS graph, which is orders of
+    # magnitude smaller than the corpus — partition for its size, not
+    # the session default (32 shuffle partitions over a few hundred
+    # label rows makes every round scheduling-overhead-dominated).
+    n_parts = max(1, pairs.count() // 100_000 + 1)
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .repartition(n_parts, "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
     ).localCheckpoint()

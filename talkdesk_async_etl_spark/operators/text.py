@@ -207,6 +207,35 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_split_assign",
+    oracle="""
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """,
+    tags=("text", "sampling"),
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: deterministic train/val/test assignment by content-
+    independent hash bucket — md5(doc_id) first hex digit: 0-b → train
+    (12/16), c-d → val (2/16), e-f → test (2/16). Hash-based splits are
+    stable under reprocessing, joins, and re-partitioning (a random()
+    split is none of those), and md5 is identical across engines so the
+    assignment itself is oracle-checked, not just the counts' shape.
+    At 100 TB the same expression becomes the sink's partition column
+    so each split reads its own files."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(bucket <= "b", "train").when(bucket <= "d", "val").otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
+
+
+@query(
     "text_dominant_term",
     oracle="""
         SELECT doc_id, term, CAST(n AS BIGINT) AS n FROM (

@@ -54,21 +54,20 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from talkdesk_async_etl_spark.pipeline.token import TokenManager
         from talkdesk_async_etl_spark.sources.http_source import HttpReportSource
+        from talkdesk_async_etl_spark.sources.oauth import build_token_fetcher
         from talkdesk_async_etl_spark.sources.secrets import EnvSecretsProvider
 
         secrets = EnvSecretsProvider().load_required(("client-id", "client-secret"))
-
-        async def fetch_token():
-            raise NotImplementedError(
-                "wire the OAuth token endpoint here (reference async_utils.py:55-74)"
-            )
-
         ep = cfg.endpoints[0]
+        fetch_token = build_token_fetcher(
+            f"{ep.base_url}{ep.auth_endpoint}",
+            secrets["client-id"],
+            secrets["client-secret"],
+        )
         source = HttpReportSource(
             ep.base_url, ep.post_endpoint, ep.get_endpoint, TokenManager(fetch_token)
         )
         source_factory = None
-        _ = secrets
 
     outcome = run_pipeline(
         spark, cfg, source, monitoring, from_date, to_date,

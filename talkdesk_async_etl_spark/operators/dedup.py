@@ -48,12 +48,18 @@ def _shingles(text_col, k: int = 3):
     """Distinct k-word shingles as an array column (JVM higher-order
     functions — no Python per row)."""
     toks = F.split(text_col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        )
-    )
+    # Docs shorter than k tokens have no shingles: an unguarded
+    # sequence(0, size-k) descends below zero (slice() throws) or emits
+    # bogus short shingles; the oracle's range() correctly yields none.
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _shingle_hashes(text_col, k: int = 3):

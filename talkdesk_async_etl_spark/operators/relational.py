@@ -769,11 +769,18 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_percentile_approx", oracle=None, tags=("agg", "approx"))
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10b: approximate percentiles — the scale path (fixed-size
-    mergeable sketch vs. exact percentile's full sort per group)."""
+    mergeable sketch vs. exact percentile's full sort per group).
+    Returned as two scalar columns (not array<double>) so row-wise
+    harnesses can hash/sort the result."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx_pcts"))
+        .select(
+            "l_returnflag",
+            F.element_at("approx_pcts", 1).alias("p50_price"),
+            F.element_at("approx_pcts", 2).alias("p95_price"),
+        )
     )
 
 

@@ -61,7 +61,7 @@ def from_json_doc(doc: dict, env: str = "dev") -> PipelineConfig:
         env=env,
     )
     reports = tuple(
-        ReportConfig(report_name=r) if isinstance(r, str) else ReportConfig(env=env, **r)
+        ReportConfig(report_name=r, env=env) if isinstance(r, str) else ReportConfig(env=env, **r)
         for r in doc.get("reports", ())
     )
     return PipelineConfig(

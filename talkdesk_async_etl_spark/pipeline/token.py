@@ -40,7 +40,11 @@ class TokenManager:
             if self._fresh():  # double-checked: another task refreshed
                 return self._token  # type: ignore[return-value]
             token, expires_in = await self._fetch()
-            buffer = max(MIN_BUFFER_SEC, min(REFRESH_BUFFER_SEC, expires_in / 2))
+            # Remaining validity = max(expires_in - 300, 60) (DB:109-114):
+            # short-lived tokens keep a positive 60 s freshness floor
+            # instead of expiring immediately and refetching per call.
             self._token = token
-            self._expires_at = self._clock() + expires_in - buffer
+            self._expires_at = self._clock() + max(
+                expires_in - REFRESH_BUFFER_SEC, MIN_BUFFER_SEC
+            )
             return token

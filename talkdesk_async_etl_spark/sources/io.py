@@ -40,6 +40,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
     real cluster multi-file tables split naturally and the repartition
     of an already-parallel scan is a cheap narrow-ish shuffle relative
     to the compute it feeds."""
+    # Runtime-settable (verified): a vanilla session — e.g. the driver
+    # harness's — rejects TIMESTAMP(NANOS) parquet outright, so the conf
+    # must not depend on who built the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         from pyspark.sql import functions as F

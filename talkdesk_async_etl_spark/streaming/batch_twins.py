@@ -82,7 +82,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged AS (
             SELECT user_id, ts,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                             > INTERVAL 30 MINUTES
+                             >= INTERVAL 30 MINUTES
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM ev

@@ -1,0 +1,62 @@
+"""Driver-profile regression: every query must run under a VANILLA
+SparkSession (no repo-side builder confs).
+
+Round 1 lost 8 correctness rows to exactly this gap: the events table
+stores parquet TIMESTAMP(NANOS), conftest's session sets
+``spark.sql.legacy.parquet.nanosAsLong`` at build time, and the local
+suite therefore never exercised the driver's plain
+``SparkSession.builder.getOrCreate()`` profile. This test spawns a
+fresh interpreter (session confs don't leak across JVMs) and runs the
+events-touching queries plus one query per family against sf0.001.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from talkdesk_async_etl_spark.plans.registry import load_all
+
+names = [
+    # every events-table reader (the nanos-sensitive set)
+    "filter_col_eq", "filter_date_range", "agg_count_distinct",
+    "agg_approx_distinct", "pivot_event_counts", "scalar_json_extract",
+    "scalar_json_struct", "join_range", "join_asof",
+    "stream_tumbling", "stream_session",
+    # one per remaining family
+    "agg_conditional_sum", "agg_percentile_approx", "dedup_exact",
+    "sim_topk_cosine", "text_token_stats",
+]
+qs = load_all()
+failed = []
+for n in names:
+    try:
+        qs[n].fn(spark, "/root/testdata/sf0.001").count()
+    except Exception as e:  # noqa: BLE001
+        failed.append(f"{n}: {type(e).__name__}: {e}")
+if failed:
+    print("\n".join(failed))
+    sys.exit(1)
+print("vanilla-session OK")
+"""
+
+
+def test_all_query_families_run_under_vanilla_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-2000:]}"

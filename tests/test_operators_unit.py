@@ -230,3 +230,21 @@ def test_blocked_topk_matches_exact(spark):
     assert len(blocked) == len(exact)
     recall = len(exact & blocked) / len(exact)
     assert recall >= 0.9, f"blocked top-k diverged: {recall}"
+
+
+def test_shingles_short_docs_yield_empty(spark):
+    """Docs shorter than k tokens must produce an EMPTY shingle set —
+    not crash slice() or emit bogus short shingles (the oracle's
+    range() join correctly yields none for them)."""
+    from talkdesk_async_etl_spark.operators.dedup import _shingle_hashes, _shingles
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two", ), ("one two three", ), ("one two three four", )],
+        ["text"],
+    )
+    rows = df.select(
+        F.size(_shingles(F.col("text"))).alias("n_sh"),
+        F.size(_shingle_hashes(F.col("text"))).alias("n_h"),
+    ).collect()
+    assert [r.n_sh for r in rows] == [0, 0, 0, 1, 2]
+    assert [r.n_h for r in rows] == [0, 0, 0, 1, 2]

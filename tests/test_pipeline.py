@@ -190,7 +190,9 @@ def test_token_manager_refresh_buffer_and_single_flight():
     asyncio.run(drive())
     assert len(fetches) == 2
 
-    # Short-lived token: buffer floors at min(300, expires/2)→then 60s floor.
+    # Short-lived token: remaining validity = max(expires_in - 300, 60)
+    # (DB:109-114) — a positive freshness floor, so every call within
+    # the next 60 s reuses the cache instead of refetching.
     fetches.clear()
 
     async def fetch_short():
@@ -201,9 +203,11 @@ def test_token_manager_refresh_buffer_and_single_flight():
 
     async def drive2():
         await tm2.get_token()
-        assert tm2._expires_at == now["t"] + 100.0 - 60.0  # MIN_BUFFER floor
+        assert tm2._expires_at == now["t"] + 60.0  # MIN_BUFFER floor
+        assert await tm2.get_token() == "s"  # still fresh, no refetch
 
     asyncio.run(drive2())
+    assert len(fetches) == 1
 
 
 @given(
@@ -312,3 +316,83 @@ def test_monitoring_reports_idempotent_under_duplicate_appends(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["status"] == "SUCCESS" and rows[0]["rows_written"] == 42
     assert mon.job_summary("run9") == {"total": 1, "ok": 1, "fail": 0}
+
+
+def test_oauth_fetcher_retries_and_feeds_token_manager():
+    """E5 end-to-end: the client-credentials POST (reference
+    async_utils.py:55-74) retries a 429 (DB:303-327), yields
+    (token, expires_in) into TokenManager, and a later expiry triggers
+    exactly one re-fetch through the same seam."""
+    import json as _json
+
+    from talkdesk_async_etl_spark.sources.oauth import build_token_fetcher
+
+    calls = []
+    sleeps = []
+
+    def transport(url, form):
+        calls.append((url, dict(form)))
+        if len(calls) == 1:
+            return 429, "slow down"
+        return 200, _json.dumps(
+            {"access_token": f"tok{len(calls)}", "expires_in": 3600}
+        )
+
+    async def fake_sleep(s):
+        sleeps.append(s)
+
+    now = {"t": 0.0}
+    fetch = build_token_fetcher(
+        "https://api.example.test/oauth/token", "cid", "sec",
+        policy=RetryPolicy(max_attempts=3, backoff_base_sec=1.0),
+        transport=transport, sleep=fake_sleep,
+    )
+    tm = TokenManager(fetch, clock=lambda: now["t"])
+
+    async def drive():
+        toks = await asyncio.gather(*[tm.get_token() for _ in range(4)])
+        assert set(toks) == {"tok2"}  # 429 retried once, then cached
+        now["t"] = 3600.0 - 300.0 + 1.0  # past the early-refresh point
+        assert await tm.get_token() == "tok3"
+
+    asyncio.run(drive())
+    assert sleeps == [1.0]  # one backoff for the 429
+    assert len(calls) == 3  # 429 + two successful fetches
+    assert calls[0][1]["grant_type"] == "client_credentials"
+    assert calls[0][1]["client_id"] == "cid"
+
+
+def test_oauth_fetcher_4xx_is_final_and_response_validated():
+    """Non-retriable 4xx surfaces immediately; malformed/empty token
+    bodies fail loudly instead of poisoning the cache."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from talkdesk_async_etl_spark.sources.oauth import (
+        build_token_fetcher,
+        parse_token_response,
+    )
+
+    calls = []
+
+    def transport(url, form):
+        calls.append(url)
+        return 401, "bad credentials"
+
+    fetch = build_token_fetcher(
+        "https://api.example.test/oauth/token", "cid", "bad",
+        policy=RetryPolicy(max_attempts=3), transport=transport,
+    )
+    with _pytest.raises(HttpStatusError) as ei:
+        asyncio.run(fetch())
+    assert ei.value.status == 401
+    assert len(calls) == 1  # final, not retried
+
+    assert parse_token_response(
+        _json.dumps({"access_token": "t"})
+    ) == ("t", 3600.0)
+    with _pytest.raises(ValueError):
+        parse_token_response(_json.dumps({"access_token": ""}))
+    with _pytest.raises(KeyError):
+        parse_token_response(_json.dumps({"expires_in": 10}))

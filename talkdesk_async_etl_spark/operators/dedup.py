@@ -214,21 +214,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # ONE job per round: the convergence flag rides the label row,
+        # the checkpoint is lazy, and the count() both materializes the
+        # checkpointed round and returns how many labels moved — no
+        # second labels-vs-labels join/action.
+        flagged = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter("chg").count()
+        labels = flagged.drop("chg")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component_id"))

@@ -5,16 +5,17 @@ Two paths:
 - ``sim_topk_cosine`` — brute-force top-k cosine: broadcast the (small)
   query set, stream the corpus through it once, two-phase top-k.
   Exact; oracle-checked.
-- ``sim_topk_ivf`` — random-hyperplane LSH (IVF-style bucketing):
-  corpus is bucketed by an 8-bit hyperplane signature; each query
-  probes only its own bucket and hamming-1 neighbors (multi-probe).
-  Approximate; rows-only check + recall unit test.
+- ``sim_topk_ivf`` — multi-table random-hyperplane LSH (IVF-style
+  bucketing): L independent tables of b-bit signatures; candidates =
+  bucket collision in any table, ranked by exact cosine.
+  Approximate; rows-only check + recall unit test (floor 0.7).
 
 Scale: brute force is O(corpus × queries) — right when queries are few
 or the corpus fits a single scan (it parallelizes perfectly and never
-shuffles the corpus). The IVF/LSH path bounds work per query to
-~(9/256) of the corpus; at 100 TB the bucket id becomes a partition
-key so a query touches only its probe partitions (partition pruning).
+shuffles the corpus). The multi-table LSH path bounds work per query
+to ~L/2^b of the corpus in expectation; at 100 TB (table, bucket)
+becomes the partition key so a query reads exactly its L probe
+partitions (partition pruning).
 """
 
 from __future__ import annotations
@@ -28,13 +29,16 @@ from talkdesk_async_etl_spark.sources.io import read_table as t
 
 _N_QUERIES = 5  # query set: vec_id < 5
 _TOP_K = 10
-# 6 planes × hamming-≤2 multi-probe: with near-orthogonal corpus
-# vectors (max pairwise cosine ~0.55 → P(plane agrees) ≈ 0.69) this
-# reaches ~0.7 recall while probing 22/64 buckets. The (planes,
-# probe-radius) pair is the recall/compute dial: tighter clusters →
-# more planes + radius 1.
-_N_PLANES = 6
-_PROBE_HAMMING = 2
+# Multi-table LSH: L independent tables of b hyperplanes each; a
+# corpus vector is a candidate if it shares the query's bucket in ANY
+# table (recall = 1-(1-p^b)^L). Chosen empirically on this corpus
+# (near-orthogonal word-soup vectors — the hard case for LSH):
+# 16×5 measures 0.72-0.80 recall@10 touching ~40% of candidates,
+# strictly dominating single-table hamming-2 probing (0.44 @ 36%).
+# (L, b) is the recall/compute dial: clustered real embeddings → deeper
+# b, fewer L.
+_N_TABLES = 16
+_N_BITS = 5
 
 
 def _as_double(col):
@@ -152,60 +156,94 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, n: int = _N_PLANES) -> list[list[float]]:
-    """Deterministic random hyperplanes (seed pinned)."""
+def _hyperplane_tables(dim: int = 64, n_tables: int = _N_TABLES, n_bits: int = _N_BITS):
+    """Deterministic random hyperplanes per table (seed pinned — the
+    index must be reproducible run-to-run for resumable builds)."""
     import random
 
     rng = random.Random(7)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
 
 
 @query("sim_topk_ivf", oracle=None, tags=("similarity", "lsh"))
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 scale path: random-hyperplane LSH bucketing (IVF-style).
-    Signature bit i = sign(v · plane_i); corpus vectors land in 2^6
-    buckets; each query probes every bucket within hamming distance
-    ``_PROBE_HAMMING`` of its own (multi-probe) and ranks candidates
-    exactly. Approximate (recall < 1) → rows-only check; recall floor
+    """D3 scale path: multi-table random-hyperplane LSH (IVF-style).
+    Each of L tables assigns a b-bit bucket (bit i = sign(v·plane_i));
+    a corpus vector is a candidate for a query iff they share a bucket
+    in at least one table, and candidates are ranked by exact cosine.
+    Approximate (recall < 1) → rows-only check; recall floor ≥0.7
     asserted in tests against the brute-force answer.
 
-    At 100 TB: write the corpus partitioned by ``bucket`` — a query
-    then reads only its probe buckets via partition pruning, and the
-    per-bucket top-k merges through one small shuffle."""
-    import itertools
-
-    planes = _hyperplanes()
-    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", _as_double("embedding").alias("v"))
-    sig = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        dot_p = F.aggregate(F.zip_with("v", plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-        sig = sig + F.when(dot_p > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    bucketed = emb.withColumn("bucket", sig).withColumn("norm", _norm("v")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    At 100 TB: the (table, bucket) index is the classic L-way LSH
+    storage/recall trade — write the corpus L× as (table, bucket,
+    vec_id) partitioned by (table, bucket) so a query reads exactly L
+    probe partitions via partition pruning. Candidate pairs are scored
+    in the join and deduped as (q_id, neighbor_id, max sim) — the
+    dedup shuffle carries two longs and a double per candidate, never
+    the vectors."""
+    tables = _hyperplane_tables()
+    # L×b×dim literal: transform/zip_with keep the whole signature
+    # computation inside the scan task (one pass, zero shuffle).
+    planes_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in plane]) for plane in tbl])
+            for tbl in tables
+        ]
     )
-    masks = [0] + [
-        sum(1 << i for i in combo)
-        for r in range(1, _PROBE_HAMMING + 1)
-        for combo in itertools.combinations(range(_N_PLANES), r)
-    ]
+    weights_lit = F.array(*[F.lit(1 << i) for i in range(_N_BITS)])
+
+    def _bucket_of(tbl):
+        # b dot-product signs folded into one integer bucket id.
+        return F.aggregate(
+            F.zip_with(
+                tbl,
+                weights_lit,
+                lambda plane, w: F.when(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), plane, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                    > 0,
+                    w,
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda s, x: s + x,
+        )
+
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    bucketed = (
+        emb.withColumn("buckets", F.transform(planes_lit, _bucket_of))
+        .withColumn("norm", _norm("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qn"),
-        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])).alias("probe"),
+        F.posexplode("buckets").alias("tbl", "probe"),
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cn"),
-        F.col("bucket").alias("probe"),
+        F.posexplode("buckets").alias("tbl", "probe"),
     )
     dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     scored = (
-        c.join(F.broadcast(q), "probe")
+        c.join(F.broadcast(q), ["tbl", "probe"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .withColumn("sim", dot / (F.col("qn") * F.col("cn")))
+        # A pair colliding in several tables scores identically each
+        # time; dedup before ranking or duplicates eat top-k slots.
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

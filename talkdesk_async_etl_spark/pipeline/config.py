@@ -92,6 +92,40 @@ def config_dataframes(spark: SparkSession, cfg: PipelineConfig) -> tuple[DataFra
     return report_df, endpoint_df
 
 
+def from_config_tables(
+    report_df: DataFrame, endpoint_df: DataFrame, env: str, output_base_path: str
+) -> PipelineConfig:
+    """Catalog profile: hydrate the typed config from the seeded
+    control tables (reference DDLC:36-89 → runtime read DB:191-200).
+    Config tables are KB-scale dimensions — the collect is bounded
+    orchestration metadata, never payload."""
+    reports = tuple(
+        ReportConfig(
+            report_name=r["report_name"],
+            enabled=r["enabled"],
+            endpoint_type=r["endpoint_type"],
+            retries=r["retries"],
+            timeout_sec=r["timeout_sec"],
+            env=r["env"],
+        )
+        for r in report_df.filter(F.col("env") == env).collect()
+    )
+    endpoints = tuple(
+        EndpointConfig(
+            endpoint_type=e["endpoint_type"],
+            base_url=e["base_url"],
+            auth_endpoint=e["auth_endpoint"],
+            post_endpoint=e["post_endpoint"],
+            get_endpoint=e["get_endpoint"],
+            env=e["env"],
+        )
+        for e in endpoint_df.filter(F.col("env") == env).collect()
+    )
+    return PipelineConfig(
+        env=env, output_base_path=output_base_path, reports=reports, endpoints=endpoints
+    )
+
+
 def build_report_plan(report_df: DataFrame, endpoint_df: DataFrame, env: str) -> DataFrame:
     """The reference's logical plan (DIST:42-53): filtered config scans
     + equi join on endpoint_type. The endpoint side is dimension-sized

@@ -72,9 +72,9 @@ def test_ivf_recall_against_brute_force(spark):
         (r["q_id"], r["neighbor_id"]) for r in reg["sim_topk_ivf"].fn(spark, SF_SMALL).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # 6 planes × hamming-2 probes gives ~0.45-0.6 on this corpus
+    # 16 tables × 5 bits measures 0.72-0.80 recall@10 on this corpus
     # (near-orthogonal word-soup vectors — the hard case for LSH).
-    assert recall >= 0.35, f"recall collapsed: {recall}"
+    assert recall >= 0.7, f"recall collapsed: {recall}"
 
 
 def test_expression_library_values(spark):

@@ -25,7 +25,7 @@ from talkdesk_async_etl_spark.pipeline.config import (
     config_dataframes,
     from_json_doc,
 )
-from talkdesk_async_etl_spark.pipeline.monitoring import MonitoringStore, derive_job_status
+from talkdesk_async_etl_spark.pipeline.monitoring import MonitoringStore, ReportResult, derive_job_status
 from talkdesk_async_etl_spark.pipeline.retry import HttpStatusError, RetryPolicy, is_retriable
 from talkdesk_async_etl_spark.pipeline.runner import run_pipeline
 from talkdesk_async_etl_spark.pipeline.token import TokenManager
@@ -396,3 +396,93 @@ def test_oauth_fetcher_4xx_is_final_and_response_validated():
         parse_token_response(_json.dumps({"access_token": ""}))
     with _pytest.raises(KeyError):
         parse_token_response(_json.dumps({"expires_in": 10}))
+
+
+def test_ddl_bootstrap_and_pipeline_from_seeded_tables(spark, tmp_path):
+    """S9 e2e: stand up config/monitoring tables via DDL, seed the
+    reference's default rows (DDLC:36-89), and run the pipeline from
+    the CATALOG config — not in-memory dataclasses. Seeding twice must
+    not duplicate rows (the reference's 'run once or clear' footgun)."""
+    from talkdesk_async_etl_spark import ddl
+    from talkdesk_async_etl_spark.pipeline.config import from_config_tables
+
+    db = "tde_test_ddl"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    ddl.bootstrap(spark, db)
+    ddl.seed_config(spark, db)  # idempotent: second seed is a no-op
+
+    report_df, endpoint_df = ddl.load_config_tables(spark, db)
+    assert report_df.count() == 16  # 8 reports × dev/prod, no dupes
+    assert endpoint_df.count() == 2
+    plan = build_report_plan(report_df, endpoint_df, "dev")
+    assert plan.count() == 8
+
+    cfg = from_config_tables(report_df, endpoint_df, "dev", str(tmp_path / "out"))
+    assert len(cfg.enabled_reports()) == 8
+    assert cfg.endpoints[0].base_url.startswith("https://")
+
+    # Fixtures for every seeded report, then a full run off the catalog.
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    for r in cfg.enabled_reports():
+        (fx / f"{r.report_name}.csv").write_text("key,value\na,1\nb,2\n", encoding="utf-8")
+    mon = MonitoringStore(spark, str(tmp_path / "mon_ddl"))
+    out = run_pipeline(
+        spark, cfg, LocalFileReportSource(str(fx)), mon, "2024-01-01", "2024-01-02"
+    )
+    assert out.status == "SUCCESS" and out.ok == 8
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_merge_store_contract_and_backend_selection(spark, tmp_path):
+    """S7: both monitoring backends behind one interface. The parquet
+    store runs for real; the MERGE store (Delta absent here) is
+    exercised through an injected SQL recorder, asserting the upsert
+    contract the reference's UPDATE (DB:245-253) maps onto."""
+    from talkdesk_async_etl_spark.pipeline.monitoring import (
+        MergeMonitoringStore,
+        make_monitoring_store,
+        merge_capable,
+    )
+
+    # Backend selection: no delta on this classpath → parquet store.
+    assert not merge_capable(spark)
+    store = make_monitoring_store(spark, str(tmp_path / "m"), catalog_db="tde")
+    assert isinstance(store, MonitoringStore)
+
+    recorded = []
+    merge_store = MergeMonitoringStore(spark, "tde_prod", sql=recorded.append)
+
+    def scenario(s):
+        s.log_job_start("run1", "2024-01-01", "2024-01-02", 2)
+        s.log_reports(
+            "run1", "2024-01-01", "2024-01-02",
+            [
+                ReportResult("agent_activity", "SUCCESS", 5),
+                ReportResult("call_volume", "FAILED", 0, error_message="HTTP 400: it's 'bad'"),
+            ],
+        )
+        return s.log_job_end("run1", "2024-01-01", "2024-01-02", 2, 1, 1)
+
+    # Parquet backend: real writes, latest-wins reads.
+    pq = MonitoringStore(spark, str(tmp_path / "pq"))
+    assert scenario(pq) == "PARTIAL_SUCCESS"
+    assert pq.jobs().filter("run_id='run1'").first()["status"] == "PARTIAL_SUCCESS"
+    assert pq.job_summary("run1") == {"total": 2, "ok": 1, "fail": 1}
+
+    # MERGE backend: same calls produce keyed upserts, no SQL literals.
+    assert scenario(merge_store) == "PARTIAL_SUCCESS"
+    assert len(recorded) == 3
+    start_sql, reports_sql, end_sql = recorded
+    assert "MERGE INTO tde_prod.job_monitoring t" in start_sql
+    assert "ON t.run_id = s.run_id" in start_sql
+    assert "MERGE INTO tde_prod.report_monitoring t" in reports_sql
+    assert "ON t.run_id = s.run_id AND t.report_name = s.report_name" in reports_sql
+    assert "WHEN MATCHED THEN UPDATE SET" in end_sql
+    assert "t.status = s.status" in end_sql and "WHEN NOT MATCHED THEN INSERT *" in end_sql
+    # Values ride a temp view, not interpolated literals (DB:226-228's
+    # quote-escaping bug class is unrepresentable).
+    assert "bad" not in reports_sql
+    src = spark.table("_merge_src_report_monitoring")
+    rows = {r["report_name"]: r for r in src.collect()}
+    assert rows["call_volume"]["error_message"] == "HTTP 400: it's 'bad'"

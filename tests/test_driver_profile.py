@@ -60,3 +60,21 @@ def test_all_query_families_run_under_vanilla_session():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-2000:]}"
+
+
+def test_all_query_outputs_are_atomic_typed(spark):
+    """Driver-canonicalization safety: the round-1 percentile query
+    returned array<double> and crashed the harness's pandas row sort
+    (unhashable list) even under the rows-only check. Every registered
+    query must emit only atomic columns."""
+    from pyspark.sql import types as T
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    offenders = []
+    for name, spec in load_all().items():
+        schema = spec.fn(spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders

@@ -69,3 +69,15 @@ def test_single_shuffle_aggregations(spark, name):
     plan = plan_of(spark, name)
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 1, shuffles
+
+
+def test_ivf_broadcasts_queries_never_shuffles_corpus(spark):
+    """Multi-table LSH: the probe join must broadcast the (tiny) query
+    side; the exploded corpus never exchanges before the join. The only
+    exchanges allowed are the candidate dedup + final ranking window."""
+    plan = plan_of(spark, "sim_topk_ivf")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus side: scan → explode → join with no Exchange in between;
+    # downstream dedup-agg + window account for all exchanges.
+    assert plan.count("Exchange hashpartitioning") <= 2

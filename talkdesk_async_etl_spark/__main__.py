@@ -2,9 +2,9 @@
 pipeline run end-to-end (the reference's ``python -m
 local.talkdesk_local_etl`` / Databricks job surface, README.md:316).
 
-The HTTP source requires aiohttp (absent in the test environment), so
-``--fixture-dir`` selects the local-file source — the same pluggable
-connector the end-to-end tests drive.
+The HTTP source uses aiohttp when available and falls back to stdlib
+urllib otherwise; ``--fixture-dir`` selects the local-file source —
+the same pluggable connector the end-to-end tests drive.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def main(argv: list[str] | None = None) -> int:
         "--fixture-dir",
         default=None,
         help="use the local-file report source reading {dir}/{report}.csv "
-        "(the HTTP source needs aiohttp + credentials)",
+        "(the HTTP source needs credentials via TDE_CLIENT_ID/TDE_CLIENT_SECRET)",
     )
     args = p.parse_args(argv)
     from_date, to_date = auto_dates(args.from_date, args.to_date)

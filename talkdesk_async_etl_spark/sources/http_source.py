@@ -6,8 +6,9 @@ POST ``{base}{post_endpoint}`` → ``report_id``; poll/GET
 ``{base}{get_endpoint}?id=...`` → CSV text. Everything network-touching
 sits behind the ``ReportSource`` protocol:
 
-- ``HttpReportSource`` — aiohttp implementation (import-gated: aiohttp
-  is not in this container; instantiating raises with a clear message).
+- ``HttpReportSource`` — aiohttp when available, else stdlib urllib
+  via ``asyncio.to_thread`` (this container has no aiohttp; the
+  fallback keeps the real HTTP path runnable and localhost-testable).
 - ``LocalFileReportSource`` — the test double: POST returns a fake
   report id, GET reads ``{fixture_dir}/{report_name}.csv``. Failure
   injection via a set of report names that raise a given status.
@@ -67,11 +68,24 @@ class LocalFileReportSource:
         return path.read_text(encoding="utf-8")
 
 
-class HttpReportSource:
-    """aiohttp-backed production source (reference async_utils.py:77-129).
+def _aiohttp_available() -> bool:
+    try:
+        import aiohttp  # noqa: F401
 
-    aiohttp is not installed in this environment; construction is
-    import-gated so the engine remains importable everywhere."""
+        return True
+    except ImportError:
+        return False
+
+
+class HttpReportSource:
+    """HTTP production source (reference async_utils.py:77-129).
+
+    Prefers aiohttp (true async sockets, right for hundreds of
+    concurrent report fetches); when aiohttp is absent (this
+    container) it degrades to stdlib ``urllib`` driven through
+    ``asyncio.to_thread`` — same POST→GET semantics, thread-per-
+    in-flight-request instead of an event-loop socket, still bounded
+    by the runner's concurrency cap."""
 
     def __init__(
         self,
@@ -81,49 +95,84 @@ class HttpReportSource:
         token_manager: TokenManager,
         timeout_sec: float = 30.0,
     ):
-        try:
-            import aiohttp  # noqa: F401
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "HttpReportSource requires aiohttp (not available in this "
-                "environment); use LocalFileReportSource for tests"
-            ) from exc
         self._base = base_url
         self._post = post_endpoint
         self._get = get_endpoint
         self._tokens = token_manager
         self._timeout = timeout_sec
+        self._use_aiohttp = _aiohttp_available()
+
+    # -- one transport seam per verb; each returns (status, body) ------
+
+    async def _post_json(self, url: str, payload: dict, token: str) -> tuple[int, str]:
+        if self._use_aiohttp:
+            import aiohttp
+
+            async with aiohttp.ClientSession() as session:
+                async with session.post(
+                    url,
+                    json=payload,
+                    headers={"Authorization": f"Bearer {token}"},
+                    timeout=aiohttp.ClientTimeout(total=self._timeout),
+                ) as resp:
+                    return resp.status, await resp.text()
+        return await asyncio.to_thread(self._urllib_request, url, payload, token)
+
+    async def _get_text(self, url: str, token: str) -> tuple[int, str]:
+        if self._use_aiohttp:
+            import aiohttp
+
+            async with aiohttp.ClientSession() as session:
+                async with session.get(
+                    url,
+                    headers={"Authorization": f"Bearer {token}"},
+                    timeout=aiohttp.ClientTimeout(total=self._timeout),
+                ) as resp:
+                    return resp.status, await resp.text()
+        return await asyncio.to_thread(self._urllib_request, url, None, token)
+
+    def _urllib_request(self, url: str, payload: dict | None, token: str) -> tuple[int, str]:
+        import json
+        import urllib.error
+        import urllib.request
+
+        data = None
+        headers = {"Authorization": f"Bearer {token}"}
+        if payload is not None:
+            data = json.dumps(payload).encode("utf-8")
+            headers["Content-Type"] = "application/json"
+        req = urllib.request.Request(url, data=data, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self._timeout) as resp:  # noqa: S310
+                return resp.status, resp.read().decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as exc:
+            return exc.code, exc.read().decode("utf-8", errors="replace")
+
+    # -- ReportSource protocol -----------------------------------------
 
     async def generate_report_id(self, report_name: str, from_date: str, to_date: str) -> str:
-        import aiohttp
+        import json
 
         token = await self._tokens.get_token()
-        async with aiohttp.ClientSession() as session:
-            async with session.post(
-                f"{self._base}{self._post}",
-                json={"report": report_name, "from_date": from_date, "to_date": to_date},
-                headers={"Authorization": f"Bearer {token}"},
-                timeout=aiohttp.ClientTimeout(total=self._timeout),
-            ) as resp:
-                if resp.status >= 400:
-                    raise HttpStatusError(resp.status, await resp.text())
-                body = await resp.json()
-                return str(body["report_id"])
+        status, body = await self._post_json(
+            f"{self._base}{self._post}",
+            {"report": report_name, "from_date": from_date, "to_date": to_date},
+            token,
+        )
+        if status >= 400:
+            raise HttpStatusError(status, body[:200])
+        return str(json.loads(body)["report_id"])
 
     async def download_report(self, report_id: str) -> str:
-        import aiohttp
+        from urllib.parse import quote
 
         token = await self._tokens.get_token()
-        async with aiohttp.ClientSession() as session:
-            async with session.get(
-                f"{self._base}{self._get}",
-                params={"id": report_id},
-                headers={"Authorization": f"Bearer {token}"},
-                timeout=aiohttp.ClientTimeout(total=self._timeout),
-            ) as resp:
-                if resp.status >= 400:
-                    raise HttpStatusError(resp.status, await resp.text())
-                return await resp.text()
+        status, body = await self._get_text(
+            f"{self._base}{self._get}?id={quote(report_id)}", token
+        )
+        if status >= 400:
+            raise HttpStatusError(status, body[:200])
+        return body
 
 
 async def fetch_report_csv(

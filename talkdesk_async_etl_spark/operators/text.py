@@ -262,3 +262,90 @@ def text_dominant_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
         "doc_id", "term", "n"
     )
+
+
+# Chunking contract: fixed token windows with overlap (size 64, stride
+# 48 → 16-token overlap), the shape LLM training pipelines feed
+# tokenizers. Chunk count = 1 + max(0, ceil((n_tokens - size)/stride)).
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+_CHUNK_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               array_to_string(tk[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}], ' ') AS chunk_text,
+               CAST(len(tk[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}]) AS INT) AS n_tokens
+        FROM toks, range(0, 200) r(i)
+        WHERE i <= greatest(0, CAST(ceil((len(tk) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS INT))
+    )
+    SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunks
+"""
+
+
+@query("text_chunk", oracle=_CHUNK_ORACLE, tags=("text", "chunk"))
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split each document into 64-token
+    chunks at stride 48 (16-token overlap) — the unit a training
+    pipeline tokenizes and packs. All inside the scan task: one
+    ``sequence`` of chunk starts, ``slice``+``array_join`` per chunk,
+    one explode; no shuffle at all (the output inherits the scan's
+    partitioning, and a downstream tokenizer maps over it in place).
+    At 100 TB the explode multiplies rows ~n_tokens/stride ×, which is
+    why it must stay inside the scan rather than shuffling documents
+    first."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((n - _CHUNK_SIZE) / F.lit(float(_CHUNK_STRIDE))).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * _CHUNK_STRIDE + 1, _CHUNK_SIZE), " ").alias("chunk_text"),
+            F.least(n - i * _CHUNK_STRIDE, F.lit(_CHUNK_SIZE)).cast("int").alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )
+
+
+# Conservative, engine-portable patterns (Java regex ∩ RE2): emails and
+# long digit runs. Real pipelines extend the pattern set; the operator
+# shape (regexp_replace chain + match counts, all JVM-side) is the point.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUMBER = r"[0-9]{7,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_NUMBER}', '<NUM>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_NUMBER}')) AS INT) AS n_numbers
+        FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 companion: PII redaction pass — replace emails and long
+    digit runs with typed placeholders and count what was hit (the
+    counts feed the quality-gate stage). Pure ``regexp_replace`` /
+    ``regexp_count`` expressions: one scan, zero shuffle, trivially
+    100 TB-safe."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_NUMBER, "<NUM>"
+        ).alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_NUMBER)).cast("int").alias("n_numbers"),
+    )

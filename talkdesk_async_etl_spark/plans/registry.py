@@ -89,6 +89,7 @@ _PRIORITY = (
     "text_token_count_regex",
     "text_split_assign",
     "text_dominant_term",
+    "text_chunk",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
@@ -124,7 +125,6 @@ _PRIORITY = (
     "window_topk_per_group",
     "sort_topk_global",
     "set_union",
-    "scalar_date_arith",
 )
 
 

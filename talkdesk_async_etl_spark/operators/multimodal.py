@@ -133,3 +133,87 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+def decode_audio_fake(content: bytes, duration_ms: int, sample_rate: int) -> np.ndarray:
+    """Deterministic stand-in audio decoder: bytes → pseudo-waveform in
+    [-1, 1] seeded by the payload hash; length = duration × rate
+    (capped so tests stay tiny)."""
+    seed = np.frombuffer(content[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(int(seed) ^ 0xA0D10)
+    n = min(int(duration_ms / 1000.0 * sample_rate), 65536)
+    return (rng.random(max(1, n)) * 2.0 - 1.0).astype(np.float32)
+
+
+def extract_audio_features(media: DataFrame, decoder=decode_audio_fake) -> DataFrame:
+    """Per-clip audio features via ``mapInPandas``: RMS level,
+    zero-crossing rate, duration — the scalar summary a quality gate
+    filters on before any expensive ASR/embedding stage. Same Arrow
+    streaming shape as the image path: blobs in, small feature rows
+    out, so the shuffle (if any) carries features, never waveforms."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clips = pdf[pdf["kind"] == "audio"]
+            if not len(clips):
+                continue
+            feats = []
+            for row in clips.itertuples():
+                meta = row.meta or {}
+                wave = decoder(
+                    bytes(row.content),
+                    int(meta.get("duration_ms") or 0),
+                    int(meta.get("sample_rate") or 16000),
+                )
+                zc = int(np.count_nonzero(np.diff(np.signbit(wave))))
+                feats.append(
+                    (
+                        row.media_id,
+                        len(wave),
+                        float(np.sqrt(np.mean(wave**2))),
+                        zc / max(1, len(wave) - 1),
+                        len(wave) / int(meta.get("sample_rate") or 16000),
+                    )
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=["media_id", "n_samples", "rms", "zero_crossing_rate", "duration_s"],
+            )
+
+    return media.mapInPandas(
+        per_batch,
+        schema="media_id long, n_samples long, rms double, zero_crossing_rate double, duration_s double",
+    )
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, decoder=decode_image_fake
+) -> DataFrame:
+    """Binary→binary transform: decode, nearest-neighbor resize to a
+    fixed grid, re-emit the pixel buffer as a binary column with
+    updated meta — the normalize-before-training step. Output payloads
+    are fixed-size (target_w × target_h), so downstream batch shapes
+    are uniform regardless of source dimensions."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            if not len(imgs):
+                continue
+            out = []
+            for row in imgs.itertuples():
+                meta = row.meta or {}
+                px = decoder(
+                    bytes(row.content),
+                    int(meta.get("width") or 1),
+                    int(meta.get("height") or 1),
+                )
+                ys = (np.arange(target_h) * px.shape[0] // target_h).clip(0, px.shape[0] - 1)
+                xs = (np.arange(target_w) * px.shape[1] // target_w).clip(0, px.shape[1] - 1)
+                resized = px[np.ix_(ys, xs)]
+                out.append((row.media_id, resized.tobytes(), target_w, target_h))
+            yield pd.DataFrame(out, columns=["media_id", "content", "width", "height"])
+
+    return media.mapInPandas(
+        per_batch, schema="media_id long, content binary, width int, height int"
+    )

@@ -248,3 +248,40 @@ def test_shingles_short_docs_yield_empty(spark):
     ).collect()
     assert [r.n_sh for r in rows] == [0, 0, 0, 1, 2]
     assert [r.n_h for r in rows] == [0, 0, 0, 1, 2]
+
+
+def test_multimodal_audio_features(spark):
+    """Audio path mirrors the image plumbing: Arrow batches of blobs
+    in, scalar feature rows out; deterministic under the seeded fake."""
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=30)
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    n_audio = media.filter("kind = 'audio'").count()
+    assert len(rows) == n_audio
+    for r in rows.values():
+        assert r["n_samples"] >= 1
+        assert 0.0 < r["rms"] < 1.0  # uniform[-1,1] waveform
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0
+        assert r["duration_s"] >= 0.0
+    again = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert {k: v["rms"] for k, v in rows.items()} == {k: v["rms"] for k, v in again.items()}
+
+
+def test_multimodal_resize_fixed_grid(spark):
+    """Resize emits fixed-size binary payloads with updated meta —
+    uniform downstream batch shapes regardless of source dims."""
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=30)
+    out = resize_images(media, target_w=8, target_h=4).collect()
+    assert len(out) == media.filter("kind = 'image'").count()
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(bytes(r["content"])) == 8 * 4  # uint8 grid

@@ -285,3 +285,47 @@ def test_multimodal_resize_fixed_grid(spark):
     for r in out:
         assert (r["width"], r["height"]) == (8, 4)
         assert len(bytes(r["content"])) == 8 * 4  # uint8 grid
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunk contract over doc lengths 0..130: contiguous chunk ids,
+    stride-48 starts, every token in some chunk, last chunk reaches the
+    end, and full reconstruction from stride-aligned pieces."""
+    from talkdesk_async_etl_spark.operators.text import _CHUNK_SIZE, _CHUNK_STRIDE, text_chunk
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n)) if n else "") for n in range(0, 131)],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents_chunktest")
+
+    # Reuse the operator's expression path via a monkeypatched reader.
+    import talkdesk_async_etl_spark.operators.text as text_mod
+
+    orig = text_mod.t
+    text_mod.t = lambda _spark, _sf, _name, **kw: docs
+    try:
+        out = text_chunk(spark, "ignored").toPandas()
+    finally:
+        text_mod.t = orig
+
+    for doc_id, grp in out.groupby("doc_id"):
+        n = int(doc_id)  # doc_id == token count by construction
+        toks = [f"t{i}" for i in range(n)]
+        grp = grp.sort_values("chunk_id").reset_index(drop=True)
+        assert list(grp["chunk_id"]) == list(range(len(grp)))
+        covered = set()
+        for _, row in grp.iterrows():
+            start = int(row["chunk_id"]) * _CHUNK_STRIDE
+            expect = toks[start : start + _CHUNK_SIZE]
+            got = row["chunk_text"].split(" ") if row["chunk_text"] else []
+            # split("") quirk: empty text tokenizes to [''] on both engines
+            if n == 0:
+                assert row["n_tokens"] == 1
+                continue
+            assert got == expect, (n, start)
+            assert int(row["n_tokens"]) == len(expect)
+            covered.update(range(start, start + len(expect)))
+        if n > 0:
+            assert covered == set(range(n))  # no token dropped

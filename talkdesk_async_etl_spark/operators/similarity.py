@@ -251,3 +251,51 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
     )
+
+
+_N_CENTROIDS = 8
+
+_CENTROID_ORACLE = f"""
+    SELECT vec_id, centroid_id, cos_sim FROM (
+        SELECT v.vec_id, c.vec_id AS centroid_id,
+               round(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS INTEGER) AS rn
+        FROM embeddings v JOIN embeddings c ON c.vec_id < {_N_CENTROIDS}
+    ) WHERE rn = 1
+"""
+
+
+@query("sim_centroid_assign", oracle=_CENTROID_ORACLE, tags=("similarity", "ivf"))
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 index build: assign every vector to its nearest centroid —
+    the IVF coarse-quantizer step (here the centroid set is the first
+    ``_N_CENTROIDS`` vectors; a Lloyd refinement re-averages per
+    assignment with one groupBy and reassigns, same plan per round).
+
+    Scale shape: centroids broadcast (k vectors, KB-sized), the corpus
+    is scanned once and never shuffles — per-row k cosine computations
+    inside the scan task, rank via a per-vector window whose partition
+    key is the corpus row itself (WindowGroupLimit bounds it to top-1).
+    At 100 TB the output is written partitioned by ``centroid_id``,
+    which IS the IVF index: a query probes its nearest centroids'
+    partitions only."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    with_norm = emb.withColumn("norm", _norm("v"))
+    cents = with_norm.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    dot = F.aggregate(F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    scored = with_norm.join(F.broadcast(cents)).withColumn("sim", dot / (F.col("norm") * F.col("cn")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.round("sim", 6).alias("cos_sim"))
+    )

@@ -82,6 +82,7 @@ _PRIORITY = (
     "sim_topk_cosine",
     "sim_topk_blocked",
     "sim_topk_ivf",
+    "sim_centroid_assign",
     "text_token_stats",
     "text_quality_filter",
     "text_lang_id",
@@ -124,7 +125,6 @@ _PRIORITY = (
     "window_row_number",
     "window_topk_per_group",
     "sort_topk_global",
-    "set_union",
 )
 
 

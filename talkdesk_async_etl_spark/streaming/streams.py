@@ -147,3 +147,41 @@ def foreach_batch_parquet(stream_df: DataFrame, out_path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def purchases_with_prior_views(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join (the streaming twin of the batch
+    ``join_range`` operator): each purchase joins views by the same
+    user from the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds the view
+    timestamp to [purchase - 1h, purchase], so the state store can
+    evict a buffered view once the watermark passes its hour horizon —
+    bounded state on an unbounded stream. An unconstrained stream-
+    stream join would buffer forever; the time bound is what makes
+    this runnable at scale."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("p_id", "p_user", "p_ts", "v_id", "v_ts")

@@ -131,3 +131,35 @@ def test_stateful_running_totals(spark, events_batch):
         assert not mismatch, f"count mismatches: {dict(list(mismatch.items())[:3])}"
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """The stream-stream interval join must agree with the batch
+    join_range operator's per-purchase prior-view counts once all
+    files are processed (inner matches; outer-side nulls depend on
+    watermark progress, so compare matched pairs only)."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+    from talkdesk_async_etl_spark.streaming.streams import (
+        purchases_with_prior_views,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    q = run_to_memory_sink(
+        purchases_with_prior_views(read_events_stream(spark, SF_SMALL)),
+        "t_ssjoin",
+        "append",
+    )
+    try:
+        got = (
+            spark.table("t_ssjoin")
+            .filter(F.col("v_id").isNotNull())
+            .groupBy(F.col("p_id").alias("event_id"))
+            .agg(F.count("*").alias("n_prior_views"))
+        )
+        batch = load_all()["join_range"].fn(spark, SF_SMALL).filter("n_prior_views > 0")
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
+    finally:
+        q.stop()

@@ -299,3 +299,65 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id", F.round("sim", 6).alias("cos_sim"))
     )
+
+
+def kmeans_refine(emb: DataFrame, n_centroids: int = _N_CENTROIDS, rounds: int = 2):
+    """Lloyd refinement for the IVF coarse quantizer: alternate
+    assign (argmin squared distance over literal centroids, evaluated
+    inside the scan — ``array_min`` over (dist, cid) structs gives the
+    argmin with a deterministic tie-break) and update (per-dimension
+    means via one posexplode + groupBy).
+
+    Scale shape per round: one shuffle of (cid, dim, component) rows —
+    k·dim·|corpus| narrow rows that AQE coalesces — and one driver
+    collect of exactly k·dim averaged values (KB-sized, independent of
+    corpus size). Centroids live as expression literals, so assignment
+    adds zero joins and the corpus never shuffles for it.
+
+    Returns ``(assignments DataFrame (vec_id, centroid_id, sq_dist),
+    centroids list, inertia history)``; inertia is non-increasing —
+    asserted in tests, the standard Lloyd convergence guarantee."""
+    seed_rows = (
+        emb.orderBy("vec_id").limit(n_centroids).select("vec_id", "v").collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+    history: list[float] = []
+
+    def dist_to(c: list[float]):
+        lit_c = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with("v", lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    assigned = None
+    for _ in range(rounds):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(dist_to(c).alias("d"), F.lit(i).alias("cid"))
+                    for i, c in enumerate(centroids)
+                ]
+            )
+        )
+        assigned = emb.select(
+            "vec_id",
+            "v",
+            best["cid"].alias("centroid_id"),
+            best["d"].alias("sq_dist"),
+        )
+        stats = (
+            assigned.select("centroid_id", "sq_dist", F.posexplode("v").alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("mean_x"), F.sum("sq_dist").alias("part_inertia"))
+            .collect()
+        )
+        dim_count = max(r["dim"] for r in stats) + 1
+        history.append(sum(r["part_inertia"] for r in stats if r["dim"] == 0))
+        new_centroids = [list(c) for c in centroids]
+        for r in stats:
+            new_centroids[r["centroid_id"]] = new_centroids[r["centroid_id"]][:dim_count]
+            new_centroids[r["centroid_id"]][r["dim"]] = r["mean_x"]
+        centroids = new_centroids
+    return assigned.drop("v"), centroids, history

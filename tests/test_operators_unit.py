@@ -329,3 +329,20 @@ def test_chunking_covers_every_token(spark):
             covered.update(range(start, start + len(expect)))
         if n > 0:
             assert covered == set(range(n))  # no token dropped
+
+
+def test_kmeans_refine_inertia_non_increasing(spark):
+    """Lloyd rounds must not increase inertia (assign-then-update each
+    weakly improve the objective) and every vector stays assigned."""
+    from talkdesk_async_etl_spark.operators.similarity import _as_double, kmeans_refine
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    assigned, centroids, history = kmeans_refine(emb, n_centroids=8, rounds=3)
+    assert len(history) == 3
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(history, history[1:])), history
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() <= 8
+    assert len(centroids) == 8 and len(centroids[0]) == 64

@@ -409,3 +409,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= 0.5)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+def winnow_fingerprints(text_col, k: int = 3, window: int = 4):
+    """Winnowing fingerprints (Schleimer et al., the MOSS algorithm):
+    the POSITIONAL rolling k-gram hash sequence (no distinct — order
+    matters), then the minimum of every ``window`` consecutive hashes,
+    deduplicated. Guarantees ≥1 fingerprint per window of text, and a
+    shared substring of length ≥ k+window−1 tokens always shares a
+    fingerprint — the local-edit-robust digest the md5 whole-document
+    fingerprint (text_fingerprint) cannot provide.
+
+    Scale: pure scan-side array expressions like _shingle_hashes; the
+    fingerprint set is ~1/window the shingle count, so the downstream
+    group-or-join shuffles proportionally less."""
+    toks = F.split(text_col, " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    win = n - (k - 1)
+    raw = F.slice(th, 1, win)
+    for off in range(1, k):
+        raw = F.zip_with(raw, F.slice(th, off + 1, win), lambda x, y: F.xxhash64(x, y))
+    # Guard BEFORE taking size: when() short-circuits per row, so the
+    # negative-length slices of a <k-token doc are never evaluated.
+    seq = F.when(n >= k, raw).otherwise(F.array().cast("array<bigint>"))
+    m = F.size(seq)
+    fps = F.transform(
+        F.sequence(F.lit(0), m - window),
+        lambda i: F.array_min(F.slice(seq, i + 1, window)),
+    )
+    return (
+        F.when(m >= window, F.array_distinct(fps))
+        .when(m >= 1, F.array(F.array_min(seq)))  # short doc: one fp
+        .otherwise(F.array().cast("array<bigint>"))
+    )

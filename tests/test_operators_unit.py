@@ -346,3 +346,43 @@ def test_kmeans_refine_inertia_non_increasing(spark):
     assert assigned.count() == emb.count()
     assert assigned.select("centroid_id").distinct().count() <= 8
     assert len(centroids) == 8 and len(centroids[0]) == 64
+
+
+def test_winnowing_fingerprint_properties(spark):
+    """Winnowing guarantees: fingerprints ⊆ rolling k-gram hashes, at
+    least one per window, and docs sharing a long substring share a
+    fingerprint even when their prefixes differ (local-edit
+    robustness the whole-document md5 digest lacks)."""
+    from talkdesk_async_etl_spark.operators.dedup import _shingle_hashes, winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (1, "aa bb cc " + shared),
+        (2, "xx yy zz qq " + shared),
+        (3, "totally different words entirely here now"),
+        (4, "one two"),  # shorter than k tokens
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (set(r["fp"]), set(r["sh"]), r["n_toks"])
+        for r in df.select(
+            "doc_id",
+            winnow_fingerprints(F.col("text")).alias("fp"),
+            _shingle_hashes(F.col("text")).alias("sh"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+        ).collect()
+    }
+    for doc_id, (fp, sh, n_toks) in got.items():
+        assert fp <= sh, doc_id  # fingerprints come from the k-gram hashes
+        if n_toks >= 3:
+            assert fp, doc_id  # every doc with >= k tokens has >= 1 fp
+    # density: ≥ one fingerprint per `window` k-grams.
+    n_grams_1 = got[1][2] - 2
+    assert len(got[1][0]) >= n_grams_1 // 4
+    # docs 1 and 2 share a 20-token substring → must share fingerprints.
+    assert got[1][0] & got[2][0]
+    # unrelated docs share nothing.
+    assert not (got[1][0] & got[3][0])
+    assert got[4][0] == set() or got[4][0] <= got[4][1]
+    assert got[5][0] == set()

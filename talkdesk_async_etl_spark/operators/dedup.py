@@ -243,6 +243,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = flagged.drop("chg")
         if changed == 0:
             break
+    # Labels are checkpointed (materialized) — the pairs/edges caches
+    # are dead weight from here; free them so a long-lived session
+    # doesn't carry every past run's blocks.
+    edges.unpersist()
+    pairs.unpersist()
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 

@@ -417,11 +417,14 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7: multi-way star join (TPC-H shape). Scale strategy: the one
-    genuinely large join (lineitem ⋈ orders) is left to AQE —
-    sort-merge with skew splitting at 100 TB; the three dimension hops
-    (customer/nation/region) get explicit broadcast hints so the big
-    fact stream never reshuffles after its first join."""
+    """J7: multi-way star join (TPC-H shape). Scale strategy: the two
+    SF-scaling joins (lineitem ⋈ orders, ⋈ customer) are left to AQE —
+    it broadcasts customer while it fits and switches to sort-merge
+    with skew splitting when it doesn't (customer GROWS with the data;
+    a hard broadcast hint on it would OOM the build side at 100 TB).
+    Only the fixed-cardinality dimensions (nation 25 rows, region 5)
+    get explicit broadcast hints, so the fact stream never reshuffles
+    after the customer hop."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -429,7 +432,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -305,7 +305,10 @@ def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the reference's driver-side pandas row loop (DB:536-541):
     never loop rows on the driver; ship the small side to every
     executor and stream the fact table through it (no shuffle of the
-    big side)."""
+    big side). The hint is a CONTRACT that the build side is bounded
+    (here it stands in for the reference's config-dimension lookup,
+    endpoint_config ⋈ report_config); for a side that grows with the
+    data, leave the choice to AQE — see join_star."""
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
     return (

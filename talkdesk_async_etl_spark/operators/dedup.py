@@ -324,6 +324,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_lsh_containment",
+    # The invariant IS the query: LSH output ⊆ exact-Jaccard output, so
+    # the anti-join is empty and the oracle is the empty set with the
+    # same schema. A banding bug / hash drift / threshold regression
+    # materializes as >0 rows → driver rows/hash mismatch.
+    oracle="SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b WHERE 1 = 0",
+    tags=("dedup", "lsh", "invariant"),
+)
+def dedup_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable containment invariant for the approximate LSH
+    path: every pair emitted by ``dedup_minhash_lsh`` must also be in
+    the exact ``dedup_near_jaccard`` answer (banding only loses pairs,
+    never invents them — verification re-checks exact Jaccard ≥ 0.6 on
+    the full hash sets). Registered so the guarantee that was
+    previously only a unit test becomes driver evidence."""
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    exact = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return lsh.join(exact, ["doc_a", "doc_b"], "left_anti")
+
+
 @query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 (cheapest signal): 64-bit SimHash near-dup pairs at hamming

@@ -294,9 +294,9 @@ def join_inner_using(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_broadcast_lookup",
     oracle="""
-        SELECT o_orderkey, o_totalprice, c_mktsegment
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'MACHINERY' AND o_orderstatus = 'O'
+        SELECT c_custkey, c_acctbal, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 2 AND c_mktsegment = 'MACHINERY'
     """,
     tags=("join", "broadcast"),
 )
@@ -305,15 +305,18 @@ def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the reference's driver-side pandas row loop (DB:536-541):
     never loop rows on the driver; ship the small side to every
     executor and stream the fact table through it (no shuffle of the
-    big side). The hint is a CONTRACT that the build side is bounded
-    (here it stands in for the reference's config-dimension lookup,
-    endpoint_config ⋈ report_config); for a side that grows with the
-    data, leave the choice to AQE — see join_star."""
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    big side). The hint is a CONTRACT that the build side is bounded:
+    nation has a FIXED 25 rows at every scale factor (it stands in for
+    the reference's 8-row endpoint_config lookup, DB:537-541), so the
+    hint is safe at 100 TB. The scaling ``customer`` side is never
+    hinted — for a side that grows with the data, leave the choice to
+    AQE (see join_star). tests/test_plans.py locks the build side to
+    the nation scan."""
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    dim = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select("o_orderkey", "o_totalprice", "c_mktsegment")
+        cust.join(F.broadcast(dim), cust.c_nationkey == dim.n_nationkey)
+        .select("c_custkey", "c_acctbal", "n_name")
     )
 
 

@@ -253,6 +253,36 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_FLOOR = 0.7
+
+
+@query(
+    "sim_ivf_recall",
+    # The invariant IS the query: multi-table LSH recall@10 against the
+    # exact brute-force answer must clear the documented floor. Both
+    # sides are seed-pinned and deterministic, so the single TRUE row
+    # is a constant — a hyperplane/seed/banding regression flips it to
+    # FALSE → driver hash mismatch.
+    oracle=f"SELECT CAST(1 AS BOOLEAN) AS recall_ok, CAST({_RECALL_FLOOR} AS DOUBLE) AS floor",
+    tags=("similarity", "lsh", "invariant"),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable recall invariant for the approximate ANN path:
+    the fraction of exact top-10 neighbors (``sim_topk_cosine``) that
+    ``sim_topk_ivf`` recovers must be >= the 0.7 floor the unit suite
+    asserts. Registered so the guarantee that was previously only a
+    unit test becomes driver evidence."""
+    exact = sim_topk_cosine(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = sim_topk_ivf(spark, sf_dir).select("q_id", "neighbor_id").withColumn("m", F.lit(1))
+    return (
+        exact.join(approx, ["q_id", "neighbor_id"], "left")
+        .agg(
+            (F.count("m") / F.count(F.lit(1)) >= _RECALL_FLOOR).alias("recall_ok"),
+            F.lit(_RECALL_FLOOR).cast("double").alias("floor"),
+        )
+    )
+
+
 _N_CENTROIDS = 8
 
 _CENTROID_ORACLE = f"""

@@ -64,67 +64,72 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Driver-facing check order. The round-1 correctness harness verified
-# exactly the first 50 registered queries, so ordering is budget
-# allocation: first the LLM-pipeline extension suite (never checked in
-# round 1), then the queries un-errored this round, then a cross-section
-# of the §2 relational contract; the remainder (all driver-green in
-# round 1) trails. Any id registered but absent here appends in
-# registration order, so new operators are never silently dropped.
+# Driver-facing check order. The driver verifies exactly the first 50
+# registered queries per round, so ordering is budget allocation.
+# Round-3 window: first the single never-attested id (text_pii_scrub),
+# then the 26 ids whose only driver hash-match is round 1 (round 2's
+# window pushed them out), then the two new invariant queries that turn
+# the LSH/IVF unit-test guarantees into driver evidence, then sentinels
+# for queries modified this round (join_broadcast_lookup, text_chunk)
+# and a cross-section of the round-2-green suites. Any id registered but
+# absent here appends in registration order, so new operators are never
+# silently dropped.
 _PRIORITY = (
-    # LLM-pipeline suite + asof/udfs/multimodal (untested in round 1)
+    # never driver-attested before round 3
+    "text_pii_scrub",
+    # round-1-only attestations: re-attest (26 ids)
+    "filter_limit1",
+    "filter_null_handling",
+    "filter_in_like",
+    "join_fk_monitoring",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "agg_count_per_key",
+    "agg_group_counts",
+    "agg_sum_two_keys",
+    "agg_status_rollup",
+    "agg_rollup",
+    "agg_cube",
+    "window_lag",
+    "window_moving_frame",
+    "sort_multi_key",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "scalar_date_arith",
+    "scalar_date_format",
+    "scalar_string_concat",
+    "scalar_string_replace",
+    "scalar_math",
+    "scalar_array_ops",
+    "scalar_string_toolkit",
+    # new round-3 invariant queries (driver-attestable approx checks)
+    "dedup_lsh_containment",
+    "sim_ivf_recall",
+    # modified this round — need fresh attestation
+    "join_broadcast_lookup",
+    "text_chunk",
+    # round-2-green sentinels (regression canaries across every suite)
     "dedup_exact",
     "dedup_near_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_topk_cosine",
-    "sim_topk_blocked",
-    "sim_topk_ivf",
     "sim_centroid_assign",
     "text_token_stats",
-    "text_quality_filter",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_regex",
-    "text_split_assign",
-    "text_dominant_term",
-    "text_chunk",
     "stream_tumbling",
-    "stream_sliding",
     "stream_session",
     "join_asof",
     "udf_pandas_scalar",
     "udaf_grouped_apply",
     "multimodal_frame_sample",
-    "multimodal_image_features",
-    # errored in round 1, fixed this round (nanos conf / array column)
-    "filter_col_eq",
-    "filter_date_range",
-    "join_range",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "pivot_event_counts",
-    "agg_percentile_approx",
-    "scalar_json_extract",
-    "scalar_json_struct",
-    # §2 contract cross-section (driver-green in round 1)
-    "agg_conditional_sum",
-    "scan_parquet",
-    "csv_roundtrip",
-    "scan_json_doc",
-    "filter_conj_eq",
-    "project_columns",
-    "join_inner_using",
-    "join_broadcast_lookup",
     "join_star",
-    "agg_count",
-    "agg_multi",
-    "agg_percentile",
+    "agg_conditional_sum",
     "window_row_number",
-    "window_topk_per_group",
     "sort_topk_global",
+    "scan_parquet",
 )
 
 

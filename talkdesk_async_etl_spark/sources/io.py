@@ -33,13 +33,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
     microsecond timestamp — the same truncation DuckDB applies on
     ``CAST(ts AS TIMESTAMP)``, so oracle SQL casts likewise.
 
-    ``spread=True`` repartitions the scan to the session's default
-    parallelism. Use it for compute-heavy operators over the small
-    single-row-group testdata files (a one-row-group parquet scan is
-    ONE task, serializing everything downstream onto one core). On a
-    real cluster multi-file tables split naturally and the repartition
-    of an already-parallel scan is a cheap narrow-ish shuffle relative
-    to the compute it feeds."""
+    ``spread=True`` requests that the scan feed at least the session's
+    default parallelism. It only repartitions when the scan actually
+    under-parallelizes (a one-row-group parquet file is ONE task,
+    serializing everything downstream onto one core — the testdata
+    shape); on a multi-file table that already splits into >= that many
+    tasks it is a NO-OP, so a 100 TB corpus scan is never prefixed with
+    a full-table shuffle. tests/test_plans.py asserts both branches."""
     # Runtime-settable (verified): a vanilla session — e.g. the driver
     # harness's — rejects TIMESTAMP(NANOS) parquet outright, so the conf
     # must not depend on who built the session.
@@ -50,7 +50,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if spread:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        target = spark.sparkContext.defaultParallelism
+        # Plan-time inspection only (no job): how many tasks the scan
+        # would launch given file layout + maxPartitionBytes.
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

@@ -41,6 +41,22 @@ def test_dimension_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_broadcast_builds_on_bounded_dim_only(spark):
+    """The hard broadcast hint must land on the fixed-cardinality
+    nation dimension (25 rows at every SF), never on the SF-scaling
+    customer side — a broadcast of a table that grows with the data
+    OOMs the build side at 100 TB."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        load_all()["join_broadcast_lookup"].fn(spark, SF_SMALL).explain("simple")
+    lines = buf.getvalue().splitlines()
+    bx = next(i for i, l in enumerate(lines) if "BroadcastExchange" in l)
+    # The first scan below the exchange is its build-side child.
+    scan = next(l for l in lines[bx:] if "FileScan" in l or "Scan parquet" in l)
+    assert "nation" in scan, scan
+    assert "customer" not in scan, scan
+
+
 def test_window_topk_pushes_group_limit(spark):
     plan = plan_of(spark, "window_topk_per_group")
     # Partial + final WindowGroupLimit: map tasks forward <=K rows/key.
@@ -69,6 +85,47 @@ def test_single_shuffle_aggregations(spark, name):
     plan = plan_of(spark, name)
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 1, shuffles
+
+
+def test_spread_repartitions_single_task_scan(spark):
+    """Testdata shape: one row group → one task; spread=True must widen
+    the scan to the session's default parallelism."""
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    df = read_table(spark, SF_SMALL, "documents", spread=True)
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_spread_is_noop_on_already_parallel_scan(spark, tmp_path):
+    """100 TB shape: a table that already splits into >= default
+    parallelism tasks must NOT be prefixed with a repartition shuffle —
+    spread=True is a no-op and the plan has no Exchange."""
+    import contextlib as _ctx
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    target = spark.sparkContext.defaultParallelism
+    src = str(tmp_path / "wide")
+    spark.range(10_000).withColumn("v", F.rand(7)).repartition(target * 2).write.parquet(
+        src + "/wide.parquet"
+    )
+    # Tiny test files would bin-pack into one scan task under the
+    # default 128 MB bins; cap the bin at the per-file open cost so
+    # each file is one task, i.e. the real multi-file-table shape.
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    try:
+        df = read_table(spark, src, "wide", spread=True)
+        assert df.rdd.getNumPartitions() >= target
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
 def test_ivf_broadcasts_queries_never_shuffles_corpus(spark):

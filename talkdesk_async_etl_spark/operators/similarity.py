@@ -346,7 +346,13 @@ def kmeans_refine(emb: DataFrame, n_centroids: int = _N_CENTROIDS, rounds: int =
 
     Returns ``(assignments DataFrame (vec_id, centroid_id, sq_dist),
     centroids list, inertia history)``; inertia is non-increasing —
-    asserted in tests, the standard Lloyd convergence guarantee."""
+    asserted in tests, the standard Lloyd convergence guarantee. The
+    returned assignments are recomputed against the FINAL centroids
+    (an earlier draft returned the last round's pre-update
+    assignments next to post-update centroids — a half-step mismatch
+    that misattributes vectors near cluster boundaries)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     seed_rows = (
         emb.orderBy("vec_id").limit(n_centroids).select("vec_id", "v").collect()
     )
@@ -361,22 +367,24 @@ def kmeans_refine(emb: DataFrame, n_centroids: int = _N_CENTROIDS, rounds: int =
             lambda s, x: s + x,
         )
 
-    assigned = None
-    for _ in range(rounds):
+    def assign(cents: list[list[float]]):
         best = F.array_min(
             F.array(
                 *[
                     F.struct(dist_to(c).alias("d"), F.lit(i).alias("cid"))
-                    for i, c in enumerate(centroids)
+                    for i, c in enumerate(cents)
                 ]
             )
         )
-        assigned = emb.select(
+        return emb.select(
             "vec_id",
             "v",
             best["cid"].alias("centroid_id"),
             best["d"].alias("sq_dist"),
         )
+
+    for _ in range(rounds):
+        assigned = assign(centroids)
         stats = (
             assigned.select("centroid_id", "sq_dist", F.posexplode("v").alias("dim", "x"))
             .groupBy("centroid_id", "dim")
@@ -390,4 +398,6 @@ def kmeans_refine(emb: DataFrame, n_centroids: int = _N_CENTROIDS, rounds: int =
             new_centroids[r["centroid_id"]] = new_centroids[r["centroid_id"]][:dim_count]
             new_centroids[r["centroid_id"]][r["dim"]] = r["mean_x"]
         centroids = new_centroids
-    return assigned.drop("v"), centroids, history
+    # Consistent pair: one extra assignment pass against the final
+    # centroids (same plan shape, no extra shuffle).
+    return assign(centroids).drop("v"), centroids, history

@@ -270,17 +270,23 @@ def text_dominant_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SIZE = 64
 _CHUNK_STRIDE = 48
 
+# Per-row unnest(range(...)) derives each document's chunk-id range
+# from its own token count — no fixed cap, so arbitrarily long
+# documents can never diverge from the Spark formulation (an earlier
+# draft cross-joined range(0, 200), silently capping 200 chunks/doc).
 _CHUNK_ORACLE = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-    chunks AS (
-        SELECT doc_id,
-               CAST(i AS INT) AS chunk_id,
-               array_to_string(tk[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}], ' ') AS chunk_text,
-               CAST(len(tk[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}]) AS INT) AS n_tokens
-        FROM toks, range(0, 200) r(i)
-        WHERE i <= greatest(0, CAST(ceil((len(tk) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS INT))
+    ids AS (
+        SELECT doc_id, tk,
+               unnest(range(0, 1 + greatest(0,
+                   CAST(ceil((len(tk) - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0) AS INT)))) AS i
+        FROM toks
     )
-    SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunks
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           array_to_string(tk[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}], ' ') AS chunk_text,
+           CAST(len(tk[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK_SIZE}]) AS INT) AS n_tokens
+    FROM ids
 """
 
 

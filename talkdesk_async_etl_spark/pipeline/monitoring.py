@@ -127,23 +127,39 @@ class MergeMonitoringStore:
         self._sql = sql if sql is not None else spark.sql
 
     def _merge(self, table: str, rows: list, schema, on: tuple[str, ...], update_cols: tuple[str, ...]) -> None:
-        src = f"_merge_src_{table}"
+        # Temp views are session-global: a fixed name would let two
+        # concurrent pipeline runs in one SparkSession merge each
+        # other's rows. A per-call unique suffix isolates them; the
+        # view is dropped after the statement so the catalog doesn't
+        # accumulate one view per merge.
+        src = f"_merge_src_{table}_{uuid.uuid4().hex}"
         self.spark.createDataFrame(rows, schema).createOrReplaceTempView(src)
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
-        sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
-        self._sql(
-            f"MERGE INTO {self.db}.{table} t USING {src} s ON {cond} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT *"
-        )
+        try:
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in on)
+            sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+            self._sql(
+                f"MERGE INTO {self.db}.{table} t USING {src} s ON {cond} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(src)
 
     def log_job_start(self, run_id: str, from_date: str, to_date: str, total_reports: int) -> None:
         rows = [
             (run_id, from_date, to_date, utc_now(), None, "RUNNING", total_reports, None, None, None)
         ]
+        # end_time/success_count/failed_count/error_message are in the
+        # update set (as NULLs from the source row) so a RESTARTED
+        # run_id reads as cleanly RUNNING — without them the re-opened
+        # row would keep the previous attempt's close timestamps and
+        # counts alongside status=RUNNING.
         self._merge(
             "job_monitoring", rows, JOB_MONITORING_SCHEMA, on=("run_id",),
-            update_cols=("from_date", "to_date", "start_time", "status", "total_reports"),
+            update_cols=(
+                "from_date", "to_date", "start_time", "status", "total_reports",
+                "end_time", "success_count", "failed_count", "error_message",
+            ),
         )
 
     def log_job_end(

@@ -40,11 +40,15 @@ class TokenManager:
             if self._fresh():  # double-checked: another task refreshed
                 return self._token  # type: ignore[return-value]
             token, expires_in = await self._fetch()
-            # Remaining validity = max(expires_in - 300, 60) (DB:109-114):
-            # short-lived tokens keep a positive 60 s freshness floor
-            # instead of expiring immediately and refetching per call.
+            # Remaining validity = max(expires_in - 300, floor) with the
+            # floor clamped to half the actual lifetime. The reference's
+            # flat 60 s floor (DB:113) would treat a token with
+            # expires_in <= 60 as fresh PAST its real expiry — a 401 in
+            # waiting; clamping keeps the floor's refetch-amortization
+            # while never exceeding actual validity.
             self._token = token
+            floor = min(MIN_BUFFER_SEC, expires_in / 2.0)
             self._expires_at = self._clock() + max(
-                expires_in - REFRESH_BUFFER_SEC, MIN_BUFFER_SEC
+                expires_in - REFRESH_BUFFER_SEC, floor
             )
             return token

@@ -105,15 +105,44 @@ def csv_from_text(spark: SparkSession, csv_text: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def write_csv_report(df: DataFrame, base: str, report_name: str, from_date: str, to_date: str) -> str:
+def write_csv_report(
+    df: DataFrame,
+    base: str,
+    report_name: str,
+    from_date: str,
+    to_date: str,
+    single_file: bool = False,
+) -> str:
     """S5: CSV sink with the reference's path contract
     ``{base}/{report_name}/{from}_to_{to}.csv`` (DB:441-444,
-    local/talkdesk_local_etl.py:67-69). Spark writes a directory; the
-    contract's ``.csv`` leaf becomes a directory of part files, which
-    keeps the write parallel at scale (a single-file ``coalesce(1)``
-    sink would serialize 100 TB through one task)."""
+    local/talkdesk_local_etl.py:67-69).
+
+    Default: Spark writes a directory of part files under the contract
+    path — the write stays parallel at scale (a single-file sink would
+    serialize 100 TB through one task).
+
+    ``single_file=True`` restores the reference's one-``.csv``-FILE
+    leaf (DB:446 — consumers that open the path directly expect one
+    file): ``coalesce(1)`` to a staging directory, then the lone part
+    file is renamed onto the contract path. Opt in only for reports
+    known to be driver-small (the reference's envelope is <=50k rows,
+    README.md:204-207)."""
     out = os.path.join(base, report_name, f"{from_date}_to_{to_date}.csv")
-    df.write.mode("overwrite").option("header", True).csv(out)
+    if not single_file:
+        df.write.mode("overwrite").option("header", True).csv(out)
+        return out
+    import shutil
+
+    staging = out + "._staging"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(staging)
+    part = next(f for f in os.listdir(staging) if f.startswith("part-") and f.endswith(".csv"))
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    elif os.path.exists(out):
+        os.remove(out)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    shutil.move(os.path.join(staging, part), out)
+    shutil.rmtree(staging)
     return out
 
 

@@ -149,17 +149,46 @@ def foreach_batch_parquet(stream_df: DataFrame, out_path: str, checkpoint: str):
     )
 
 
-def purchases_with_prior_views(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int | None:
+    """Parse simple ``'N unit'`` interval strings; None when the form
+    isn't recognized (compound intervals — caller is on their own)."""
+    parts = spec.strip().lower().split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1] in _INTERVAL_UNITS:
+        return int(parts[0]) * _INTERVAL_UNITS[parts[1]]
+    return None
+
+
+def purchases_with_prior_views(
+    events: DataFrame, lookback: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
     """Stream-stream interval join (the streaming twin of the batch
     ``join_range`` operator): each purchase joins views by the same
-    user from the preceding hour.
+    user from the preceding ``lookback`` interval.
 
     Both sides carry watermarks and the join condition bounds the view
-    timestamp to [purchase - 1h, purchase], so the state store can
-    evict a buffered view once the watermark passes its hour horizon —
+    timestamp to [purchase - lookback, purchase], so the state store
+    can evict a buffered view once the watermark passes its horizon —
     bounded state on an unbounded stream. An unconstrained stream-
     stream join would buffer forever; the time bound is what makes
-    this runnable at scale."""
+    this runnable at scale.
+
+    The watermark defaults to the lookback, and a caller-supplied
+    watermark SHORTER than the lookback is rejected: state would be
+    evicted before the join interval closes, silently dropping matches
+    (or emitting spurious outer nulls)."""
+    wm = watermark if watermark is not None else lookback
+    wm_s, lb_s = _interval_seconds(wm), _interval_seconds(lookback)
+    if wm_s is not None and lb_s is not None and wm_s < lb_s:
+        raise ValueError(
+            f"watermark {wm!r} is shorter than the join lookback {lookback!r}: "
+            "buffered rows would be evicted before the interval closes"
+        )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -167,7 +196,7 @@ def purchases_with_prior_views(events: DataFrame, watermark: str = "1 hour") -> 
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", watermark)
+        .withWatermark("p_ts", wm)
     )
     views = (
         events.filter(F.col("event_type") == "view")
@@ -176,12 +205,12 @@ def purchases_with_prior_views(events: DataFrame, watermark: str = "1 hour") -> 
             F.col("user_id").alias("v_user"),
             F.col("ts").alias("v_ts"),
         )
-        .withWatermark("v_ts", watermark)
+        .withWatermark("v_ts", wm)
     )
     return purchases.join(
         views,
         (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("v_ts") <= F.col("p_ts")),
         "leftOuter",
     ).select("p_id", "p_user", "p_ts", "v_id", "v_ts")

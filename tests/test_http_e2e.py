@@ -130,3 +130,36 @@ def test_http_pipeline_end_to_end(spark, tmp_path, api_server):
     p = os.path.join(cfg.output_base_path, "agent_activity", "2024-01-01_to_2024-01-02.csv")
     assert os.path.isfile(p)
     assert open(p, encoding="utf-8").read().startswith("key,value")
+
+
+def test_write_csv_report_single_file_contract(spark, tmp_path):
+    """S5 single-file opt-in: the reference writes ONE .csv file per
+    report (DB:441-446); single_file=True must leave exactly one data
+    FILE at the contract path {base}/{report}/{from}_to_{to}.csv,
+    with no staging residue. The default stays a directory of parts
+    (the parallel-at-scale shape)."""
+    import os
+
+    from talkdesk_async_etl_spark.sources.io import read_csv, write_csv_report
+
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    out = write_csv_report(
+        df, str(tmp_path), "agent_activity", "2024-01-01", "2024-01-02", single_file=True
+    )
+    assert out.endswith(os.path.join("agent_activity", "2024-01-01_to_2024-01-02.csv"))
+    assert os.path.isfile(out)  # a file, not a part directory
+    assert os.listdir(os.path.dirname(out)) == [os.path.basename(out)]
+    back = read_csv(spark, out)
+    assert back.count() == 5 and set(back.columns) == {"id", "v"}
+
+    # Re-write over an existing single file: idempotent, still one file.
+    out_again = write_csv_report(
+        df, str(tmp_path), "agent_activity", "2024-01-01", "2024-01-02", single_file=True
+    )
+    assert out_again == out and os.path.isfile(out)
+    assert os.listdir(os.path.dirname(out)) == [os.path.basename(out)]
+
+    # Default: directory sink under the same path contract.
+    out_dir = write_csv_report(df, str(tmp_path), "call_volume", "2024-01-01", "2024-01-02")
+    assert os.path.isdir(out_dir)
+    assert any(f.startswith("part-") for f in os.listdir(out_dir))

@@ -346,6 +346,18 @@ def test_kmeans_refine_inertia_non_increasing(spark):
     assert assigned.count() == emb.count()
     assert assigned.select("centroid_id").distinct().count() <= 8
     assert len(centroids) == 8 and len(centroids[0]) == 64
+    # Returned assignments are AGAINST the returned (post-update)
+    # centroids: their inertia continues the non-increasing sequence
+    # (the half-step-stale pairing would generally break this).
+    from pyspark.sql import functions as F
+
+    final_inertia = assigned.agg(F.sum("sq_dist")).first()[0]
+    assert final_inertia <= history[-1] * (1 + 1e-9)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        kmeans_refine(emb, n_centroids=8, rounds=0)
 
 
 def test_winnowing_fingerprint_properties(spark):

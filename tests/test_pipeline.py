@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import os
+import re
 
 import pytest
 from hypothesis import given, settings
@@ -190,9 +191,10 @@ def test_token_manager_refresh_buffer_and_single_flight():
     asyncio.run(drive())
     assert len(fetches) == 2
 
-    # Short-lived token: remaining validity = max(expires_in - 300, 60)
-    # (DB:109-114) — a positive freshness floor, so every call within
-    # the next 60 s reuses the cache instead of refetching.
+    # Short-lived token: positive freshness floor (refetch amortized)
+    # that never exceeds the token's ACTUAL validity — the reference's
+    # flat 60 s floor (DB:113) would serve an expires_in<=60 token
+    # after real expiry.
     fetches.clear()
 
     async def fetch_short():
@@ -203,11 +205,24 @@ def test_token_manager_refresh_buffer_and_single_flight():
 
     async def drive2():
         await tm2.get_token()
-        assert tm2._expires_at == now["t"] + 60.0  # MIN_BUFFER floor
+        assert tm2._expires_at == now["t"] + 50.0  # min(60, 100/2) floor
         assert await tm2.get_token() == "s"  # still fresh, no refetch
 
     asyncio.run(drive2())
     assert len(fetches) == 1
+
+    # Sub-60s token: freshness window is half its lifetime, strictly
+    # inside actual validity.
+    async def fetch_tiny():
+        return ("u", 40.0)
+
+    tm3 = TokenManager(fetch_tiny, clock=lambda: now["t"])
+
+    async def drive3():
+        await tm3.get_token()
+        assert tm3._expires_at == now["t"] + 20.0  # < the 40 s validity
+
+    asyncio.run(drive3())
 
 
 @given(
@@ -451,7 +466,20 @@ def test_merge_store_contract_and_backend_selection(spark, tmp_path):
     assert isinstance(store, MonitoringStore)
 
     recorded = []
-    merge_store = MergeMonitoringStore(spark, "tde_prod", sql=recorded.append)
+    captured = {}
+
+    def record_sql(stmt):
+        # The source view only exists for the duration of the MERGE
+        # statement (unique-named, dropped after) — capture its typed
+        # rows now, as a real MERGE execution would read them.
+        recorded.append(stmt)
+        m = re.search(r"USING (\S+) s ON", stmt)
+        if "report_monitoring" in stmt:
+            captured["rows"] = {
+                r["report_name"]: r for r in spark.table(m.group(1)).collect()
+            }
+
+    merge_store = MergeMonitoringStore(spark, "tde_prod", sql=record_sql)
 
     def scenario(s):
         s.log_job_start("run1", "2024-01-01", "2024-01-02", 2)
@@ -480,9 +508,85 @@ def test_merge_store_contract_and_backend_selection(spark, tmp_path):
     assert "ON t.run_id = s.run_id AND t.report_name = s.report_name" in reports_sql
     assert "WHEN MATCHED THEN UPDATE SET" in end_sql
     assert "t.status = s.status" in end_sql and "WHEN NOT MATCHED THEN INSERT *" in end_sql
+    # A restarted run_id must read cleanly RUNNING: job-start's update
+    # set nulls out the previous attempt's close columns.
+    for col in ("end_time", "success_count", "failed_count", "error_message"):
+        assert f"t.{col} = s.{col}" in start_sql
+    # Concurrent runs in one session must not share a source view:
+    # every statement gets a unique view name, dropped afterwards.
+    views = [re.search(r"USING (\S+) s ON", s).group(1) for s in recorded]
+    assert len(set(views)) == 3
+    assert not [v.name for v in spark.catalog.listTables() if v.name.startswith("_merge_src")]
     # Values ride a temp view, not interpolated literals (DB:226-228's
     # quote-escaping bug class is unrepresentable).
     assert "bad" not in reports_sql
-    src = spark.table("_merge_src_report_monitoring")
-    rows = {r["report_name"]: r for r in src.collect()}
-    assert rows["call_volume"]["error_message"] == "HTTP 400: it's 'bad'"
+    assert captured["rows"]["call_volume"]["error_message"] == "HTTP 400: it's 'bad'"
+
+
+class _MergeSim:
+    """Executes MERGE INTO statements with real upsert semantics against
+    in-memory tables — the closest exercisable stand-in for the Delta
+    engine this container lacks (no delta jars, no pip installs). It
+    reads the SAME statement string and source temp view a real
+    ``spark.sql`` would, so statement-shape bugs (wrong ON keys, missing
+    update columns) surface as wrong end-state, not just wrong text."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.tables: dict[str, dict[tuple, dict]] = {}
+
+    def __call__(self, stmt: str) -> None:
+        m = re.match(
+            r"MERGE INTO (\S+) t USING (\S+) s ON (.+?) "
+            r"WHEN MATCHED THEN UPDATE SET (.+?) "
+            r"WHEN NOT MATCHED THEN INSERT \*",
+            stmt,
+        )
+        assert m, stmt
+        table, src, cond, sets = m.groups()
+        on = [re.match(r"t\.(\w+) = s\.\1", c.strip()).group(1) for c in cond.split(" AND ")]
+        update_cols = [re.match(r"t\.(\w+) = s\.\1", c.strip()).group(1) for c in sets.split(", ")]
+        tbl = self.tables.setdefault(table, {})
+        for row in self.spark.table(src).collect():
+            d = row.asDict()
+            key = tuple(d[k] for k in on)
+            if key in tbl:
+                tbl[key].update({c: d[c] for c in update_cols})
+            else:
+                tbl[key] = d
+
+
+def test_merge_store_upsert_semantics_simulated(spark):
+    """S7 end-state check via the MERGE simulator: one row per run_id
+    across open/close, and a RESTARTED run_id reads cleanly RUNNING
+    (previous attempt's close columns nulled — the stale-state bug a
+    narrower job-start update set would leave behind)."""
+    from talkdesk_async_etl_spark.pipeline.monitoring import MergeMonitoringStore
+
+    sim = _MergeSim(spark)
+    store = MergeMonitoringStore(spark, "tde_prod", sql=sim)
+
+    store.log_job_start("run1", "2024-01-01", "2024-01-02", 2)
+    store.log_reports(
+        "run1", "2024-01-01", "2024-01-02",
+        [ReportResult("agent_activity", "SUCCESS", 5),
+         ReportResult("call_volume", "FAILED", 0, error_message="boom")],
+    )
+    assert store.log_job_end("run1", "2024-01-01", "2024-01-02", 2, 1, 1) == "PARTIAL_SUCCESS"
+
+    jobs = sim.tables["tde_prod.job_monitoring"]
+    assert list(jobs) == [("run1",)]  # upsert, never a second row
+    closed = jobs[("run1",)]
+    assert closed["status"] == "PARTIAL_SUCCESS"
+    assert closed["end_time"] is not None and closed["start_time"] is not None
+    assert closed["success_count"] == 1 and closed["failed_count"] == 1
+    reports = sim.tables["tde_prod.report_monitoring"]
+    assert len(reports) == 2
+    assert reports[("run1", "call_volume")]["error_message"] == "boom"
+
+    # Restart: same run_id re-opens; close columns must read as NULL.
+    store.log_job_start("run1", "2024-01-03", "2024-01-04", 3)
+    reopened = jobs[("run1",)]
+    assert reopened["status"] == "RUNNING" and reopened["from_date"] == "2024-01-03"
+    assert reopened["end_time"] is None
+    assert reopened["success_count"] is None and reopened["failed_count"] is None

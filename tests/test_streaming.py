@@ -163,3 +163,21 @@ def test_stream_stream_interval_join_matches_batch(spark):
         assert {tuple(r) for r in got.collect()} == {tuple(r) for r in batch.collect()}
     finally:
         q.stop()
+
+
+def test_stream_stream_join_rejects_short_watermark(spark):
+    """A watermark shorter than the join lookback evicts buffered state
+    before the interval closes (silently dropped matches) — the API
+    must reject it instead."""
+    import pytest
+
+    from talkdesk_async_etl_spark.streaming.streams import (
+        purchases_with_prior_views,
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, SF_SMALL)
+    with pytest.raises(ValueError, match="shorter than the join lookback"):
+        purchases_with_prior_views(ev, lookback="1 hour", watermark="10 minutes")
+    # Equal or longer watermarks are fine (plan builds lazily).
+    purchases_with_prior_views(ev, lookback="30 minutes", watermark="2 hours")

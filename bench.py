@@ -19,7 +19,8 @@ import sys
 import time
 
 
-HEADLINE = (
+# The original 16-query headline (round-over-round comparable).
+_HEADLINE_CORE = (
     "agg_conditional_sum",
     "join_star",
     "agg_count_per_key",
@@ -37,6 +38,39 @@ HEADLINE = (
     "pivot_event_counts",
     "scalar_json_struct",
 )
+
+# Relational-tier sweep (each cheap): regressions in the §2 contract
+# queries become visible per-round instead of hiding behind the
+# LLM-suite numbers.
+_HEADLINE_RELATIONAL = (
+    "filter_limit1",
+    "filter_null_handling",
+    "filter_in_like",
+    "join_broadcast_lookup",
+    "join_fk_monitoring",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "agg_group_counts",
+    "agg_sum_two_keys",
+    "agg_status_rollup",
+    "agg_rollup",
+    "agg_cube",
+    "window_lag",
+    "sort_multi_key",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "scalar_date_arith",
+    "scalar_date_format",
+    "scalar_string_concat",
+    "scalar_string_replace",
+    "scalar_math",
+    "scalar_array_ops",
+    "scalar_string_toolkit",
+)
+
+HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL
 
 
 def main() -> None:

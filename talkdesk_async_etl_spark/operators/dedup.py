@@ -251,6 +251,75 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
+_RESOLVE_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE component_id < doc_id)
+"""
+
+
+@query("dedup_resolve_canonical", oracle=_RESOLVE_ORACLE, tags=("dedup",))
+def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 end state: the SURVIVING corpus after near-dup removal — every
+    document not in a duplicate cluster, plus exactly one canonical
+    (minimum doc_id) per cluster. This is the row a training pipeline
+    actually keeps; pairs (dedup_near_jaccard) and cluster labels
+    (dedup_components) are its intermediates.
+
+    Scale shape: the anti-join's right side is only the REMOVED set
+    (cluster members minus canonicals — tiny relative to the corpus),
+    so the corpus streams through one broadcast-able anti-join and
+    never shuffles."""
+    labels = dedup_components(spark, sf_dir)
+    removed = labels.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(F.broadcast(removed), "doc_id", "left_anti")
+
+
+@query("dedup_winnow_pairs", oracle=None, tags=("dedup", "winnow"))
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 substring-reuse detector: document pairs sharing >= 2
+    winnowing fingerprints (Schleimer et al. — the MOSS algorithm;
+    see winnow_fingerprints below). Where shingle-Jaccard measures
+    whole-document similarity, winnowing guarantees any shared token
+    run of length >= k+window-1 shares a fingerprint — it catches a
+    paragraph copied into an otherwise-different document, which
+    Jaccard at 0.6 cannot.
+
+    Hash-seeded signatures (xxhash64) → rows-only driver check; the
+    deterministic-inclusion invariant (exact duplicates always pair)
+    is unit-tested. Scale shape mirrors dedup_near_jaccard: in-scan
+    array expressions, explode, 8-byte-key self-join — but on the
+    ~1/window-sized fingerprint set."""
+    docs = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+    )
+    ex = docs.select("doc_id", F.explode("fps").alias("fp")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 (scale formulation): MinHash signatures + banded LSH.

@@ -104,9 +104,13 @@ _PRIORITY = (
     "scalar_math",
     "scalar_array_ops",
     "scalar_string_toolkit",
-    # new round-3 invariant queries (driver-attestable approx checks)
+    # new round-3 queries (invariants + dedup-family completion) —
+    # never attested, so they take window slots ahead of twice-green
+    # sentinels
     "dedup_lsh_containment",
     "sim_ivf_recall",
+    "dedup_resolve_canonical",
+    "dedup_winnow_pairs",
     # modified this round — need fresh attestation
     "join_broadcast_lookup",
     "text_chunk",
@@ -128,8 +132,6 @@ _PRIORITY = (
     "join_star",
     "agg_conditional_sum",
     "window_row_number",
-    "sort_topk_global",
-    "scan_parquet",
 )
 
 

@@ -398,3 +398,36 @@ def test_winnowing_fingerprint_properties(spark):
     assert not (got[1][0] & got[3][0])
     assert got[4][0] == set() or got[4][0] <= got[4][1]
     assert got[5][0] == set()
+
+
+def test_winnow_pairs_inclusion_invariants(spark, tmp_path):
+    """Invariants behind dedup_winnow_pairs' rows-only check, on a
+    constructed corpus (the testdata has near-dups but no exact dups):
+    identical documents share ALL fingerprints so they must pair; a
+    document that copies a long paragraph must pair with its source
+    despite different surrounding text (the substring-reuse signal
+    whole-document Jaccard misses); token-disjoint documents share no
+    k-grams and must not pair."""
+    from talkdesk_async_etl_spark.operators.dedup import dedup_winnow_pairs
+
+    para = " ".join(f"p{i}" for i in range(15))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + para),
+        (2, " ".join(f"a{i}" for i in range(10)) + " " + para),  # exact dup of 1
+        (3, " ".join(f"z{i}" for i in range(20)) + " " + para),  # copied paragraph
+        (4, " ".join(f"q{i}" for i in range(40))),  # token-disjoint
+        (5, "tiny doc"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_fps"]
+        for r in dedup_winnow_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs  # exact duplicates always pair
+    assert (1, 3) in pairs and (2, 3) in pairs  # paragraph reuse detected
+    assert not any(4 in p or 5 in p for p in pairs)  # disjoint/tiny: no pairs
+    # Exact dup shares every fingerprint; the paragraph pair only the
+    # paragraph's — strictly fewer.
+    assert pairs[(1, 2)] > pairs[(1, 3)]

@@ -128,6 +128,25 @@ def test_spread_is_noop_on_already_parallel_scan(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
+def test_minhash_signatures_computed_inside_scan(spark):
+    """MinHash-LSH's scale contract: the 64-permutation signature fold
+    happens inside the scan task — the plan's first Exchange is the
+    banding candidate join, never an upstream shuffle of shingle or
+    signature rows. A regression to the naive explode-shingles-then-
+    aggregate shape would multiply shuffle bytes by |shingles|x64/|docs|."""
+    import re
+
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    # Exchanges budget: candidate-dedup distinct + final verification
+    # joins/aggregations; the repartition of the tiny testdata scan is
+    # a RoundRobinPartitioning, not a hash shuffle of exploded rows.
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for cols in hash_exchanges:
+        assert "band_key" in cols or "doc_a" in cols or "doc_b" in cols, (
+            f"unexpected pre-banding shuffle on: {cols}"
+        )
+
+
 def test_ivf_broadcasts_queries_never_shuffles_corpus(spark):
     """Multi-table LSH: the probe join must broadcast the (tiny) query
     side; the exploded corpus never exchanges before the join. The only

@@ -677,6 +677,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_distinct_tol",
+    # The invariant IS the query: HLL++ with rsd=0.02 is deterministic
+    # for a given dataset, so every group's estimate sits within the 5%
+    # tolerance of the exact count and the result is a constant
+    # all-TRUE table. A sketch/precision regression flips rows to FALSE
+    # → driver hash mismatch.
+    oracle="SELECT event_type, CAST(1 AS BOOLEAN) AS within_tol FROM events GROUP BY event_type",
+    tags=("agg", "approx", "invariant"),
+)
+def agg_approx_distinct_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable accuracy invariant for A8b: the approximate
+    distinct count must land within 5% of the exact per-group count
+    (2.5σ at rsd=0.02). Turns the approx operator's rows-only check
+    into driver evidence the same way dedup_lsh_containment does for
+    LSH."""
+    exact = agg_count_distinct(spark, sf_dir).select("event_type", "n_users")
+    approx = agg_approx_distinct(spark, sf_dir)
+    return exact.join(approx, "event_type").select(
+        "event_type",
+        (F.abs(F.col("approx_users") - F.col("n_users")) <= 0.05 * F.col("n_users")).alias(
+            "within_tol"
+        ),
+    )
+
+
+@query(
     "agg_rollup",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
@@ -791,6 +817,31 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("approx_pcts", 2).alias("p95_price"),
         )
     )
+
+
+@query(
+    "agg_percentile_approx_tol",
+    # Constant all-TRUE oracle: percentile_approx at accuracy 10000 has
+    # rank error <= n/10000 (a handful of ranks at test scale) on a
+    # dense price distribution, far inside the 1% value tolerance, and
+    # the sketch is deterministic for a given dataset.
+    oracle="SELECT DISTINCT l_returnflag, CAST(1 AS BOOLEAN) AS within_tol FROM lineitem",
+    tags=("agg", "approx", "invariant"),
+)
+def agg_percentile_approx_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable accuracy invariant for A10b: approximate
+    p50/p95 must land within 1% of the exact discrete percentiles per
+    group."""
+    exact = agg_percentile(spark, sf_dir)
+    approx = (
+        agg_percentile_approx(spark, sf_dir)
+        .withColumnRenamed("p50_price", "a50")
+        .withColumnRenamed("p95_price", "a95")
+    )
+    tol = (F.abs(F.col("a50") - F.col("p50_price")) <= 0.01 * F.col("p50_price")) & (
+        F.abs(F.col("a95") - F.col("p95_price")) <= 0.01 * F.col("p95_price")
+    )
+    return exact.join(approx, "l_returnflag").select("l_returnflag", tol.alias("within_tol"))
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,8 @@ _PRIORITY = (
     "sim_ivf_recall",
     "dedup_resolve_canonical",
     "dedup_winnow_pairs",
+    "agg_approx_distinct_tol",
+    "agg_percentile_approx_tol",
     # modified this round — need fresh attestation
     "join_broadcast_lookup",
     "text_chunk",
@@ -123,7 +125,6 @@ _PRIORITY = (
     "sim_topk_cosine",
     "sim_centroid_assign",
     "text_token_stats",
-    "stream_tumbling",
     "stream_session",
     "join_asof",
     "udf_pandas_scalar",
@@ -131,7 +132,6 @@ _PRIORITY = (
     "multimodal_frame_sample",
     "join_star",
     "agg_conditional_sum",
-    "window_row_number",
 )
 
 

@@ -283,6 +283,37 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_blocked_topk_ok",
+    # Constant all-TRUE oracle over the query ids: the blocked-matmul
+    # variant must return a FULL top-k per query whose k-th similarity
+    # is within float tolerance of the exact operator's k-th — i.e. a
+    # valid top-k set even when last-ulp summation-order ties reorder
+    # the boundary. A lost block / wrong merge / dropped query flips a
+    # row to FALSE.
+    oracle=f"SELECT DISTINCT vec_id AS q_id, CAST(1 AS BOOLEAN) AS topk_ok "
+    f"FROM embeddings WHERE vec_id < {_N_QUERIES}",
+    tags=("similarity", "invariant"),
+)
+def sim_blocked_topk_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable equivalence invariant for the mapInPandas
+    block-matmul top-k: per query, exactly k neighbors and a k-th
+    similarity no worse than the exact k-th minus 2e-6 (both sides
+    round to 6 decimals; summation order may differ in the last ulp)."""
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .groupBy("q_id")
+        .agg(F.min("cos_sim").alias("exact_kth"))
+    )
+    blocked = (
+        sim_topk_blocked(spark, sf_dir)
+        .groupBy("q_id")
+        .agg(F.min("cos_sim").alias("blocked_kth"), F.count(F.lit(1)).alias("n"))
+    )
+    ok = (F.col("n") == _TOP_K) & (F.col("blocked_kth") >= F.col("exact_kth") - 2e-6)
+    return exact.join(blocked, "q_id").select("q_id", ok.alias("topk_ok"))
+
+
 _N_CENTROIDS = 8
 
 _CENTROID_ORACLE = f"""

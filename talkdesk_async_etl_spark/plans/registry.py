@@ -113,12 +113,12 @@ _PRIORITY = (
     "dedup_winnow_pairs",
     "agg_approx_distinct_tol",
     "agg_percentile_approx_tol",
+    "sim_blocked_topk_ok",
     # modified this round — need fresh attestation
     "join_broadcast_lookup",
     "text_chunk",
     # round-2-green sentinels (regression canaries across every suite)
     "dedup_exact",
-    "dedup_near_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_embedding_cosine",

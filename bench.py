@@ -68,6 +68,9 @@ _HEADLINE_RELATIONAL = (
     "scalar_math",
     "scalar_array_ops",
     "scalar_string_toolkit",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL

@@ -104,6 +104,35 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_features_ok",
+    # Constant all-TRUE oracle over exactly the fixture's image ids:
+    # attests that every image row survives the mapInPandas pass (row
+    # set hash), that typed meta reaches the decoder (width/height
+    # formulas), the payload length is intact, and the decoded stats
+    # are sane. A dropped Arrow batch, meta-unpacking bug, or schema
+    # drift fails the driver gate.
+    oracle="""
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(1 AS BOOLEAN) AS features_ok
+        FROM range(64) t(i) WHERE i % 3 = 0
+    """,
+    tags=("multimodal", "invariant"),
+)
+def multimodal_features_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable plumbing invariant for the image-feature
+    extractor: one row per fixture image with its meta-derived
+    dimensions, 128-byte payload, and in-range pixel stats."""
+    feats = multimodal_image_features(spark, sf_dir)
+    ok = (
+        (F.col("n_bytes") == 128)
+        & F.col("px_mean").between(0.0, 255.0)
+        & (F.col("px_std") >= 0.0)
+        & (F.col("width") == 32 + F.col("media_id") % 8)
+        & (F.col("height") == 16 + F.col("media_id") % 4)
+    )
+    return feats.select("media_id", ok.alias("features_ok"))
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
         SELECT CAST(i AS BIGINT) AS media_id,

@@ -1,0 +1,146 @@
+"""Classic TPC-H query shapes over the driver testdata star schema.
+
+The reference's own relational surface is config-scan-and-join thin
+(SURVEY.md §0); these three canonical warehouse queries demonstrate the
+engine on the heavier plans the same tables support — multi-aggregate
+scan (Q1), join + top-k (Q3), selective filter-aggregate (Q6) — each
+with a deterministic DuckDB oracle. Date parameters are pinned
+literals: the driver diff and bench must be reproducible, and constant
+predicates also let Catalyst push them into the parquet scan.
+
+Scale notes per query are in the docstrings; all three are
+pure built-in DataFrame expressions (no UDFs, no collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+_Q1_CUTOFF = "1998-09-02"
+
+_Q1_ORACLE = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))
+               ) AS DOUBLE) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1", oracle=_Q1_ORACLE, tags=("tpch", "agg"))
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide-aggregate scan —
+    eight aggregates in ONE pass over the fact table (two-level
+    HashAggregate: map-side partials, then a tiny 6-group shuffle).
+    Money sums accumulate in DECIMAL so partial-agg order can't flip
+    cents; averages round identically on both engines."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("date"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_DATE = "1995-03-15"
+
+_Q3_ORACLE = f"""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{_Q3_SEGMENT}'
+      AND o_orderdate < DATE '{_Q3_DATE}'
+      AND l_shipdate  > DATE '{_Q3_DATE}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@query("tpch_q3", oracle=_Q3_ORACLE, tags=("tpch", "join", "topk"))
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective three-way join + grouped
+    revenue + global top-10. Filters are applied BEFORE the joins so
+    they push into each parquet scan; the final ordering carries an
+    l_orderkey tie-break for determinism and plans as
+    TakeOrderedAndProject (no global sort). AQE picks the join
+    strategies — the filtered customer side broadcasts while small and
+    falls back to shuffle join at scale."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == _Q3_SEGMENT).select("c_custkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("date")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("date")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_Q6_ORACLE = """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("tpch_q6", oracle=_Q6_ORACLE, tags=("tpch", "agg"))
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: the pure filter-aggregate —
+    every predicate reaches the scan (PushedFilters on date, discount,
+    quantity), then one global decimal sum. The canonical test that
+    predicate pushdown and column pruning survive: the scan should
+    read exactly four columns and skip row groups by min/max stats."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue")
+    )

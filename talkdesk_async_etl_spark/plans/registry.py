@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.dedup",
     "talkdesk_async_etl_spark.operators.similarity",
     "talkdesk_async_etl_spark.operators.text",
+    "talkdesk_async_etl_spark.operators.tpch",
     "talkdesk_async_etl_spark.streaming.batch_twins",
 )
 
@@ -114,6 +115,7 @@ _PRIORITY = (
     "agg_approx_distinct_tol",
     "agg_percentile_approx_tol",
     "sim_blocked_topk_ok",
+    "multimodal_features_ok",
     # modified this round — need fresh attestation
     "join_broadcast_lookup",
     "text_chunk",
@@ -127,7 +129,6 @@ _PRIORITY = (
     "text_token_stats",
     "stream_session",
     "join_asof",
-    "udf_pandas_scalar",
     "udaf_grouped_apply",
     "multimodal_frame_sample",
     "join_star",

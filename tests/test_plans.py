@@ -128,6 +128,24 @@ def test_spread_is_noop_on_already_parallel_scan(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
 
+def test_tpch_q6_pushes_all_predicates_and_prunes(spark):
+    """Q6 is the canonical pushdown probe: every predicate must reach
+    the parquet scan and the ReadSchema must carry exactly the four
+    referenced columns."""
+    plan = plan_of(spark, "tpch_q6")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, pushed
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_tpch_q3_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_minhash_signatures_computed_inside_scan(spark):
     """MinHash-LSH's scale contract: the 64-permutation signature fold
     happens inside the scan task — the plan's first Exchange is the

@@ -70,7 +70,9 @@ _HEADLINE_RELATIONAL = (
     "scalar_string_toolkit",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL

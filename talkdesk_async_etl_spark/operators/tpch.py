@@ -144,3 +144,109 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+_Q5_REGION = "ASIA"
+
+_Q5_ORACLE = f"""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{_Q5_REGION}'
+      AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+    GROUP BY n_name
+"""
+
+
+@query("tpch_q5", oracle=_Q5_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: a six-way join whose
+    supplier hop carries the extra c_nationkey = s_nationkey equality —
+    a join shape join_star doesn't have (the customer and supplier
+    legs must agree on nation, not just chain through keys). Scale
+    strategy mirrors join_star: hard broadcast hints only on the
+    fixed-cardinality nation/region dimensions; the SF-scaling
+    customer/orders/lineitem/supplier joins are left to AQE."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION).select("r_regionkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q10_DATE_LO = "1993-10-01"
+_Q10_DATE_HI = "1994-01-01"
+
+_Q10_ORACLE = f"""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '{_Q10_DATE_LO}' AND o_orderdate < DATE '{_Q10_DATE_HI}'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+@query("tpch_q10", oracle=_Q10_ORACLE, tags=("tpch", "join", "topk"))
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: who returned the most revenue
+    in a quarter — join + grouped sum + deterministic top-20
+    (c_custkey tie-break, TakeOrderedAndProject). The returnflag and
+    date predicates push into the lineitem/orders scans so the joins
+    see only the quarter's returned rows."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_DATE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_Q10_DATE_HI).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -78,3 +78,27 @@ def test_all_query_outputs_are_atomic_typed(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+def test_rows_only_query_set_is_pinned():
+    """Every query without a DuckDB oracle gets only the driver's weak
+    rows-only check, so the set must stay deliberate: hash-seeded or
+    sketch-valued operators whose guarantees are covered by invariant
+    companion queries (dedup_lsh_containment, sim_ivf_recall,
+    sim_blocked_topk_ok, agg_*_tol, multimodal_features_ok) and unit
+    invariants. Registering a NEW oracle-less query must be a conscious
+    decision that updates this list."""
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    expected = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_winnow_pairs",
+        "sim_topk_blocked",
+        "sim_topk_ivf",
+        "agg_approx_distinct",
+        "agg_percentile_approx",
+        "multimodal_image_features",
+    }
+    got = {n for n, s in load_all().items() if s.oracle is None}
+    assert got == expected, got.symmetric_difference(expected)

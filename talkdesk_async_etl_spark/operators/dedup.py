@@ -21,10 +21,14 @@ linear in candidates. SimHash is the cheapest near-dup signal (single
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from talkdesk_async_etl_spark.plans.cache import (
+    collect_release,
+    release_scoped,
+    scoped_persist,
+)
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -35,6 +39,29 @@ _LSH_BAND_ROWS = 2  # 32 bands × 2 rows → catches Jaccard ≥ ~0.3 candidates
 # 2^31-1: params and base hashes stay below 31 bits so (a·h+b) never
 # overflows a 64-bit long (universal hashing needs exact arithmetic).
 _MERSENNE31 = (1 << 31) - 1
+# Stop-shingle / hot-bucket cap for the APPROXIMATE pair-generation
+# joins (LSH bands, winnow fingerprints): a key shared by d documents
+# contributes d·(d−1)/2 candidate pairs, so one stop-shingle ("the of
+# and …" boilerplate, a boilerplate license header) turns the self-join
+# quadratic at corpus scale. A key this common carries no dedup signal
+# — near-dup pairs share many keys, so dropping the hottest loses
+# recall only for pairs whose EVERY shared key is corpus-boilerplate.
+# 256 is a no-op at test scale (max observed bucket ≪ 100) and bounds
+# any bucket to ≤ 32k candidate pairs at any scale. The exact-Jaccard
+# operator keeps its uncapped oracle semantics.
+_HOT_KEY_CAP = 256
+
+
+def _cap_hot_keys(df: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame:
+    """Drop rows whose ``key`` value occurs in more than ``cap`` rows —
+    the standard skew guard before a key-equality self-join. One window
+    count, hash-partitioned on the same key the join shuffles on."""
+    w = Window.partitionBy(key)
+    return (
+        df.withColumn("__kfreq", F.count(F.lit(1)).over(w))
+        .filter(F.col("__kfreq") <= cap)
+        .drop("__kfreq")
+    )
 
 
 def _perm_params(n: int) -> list[tuple[int, int]]:
@@ -168,11 +195,11 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents", spread=True).select(
         "doc_id", _shingle_hashes(F.col("text")).alias("shs")
     )
-    # Persist: both self-join sides read this; without it the whole
-    # shingle pipeline is recomputed per side. (At 100 TB this is a
-    # checkpoint to a signatures table, not executor memory.)
-    sh = docs.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Persist (scoped): both self-join sides read this; without it the
+    # whole shingle pipeline is recomputed per side. (At 100 TB this is
+    # a checkpoint to a signatures table, not executor memory.)
+    sh = scoped_persist(
+        docs.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -202,20 +229,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round on the PAIRS table only — never the corpus; lineage is cut
     per round with localCheckpoint so plans don't nest. The oracle is
     DuckDB's recursive-CTE transitive closure over the same pairs."""
-    pairs = (
-        dedup_near_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    pairs = scoped_persist(dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
     # The iteration works on the PAIRS graph, which is orders of
     # magnitude smaller than the corpus — partition for its size, not
     # the session default (32 shuffle partitions over a few hundred
     # label rows makes every round scheduling-overhead-dominated).
     n_parts = max(1, pairs.count() // 100_000 + 1)
-    edges = (
+    edges = scoped_persist(
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .repartition(n_parts, "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
@@ -243,11 +265,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = flagged.drop("chg")
         if changed == 0:
             break
-    # Labels are checkpointed (materialized) — the pairs/edges caches
-    # are dead weight from here; free them so a long-lived session
+    # Labels are checkpointed (materialized) — every scoped cache this
+    # pipeline created (edges, pairs, and near_jaccard's shingle set)
+    # is dead weight from here; free them so a long-lived session
     # doesn't carry every past run's blocks.
-    edges.unpersist()
-    pairs.unpersist()
+    release_scoped()
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
@@ -290,6 +312,30 @@ def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(removed), "doc_id", "left_anti")
 
 
+def winnow_pairs_for(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
+    """Winnow-pair core over any ``(doc_id, text)`` DataFrame: document
+    pairs sharing >= 2 winnowing fingerprints. Factored out of the
+    registered query so the driver-attestable containment invariant
+    (``dedup_winnow_containment``) can run it over a corpus augmented
+    with constructed duplicates.
+
+    ``cap`` drops fingerprints whose document frequency exceeds it
+    before the self-join (see ``_HOT_KEY_CAP`` — the stop-shingle skew
+    guard; a fingerprint in hundreds of documents is boilerplate, not
+    reuse signal)."""
+    fps = docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
+    ex = scoped_persist(
+        _cap_hot_keys(fps.select("doc_id", F.explode("fps").alias("fp")), "fp", cap)
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+    )
+
+
 @query("dedup_winnow_pairs", oracle=None, tags=("dedup", "winnow"))
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 substring-reuse detector: document pairs sharing >= 2
@@ -301,23 +347,12 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard at 0.6 cannot.
 
     Hash-seeded signatures (xxhash64) → rows-only driver check; the
-    deterministic-inclusion invariant (exact duplicates always pair)
-    is unit-tested. Scale shape mirrors dedup_near_jaccard: in-scan
-    array expressions, explode, 8-byte-key self-join — but on the
-    ~1/window-sized fingerprint set."""
-    docs = t(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
-    )
-    ex = docs.select("doc_id", F.explode("fps").alias("fp")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared_fps"))
-        .filter(F.col("n_shared_fps") >= 2)
-    )
+    deterministic-inclusion guarantee (exact duplicates always pair)
+    is driver-attested by ``dedup_winnow_containment``. Scale shape
+    mirrors dedup_near_jaccard: in-scan array expressions, explode,
+    8-byte-key self-join — but on the ~1/window-sized fingerprint set,
+    with hot fingerprints capped (``_HOT_KEY_CAP``)."""
+    return winnow_pairs_for(t(spark, sf_dir, "documents", spread=True).select("doc_id", "text"))
 
 
 @query("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
@@ -360,11 +395,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda m, p: F.least(m, (p["a"] * F.pmod(h, F.lit(_MERSENNE31)) + p["b"]) % _MERSENNE31),
         ),
     )
-    # Persist: the candidate self-join and both verification sides all
-    # read signatures; unpersisted, the 64-permutation pipeline would
-    # re-run once per consumer. (At 100 TB: checkpoint to a signatures
-    # table instead.)
-    signed = docs.select("doc_id", "hs", sig.alias("sig")).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist (scoped): the candidate self-join and both verification
+    # sides all read signatures; unpersisted, the 64-permutation
+    # pipeline would re-run once per consumer. (At 100 TB: checkpoint
+    # to a signatures table instead.)
+    signed = scoped_persist(docs.select("doc_id", "hs", sig.alias("sig")))
     n_bands = _MINHASH_PERMS // _LSH_BAND_ROWS
     band_keys = F.array(
         *[
@@ -372,7 +407,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_bands)
         ]
     )
-    bands = signed.select("doc_id", F.explode(band_keys).alias("band_key"))
+    # Hot-bucket cap before the self-join: a band bucket holding d docs
+    # yields d·(d−1)/2 candidates, so one boilerplate-heavy bucket is
+    # quadratic at corpus scale. Docs this similar to >cap others still
+    # pair through their OTHER 31 bands unless every band is equally
+    # hot (i.e. the docs are boilerplate — no dedup signal lost). The
+    # window count hash-partitions on band_key, the same key the join
+    # shuffles on. No-op at test scale (max bucket ≪ cap); containment
+    # (LSH ⊆ exact) is unaffected because capping only DROPS candidates.
+    bands = _cap_hot_keys(
+        signed.select("doc_id", F.explode(band_keys).alias("band_key")), "band_key"
+    )
     x, y = bands.alias("x"), bands.alias("y")
     candidates = (
         x.join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -408,26 +453,31 @@ def dedup_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact ``dedup_near_jaccard`` answer (banding only loses pairs,
     never invents them — verification re-checks exact Jaccard ≥ 0.6 on
     the full hash sets). Registered so the guarantee that was
-    previously only a unit test becomes driver evidence."""
+    previously only a unit test becomes driver evidence.
+
+    Output is empty by construction → materialized via
+    ``collect_release`` so the two composed pipelines' scoped caches
+    (signatures + shingle sets) are freed instead of outliving the
+    query."""
     lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     exact = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return lsh.join(exact, ["doc_a", "doc_b"], "left_anti")
+    return collect_release(lsh.join(exact, ["doc_a", "doc_b"], "left_anti"))
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 (cheapest signal): 64-bit SimHash near-dup pairs at hamming
-    ≤ 3. Per-token xxhash64 → per-bit ±1 votes → sign → packed 64-bit
-    signature; candidate pairs via pigeonhole banding (4 × 16-bit
-    chunks — hamming ≤ 3 ⟹ at least one chunk identical) → verified
-    with ``bit_count(xor) ≤ 3``. Entirely JVM-side; the join is
-    chunk-equality only. Hash-seeded → rows-only check.
+def simhash_pairs_for(docs: DataFrame) -> DataFrame:
+    """SimHash-pair core over any ``(doc_id, text)`` DataFrame: 64-bit
+    SimHash near-dup pairs at hamming ≤ 3. Factored out of the
+    registered query so the driver-attestable duplicate invariant
+    (``dedup_simhash_dupes_ok``) can run it over a corpus augmented
+    with constructed duplicates.
 
-    Scale shape: the signature is 64 array-filter expressions over the
-    per-doc token-hash array — all inside the scan task, zero shuffle
-    (the naive formulation explodes tokens×64 bit rows through two
-    aggregations). First shuffle is the 4-chunk candidate join."""
-    docs = t(spark, sf_dir, "documents", spread=True).select(
+    The 4×16-bit pigeonhole chunk join is deliberately UNCAPPED: the
+    hamming ≤ 3 completeness guarantee (any such pair shares at least
+    one identical chunk) is the operator's contract, and a frequency
+    cap would silently void it. At corpus scale the skew story is the
+    signature distribution itself — near-uniform for non-boilerplate
+    text; boilerplate-heavy corpora should dedup exact/LSH first."""
+    hashed = docs.select(
         "doc_id", F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok)).alias("hs")
     )
 
@@ -439,10 +489,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
 
-    # Persist: both chunk-join sides read the signatures.
-    sig = docs.select(
-        "doc_id", sum((bit_term(b) for b in range(64)), F.lit(0).cast("long")).alias("simhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist (scoped): both chunk-join sides read the signatures.
+    sig = scoped_persist(
+        hashed.select(
+            "doc_id", sum((bit_term(b) for b in range(64)), F.lit(0).cast("long")).alias("simhash")
+        )
+    )
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -470,6 +522,116 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cheapest signal): SimHash near-dup pairs at hamming ≤ 3 over
+    the documents table (see ``simhash_pairs_for`` for the algorithm).
+    Hash-seeded → rows-only check; the hamming-0 completeness
+    guarantee is driver-attested by ``dedup_simhash_dupes_ok``.
+
+    Scale shape: the signature is 64 array-filter expressions over the
+    per-doc token-hash array — all inside the scan task, zero shuffle
+    (the naive formulation explodes tokens×64 bit rows through two
+    aggregations). First shuffle is the 4-chunk candidate join."""
+    return simhash_pairs_for(
+        t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    )
+
+
+# Constructed-duplicate invariants: the driver testdata has ZERO exact
+# duplicate documents at sf0.001/sf0.01 (500 docs, 500 distinct texts),
+# so the natural "exact-dup pairs must be found" invariant would be
+# vacuously green. Instead the invariant queries CONSTRUCT duplicates —
+# union the corpus with copies of its lowest-id documents under shifted
+# ids — and assert the detectors find exactly those pairs. Non-vacuous
+# at every scale factor, and the oracle stays computable by DuckDB from
+# the corpus alone (the construction is pure doc_id arithmetic).
+_DUP_OFFSET = 10_000_000  # far above any real doc_id at any SF
+_N_SIMHASH_DUPES = 20
+_N_WINNOW_DUPES = 40
+
+
+def _with_constructed_dupes(docs: DataFrame, n: int, offset: int = _DUP_OFFSET) -> DataFrame:
+    return docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < n).select(
+            (F.col("doc_id") + offset).alias("doc_id"), "text"
+        )
+    )
+
+
+@query(
+    "dedup_simhash_dupes_ok",
+    # Nonempty constant oracle derived from the corpus: every
+    # constructed duplicate pair must surface at hamming exactly 0.
+    # A signature bug, banding bug, or verification drift loses rows
+    # (or shifts hamming) → driver rows/hash mismatch. Nonempty by
+    # construction, so the invariant can never pass vacuously.
+    oracle=f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_a,
+               CAST(doc_id + {_DUP_OFFSET} AS BIGINT) AS doc_b,
+               CAST(0 AS INTEGER) AS hamming
+        FROM documents WHERE doc_id < {_N_SIMHASH_DUPES}
+    """,
+    tags=("dedup", "simhash", "invariant"),
+)
+def dedup_simhash_dupes_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable completeness invariant for SimHash: identical
+    texts have identical signatures, so every constructed duplicate
+    pair MUST appear at hamming 0 (pigeonhole banding cannot miss an
+    identical chunk). Runs the full production pipeline — signature,
+    banding, hamming verification — over corpus ∪ constructed dupes
+    and returns the constructed pairs it found.
+
+    Output is ``_N_SIMHASH_DUPES`` rows by construction → materialized
+    via ``collect_release`` so the signature cache is freed."""
+    aug = _with_constructed_dupes(
+        t(spark, sf_dir, "documents", spread=True), _N_SIMHASH_DUPES
+    )
+    found = (
+        simhash_pairs_for(aug)
+        .filter(F.col("doc_b") == F.col("doc_a") + _DUP_OFFSET)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+    return collect_release(found)
+
+
+@query(
+    "dedup_winnow_containment",
+    # Empty-set oracle, same shape as dedup_lsh_containment: every
+    # constructed duplicate pair whose document yields >= 2 distinct
+    # fingerprints must be found by the winnow join, so the anti-join
+    # of constructed-minus-found is empty. (The >= 2 gate mirrors the
+    # operator's own n_shared_fps >= 2 threshold; non-vacuity of the
+    # gated set is unit-tested.)
+    oracle="SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b WHERE 1 = 0",
+    tags=("dedup", "winnow", "invariant"),
+)
+def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable inclusion invariant for winnowing: identical
+    texts share their entire fingerprint set, so any constructed
+    duplicate whose text has >= 2 distinct fingerprints must pair with
+    its original. Runs the full production pipeline (fingerprints, hot
+    cap, self-join) over corpus ∪ constructed dupes and returns the
+    constructed pairs it MISSED — empty, or the driver gate fails.
+
+    Output is empty by construction → ``collect_release`` frees the
+    fingerprint cache."""
+    docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    eligible = (
+        docs.filter(F.col("doc_id") < _N_WINNOW_DUPES)
+        .select("doc_id", F.size(winnow_fingerprints(F.col("text"))).alias("nfp"))
+        .filter(F.col("nfp") >= 2)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_b"),
+        )
+    )
+    found = winnow_pairs_for(_with_constructed_dupes(docs, _N_WINNOW_DUPES)).select(
+        "doc_a", "doc_b"
+    )
+    return collect_release(eligible.join(found, ["doc_a", "doc_b"], "left_anti"))
+
+
 _COSINE_ORACLE = """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -491,9 +653,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    with_norm = emb.withColumn(
-        "norm", F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    with_norm = scoped_persist(
+        emb.withColumn(
+            "norm",
+            F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)),
+        )
+    )
     a = with_norm.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = with_norm.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)

@@ -22,8 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from talkdesk_async_etl_spark.plans.cache import collect_release, scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -73,8 +73,8 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``zip_with`` dot products; ranking is a window over q_id with a
     deterministic vec_id tie-break."""
     emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", _as_double("embedding").alias("v"))
-    # Persist: the query and corpus sides both read this projection.
-    with_norm = emb.withColumn("norm", _norm("v")).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist (scoped): the query and corpus sides both read this.
+    with_norm = scoped_persist(emb.withColumn("norm", _norm("v")))
     q = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
@@ -218,10 +218,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    bucketed = (
-        emb.withColumn("buckets", F.transform(planes_lit, _bucket_of))
-        .withColumn("norm", _norm("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed = scoped_persist(
+        emb.withColumn("buckets", F.transform(planes_lit, _bucket_of)).withColumn(
+            "norm", _norm("v")
+        )
     )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -271,12 +271,15 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of exact top-10 neighbors (``sim_topk_cosine``) that
     ``sim_topk_ivf`` recovers must be >= the 0.7 floor the unit suite
     asserts. Registered so the guarantee that was previously only a
-    unit test becomes driver evidence."""
+    unit test becomes driver evidence.
+
+    Output is one row by construction → ``collect_release`` frees the
+    two composed pipelines' scoped caches (normed projection + LSH
+    buckets)."""
     exact = sim_topk_cosine(spark, sf_dir).select("q_id", "neighbor_id")
     approx = sim_topk_ivf(spark, sf_dir).select("q_id", "neighbor_id").withColumn("m", F.lit(1))
-    return (
-        exact.join(approx, ["q_id", "neighbor_id"], "left")
-        .agg(
+    return collect_release(
+        exact.join(approx, ["q_id", "neighbor_id"], "left").agg(
             (F.count("m") / F.count(F.lit(1)) >= _RECALL_FLOOR).alias("recall_ok"),
             F.lit(_RECALL_FLOOR).cast("double").alias("floor"),
         )
@@ -311,7 +314,8 @@ def sim_blocked_topk_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cos_sim").alias("blocked_kth"), F.count(F.lit(1)).alias("n"))
     )
     ok = (F.col("n") == _TOP_K) & (F.col("blocked_kth") >= F.col("exact_kth") - 2e-6)
-    return exact.join(blocked, "q_id").select("q_id", ok.alias("topk_ok"))
+    # _N_QUERIES rows by construction → free the exact path's cache.
+    return collect_release(exact.join(blocked, "q_id").select("q_id", ok.alias("topk_ok")))
 
 
 _N_CENTROIDS = 8

@@ -30,9 +30,12 @@ _Q1_ORACLE = f"""
                AS sum_disc_price,
            CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))
                ) AS DOUBLE) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+               AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+               AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6)
+               AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '{_Q1_CUTOFF}'
@@ -46,7 +49,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     eight aggregates in ONE pass over the fact table (two-level
     HashAggregate: map-side partials, then a tiny 6-group shuffle).
     Money sums accumulate in DECIMAL so partial-agg order can't flip
-    cents; averages round identically on both engines."""
+    cents; the averages are likewise DECIMAL-accumulated sums divided
+    by the exact count — a plain avg(double) is summation-order
+    dependent, so a value near a 6-decimal rounding boundary could
+    flip under a different partitioning. Here both engines round the
+    same bit-exact double."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("date"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -58,9 +65,21 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)"))
             .cast("double")
             .alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

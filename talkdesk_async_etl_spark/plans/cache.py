@@ -1,0 +1,64 @@
+"""Session-scoped persist bookkeeping for composed queries.
+
+Operators persist intermediates that several downstream consumers
+re-read (shingle sets, MinHash signatures, normed embeddings). A
+one-shot driver run discards the session afterwards, but a long-lived
+session that sweeps the whole registry would otherwise accumulate one
+MEMORY_AND_DISK relation per persist call with nothing ever released.
+
+Contract (single-threaded, like the driver/bench/parity harnesses):
+
+- operators call :func:`scoped_persist` instead of ``df.persist`` so
+  every cached relation is tracked;
+- queries whose output is tiny BY CONSTRUCTION (the invariant
+  companions — containment anti-joins, recall flags) finish with
+  :func:`collect_release`: materialize the handful of result rows on
+  the driver, drop every tracked cache, and hand back a driver-local
+  DataFrame, leaving zero cached relations behind;
+- queries with data-sized output stay lazy (eager collection would be
+  a driver-side anti-pattern at 100 TB); their caches remain tracked,
+  and any later :func:`release_scoped` — the next composed invariant,
+  an explicit call between sweep steps, or bench's ``clearCache`` —
+  reclaims them. Releasing a cache that a still-lazy plan references
+  is always safe: Spark falls back to recomputation, never to a
+  wrong answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """``df.persist(level)`` + registration for later release."""
+    df.persist(level)
+    _SCOPED.append(df)
+    return df
+
+
+def release_scoped() -> int:
+    """Unpersist every tracked relation (blocking=False — eviction is
+    async, correctness never depends on it). Returns how many were
+    released. Idempotent: unpersisting twice is a no-op."""
+    n = len(_SCOPED)
+    while _SCOPED:
+        _SCOPED.pop().unpersist()
+    return n
+
+
+def collect_release(df: DataFrame) -> DataFrame:
+    """Materialize a result that is tiny by construction (invariant
+    flags, empty anti-joins), release all scoped caches, and return the
+    rows as a driver-local DataFrame. Callers must only use this where
+    the output is bounded independent of corpus size — it is a
+    deliberate, documented driver collect, not a data path."""
+    spark = df.sparkSession
+    rows = df.collect()
+    schema = df.schema
+    release_scoped()
+    return spark.createDataFrame(rows, schema)

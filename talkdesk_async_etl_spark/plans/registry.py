@@ -67,72 +67,72 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-3 window: first the single never-attested id (text_pii_scrub),
-# then the 26 ids whose only driver hash-match is round 1 (round 2's
-# window pushed them out), then the two new invariant queries that turn
-# the LSH/IVF unit-test guarantees into driver evidence, then sentinels
-# for queries modified this round (join_broadcast_lookup, text_chunk)
-# and a cross-section of the round-2-green suites. Any id registered but
-# absent here appends in registration order, so new operators are never
-# silently dropped.
+# Round-4 window: first the five TPC-H canon queries (registered in
+# round 3 at slots 51+, so they have never had a driver row), then the
+# two new constructed-duplicate invariants (dedup.py — the last two
+# operators whose guarantees previously lived only in unit tests),
+# then the ids whose most recent driver hash-match is round 2 (stale),
+# then sentinels for every operator touched this round (scoped-cache
+# conversion, hot-key caps, eager-release invariants). Any id
+# registered but absent here appends in registration order, so new
+# operators are never silently dropped — and the first-50 meta-test in
+# tests/test_driver_profile.py fails on typos or miscounts.
 _PRIORITY = (
-    # never driver-attested before round 3
-    "text_pii_scrub",
-    # round-1-only attestations: re-attest (26 ids)
-    "filter_limit1",
-    "filter_null_handling",
-    "filter_in_like",
-    "join_fk_monitoring",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "agg_count_per_key",
-    "agg_group_counts",
-    "agg_sum_two_keys",
-    "agg_status_rollup",
-    "agg_rollup",
-    "agg_cube",
-    "window_lag",
-    "window_moving_frame",
-    "sort_multi_key",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "scalar_date_arith",
-    "scalar_date_format",
-    "scalar_string_concat",
-    "scalar_string_replace",
-    "scalar_math",
-    "scalar_array_ops",
-    "scalar_string_toolkit",
-    # new round-3 queries (invariants + dedup-family completion) —
-    # never attested, so they take window slots ahead of twice-green
-    # sentinels
-    "dedup_lsh_containment",
-    "sim_ivf_recall",
-    "dedup_resolve_canonical",
-    "dedup_winnow_pairs",
-    "agg_approx_distinct_tol",
-    "agg_percentile_approx_tol",
-    "sim_blocked_topk_ok",
-    "multimodal_features_ok",
-    # modified this round — need fresh attestation
-    "join_broadcast_lookup",
-    "text_chunk",
-    # round-2-green sentinels (regression canaries across every suite)
+    # TPC-H canon: registered round 3, never driver-checked
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    # new round-4 invariant companions (never attested)
+    "dedup_simhash_dupes_ok",
+    "dedup_winnow_containment",
+    # stalest ids: last driver hash-match (or rows-only row) is round 2
+    "filter_col_eq",
+    "filter_date_range",
+    "scan_json_doc",
+    "csv_roundtrip",
+    "filter_conj_eq",
+    "project_columns",
+    "join_inner_using",
+    "join_range",
+    "agg_count",
+    "agg_multi",
+    "agg_count_distinct",
+    "agg_percentile",
+    "pivot_event_counts",
+    "scalar_json_extract",
+    "scalar_json_struct",
+    "window_row_number",
+    "window_topk_per_group",
+    "sort_topk_global",
+    "udf_pandas_scalar",
+    "dedup_near_jaccard",
+    "dedup_simhash",
+    "sim_topk_blocked",
+    "sim_topk_ivf",
+    "multimodal_image_features",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count_regex",
+    "text_split_assign",
+    "text_dominant_term",
+    "stream_tumbling",
+    "stream_sliding",
+    # touched this round (scoped caches / hot-key caps / eager release /
+    # decimal-avg fix) — every modified operator gets a fresh row
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_containment",
+    "dedup_winnow_pairs",
     "dedup_components",
+    "dedup_resolve_canonical",
     "dedup_embedding_cosine",
     "sim_topk_cosine",
-    "sim_centroid_assign",
-    "text_token_stats",
-    "stream_session",
-    "join_asof",
-    "udaf_grouped_apply",
-    "multimodal_frame_sample",
-    "join_star",
-    "agg_conditional_sum",
+    "sim_ivf_recall",
+    "sim_blocked_topk_ok",
+    "multimodal_features_ok",
 )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -126,11 +127,26 @@ def write_csv_report(
     file): ``coalesce(1)`` to a staging directory, then the lone part
     file is renamed onto the contract path. Opt in only for reports
     known to be driver-small (the reference's envelope is <=50k rows,
-    README.md:204-207)."""
+    README.md:204-207).
+
+    The single-file rename is ``os``/``shutil``-based, so it requires a
+    LOCAL filesystem path. A Hadoop FS URI (``s3a://``, ``hdfs://``,
+    ``abfss://``, ``dbfs:/``) is rejected up front with a clear error —
+    the Spark write would land remotely and the local rename would then
+    fail confusingly partway through. Remote single-file reports should
+    use the directory sink plus a storage-native copy, or a Hadoop
+    FileSystem rename in the deploy layer."""
     out = os.path.join(base, report_name, f"{from_date}_to_{to_date}.csv")
     if not single_file:
         df.write.mode("overwrite").option("header", True).csv(out)
         return out
+    scheme = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*(?=:/)", base)
+    if scheme:
+        raise ValueError(
+            f"single_file=True only supports plain local paths; got scheme "
+            f"{scheme.group(0)!r} in base={base!r}. Use the directory sink "
+            "(single_file=False) for remote filesystems."
+        )
     import shutil
 
     staging = out + "._staging"

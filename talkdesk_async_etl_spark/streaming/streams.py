@@ -165,7 +165,7 @@ def _interval_seconds(spec: str) -> int | None:
 
 
 def purchases_with_prior_views(
-    events: DataFrame, lookback: str = "1 hour", watermark: str | None = None
+    events: DataFrame, *, lookback: str = "1 hour", watermark: str | None = None
 ) -> DataFrame:
     """Stream-stream interval join (the streaming twin of the batch
     ``join_range`` operator): each purchase joins views by the same
@@ -178,10 +178,16 @@ def purchases_with_prior_views(
     stream join would buffer forever; the time bound is what makes
     this runnable at scale.
 
-    The watermark defaults to the lookback, and a caller-supplied
-    watermark SHORTER than the lookback is rejected: state would be
-    evicted before the join interval closes, silently dropping matches
-    (or emitting spurious outer nulls)."""
+    ``lookback``/``watermark`` are keyword-only: an earlier revision
+    took ``watermark`` as the second positional, so a positional caller
+    would now silently narrow the join interval itself instead of just
+    the watermark — the signature forces call sites to say which they
+    mean. The watermark defaults to the lookback; a caller-supplied
+    watermark SHORTER than the lookback is rejected as a conservative
+    guard (Spark derives stream-stream join state retention from the
+    join condition itself, so this is belt-and-suspenders against
+    configurations whose intent is ambiguous, not a strict correctness
+    requirement)."""
     wm = watermark if watermark is not None else lookback
     wm_s, lb_s = _interval_seconds(wm), _interval_seconds(lookback)
     if wm_s is not None and lb_s is not None and wm_s < lb_s:

@@ -80,6 +80,22 @@ def test_all_query_outputs_are_atomic_typed(spark):
     assert not offenders, offenders
 
 
+def test_priority_window_is_exactly_the_first_50():
+    """The driver verifies ONLY the first 50 entries of ``queries()``;
+    ``_PRIORITY`` allocates that budget, and ``load_all`` silently
+    skips names that don't resolve. A typo'd id would therefore
+    silently burn a window slot on whatever query happens to append
+    next — this meta-test turns that into a loud failure."""
+    from talkdesk_async_etl_spark.plans.registry import _PRIORITY, load_all
+
+    assert len(_PRIORITY) == 50, f"window is {len(_PRIORITY)} ids, driver checks exactly 50"
+    assert len(set(_PRIORITY)) == 50, "duplicate id in _PRIORITY"
+    names = list(load_all())
+    missing = [n for n in _PRIORITY if n not in names]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert names[:50] == list(_PRIORITY)
+
+
 def test_rows_only_query_set_is_pinned():
     """Every query without a DuckDB oracle gets only the driver's weak
     rows-only check, so the set must stay deliberate: hash-seeded or

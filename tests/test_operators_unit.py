@@ -400,6 +400,89 @@ def test_winnowing_fingerprint_properties(spark):
     assert got[5][0] == set()
 
 
+def test_cap_hot_keys_drops_only_hot_keys(spark):
+    """The stop-shingle skew guard: keys above the document-frequency
+    cap vanish before the self-join; everything else is untouched."""
+    from talkdesk_async_etl_spark.operators.dedup import _cap_hot_keys
+
+    rows = [(i, "hot") for i in range(12)] + [(100, "cold"), (101, "cold")]
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    kept = _cap_hot_keys(df, "fp", cap=5).collect()
+    assert {r["fp"] for r in kept} == {"cold"}
+    assert len(kept) == 2
+    # cap >= max frequency is a no-op
+    assert _cap_hot_keys(df, "fp", cap=12).count() == 14
+
+
+def test_winnow_hot_fingerprint_cap_bounds_candidates(spark):
+    """A boilerplate phrase shared by every document (the classic
+    stop-shingle) makes the uncapped fingerprint join quadratic; with
+    the cap below its document frequency the boilerplate fingerprints
+    are dropped and the unique tails share nothing — zero pairs instead
+    of all-pairs."""
+    from talkdesk_async_etl_spark.operators.dedup import winnow_pairs_for
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (d, boiler + " " + " ".join(f"u{d}x{i}" for i in range(10)))
+        for d in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = winnow_pairs_for(docs, cap=10**9).count()
+    capped = winnow_pairs_for(docs, cap=5).count()
+    assert uncapped == 12 * 11 // 2  # every pair shares the boilerplate
+    assert capped == 0
+
+
+def test_constructed_dupe_invariants_nonvacuous(spark):
+    """The two round-4 driver invariants construct their own duplicate
+    pairs (the testdata has none); assert the construction is real:
+    simhash finds every constructed pair at hamming 0, and the winnow
+    gate (>= 2 distinct fingerprints) keeps most of its candidate
+    docs — an empty gated set would make the containment check
+    vacuous."""
+    from talkdesk_async_etl_spark.operators.dedup import (
+        _N_SIMHASH_DUPES,
+        _N_WINNOW_DUPES,
+        winnow_fingerprints,
+    )
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    reg = load_all()
+    found = reg["dedup_simhash_dupes_ok"].fn(spark, SF_SMALL).collect()
+    assert len(found) == _N_SIMHASH_DUPES
+    assert all(r["hamming"] == 0 for r in found)
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    gated = (
+        docs.filter(F.col("doc_id") < _N_WINNOW_DUPES)
+        .select(F.size(winnow_fingerprints(F.col("text"))).alias("nfp"))
+        .filter(F.col("nfp") >= 2)
+        .count()
+    )
+    assert gated >= _N_WINNOW_DUPES // 2
+    assert reg["dedup_winnow_containment"].fn(spark, SF_SMALL).count() == 0
+
+
+def test_scoped_cache_hygiene(spark):
+    """Composed invariant queries must leave ZERO cached relations
+    behind (collect_release), and plain operators' scoped persists are
+    reclaimed by release_scoped — the long-lived-session contract."""
+    from talkdesk_async_etl_spark.plans.cache import release_scoped
+
+    reg = load_all()
+    spark.catalog.clearCache()
+    release_scoped()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    for name in ("dedup_lsh_containment", "sim_blocked_topk_ok"):
+        reg[name].fn(spark, SF_SMALL).count()
+        assert cm.isEmpty(), f"{name} left cached relations behind"
+    reg["sim_topk_cosine"].fn(spark, SF_SMALL).count()
+    assert not cm.isEmpty()  # plain operator: cache tracked, not leaked
+    assert release_scoped() >= 1
+    assert cm.isEmpty()
+
+
 def test_winnow_pairs_inclusion_invariants(spark, tmp_path):
     """Invariants behind dedup_winnow_pairs' rows-only check, on a
     constructed corpus (the testdata has near-dups but no exact dups):

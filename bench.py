@@ -70,9 +70,14 @@ _HEADLINE_RELATIONAL = (
     "scalar_string_toolkit",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
     "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL
@@ -122,6 +127,7 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v == v), 3)
+    core16 = round(sum(timings.get(n, 0.0) for n in _HEADLINE_CORE if timings.get(n, 0.0) == timings.get(n, 0.0)), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -129,6 +135,11 @@ def main() -> None:
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
+                # tier splits: core16 is the round-over-round comparable
+                # number (same 16 queries since round 1); full is the
+                # whole headline sweep including the relational tier.
+                "core16_wall_time": core16,
+                "full_wall_time": total,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -59,7 +59,7 @@ def main() -> int:
                 rows = [tuple(r) for r in df.collect()]
                 _normalize(list(df.columns), rows)  # must canonicalize cleanly
                 status = f"rows-only ok ({len(rows)})"
-                if not rows and name != "join_anti":
+                if not rows:
                     status = "FAIL (0 rows)"
                     fails.append(f"{name}: rows-only check returned 0 rows")
         except Exception as exc:  # noqa: BLE001

@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.cache import (
+    cache_scope,
     collect_release,
-    release_scoped,
     scoped_persist,
 )
 from talkdesk_async_etl_spark.plans.registry import query
@@ -54,14 +54,18 @@ _HOT_KEY_CAP = 256
 
 def _cap_hot_keys(df: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame:
     """Drop rows whose ``key`` value occurs in more than ``cap`` rows —
-    the standard skew guard before a key-equality self-join. One window
-    count, hash-partitioned on the same key the join shuffles on."""
-    w = Window.partitionBy(key)
-    return (
-        df.withColumn("__kfreq", F.count(F.lit(1)).over(w))
-        .filter(F.col("__kfreq") <= cap)
-        .drop("__kfreq")
-    )
+    the standard skew guard before a key-equality self-join.
+
+    Hot keys are found with a groupBy-count (map-side partial
+    aggregation → only per-key counts shuffle, not the payload) and
+    removed with a broadcast anti-join: by construction at most
+    total_rows/cap keys exceed the cap, so the hot-key list is tiny and
+    the payload never shuffles just to be counted. The earlier
+    window-count formulation shuffled the full exploded band/fingerprint
+    table — and sent every hot key's rows to ONE task, recreating the
+    exact skew it guards against."""
+    hot = df.groupBy(key).count().filter(F.col("count") > cap).select(key)
+    return df.join(F.broadcast(hot), key, "left_anti")
 
 
 def _perm_params(n: int) -> list[tuple[int, int]]:
@@ -229,48 +233,50 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     round on the PAIRS table only — never the corpus; lineage is cut
     per round with localCheckpoint so plans don't nest. The oracle is
     DuckDB's recursive-CTE transitive closure over the same pairs."""
-    pairs = scoped_persist(dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
-    # The iteration works on the PAIRS graph, which is orders of
-    # magnitude smaller than the corpus — partition for its size, not
-    # the session default (32 shuffle partitions over a few hundred
-    # label rows makes every round scheduling-overhead-dominated).
-    n_parts = max(1, pairs.count() // 100_000 + 1)
-    edges = scoped_persist(
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .repartition(n_parts, "doc_b")
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    ).localCheckpoint()
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nmin"))
+    with cache_scope():
+        pairs = scoped_persist(dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
+        # The iteration works on the PAIRS graph, which is orders of
+        # magnitude smaller than the corpus — partition for its size,
+        # not the session default (32 shuffle partitions over a few
+        # hundred label rows makes every round
+        # scheduling-overhead-dominated).
+        n_parts = max(1, pairs.count() // 100_000 + 1)
+        edges = scoped_persist(
+            pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+            .repartition(n_parts, "doc_b")
         )
-        # ONE job per round: the convergence flag rides the label row,
-        # the checkpoint is lazy, and the count() both materializes the
-        # checkpointed round and returns how many labels moved — no
-        # second labels-vs-labels join/action.
-        flagged = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("chg"),
+        labels = (
+            edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+        ).localCheckpoint()
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy("doc_a")
+                .agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint(eager=False)
-        )
-        changed = flagged.filter("chg").count()
-        labels = flagged.drop("chg")
-        if changed == 0:
-            break
-    # Labels are checkpointed (materialized) — every scoped cache this
-    # pipeline created (edges, pairs, and near_jaccard's shingle set)
-    # is dead weight from here; free them so a long-lived session
-    # doesn't carry every past run's blocks.
-    release_scoped()
-    return labels.select("doc_id", F.col("label").alias("component_id"))
+            # ONE job per round: the convergence flag rides the label
+            # row, the checkpoint is lazy, and the count() both
+            # materializes the checkpointed round and returns how many
+            # labels moved — no second labels-vs-labels join/action.
+            flagged = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                    F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = flagged.filter("chg").count()
+            labels = flagged.drop("chg")
+            if changed == 0:
+                break
+        # Labels are checkpointed (materialized) — every scoped cache
+        # this pipeline created (edges, pairs, and near_jaccard's
+        # shingle set) is dead weight from here; the scope exit frees
+        # them (and ONLY them — an outer pipeline's caches survive) so
+        # a long-lived session doesn't carry every past run's blocks.
+        return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
 _RESOLVE_ORACLE = f"""
@@ -312,6 +318,29 @@ def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(removed), "doc_id", "left_anti")
 
 
+def _winnow_capped_fps(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
+    """Exploded ``(doc_id, fp)`` winnowing fingerprints with corpus-hot
+    fingerprints removed — the shared input of the pair join AND the
+    containment invariant's eligibility gate (both must see the SAME
+    post-cap set, or a doc whose every fingerprint is corpus-hot would
+    be 'eligible' yet correctly unfindable)."""
+    fps = docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
+    return _cap_hot_keys(fps.select("doc_id", F.explode("fps").alias("fp")), "fp", cap)
+
+
+def winnow_pairs_from_fps(ex: DataFrame) -> DataFrame:
+    """Pair join over an exploded capped fingerprint set: document
+    pairs sharing >= 2 (distinct — winnow_fingerprints deduplicates)
+    fingerprints."""
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+    )
+
+
 def winnow_pairs_for(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
     """Winnow-pair core over any ``(doc_id, text)`` DataFrame: document
     pairs sharing >= 2 winnowing fingerprints. Factored out of the
@@ -323,17 +352,7 @@ def winnow_pairs_for(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
     before the self-join (see ``_HOT_KEY_CAP`` — the stop-shingle skew
     guard; a fingerprint in hundreds of documents is boilerplate, not
     reuse signal)."""
-    fps = docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
-    ex = scoped_persist(
-        _cap_hot_keys(fps.select("doc_id", F.explode("fps").alias("fp")), "fp", cap)
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared_fps"))
-        .filter(F.col("n_shared_fps") >= 2)
-    )
+    return winnow_pairs_from_fps(scoped_persist(_winnow_capped_fps(docs, cap)))
 
 
 @query("dedup_winnow_pairs", oracle=None, tags=("dedup", "winnow"))
@@ -459,9 +478,10 @@ def dedup_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``collect_release`` so the two composed pipelines' scoped caches
     (signatures + shingle sets) are freed instead of outliving the
     query."""
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    exact = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return collect_release(lsh.join(exact, ["doc_a", "doc_b"], "left_anti"))
+    with cache_scope():
+        lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        exact = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        return collect_release(lsh.join(exact, ["doc_a", "doc_b"], "left_anti"))
 
 
 def simhash_pairs_for(docs: DataFrame) -> DataFrame:
@@ -552,8 +572,24 @@ _N_WINNOW_DUPES = 40
 
 
 def _with_constructed_dupes(docs: DataFrame, n: int, offset: int = _DUP_OFFSET) -> DataFrame:
-    return docs.select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") < n).select(
+    # Runtime guard: shifted ids are only collision-free while every
+    # real doc_id stays below the offset. The check rides the projected
+    # doc_id expression itself (a when/raise_error branch is not pruned
+    # the way an unused assert column would be), so a future fixture
+    # whose ids reach the offset fails THIS query loudly instead of
+    # letting both constructed-dupe oracles silently mismatch.
+    guarded_id = F.when(F.col("doc_id") < offset, F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "doc_id %s >= _DUP_OFFSET (%s): constructed-dupe ids would collide",
+                F.col("doc_id").cast("string"),
+                F.lit(str(offset)),
+            )
+        )
+    )
+    base = docs.select(guarded_id.alias("doc_id"), "text")
+    return base.unionByName(
+        base.filter(F.col("doc_id") < n).select(
             (F.col("doc_id") + offset).alias("doc_id"), "text"
         )
     )
@@ -584,72 +620,82 @@ def dedup_simhash_dupes_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output is ``_N_SIMHASH_DUPES`` rows by construction → materialized
     via ``collect_release`` so the signature cache is freed."""
-    aug = _with_constructed_dupes(
-        t(spark, sf_dir, "documents", spread=True), _N_SIMHASH_DUPES
-    )
-    found = (
-        simhash_pairs_for(aug)
-        .filter(F.col("doc_b") == F.col("doc_a") + _DUP_OFFSET)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
-    )
-    return collect_release(found)
+    with cache_scope():
+        aug = _with_constructed_dupes(
+            t(spark, sf_dir, "documents", spread=True), _N_SIMHASH_DUPES
+        )
+        found = (
+            simhash_pairs_for(aug)
+            .filter(F.col("doc_b") == F.col("doc_a") + _DUP_OFFSET)
+            .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        )
+        return collect_release(found)
 
 
 @query(
     "dedup_winnow_containment",
     # Empty-set oracle, same shape as dedup_lsh_containment: every
-    # constructed duplicate pair whose document yields >= 2 distinct
-    # fingerprints must be found by the winnow join, so the anti-join
-    # of constructed-minus-found is empty. (The >= 2 gate mirrors the
-    # operator's own n_shared_fps >= 2 threshold; non-vacuity of the
-    # gated set is unit-tested.)
+    # constructed duplicate pair whose document retains >= 2 distinct
+    # fingerprints AFTER the hot-key cap must be found by the winnow
+    # join, so the anti-join of constructed-minus-found is empty. (The
+    # >= 2 gate mirrors the operator's own n_shared_fps >= 2 threshold
+    # and is computed on the SAME capped fingerprint set the join sees
+    # — a doc whose every fingerprint is corpus-hot is correctly
+    # unfindable and correctly not eligible. Non-vacuity of the gated
+    # set is unit-tested.)
     oracle="SELECT CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b WHERE 1 = 0",
     tags=("dedup", "winnow", "invariant"),
 )
 def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-attestable inclusion invariant for winnowing: identical
     texts share their entire fingerprint set, so any constructed
-    duplicate whose text has >= 2 distinct fingerprints must pair with
-    its original. Runs the full production pipeline (fingerprints, hot
-    cap, self-join) over corpus ∪ constructed dupes and returns the
+    duplicate with >= 2 cap-surviving fingerprints must pair with its
+    original. Runs the full production pipeline (fingerprints, hot cap,
+    self-join) over corpus ∪ constructed dupes and returns the
     constructed pairs it MISSED — empty, or the driver gate fails.
 
     Output is empty by construction → ``collect_release`` frees the
     fingerprint cache."""
-    docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    eligible = (
-        docs.filter(F.col("doc_id") < _N_WINNOW_DUPES)
-        .select("doc_id", F.size(winnow_fingerprints(F.col("text"))).alias("nfp"))
-        .filter(F.col("nfp") >= 2)
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            (F.col("doc_id") + _DUP_OFFSET).alias("doc_b"),
+    with cache_scope():
+        docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+        ex = scoped_persist(_winnow_capped_fps(_with_constructed_dupes(docs, _N_WINNOW_DUPES)))
+        eligible = (
+            ex.filter(F.col("doc_id") < _N_WINNOW_DUPES)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("nfp"))
+            .filter(F.col("nfp") >= 2)
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                (F.col("doc_id") + _DUP_OFFSET).alias("doc_b"),
+            )
         )
-    )
-    found = winnow_pairs_for(_with_constructed_dupes(docs, _N_WINNOW_DUPES)).select(
-        "doc_a", "doc_b"
-    )
-    return collect_release(eligible.join(found, ["doc_a", "doc_b"], "left_anti"))
+        found = winnow_pairs_from_fps(ex).select("doc_a", "doc_b")
+        return collect_release(eligible.join(found, ["doc_a", "doc_b"], "left_anti"))
 
 
-_COSINE_ORACLE = """
+# 0.45, not 0.5: the sf0.001 fixture's max pairwise cosine is ~0.479,
+# so a 0.5 threshold is vacuously empty at the smallest SF and the
+# oracle harness's vacuity gate rejects it. 0.45 yields a small
+# nonempty answer at every SF (7 / 14 / 144 pairs at sf0.001/0.01/0.1).
+_COSINE_THRESHOLD = 0.45
+
+_COSINE_ORACLE = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.5
+                                 CAST(b.embedding AS DOUBLE[])) >= {_COSINE_THRESHOLD}
 """
 
 
 @query("dedup_embedding_cosine", oracle=_COSINE_ORACLE, tags=("dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2/D3 bridge: embedding near-dup pairs with cosine ≥ 0.5
-    (testdata's max pairwise cosine is ~0.55 — 0.5 yields a small
-    nonempty answer). Brute-force O(n²) pair scan with JVM
-    higher-order-function dot products — the oracle-checkable
-    semantics; the LSH-bucketed scale path is sim_topk_ivf
-    (similarity.py). All math in float64."""
+    """D2/D3 bridge: embedding near-dup pairs with cosine ≥ 0.45
+    (see _COSINE_THRESHOLD — nonempty at every SF). Brute-force O(n²)
+    pair scan with JVM higher-order-function dot products — the
+    oracle-checkable semantics; the LSH-bucketed scale path is
+    sim_topk_ivf (similarity.py). All math in float64."""
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -666,7 +712,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim_raw", sim)
-        .filter(F.col("cos_sim_raw") >= 0.5)
+        .filter(F.col("cos_sim_raw") >= _COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
 

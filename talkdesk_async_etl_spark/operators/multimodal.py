@@ -47,19 +47,39 @@ def decode_image_fake(content: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(max(1, height), max(1, width)), dtype=np.uint8)
 
 
-def synthetic_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
+# Single source of truth for the synthetic media fixture's arithmetic.
+# The fixture builder, the invariant predicates, and the DuckDB oracle
+# f-strings below all derive from these constants, so the fixture and
+# its oracles cannot drift independently (a change in one place either
+# propagates everywhere or fails the driver gate loudly).
+_FIXTURE_N = 64
+_KINDS = ("image", "audio", "video")  # kind = _KINDS[media_id % 3]
+_PAYLOAD_BYTES = 128
+_WIDTH_BASE, _WIDTH_MOD = 32, 8  # width  = 32 + media_id % 8
+_HEIGHT_BASE, _HEIGHT_MOD = 16, 4  # height = 16 + media_id % 4
+_DUR_STEP_MS, _DUR_MOD = 1000, 5  # duration_ms = 1000 * (1 + media_id % 5)
+_SAMPLE_RATE = 16000
+_FRAME_EVERY_MS = 500
+
+
+def synthetic_media_df(spark: SparkSession, n: int = _FIXTURE_N) -> DataFrame:
     """Deterministic media fixture (binary payload + typed meta)."""
     rows = []
     for i in range(n):
-        payload = bytes([(i * 7 + j) % 256 for j in range(128)])
-        kind = ("image", "audio", "video")[i % 3]
+        payload = bytes([(i * 7 + j) % 256 for j in range(_PAYLOAD_BYTES)])
+        kind = _KINDS[i % len(_KINDS)]
         rows.append(
             (
                 i,
                 kind,
                 payload,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                (32 + i % 8, 16 + i % 4, 1000 * (1 + i % 5), 16000),
+                (
+                    _WIDTH_BASE + i % _WIDTH_MOD,
+                    _HEIGHT_BASE + i % _HEIGHT_MOD,
+                    _DUR_STEP_MS * (1 + i % _DUR_MOD),
+                    _SAMPLE_RATE,
+                ),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -111,33 +131,36 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # formulas), the payload length is intact, and the decoded stats
     # are sane. A dropped Arrow batch, meta-unpacking bug, or schema
     # drift fails the driver gate.
-    oracle="""
+    oracle=f"""
         SELECT CAST(i AS BIGINT) AS media_id, CAST(1 AS BOOLEAN) AS features_ok
-        FROM range(64) t(i) WHERE i % 3 = 0
+        FROM range({_FIXTURE_N}) t(i) WHERE i % {len(_KINDS)} = {_KINDS.index("image")}
     """,
     tags=("multimodal", "invariant"),
 )
 def multimodal_features_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-attestable plumbing invariant for the image-feature
     extractor: one row per fixture image with its meta-derived
-    dimensions, 128-byte payload, and in-range pixel stats."""
+    dimensions, fixed-size payload, and in-range pixel stats. Both the
+    predicate and the oracle derive from the shared fixture constants
+    above."""
     feats = multimodal_image_features(spark, sf_dir)
     ok = (
-        (F.col("n_bytes") == 128)
+        (F.col("n_bytes") == _PAYLOAD_BYTES)
         & F.col("px_mean").between(0.0, 255.0)
         & (F.col("px_std") >= 0.0)
-        & (F.col("width") == 32 + F.col("media_id") % 8)
-        & (F.col("height") == 16 + F.col("media_id") % 4)
+        & (F.col("width") == _WIDTH_BASE + F.col("media_id") % _WIDTH_MOD)
+        & (F.col("height") == _HEIGHT_BASE + F.col("media_id") % _HEIGHT_MOD)
     )
     return feats.select("media_id", ok.alias("features_ok"))
 
 
 @query(
     "multimodal_frame_sample",
-    oracle="""
+    oracle=f"""
         SELECT CAST(i AS BIGINT) AS media_id,
-               CAST(unnest(range(0, 1000 * (1 + i % 5) + 1, 500)) AS BIGINT) AS frame_ts_ms
-        FROM range(64) t(i) WHERE i % 3 = 2
+               CAST(unnest(range(0, {_DUR_STEP_MS} * (1 + i % {_DUR_MOD}) + 1,
+                                 {_FRAME_EVERY_MS})) AS BIGINT) AS frame_ts_ms
+        FROM range({_FIXTURE_N}) t(i) WHERE i % {len(_KINDS)} = {_KINDS.index("video")}
     """,
     tags=("multimodal",),
 )
@@ -145,8 +168,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North star: video frame-timestamp sampling (every 500 ms) from
     the typed meta struct — JVM-side ``sequence``+``explode`` BEFORE any
     decode so frame tasks parallelize. The oracle re-derives the same
-    frame grid from the synthetic fixture's arithmetic."""
-    return sample_video_frames(synthetic_media_df(spark), every_ms=500)
+    frame grid from the shared fixture constants."""
+    return sample_video_frames(synthetic_media_df(spark), every_ms=_FRAME_EVERY_MS)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
@@ -246,3 +269,46 @@ def resize_images(
     return media.mapInPandas(
         per_batch, schema="media_id long, content binary, width int, height int"
     )
+
+
+@query("multimodal_audio_features", oracle=None, tags=("multimodal", "udf"))
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star: audio decode → RMS/zero-crossing/duration features
+    over mapInPandas (same Arrow-streaming shape as the image path;
+    deterministic fake decoder, real plumbing). Rows-only check — the
+    waveform stats come from the seeded fake, not SQL — with the
+    driver-attestable companion ``multimodal_audio_ok`` below."""
+    return extract_audio_features(synthetic_media_df(spark))
+
+
+@query(
+    "multimodal_audio_ok",
+    # Constant all-TRUE oracle over exactly the fixture's audio ids,
+    # derived from the shared fixture constants: attests every audio
+    # row survives the pass, the meta struct (duration × sample rate,
+    # 65536-sample cap) reaches the decoder, and the waveform stats
+    # are in range.
+    oracle=f"""
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(1 AS BOOLEAN) AS audio_ok
+        FROM range({_FIXTURE_N}) t(i) WHERE i % {len(_KINDS)} = {_KINDS.index("audio")}
+    """,
+    tags=("multimodal", "invariant"),
+)
+def multimodal_audio_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable plumbing invariant for the audio-feature
+    extractor: one row per fixture audio clip whose sample count
+    matches the meta-derived duration×rate (with the decoder's 65536
+    cap), whose duration is consistent with that count, and whose
+    RMS / zero-crossing-rate are in range."""
+    feats = multimodal_audio_features(spark, sf_dir)
+    expected_n = F.least(
+        (F.col("media_id") % _DUR_MOD + 1) * F.lit(_DUR_STEP_MS * _SAMPLE_RATE // 1000),
+        F.lit(65536),
+    )
+    ok = (
+        (F.col("n_samples") == expected_n)
+        & F.col("rms").between(0.0, 1.0)
+        & F.col("zero_crossing_rate").between(0.0, 1.0)
+        & (F.col("duration_s") == F.col("n_samples") / F.lit(float(_SAMPLE_RATE)))
+    )
+    return feats.select("media_id", ok.alias("audio_ok"))

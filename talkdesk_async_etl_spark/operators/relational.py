@@ -255,16 +255,19 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_partkey, p_name, p_brand, p_type
         FROM part
         WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-          AND p_type LIKE '%a%'
+          AND p_type LIKE '%A%'
     """,
     tags=("filter",),
 )
 def filter_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7: IN-list + LIKE pattern predicates (report-name routing
-    generalized from DB:536-541). Both push down to the scan."""
+    generalized from DB:536-541). Both push down to the scan. The
+    pattern is '%A%' because the fixture's p_type values are uppercase
+    words (STANDARD/LARGE/...) — a lowercase pattern matches nothing
+    and the vacuity gate rejects the empty attestation."""
     return (
         t(spark, sf_dir, "part")
-        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & F.col("p_type").like("%a%"))
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & F.col("p_type").like("%A%"))
         .select("p_partkey", "p_name", "p_brand", "p_type")
     )
 
@@ -393,16 +396,25 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5b: left-anti join (NOT EXISTS) — customers with no orders."""
+    """J5b: left-anti join (NOT EXISTS) — customers with no urgent
+    orders. The build side is filtered (every fixture customer has SOME
+    order, which made the unfiltered formulation vacuously empty); the
+    priority predicate pushes into the orders scan before the anti
+    join."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -934,15 +946,17 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "set_except",
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT l_shipdate AS activity_date FROM lineitem
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT o_orderdate AS activity_date FROM orders
     """,
     tags=("set",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-op: EXCEPT (distinct) — nations with customers but no
-    suppliers."""
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """Set-op: EXCEPT (distinct) — days with shipments but no newly
+    placed orders. (The earlier customer-vs-supplier nation formulation
+    was vacuously empty: all 25 fixture nations have both.) Shipdates
+    run past the last orderdate, so this is non-empty at every SF."""
+    ship = t(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("activity_date"))
+    ordd = t(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("activity_date"))
+    return ship.subtract(ordd)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from talkdesk_async_etl_spark.plans.cache import collect_release, scoped_persist
+from talkdesk_async_etl_spark.plans.cache import cache_scope, collect_release, scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -276,14 +276,15 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is one row by construction → ``collect_release`` frees the
     two composed pipelines' scoped caches (normed projection + LSH
     buckets)."""
-    exact = sim_topk_cosine(spark, sf_dir).select("q_id", "neighbor_id")
-    approx = sim_topk_ivf(spark, sf_dir).select("q_id", "neighbor_id").withColumn("m", F.lit(1))
-    return collect_release(
-        exact.join(approx, ["q_id", "neighbor_id"], "left").agg(
-            (F.count("m") / F.count(F.lit(1)) >= _RECALL_FLOOR).alias("recall_ok"),
-            F.lit(_RECALL_FLOOR).cast("double").alias("floor"),
+    with cache_scope():
+        exact = sim_topk_cosine(spark, sf_dir).select("q_id", "neighbor_id")
+        approx = sim_topk_ivf(spark, sf_dir).select("q_id", "neighbor_id").withColumn("m", F.lit(1))
+        return collect_release(
+            exact.join(approx, ["q_id", "neighbor_id"], "left").agg(
+                (F.count("m") / F.count(F.lit(1)) >= _RECALL_FLOOR).alias("recall_ok"),
+                F.lit(_RECALL_FLOOR).cast("double").alias("floor"),
+            )
         )
-    )
 
 
 @query(
@@ -303,19 +304,20 @@ def sim_blocked_topk_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-matmul top-k: per query, exactly k neighbors and a k-th
     similarity no worse than the exact k-th minus 2e-6 (both sides
     round to 6 decimals; summation order may differ in the last ulp)."""
-    exact = (
-        sim_topk_cosine(spark, sf_dir)
-        .groupBy("q_id")
-        .agg(F.min("cos_sim").alias("exact_kth"))
-    )
-    blocked = (
-        sim_topk_blocked(spark, sf_dir)
-        .groupBy("q_id")
-        .agg(F.min("cos_sim").alias("blocked_kth"), F.count(F.lit(1)).alias("n"))
-    )
-    ok = (F.col("n") == _TOP_K) & (F.col("blocked_kth") >= F.col("exact_kth") - 2e-6)
-    # _N_QUERIES rows by construction → free the exact path's cache.
-    return collect_release(exact.join(blocked, "q_id").select("q_id", ok.alias("topk_ok")))
+    with cache_scope():
+        exact = (
+            sim_topk_cosine(spark, sf_dir)
+            .groupBy("q_id")
+            .agg(F.min("cos_sim").alias("exact_kth"))
+        )
+        blocked = (
+            sim_topk_blocked(spark, sf_dir)
+            .groupBy("q_id")
+            .agg(F.min("cos_sim").alias("blocked_kth"), F.count(F.lit(1)).alias("n"))
+        )
+        ok = (F.col("n") == _TOP_K) & (F.col("blocked_kth") >= F.col("exact_kth") - 2e-6)
+        # _N_QUERIES rows by construction → free the exact path's cache.
+        return collect_release(exact.join(blocked, "q_id").select("q_id", ok.alias("topk_ok")))
 
 
 _N_CENTROIDS = 8

@@ -1,14 +1,19 @@
 """Classic TPC-H query shapes over the driver testdata star schema.
 
 The reference's own relational surface is config-scan-and-join thin
-(SURVEY.md §0); these three canonical warehouse queries demonstrate the
+(SURVEY.md §0); these ten canonical warehouse queries demonstrate the
 engine on the heavier plans the same tables support — multi-aggregate
-scan (Q1), join + top-k (Q3), selective filter-aggregate (Q6) — each
-with a deterministic DuckDB oracle. Date parameters are pinned
-literals: the driver diff and bench must be reproducible, and constant
-predicates also let Catalyst push them into the parquet scan.
+scan (Q1), join + top-k (Q3/Q10/Q18), correlated EXISTS (Q4),
+six-way join (Q5), selective filter-aggregate (Q6), double-role
+dimension join (Q7), ratio aggregate (Q14), disjunctive mixed-side
+predicates (Q19) — each with a deterministic DuckDB oracle. Date and
+selectivity parameters are pinned literals INSIDE the fixture's data
+ranges (orders 1995-01-01..2001-08-01) so every oracle row set is
+non-empty; where the fixture lacks a canonical column (l_shipmode,
+l_commitdate, p_container) the query is adapted onto available
+columns with the plan shape preserved — each docstring says how.
 
-Scale notes per query are in the docstrings; all three are
+Scale notes per query are in the docstrings; all ten are
 pure built-in DataFrame expressions (no UDFs, no collects).
 """
 
@@ -136,10 +141,17 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q6_ORACLE = """
+# Date windows are pinned INSIDE the fixture's data span (orders
+# 1995-01-01..2001-08-01, shipdates ..2001-11-04) so the oracle
+# comparison attests real aggregation results, not empty sets — the
+# canonical TPC-H 1993/1994 parameters predate this fixture.
+_Q6_DATE_LO = "1996-01-01"
+_Q6_DATE_HI = "1997-01-01"
+
+_Q6_ORACLE = f"""
     SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+    WHERE l_shipdate >= DATE '{_Q6_DATE_LO}' AND l_shipdate < DATE '{_Q6_DATE_HI}'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
 """
@@ -154,8 +166,8 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     read exactly four columns and skip row groups by min/max stats."""
     li = t(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+        (F.col("l_shipdate") >= F.lit(_Q6_DATE_LO).cast("date"))
+        & (F.col("l_shipdate") < F.lit(_Q6_DATE_HI).cast("date"))
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(
@@ -166,6 +178,8 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q5_REGION = "ASIA"
+_Q5_DATE_LO = "1996-01-01"
+_Q5_DATE_HI = "1997-01-01"
 
 _Q5_ORACLE = f"""
     SELECT n_name,
@@ -178,7 +192,7 @@ _Q5_ORACLE = f"""
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = '{_Q5_REGION}'
-      AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1995-01-01'
+      AND o_orderdate >= DATE '{_Q5_DATE_LO}' AND o_orderdate < DATE '{_Q5_DATE_HI}'
     GROUP BY n_name
 """
 
@@ -196,8 +210,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit(_Q5_DATE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_Q5_DATE_HI).cast("date"))
     ).select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -219,8 +233,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q10_DATE_LO = "1993-10-01"
-_Q10_DATE_HI = "1994-01-01"
+_Q10_DATE_LO = "1996-10-01"
+_Q10_DATE_HI = "1997-01-01"
 
 _Q10_ORACLE = f"""
     SELECT c_custkey, c_name,
@@ -268,4 +282,273 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+    )
+
+
+_Q4_DATE_LO = "1996-07-01"
+_Q4_DATE_HI = "1996-10-01"
+_Q4_LATE_DAYS = 90
+
+_Q4_ORACLE = f"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '{_Q4_DATE_LO}' AND o_orderdate < DATE '{_Q4_DATE_HI}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4", oracle=_Q4_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" is re-expressed as a lineitem
+    shipped more than 90 days after the order date — preserving the
+    shape that matters: a correlated EXISTS compiled to a LEFT SEMI
+    join whose condition references BOTH sides (l_shipdate against
+    this order's o_orderdate), then a small grouped count. The semi
+    join keeps each order at most once regardless of how many late
+    lineitems it has — a plain inner join + distinct would shuffle the
+    multiplicity only to throw it away."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_DATE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(_Q4_DATE_HI).cast("date"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, _Q4_LATE_DAYS)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# Canonical Q7 pins two nations; the fixture spreads only ~10 suppliers
+# across 25 nations at sf0.001, so a single pair is empty at the
+# smallest SF. A 5-nation set (both sides, unequal) keeps the
+# two-sided-nation-predicate shape non-vacuous at every SF.
+_Q7_NATIONS = ("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+_Q7_DATE_LO = "1996-01-01"
+_Q7_DATE_HI = "1997-12-31"
+
+_Q7_NATION_LIST = ", ".join(f"'{n}'" for n in _Q7_NATIONS)
+
+_Q7_ORACLE = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ({_Q7_NATION_LIST})
+          AND n2.n_name IN ({_Q7_NATION_LIST})
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate BETWEEN DATE '{_Q7_DATE_LO}' AND DATE '{_Q7_DATE_HI}'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7", oracle=_Q7_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: the nation table joins TWICE with
+    different roles (supplier's nation vs customer's nation), each leg
+    broadcast (25 rows), with the cross-nation inequality applied after
+    both legs resolve. The nation IN-filters are pushed into each
+    broadcast build side so the big join only sees the five relevant
+    nations' rows."""
+    nset = list(_Q7_NATIONS)
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nset))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nset))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(_Q7_DATE_LO, _Q7_DATE_HI)
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, F.col("o_orderkey") == li.l_orderkey)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+_Q14_DATE_LO = "1996-09-01"
+_Q14_DATE_HI = "1996-10-01"
+# The fixture's p_type vocabulary is {ECONOMY, MEDIUM, STANDARD, LARGE,
+# SMALL} (no 'PROMO%' prefix family), so the promo class is ECONOMY.
+_Q14_PROMO_TYPE = "ECONOMY"
+
+_Q14_ORACLE = f"""
+    SELECT round(
+        100.0 * CAST(sum(CASE WHEN p_type = '{_Q14_PROMO_TYPE}'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '{_Q14_DATE_LO}' AND l_shipdate < DATE '{_Q14_DATE_HI}'
+"""
+
+
+@query("tpch_q14", oracle=_Q14_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: a ratio of two conditional sums in
+    ONE aggregation pass after a fact-to-dimension join (part joins on
+    the SF-scaling l_partkey — AQE decides broadcast vs shuffle as part
+    grows). Both sums accumulate in DECIMAL; the division happens once
+    on the two exact totals and both engines round the same double."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_DATE_LO).cast("date"))
+        & (F.col("l_shipdate") < F.lit(_Q14_DATE_HI).cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == _Q14_PROMO_TYPE, disc).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q18_QTY_THRESHOLD = 250
+
+_Q18_ORACLE = f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_QTY_THRESHOLD}
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 100
+"""
+
+
+@query("tpch_q18", oracle=_Q18_ORACLE, tags=("tpch", "join", "topk"))
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: a HAVING subquery realized as
+    an aggregate-then-semi-join — lineitem aggregates ONCE per order,
+    the qualifying (tiny) order set semi-joins back, and only then do
+    customer/orders attach. Threshold 250 (not the canon 300) keeps
+    the answer non-empty at sf0.001. Deterministic top-100 via the
+    o_orderkey tie-break, planned as TakeOrderedAndProject. Quantity
+    sums are exact in doubles (small integers, far below 2^53)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_QTY_THRESHOLD)
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# Brand/size/quantity windows widened from the canon (which assumes
+# TPC-H's container/brand correlations): each branch must be non-empty
+# at sf0.001's 6k-row lineitem.
+_Q19_BRANCHES = (
+    ("Brand#12", 1, 15, 1, 20),
+    ("Brand#23", 1, 25, 10, 30),
+    ("Brand#34", 1, 35, 20, 40),
+)
+
+_Q19_WHERE = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1} "
+    f"AND l_quantity BETWEEN {q0} AND {q1})"
+    for b, s0, s1, q0, q1 in _Q19_BRANCHES
+)
+
+_Q19_ORACLE = f"""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_WHERE}
+"""
+
+
+@query("tpch_q19", oracle=_Q19_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: the canonical DISJUNCTIVE
+    predicate — three OR'd branches each mixing part-side (brand, size)
+    and lineitem-side (quantity) columns, so no single branch can push
+    below the join. What CAN push does: Catalyst extracts the common
+    p_brand IN (...) and p_size/l_quantity range envelopes from the OR
+    and pushes those into the scans, leaving the exact disjunction as a
+    post-join filter. One global decimal sum."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for b, s0, s1, q0, q1 in _Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        cond = branch if cond is None else (cond | branch)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
     )

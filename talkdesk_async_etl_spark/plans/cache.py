@@ -26,10 +26,13 @@ Contract (single-threaded, like the driver/bench/parity harnesses):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _SCOPED: list[DataFrame] = []
+_MARKS: list[int] = []
 
 
 def scoped_persist(
@@ -41,12 +44,34 @@ def scoped_persist(
     return df
 
 
+@contextmanager
+def cache_scope():
+    """Bound a query invocation's persists: on exit, unpersist ONLY the
+    relations persisted inside this scope, leaving any outer caller's
+    caches alone. While a scope is active, :func:`release_scoped` /
+    :func:`collect_release` also stop at the scope floor — so a
+    composed invariant query that eagerly releases its own caches can
+    no longer evict caches a surrounding pipeline still references
+    (releasing those was CORRECT — Spark recomputes — but a silent
+    performance cliff)."""
+    _MARKS.append(len(_SCOPED))
+    try:
+        yield
+    finally:
+        floor = _MARKS.pop()
+        while len(_SCOPED) > floor:
+            _SCOPED.pop().unpersist()
+
+
 def release_scoped() -> int:
-    """Unpersist every tracked relation (blocking=False — eviction is
-    async, correctness never depends on it). Returns how many were
-    released. Idempotent: unpersisting twice is a no-op."""
-    n = len(_SCOPED)
-    while _SCOPED:
+    """Unpersist every tracked relation down to the innermost active
+    :func:`cache_scope` floor (everything, when no scope is active).
+    blocking=False — eviction is async, correctness never depends on
+    it. Returns how many were released. Idempotent: unpersisting twice
+    is a no-op."""
+    floor = _MARKS[-1] if _MARKS else 0
+    n = len(_SCOPED) - floor
+    while len(_SCOPED) > floor:
         _SCOPED.pop().unpersist()
     return n
 

@@ -67,72 +67,77 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-4 window: first the five TPC-H canon queries (registered in
-# round 3 at slots 51+, so they have never had a driver row), then the
-# two new constructed-duplicate invariants (dedup.py — the last two
-# operators whose guarantees previously lived only in unit tests),
-# then the ids whose most recent driver hash-match is round 2 (stale),
-# then sentinels for every operator touched this round (scoped-cache
-# conversion, hot-key caps, eager-release invariants). Any id
-# registered but absent here appends in registration order, so new
-# operators are never silently dropped — and the first-50 meta-test in
-# tests/test_driver_profile.py fails on typos or miscounts.
+# Round-5 window: first the queries whose SEMANTICS changed this round
+# and therefore need a fresh attestation — the re-pinned TPC-H trio
+# (date parameters moved inside the fixture's 1995–2001 span, so their
+# oracle rows are now non-empty), the three de-vacuoused queries
+# (filter_in_like / join_anti / set_except returned 0 rows at every SF
+# until this round), the dedup ids downstream of the hot-key-cap
+# rewrite (window count → groupBy-count broadcast anti-join), and the
+# multimodal invariant after the fixture-constant dedupe — then every
+# id whose most recent driver row is round 2/3 (the full complement of
+# the round-4 window, restoring ≤2-round staleness across the
+# registry). Any id registered but absent here appends in registration
+# order, so new operators are never silently dropped — and the
+# first-50 meta-test in tests/test_driver_profile.py fails on typos or
+# miscounts.
 _PRIORITY = (
-    # TPC-H canon: registered round 3, never driver-checked
-    "tpch_q1",
-    "tpch_q3",
+    # re-pinned TPC-H parameters: previous rows hash-matched on EMPTY
+    # results; these three must re-attest with real data
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
-    # new round-4 invariant companions (never attested)
-    "dedup_simhash_dupes_ok",
-    "dedup_winnow_containment",
-    # stalest ids: last driver hash-match (or rows-only row) is round 2
-    "filter_col_eq",
-    "filter_date_range",
-    "scan_json_doc",
-    "csv_roundtrip",
-    "filter_conj_eq",
-    "project_columns",
-    "join_inner_using",
-    "join_range",
-    "agg_count",
-    "agg_multi",
-    "agg_count_distinct",
-    "agg_percentile",
-    "pivot_event_counts",
-    "scalar_json_extract",
-    "scalar_json_struct",
-    "window_row_number",
-    "window_topk_per_group",
-    "sort_topk_global",
-    "udf_pandas_scalar",
-    "dedup_near_jaccard",
-    "dedup_simhash",
-    "sim_topk_blocked",
-    "sim_topk_ivf",
-    "multimodal_image_features",
-    "text_quality_filter",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_regex",
-    "text_split_assign",
-    "text_dominant_term",
-    "stream_tumbling",
-    "stream_sliding",
-    # touched this round (scoped caches / hot-key caps / eager release /
-    # decimal-avg fix) — every modified operator gets a fresh row
-    "dedup_exact",
+    # de-vacuoused this round (predicate/operand fixes)
+    "filter_in_like",
+    "join_anti",
+    "set_except",
+    # hot-key-cap rewrite flows into these pair generators + invariants
     "dedup_minhash_lsh",
     "dedup_lsh_containment",
     "dedup_winnow_pairs",
-    "dedup_components",
-    "dedup_resolve_canonical",
-    "dedup_embedding_cosine",
-    "sim_topk_cosine",
-    "sim_ivf_recall",
-    "sim_blocked_topk_ok",
+    "dedup_winnow_containment",
+    # multimodal fixture-constant dedupe
     "multimodal_features_ok",
+    # stale ids: last driver row is round 2/3
+    "scan_parquet",
+    "filter_limit1",
+    "filter_null_handling",
+    "join_broadcast_lookup",
+    "join_fk_monitoring",
+    "join_left_outer",
+    "join_semi",
+    "join_star",
+    "join_asof",
+    "agg_count_per_key",
+    "agg_conditional_sum",
+    "agg_group_counts",
+    "agg_sum_two_keys",
+    "agg_status_rollup",
+    "agg_approx_distinct",
+    "agg_approx_distinct_tol",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentile_approx",
+    "agg_percentile_approx_tol",
+    "sort_multi_key",
+    "set_union",
+    "set_intersect",
+    "window_lag",
+    "window_moving_frame",
+    "scalar_date_arith",
+    "scalar_date_format",
+    "scalar_string_concat",
+    "scalar_string_replace",
+    "scalar_math",
+    "scalar_array_ops",
+    "scalar_string_toolkit",
+    "udaf_grouped_apply",
+    "multimodal_frame_sample",
+    "sim_centroid_assign",
+    "text_token_stats",
+    "text_chunk",
+    "text_pii_scrub",
+    "stream_session",
 )
 
 

@@ -141,11 +141,20 @@ def write_csv_report(
         df.write.mode("overwrite").option("header", True).csv(out)
         return out
     scheme = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*(?=:/)", base)
+    if scheme and scheme.group(0).lower() == "file":
+        # file:/ URIs ARE local — strip the scheme and proceed with the
+        # os/shutil rename. (file:///x and file:/x both mean /x.)
+        local = base[len(scheme.group(0)) + 1 :]
+        while local.startswith("//"):
+            local = local[1:]
+        out = os.path.join(local, report_name, f"{from_date}_to_{to_date}.csv")
+        scheme = None
     if scheme:
         raise ValueError(
-            f"single_file=True only supports plain local paths; got scheme "
-            f"{scheme.group(0)!r} in base={base!r}. Use the directory sink "
-            "(single_file=False) for remote filesystems."
+            f"single_file=True needs an os-level path for its rename; got "
+            f"URI scheme {scheme.group(0)!r} in base={base!r}. Use the "
+            "directory sink (single_file=False), which writes through the "
+            "Hadoop filesystem layer, for non-local URIs."
         )
     import shutil
 

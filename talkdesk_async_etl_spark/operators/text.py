@@ -355,3 +355,65 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PII_NUMBER)).cast("int").alias("n_numbers"),
     )
+
+
+_TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf
+    FROM ranked WHERE rn <= {_TFIDF_TOP_K}
+"""
+
+
+@query("text_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text",))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 depth: per-document top-3 TF-IDF terms — the per-doc keyword
+    signal quality filters and topic bucketing key on. One explode +
+    two aggregations: term frequency per (doc, term), document
+    frequency per term (a vocabulary-sized relation), then a
+    smoothed-idf score ranked per document.
+
+    Determinism across engines: both sides rank on the ROUNDED score
+    with a term tie-break, so a last-ulp ln() difference inside the
+    rounding grain cannot reorder ranks. Scale shape: the tf and df
+    aggregations shuffle (doc,term) / term keys with map-side partials;
+    the corpus-size literal joins in as a broadcast single row; the
+    final ranking partitions by doc_id — no corpus-wide sort."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf")
+    )

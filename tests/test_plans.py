@@ -175,3 +175,54 @@ def test_ivf_broadcasts_queries_never_shuffles_corpus(spark):
     # corpus side: scan → explode → join with no Exchange in between;
     # downstream dedup-agg + window account for all exchanges.
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_tpch_q4_compiles_exists_to_semi_join(spark):
+    """Q4's correlated EXISTS must plan as a LEFT SEMI join (each order
+    forwarded at most once) — never an inner join + distinct, which
+    would shuffle the full late-lineitem multiplicity just to discard
+    it."""
+    plan = plan_of(spark, "tpch_q4")
+    assert "LeftSemi" in plan, plan[:800]
+    assert "HashAggregate" in plan  # grouped count still aggregates
+
+
+def test_tpch_q7_broadcasts_both_nation_roles(spark):
+    """Q7 joins the 25-row nation dimension twice (supplier role and
+    customer role); BOTH legs must broadcast — a sort-merge join on a
+    fixed-cardinality dimension would shuffle the fact side twice for
+    50 rows of build data."""
+    import re
+
+    plan = plan_of(spark, "tpch_q7")
+    assert "SortMergeJoin" not in plan
+    n_scans = len(re.findall(r"nation\.parquet", plan))
+    assert n_scans == 2, f"expected 2 nation scan locations, plan has {n_scans}"
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q18_topk_avoids_global_sort(spark):
+    plan = plan_of(spark, "tpch_q18")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_tpch_q19_pushes_predicate_envelopes(spark):
+    """Q19's disjunction mixes columns from both join sides, so the
+    exact predicate evaluates post-join — but the single-side envelopes
+    Catalyst extracts from the OR (p_brand IN (...), and the p_size /
+    l_quantity ranges) must still reach the scans."""
+    plan = plan_of(spark, "tpch_q19")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    part_pushed = next((l for l in pushed if "p_brand" in l), None)
+    assert part_pushed is not None, pushed
+    li_pushed = next((l for l in pushed if "l_quantity" in l), None)
+    assert li_pushed is not None, pushed
+
+
+def test_tfidf_ranks_per_doc_without_global_sort(spark):
+    """The per-doc top-K ranking must partition by doc_id (group-local
+    sort), never range-partition the whole scored relation."""
+    plan = plan_of(spark, "text_tfidf_top_terms")
+    assert "Exchange rangepartitioning" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan

@@ -80,7 +80,15 @@ _HEADLINE_RELATIONAL = (
     "tpch_q19",
 )
 
-HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL
+# Round-5+ LLM-suite additions (outside core16 so that tier stays
+# round-over-round comparable).
+_HEADLINE_LLM = (
+    "dedup_winnow_pairs",
+    "dedup_semantic_components",
+    "text_tfidf_top_terms",
+)
+
+HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM
 
 
 def main() -> None:

@@ -312,3 +312,34 @@ def multimodal_audio_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("duration_s") == F.col("n_samples") / F.lit(float(_SAMPLE_RATE)))
     )
     return feats.select("media_id", ok.alias("audio_ok"))
+
+
+_RESIZE_W, _RESIZE_H = 8, 4
+
+
+@query(
+    "multimodal_resize_ok",
+    # Constant all-TRUE oracle over the fixture's image ids: the
+    # binary→binary resize must emit exactly target_w × target_h bytes
+    # per image (uint8 grid), whatever the source dimensions — the
+    # uniform-batch-shape contract a training loader relies on.
+    oracle=f"""
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(1 AS BOOLEAN) AS resize_ok
+        FROM range({_FIXTURE_N}) t(i) WHERE i % {len(_KINDS)} = {_KINDS.index("image")}
+    """,
+    tags=("multimodal", "invariant"),
+)
+def multimodal_resize_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable plumbing invariant for the image resize: one
+    row per fixture image whose re-emitted pixel buffer has exactly the
+    fixed target grid's byte count and the declared dimensions. (The
+    resized DataFrame itself carries a binary column, which the
+    driver's canonicalization rejects — this invariant is its
+    atomic-typed driver surface.)"""
+    resized = resize_images(synthetic_media_df(spark), _RESIZE_W, _RESIZE_H)
+    ok = (
+        (F.length("content") == _RESIZE_W * _RESIZE_H)
+        & (F.col("width") == _RESIZE_W)
+        & (F.col("height") == _RESIZE_H)
+    )
+    return resized.select("media_id", ok.alias("resize_ok"))

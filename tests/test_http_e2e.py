@@ -163,3 +163,28 @@ def test_write_csv_report_single_file_contract(spark, tmp_path):
     out_dir = write_csv_report(df, str(tmp_path), "call_volume", "2024-01-01", "2024-01-02")
     assert os.path.isdir(out_dir)
     assert any(f.startswith("part-") for f in os.listdir(out_dir))
+
+
+def test_write_csv_report_single_file_accepts_file_uri(spark, tmp_path):
+    """file:/ URIs ARE local: the single-file sink strips the scheme
+    and proceeds with the os-level rename; genuinely remote URI schemes
+    are still rejected with a message naming the scheme."""
+    import os
+
+    import pytest
+
+    from talkdesk_async_etl_spark.sources.io import write_csv_report
+
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    out = write_csv_report(
+        df, f"file://{tmp_path}", "queue_activity", "2024-01-01", "2024-01-02",
+        single_file=True,
+    )
+    assert os.path.isfile(out)
+    assert str(tmp_path) in out and not out.startswith("file:")
+
+    with pytest.raises(ValueError, match="URI scheme 's3a'"):
+        write_csv_report(
+            df, "s3a://bucket/x", "queue_activity", "2024-01-01", "2024-01-02",
+            single_file=True,
+        )

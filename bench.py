@@ -75,9 +75,12 @@ _HEADLINE_RELATIONAL = (
     "tpch_q6",
     "tpch_q7",
     "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q22",
 )
 
 # Round-5+ LLM-suite additions (outside core16 so that tier stays

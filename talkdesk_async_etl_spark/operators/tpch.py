@@ -1,19 +1,21 @@
 """Classic TPC-H query shapes over the driver testdata star schema.
 
 The reference's own relational surface is config-scan-and-join thin
-(SURVEY.md §0); these ten canonical warehouse queries demonstrate the
-engine on the heavier plans the same tables support — multi-aggregate
-scan (Q1), join + top-k (Q3/Q10/Q18), correlated EXISTS (Q4),
-six-way join (Q5), selective filter-aggregate (Q6), double-role
-dimension join (Q7), ratio aggregate (Q14), disjunctive mixed-side
-predicates (Q19) — each with a deterministic DuckDB oracle. Date and
-selectivity parameters are pinned literals INSIDE the fixture's data
-ranges (orders 1995-01-01..2001-08-01) so every oracle row set is
-non-empty; where the fixture lacks a canonical column (l_shipmode,
-l_commitdate, p_container) the query is adapted onto available
+(SURVEY.md §0); these thirteen canonical warehouse queries demonstrate
+the engine on the heavier plans the same tables support —
+multi-aggregate scan (Q1), join + top-k (Q3/Q10/Q18), correlated
+EXISTS (Q4), six-way join (Q5), selective filter-aggregate (Q6),
+double-role dimension join (Q7), outer-join histogram (Q13), ratio
+aggregate (Q14), aggregate-max-equality (Q15), disjunctive mixed-side
+predicates (Q19), scalar-subquery filter + anti-join (Q22) — each with
+a deterministic DuckDB oracle. Date and selectivity parameters are
+pinned literals INSIDE the fixture's data ranges (orders
+1995-01-01..2001-08-01) so every oracle row set is non-empty; where
+the fixture lacks a canonical column (l_shipmode, l_commitdate,
+p_container, o_comment, c_phone) the query is adapted onto available
 columns with the plan shape preserved — each docstring says how.
 
-Scale notes per query are in the docstrings; all ten are
+Scale notes per query are in the docstrings; all thirteen are
 pure built-in DataFrame expressions (no UDFs, no collects).
 """
 
@@ -550,5 +552,153 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
             .cast("double")
             .alias("revenue")
+        )
+    )
+
+
+# Canonical Q13 filters orders on o_comment NOT LIKE '%special%requests%';
+# the fixture has no comment column, so the order-side predicate is the
+# priority filter — the SHAPE under test is unchanged: a filter inside
+# the OUTER join condition (not a WHERE, which would drop zero-order
+# customers), then a two-level aggregation.
+_Q13_PRIORITY = "1-URGENT"
+
+_Q13_ORACLE = f"""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority = '{_Q13_PRIORITY}'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@query("tpch_q13", oracle=_Q13_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer distribution: how many customers placed 0, 1,
+    2, ... urgent orders. The order-side predicate lives INSIDE the
+    left-outer join condition — in a WHERE it would silently delete the
+    zero-order customers the histogram exists to count. Two grouped
+    aggregations: per-customer order count (join-key shuffle), then the
+    tiny count-of-counts."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority == _Q13_PRIORITY),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q15_DATE_LO = "1996-01-01"
+_Q15_DATE_HI = "1996-04-01"
+
+_Q15_ORACLE = f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '{_Q15_DATE_LO}' AND l_shipdate < DATE '{_Q15_DATE_HI}'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15", oracle=_Q15_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the aggregate-then-max-then-equality
+    shape (the canonical CREATE VIEW revenue + scalar MAX subquery).
+    Revenue accumulates in DECIMAL on both engines so the equality
+    against the max is exact — a double-summed revenue could differ in
+    the last ulp between partial-agg orders and silently drop the
+    winner (or a tie). The max is a one-row aggregate broadcast back
+    over the per-supplier revenues; ties are all returned, as in the
+    canon."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_DATE_LO).cast("date"))
+        & (F.col("l_shipdate") < F.lit(_Q15_DATE_HI).cast("date"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# Canonical Q22 buckets by phone country code; the fixture has no
+# c_phone, so the grouping key is c_nationkey — the shapes under test
+# (scalar AVG subquery as a filter + NOT EXISTS anti-join + grouped
+# count/sum) are unchanged.
+_Q22_ORACLE = """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+      AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          )
+    GROUP BY c_nationkey
+"""
+
+
+@query("tpch_q22", oracle=_Q22_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: customers with
+    above-average balance and no urgent orders, counted per nation.
+    The average is a one-row aggregate broadcast as a filter (the
+    scalar subquery shape) — computed as an exact DECIMAL sum divided
+    by the count on BOTH engines, because a plain double avg() is
+    summation-order-dependent and a customer within one ulp of the
+    mean would flip membership between engines. The no-urgent-orders
+    predicate is a left-anti join with the priority filter pushed into
+    the orders scan."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
     )

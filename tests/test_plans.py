@@ -226,3 +226,21 @@ def test_tfidf_ranks_per_doc_without_global_sort(spark):
     plan = plan_of(spark, "text_tfidf_top_terms")
     assert "Exchange rangepartitioning" not in plan
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_tpch_q13_keeps_outer_join_with_condition_filter(spark):
+    """Q13's priority predicate must ride the OUTER join condition — as
+    a WHERE it would delete the zero-order customers the histogram
+    counts. The plan must keep a LeftOuter join."""
+    plan = plan_of(spark, "tpch_q13")
+    assert "LeftOuter" in plan, plan[:600]
+
+
+def test_tpch_q15_and_q22_broadcast_scalar_subqueries(spark):
+    """The one-row aggregate (max revenue / average balance) must come
+    back as a broadcast — never a shuffle join against a single row."""
+    for name in ("tpch_q15", "tpch_q22"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+    assert "LeftAnti" in plan_of(spark, "tpch_q22")

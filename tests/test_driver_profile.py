@@ -134,3 +134,43 @@ def test_expect_empty_set_is_pinned():
     assert EXPECT_EMPTY == {"dedup_lsh_containment", "dedup_winnow_containment"}
     names = set(load_all())
     assert EXPECT_EMPTY <= names, EXPECT_EMPTY - names
+
+
+def test_vacuity_gate_fires_on_empty_and_all_null(spark):
+    """Harness self-test: compare() must reject an oracle-backed query
+    whose two sides agree on an EMPTY or all-NULL result — the exact
+    failure mode round 4 shipped (tpch_q5/q6/q10 hash-matching on
+    out-of-fixture date pins)."""
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+
+    empty = compare(
+        spark,
+        "fake_empty",
+        lambda s, d: s.sql("SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0"),
+        "SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0",
+        SF_ORACLE,
+    )
+    assert any("VACUOUS" in p for p in empty), empty
+
+    all_null = compare(
+        spark,
+        "fake_null",
+        lambda s, d: s.sql("SELECT CAST(NULL AS DOUBLE) AS revenue"),
+        "SELECT CAST(NULL AS DOUBLE) AS revenue",
+        SF_ORACLE,
+    )
+    assert any("VACUOUS" in p for p in all_null), all_null
+
+    # ...and must NOT fire for the pinned expect-empty invariants.
+    from tests.oracle_harness import EXPECT_EMPTY
+
+    name = next(iter(EXPECT_EMPTY))
+    ok = compare(
+        spark,
+        name,
+        lambda s, d: s.sql("SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0"),
+        "SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0",
+        SF_ORACLE,
+    )
+    assert not ok, ok

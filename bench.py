@@ -74,6 +74,7 @@ _HEADLINE_RELATIONAL = (
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
     "tpch_q13",
     "tpch_q14",

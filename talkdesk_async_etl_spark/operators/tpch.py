@@ -1,21 +1,22 @@
 """Classic TPC-H query shapes over the driver testdata star schema.
 
 The reference's own relational surface is config-scan-and-join thin
-(SURVEY.md §0); these thirteen canonical warehouse queries demonstrate
+(SURVEY.md §0); these fourteen canonical warehouse queries demonstrate
 the engine on the heavier plans the same tables support —
 multi-aggregate scan (Q1), join + top-k (Q3/Q10/Q18), correlated
 EXISTS (Q4), six-way join (Q5), selective filter-aggregate (Q6),
-double-role dimension join (Q7), outer-join histogram (Q13), ratio
-aggregate (Q14), aggregate-max-equality (Q15), disjunctive mixed-side
-predicates (Q19), scalar-subquery filter + anti-join (Q22) — each with
-a deterministic DuckDB oracle. Date and selectivity parameters are
+double-role dimension join (Q7), seven-join market-share ratio (Q8),
+outer-join histogram (Q13), ratio aggregate (Q14),
+aggregate-max-equality (Q15), disjunctive mixed-side predicates (Q19),
+scalar-subquery filter + anti-join (Q22) — each with a deterministic
+DuckDB oracle. Date and selectivity parameters are
 pinned literals INSIDE the fixture's data ranges (orders
 1995-01-01..2001-08-01) so every oracle row set is non-empty; where
 the fixture lacks a canonical column (l_shipmode, l_commitdate,
 p_container, o_comment, c_phone) the query is adapted onto available
 columns with the plan shape preserved — each docstring says how.
 
-Scale notes per query are in the docstrings; all thirteen are
+Scale notes per query are in the docstrings; all fourteen are
 pure built-in DataFrame expressions (no UDFs, no collects).
 """
 
@@ -701,4 +702,90 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "ECONOMY"  # canon filters p_type = 'ECONOMY ANODIZED STEEL'
+_Q8_NATION = "NATION_3"
+_Q8_DATE_LO = "1995-01-01"
+_Q8_DATE_HI = "1996-12-31"
+
+_Q8_ORACLE = f"""
+    SELECT o_year,
+           round(
+             CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               n2.n_name AS supp_nation,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+          AND o_orderdate BETWEEN DATE '{_Q8_DATE_LO}' AND DATE '{_Q8_DATE_HI}'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@query("tpch_q8", oracle=_Q8_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: the suite's deepest join tree —
+    seven joins across part, lineitem, orders, customer, supplier, and
+    nation TWICE in different roles (customer's nation chains through
+    region to scope the market; supplier's nation feeds the numerator
+    condition) — finished by a per-year conditional-ratio aggregate.
+    Fixed-cardinality nation/region legs carry broadcast hints; the
+    SF-scaling part/customer/supplier joins are left to AQE. Volumes
+    accumulate in DECIMAL; one division per year on exact totals, both
+    engines rounding the same double."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(_Q8_DATE_LO, _Q8_DATE_HI)
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION).select("r_regionkey")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    flat = (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            volume.alias("volume"),
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
     )

@@ -244,3 +244,16 @@ def test_tpch_q15_and_q22_broadcast_scalar_subqueries(spark):
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
     assert "LeftAnti" in plan_of(spark, "tpch_q22")
+
+
+def test_tpch_q8_broadcasts_fixed_dims_only(spark):
+    """Q8's seven-join tree: broadcast hints must land only on the
+    fixed-cardinality nation/region legs; the SF-scaling
+    part/customer/supplier joins stay with AQE. No sort-merge against
+    a hinted dimension."""
+    plan = plan_of(spark, "tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 3  # n1, region, n2
+    import re
+
+    n_scans = len(re.findall(r"nation\.parquet", plan))
+    assert n_scans == 2, f"expected 2 nation scan locations, got {n_scans}"

@@ -79,6 +79,7 @@ _HEADLINE_RELATIONAL = (
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q17",
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",

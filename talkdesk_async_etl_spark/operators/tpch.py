@@ -1,22 +1,26 @@
 """Classic TPC-H query shapes over the driver testdata star schema.
 
 The reference's own relational surface is config-scan-and-join thin
-(SURVEY.md §0); these fourteen canonical warehouse queries demonstrate
+(SURVEY.md §0); these fifteen canonical warehouse queries demonstrate
 the engine on the heavier plans the same tables support —
 multi-aggregate scan (Q1), join + top-k (Q3/Q10/Q18), correlated
 EXISTS (Q4), six-way join (Q5), selective filter-aggregate (Q6),
 double-role dimension join (Q7), seven-join market-share ratio (Q8),
 outer-join histogram (Q13), ratio aggregate (Q14),
-aggregate-max-equality (Q15), disjunctive mixed-side predicates (Q19),
-scalar-subquery filter + anti-join (Q22) — each with a deterministic
-DuckDB oracle. Date and selectivity parameters are
-pinned literals INSIDE the fixture's data ranges (orders
+aggregate-max-equality (Q15), correlated per-group-average subquery
+(Q17), disjunctive mixed-side predicates (Q19), scalar-subquery filter
++ anti-join (Q22) — each with a deterministic DuckDB oracle. This is
+every TPC-H query expressible over the fixture's eight tables: the
+remaining seven (Q2, Q9, Q11, Q16, Q20, Q21, Q12's canonical form)
+require the partsupp table or lineitem commit/receipt columns the
+fixture does not ship. Date and selectivity parameters are pinned
+literals INSIDE the fixture's data ranges (orders
 1995-01-01..2001-08-01) so every oracle row set is non-empty; where
 the fixture lacks a canonical column (l_shipmode, l_commitdate,
 p_container, o_comment, c_phone) the query is adapted onto available
 columns with the plan shape preserved — each docstring says how.
 
-Scale notes per query are in the docstrings; all fourteen are
+Scale notes per query are in the docstrings; all fifteen are
 pure built-in DataFrame expressions (no UDFs, no collects).
 """
 
@@ -788,4 +792,51 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("volume").cast("double"),
             6,
         ).alias("mkt_share")
+    )
+
+
+_Q17_BRAND = "Brand#23"
+_Q17_MAX_SIZE = 20  # canon filters p_container = 'MED BOX'; fixture has no container
+
+_Q17_ORACLE = f"""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+               AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = '{_Q17_BRAND}' AND p_size <= {_Q17_MAX_SIZE}
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("tpch_q17", oracle=_Q17_ORACLE, tags=("tpch", "join", "agg"))
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated
+    per-group aggregate subquery (each lineitem compares against 20%
+    of ITS part's average quantity), decorrelated the way Catalyst
+    would: aggregate per part once, join the averages back, filter.
+    The average source is semi-joined to the filtered part set first —
+    the correlation only ever probes those parts, so the aggregation
+    shrinks from all parts to the brand's parts without changing the
+    answer. Quantities are integral doubles (exact sums), so the
+    threshold is bit-identical across engines; the revenue sum
+    accumulates in DECIMAL."""
+    part_f = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == _Q17_BRAND) & (F.col("p_size") <= _Q17_MAX_SIZE))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    li_branded = li.join(part_f, li.l_partkey == part_f.p_partkey, "left_semi")
+    avgs = li_branded.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(part_f, li.l_partkey == part_f.p_partkey)
+        .join(avgs, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
     )

@@ -257,3 +257,13 @@ def test_tpch_q8_broadcasts_fixed_dims_only(spark):
 
     n_scans = len(re.findall(r"nation\.parquet", plan))
     assert n_scans == 2, f"expected 2 nation scan locations, got {n_scans}"
+
+
+def test_tpch_q17_aggregates_only_branded_parts(spark):
+    """Q17's decorrelated average must aggregate the SEMI-JOINED
+    lineitem subset (the brand's parts), not every part in the corpus —
+    the plan's aggregate sits above a semi join, and no sort-merge
+    appears at test scale."""
+    plan = plan_of(spark, "tpch_q17")
+    assert "LeftSemi" in plan, plan[:600]
+    assert plan.count("HashAggregate") >= 2

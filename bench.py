@@ -90,6 +90,7 @@ _HEADLINE_RELATIONAL = (
 _HEADLINE_LLM = (
     "dedup_winnow_pairs",
     "dedup_semantic_components",
+    "dedup_incremental_jaccard",
     "text_tfidf_top_terms",
 )
 

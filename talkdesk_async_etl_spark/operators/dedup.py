@@ -9,7 +9,10 @@ Five dedup families over the ``documents`` table, ordered by cost:
                            verification (the 100 TB path; rows-only).
 5. ``dedup_simhash``     — SimHash signatures + pigeonhole banding for
                            hamming ≤ 3 (rows-only).
-6. ``dedup_embedding_cosine`` — embedding near-dup pairs (oracle-checked).
+6. ``dedup_embedding_cosine`` — embedding near-dup pairs (oracle-checked),
+   plus ``dedup_semantic_components`` clustering them.
+7. ``dedup_incremental_jaccard`` — new-batch-vs-corpus pairs only (the
+   daily-ingestion shape; probe side restricted to the new batch).
 
 Scale analysis: the exact-Jaccard self-join on shingles is quadratic in
 docs-per-shingle — correct at test scale and used as the oracle, but
@@ -825,3 +828,61 @@ def winnow_fingerprints(text_col, k: int = 3, window: int = 4):
         .when(m >= 1, F.array(F.array_min(seq)))  # short doc: one fp
         .otherwise(F.array().cast("array<bigint>"))
     )
+
+
+_INCR_JACCARD_ORACLE = f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jpairs
+    WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+"""
+
+
+@query("dedup_incremental_jaccard", oracle=_INCR_JACCARD_ORACLE, tags=("dedup", "incremental"))
+def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 incremental formulation: dedup an INCOMING batch against the
+    existing corpus without recomputing corpus x corpus — the shape a
+    daily-ingestion pipeline actually runs. The probe side of the
+    shared-shingle join is restricted to new documents, so candidate
+    work is new x bucket, not corpus x bucket; existing-vs-existing
+    pairs (already resolved by previous runs) are never regenerated.
+
+    The batch split is doc_id parity (odd = new) so the DuckDB oracle
+    can re-derive exactly the pairs that involve a new document. At
+    production scale the 'old' side reads a persisted shingle/signature
+    table instead of recomputing — same join, and the incremental win
+    grows as new << corpus (here the 50/50 split halves the probe
+    side). The LSH variant runs identically: band the new batch, probe
+    the corpus's banded signature table."""
+    docs = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+    )
+    sh = scoped_persist(
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 2 == 1).alias("is_new"),
+            F.size("shs").alias("n"),
+            F.explode("shs").alias("h"),
+        )
+    )
+    new_side = sh.filter(F.col("is_new"))
+    a, b = sh.alias("a"), new_side.alias("b")
+    # Probe direction: every pair with a new member has its new doc on
+    # at least one side; joining corpus x new with BOTH orderings of
+    # the id inequality covers (old,new) and (new,new) exactly once.
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.n")).otherwise(F.col("b.n")).alias("na"),
+            F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.n")).otherwise(F.col("a.n")).alias("nb"),
+            F.col("a.h").alias("h"),
+        )
+        # (new,new) pairs are produced in both probe directions; the
+        # distinct on (pair, shingle) collapses them before counting.
+        .distinct()
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return pairs.filter(jac >= 0.6).select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))

@@ -133,3 +133,51 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+@query(
+    "window_rank_family",
+    # Ordering is fully tie-broken by o_orderkey, so every ranking
+    # function is deterministic and the percent/cume fractions are
+    # exact ratios of small integers — rounded identically on both
+    # engines.
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(rank()       OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-02-01'
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    tags=("window",),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 completion: the full ranking family — rank, dense_rank,
+    percent_rank, ntile(4), cume_dist — over one shared window, the
+    way a report-latency dashboard buckets runs into quartiles. One
+    shuffle on the partition key serves all five functions (a single
+    Window node in the plan); the month filter pushes into the scan
+    and bounds the result."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("date"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )

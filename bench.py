@@ -142,6 +142,7 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v == v), 3)
     core16 = round(sum(timings.get(n, 0.0) for n in _HEADLINE_CORE if timings.get(n, 0.0) == timings.get(n, 0.0)), 3)
+    failed = sorted(n for n, v in timings.items() if v != v)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -152,8 +153,13 @@ def main() -> None:
                 # tier splits: core16 is the round-over-round comparable
                 # number (same 16 queries since round 1); full is the
                 # whole headline sweep including the relational tier.
+                # A crashed query's NaN is EXCLUDED from the sums, which
+                # would otherwise read as a speedup — `failed` makes
+                # that explicit (non-empty failed = the wall times are
+                # not comparable to other rounds).
                 "core16_wall_time": core16,
                 "full_wall_time": total,
+                "failed": failed,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

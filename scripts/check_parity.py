@@ -65,6 +65,14 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             status = "FAIL (exception)"
             fails.append(f"{name}: {type(exc).__name__}: {str(exc)[:300]}")
+        finally:
+            # Composed invariants release only their OWN cache_scope;
+            # plain operators' scoped persists would otherwise
+            # accumulate across the ~100-query sweep (MEMORY_AND_DISK
+            # blocks for every shingle/signature table of the session).
+            from talkdesk_async_etl_spark.plans.cache import release_scoped
+
+            release_scoped()
         print(f"  {name}: {status} [{time.time() - qt:.2f}s]", file=sys.stderr)
 
     print(f"{len(qs)} queries in {time.time() - t0:.1f}s; {len(fails)} failures")

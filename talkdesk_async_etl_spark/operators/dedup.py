@@ -866,21 +866,26 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_side = sh.filter(F.col("is_new"))
     a, b = sh.alias("a"), new_side.alias("b")
-    # Probe direction: every pair with a new member has its new doc on
-    # at least one side; joining corpus x new with BOTH orderings of
-    # the id inequality covers (old,new) and (new,new) exactly once.
+    # Probe direction: the b-side is new-only, so an (old,new) pair can
+    # only surface as (a=old, b=new) — no ordering constraint needed;
+    # a (new,new) pair surfaces in both orderings, so when the a-side
+    # is ALSO new the id inequality keeps exactly one. Each pair is
+    # emitted once per shared shingle (arrays are distinct per doc),
+    # so the Jaccard count needs no dedup pass — the earlier
+    # least/greatest + distinct formulation paid a full extra shuffle
+    # over the candidate x shingle relation just to collapse the
+    # double-emitted (new,new) orientation.
+    emit_once = F.when(
+        F.col("a.is_new"), F.col("a.doc_id") < F.col("b.doc_id")
+    ).otherwise(F.col("a.doc_id") != F.col("b.doc_id"))
     pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & emit_once)
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.n")).otherwise(F.col("b.n")).alias("na"),
             F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.n")).otherwise(F.col("a.n")).alias("nb"),
-            F.col("a.h").alias("h"),
         )
-        # (new,new) pairs are produced in both probe directions; the
-        # distinct on (pair, shingle) collapses them before counting.
-        .distinct()
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("c"))
     )

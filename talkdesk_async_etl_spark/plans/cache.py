@@ -16,12 +16,14 @@ Contract (single-threaded, like the driver/bench/parity harnesses):
   the driver, drop every tracked cache, and hand back a driver-local
   DataFrame, leaving zero cached relations behind;
 - queries with data-sized output stay lazy (eager collection would be
-  a driver-side anti-pattern at 100 TB); their caches remain tracked,
-  and any later :func:`release_scoped` — the next composed invariant,
-  an explicit call between sweep steps, or bench's ``clearCache`` —
-  reclaims them. Releasing a cache that a still-lazy plan references
-  is always safe: Spark falls back to recomputation, never to a
-  wrong answer.
+  a driver-side anti-pattern at 100 TB); their caches remain tracked
+  and must be reclaimed by an explicit :func:`release_scoped` between
+  sweep steps (scripts/check_parity.py does this per query) or by
+  bench's ``clearCache``. Composed invariants no longer flush the
+  global list — their releases stop at their own :func:`cache_scope`
+  floor, so a sweep harness that relies on them for cleanup leaks.
+  Releasing a cache that a still-lazy plan references is always safe:
+  Spark falls back to recomputation, never to a wrong answer.
 """
 
 from __future__ import annotations

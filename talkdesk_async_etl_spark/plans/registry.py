@@ -96,10 +96,19 @@ _PRIORITY = (
     "dedup_lsh_containment",
     "dedup_winnow_pairs",
     "dedup_winnow_containment",
+    # cosine threshold moved 0.5 → 0.45 this round (the old driver row
+    # attests the old definition) + the new clustering consumer of the
+    # same pairs
+    "dedup_embedding_cosine",
+    "dedup_semantic_components",
     # multimodal fixture-constant dedupe
     "multimodal_features_ok",
-    # stale ids: last driver row is round 2/3
-    "scan_parquet",
+    # stale ids: last driver row is round 2/3. (scan_parquet and
+    # agg_approx_distinct ceded their slots to the two
+    # semantics-changed cosine ids above: the bare scan is implicitly
+    # re-attested by every other query's scan, and the approx sketch's
+    # guarantee is carried by its agg_approx_distinct_tol companion
+    # below.)
     "filter_limit1",
     "filter_null_handling",
     "join_broadcast_lookup",
@@ -113,7 +122,6 @@ _PRIORITY = (
     "agg_group_counts",
     "agg_sum_two_keys",
     "agg_status_rollup",
-    "agg_approx_distinct",
     "agg_approx_distinct_tol",
     "agg_rollup",
     "agg_cube",

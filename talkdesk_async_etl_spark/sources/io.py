@@ -143,11 +143,22 @@ def write_csv_report(
     scheme = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*(?=:/)", base)
     if scheme and scheme.group(0).lower() == "file":
         # file:/ URIs ARE local — strip the scheme and proceed with the
-        # os/shutil rename. (file:///x and file:/x both mean /x.)
-        local = base[len(scheme.group(0)) + 1 :]
-        while local.startswith("//"):
-            local = local[1:]
-        out = os.path.join(local, report_name, f"{from_date}_to_{to_date}.csv")
+        # os/shutil rename: file:/x, file:///x, and file://localhost/x
+        # all mean /x. A NON-empty authority (file://nas01/exports)
+        # names a remote share, and folding it into a local path would
+        # silently write to the wrong location — keep rejecting it.
+        rest = base[len(scheme.group(0)) + 1 :]
+        if rest.startswith("//"):
+            authority, _, path = rest[2:].partition("/")
+            if authority not in ("", "localhost"):
+                raise ValueError(
+                    f"single_file=True needs an os-level path for its rename; "
+                    f"file: URI with remote authority {authority!r} in "
+                    f"base={base!r} is not local. Use the directory sink "
+                    "(single_file=False) for non-local URIs."
+                )
+            rest = "/" + path
+        out = os.path.join(rest, report_name, f"{from_date}_to_{to_date}.csv")
         scheme = None
     if scheme:
         raise ValueError(

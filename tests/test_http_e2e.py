@@ -188,3 +188,12 @@ def test_write_csv_report_single_file_accepts_file_uri(spark, tmp_path):
             df, "s3a://bucket/x", "queue_activity", "2024-01-01", "2024-01-02",
             single_file=True,
         )
+
+    # file: with a non-empty remote authority is NOT local — folding
+    # file://nas01/exports into /nas01/exports would silently write to
+    # the wrong place.
+    with pytest.raises(ValueError, match="remote authority 'nas01'"):
+        write_csv_report(
+            df, "file://nas01/exports", "queue_activity", "2024-01-01", "2024-01-02",
+            single_file=True,
+        )

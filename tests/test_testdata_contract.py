@@ -54,25 +54,57 @@ def test_events_ts_is_a_known_timestamp_flavor():
     assert t in (pa.timestamp("ns"), pa.timestamp("us")), t
 
 
-def test_pinned_date_predicates_are_inside_fixture_span():
-    """tpch date pins must stay inside the orders/lineitem span or
-    their oracle checks go vacuous again (round-4 failure mode). Reads
-    footer statistics only — no Spark."""
+def _column_span(table: str, column: str):
+    """(min, max) from parquet footer statistics only — no Spark."""
     import datetime as dt
-
-    from talkdesk_async_etl_spark.operators import tpch
 
     def as_date(v):
         return v.date() if isinstance(v, dt.datetime) else v
 
-    pf = pq.ParquetFile(f"{SF_ORACLE}/orders.parquet")
-    idx = pf.schema_arrow.names.index("o_orderdate")
+    pf = pq.ParquetFile(f"{SF_ORACLE}/{table}.parquet")
+    idx = pf.schema_arrow.names.index(column)
     lo, hi = None, None
     for rg in range(pf.num_row_groups):
         st = pf.metadata.row_group(rg).column(idx).statistics
         lo = as_date(st.min) if lo is None else min(lo, as_date(st.min))
         hi = as_date(st.max) if hi is None else max(hi, as_date(st.max))
-    for name in ("_Q5_DATE_LO", "_Q5_DATE_HI", "_Q6_DATE_LO", "_Q10_DATE_LO",
-                 "_Q4_DATE_LO", "_Q15_DATE_LO"):
+    return lo, hi
+
+
+def test_pinned_date_predicates_are_inside_fixture_span():
+    """tpch date pins must stay inside the span of the COLUMN they
+    filter (orders.o_orderdate vs lineitem.l_shipdate have different
+    spans — shipdates run months past the last orderdate) or their
+    oracle checks go vacuous again (round-4 failure mode), and each
+    LO..HI window must be non-empty."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators import tpch
+
+    spans = {
+        "orders": _column_span("orders", "o_orderdate"),
+        "ship": _column_span("lineitem", "l_shipdate"),
+    }
+    # pin constant → the column's span it must land inside
+    pins = {
+        "_Q3_DATE": "orders",  # filters both sides; orders is tighter
+        "_Q4_DATE_LO": "orders",
+        "_Q5_DATE_LO": "orders",
+        "_Q8_DATE_LO": "orders",
+        "_Q10_DATE_LO": "orders",
+        "_Q1_CUTOFF": "ship",
+        "_Q6_DATE_LO": "ship",
+        "_Q7_DATE_LO": "ship",
+        "_Q14_DATE_LO": "ship",
+        "_Q15_DATE_LO": "ship",
+    }
+    for name, which in pins.items():
+        lo, hi = spans[which]
         pin = dt.date.fromisoformat(getattr(tpch, name))
-        assert lo <= pin <= hi, f"{name}={pin} outside orders span [{lo}, {hi}]"
+        assert lo <= pin <= hi, f"{name}={pin} outside {which} span [{lo}, {hi}]"
+    # Every LO..HI window must be a real interval.
+    for lo_name in ("_Q4_DATE_LO", "_Q5_DATE_LO", "_Q6_DATE_LO", "_Q7_DATE_LO",
+                    "_Q8_DATE_LO", "_Q10_DATE_LO", "_Q14_DATE_LO", "_Q15_DATE_LO"):
+        hi_name = lo_name.replace("_LO", "_HI")
+        if hasattr(tpch, hi_name):
+            assert getattr(tpch, lo_name) < getattr(tpch, hi_name), lo_name

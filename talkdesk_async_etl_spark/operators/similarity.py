@@ -438,3 +438,41 @@ def kmeans_refine(emb: DataFrame, n_centroids: int = _N_CENTROIDS, rounds: int =
     # Consistent pair: one extra assignment pass against the final
     # centroids (same plan shape, no extra shuffle).
     return assign(centroids).drop("v"), centroids, history
+
+
+_KMEANS_ROUNDS = 2
+
+
+@query(
+    "sim_kmeans_inertia_ok",
+    # The invariant IS the query: Lloyd's algorithm guarantees inertia
+    # is non-increasing round-over-round, and kmeans_refine is fully
+    # deterministic (vec_id-ordered seeds, no RNG), so the single
+    # (TRUE, rounds) row is a constant. An assignment/update bug — the
+    # half-step mismatch the docstring describes, a wrong argmin
+    # tie-break, a lost dimension in the mean — shows up as increasing
+    # inertia and flips the row to FALSE → driver hash mismatch.
+    oracle=f"SELECT CAST(1 AS BOOLEAN) AS inertia_ok, CAST({_KMEANS_ROUNDS} AS INTEGER) AS rounds",
+    tags=("similarity", "ivf", "invariant"),
+)
+def sim_kmeans_inertia_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable convergence invariant for the IVF coarse-
+    quantizer build (``kmeans_refine``): inertia must not increase
+    across Lloyd rounds (float-mean tolerance 1e-9 relative).
+    Registered so the guarantee that was previously only a unit test
+    (test_operators_unit.py) becomes driver evidence.
+
+    The Spark work is kmeans_refine's own bounded shape — one
+    (cid, dim) shuffle + one k·dim driver collect per round; the
+    monotonicity check itself runs on the collected inertia history
+    (a ``rounds``-length Python list)."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    _, _, history = kmeans_refine(emb, rounds=_KMEANS_ROUNDS)
+    ok = all(
+        history[i + 1] <= history[i] * (1 + 1e-9) + 1e-9 for i in range(len(history) - 1)
+    )
+    return spark.createDataFrame(
+        [(bool(ok), len(history))], "inertia_ok boolean, rounds int"
+    )

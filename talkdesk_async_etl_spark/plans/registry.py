@@ -67,85 +67,87 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-5 window: first the queries whose SEMANTICS changed this round
-# and therefore need a fresh attestation — the re-pinned TPC-H trio
-# (date parameters moved inside the fixture's 1995–2001 span, so their
-# oracle rows are now non-empty), the three de-vacuoused queries
-# (filter_in_like / join_anti / set_except returned 0 rows at every SF
-# until this round), the dedup ids downstream of the hot-key-cap
-# rewrite (window count → groupBy-count broadcast anti-join), and the
-# multimodal invariant after the fixture-constant dedupe — then every
-# id whose most recent driver row is round 2/3 (the full complement of
-# the round-4 window, restoring ≤2-round staleness across the
-# registry). Any id registered but absent here appends in registration
-# order, so new operators are never silently dropped — and the
-# first-50 meta-test in tests/test_driver_profile.py fails on typos or
-# miscounts.
+# Round-6 window, in priority order:
+#   1. The 16 ids that have NEVER had a driver row (registered in
+#      rounds 4–5 past the 50-slot window — deliberately deferred then,
+#      front-loaded now per the round-5 verdict): the ten TPC-H queries
+#      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
+#      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
+#      audio/resize multimodal ids.
+#   2. The 2 ids new in round 6 (stream_interval_join,
+#      sim_kmeans_inertia_ok) — new ids always enter the window the
+#      round they are registered, so never-attested debt stops accruing.
+#   3. The 2 ids whose last driver row is round 2 (scan_parquet,
+#      agg_approx_distinct — they ceded round-5 slots; rotation debt
+#      now repaid).
+#   4. 30 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 11 round-4 ids don't fit (109 registered ids > 50
+# slots × rotation) and are DELIBERATELY deferred to round 7; all are
+# either rows-only checks whose guarantee is carried by an in-window
+# invariant companion (multimodal_image_features←multimodal_features_ok
+# r5, dedup_simhash←dedup_simhash_dupes_ok, sim_topk_blocked←
+# sim_blocked_topk_ok, sim_topk_ivf←sim_ivf_recall) or unchanged
+# trivial scans/scalars (csv_roundtrip, scan_json_doc,
+# scalar_json_extract, scalar_json_struct, text_token_count_regex,
+# text_split_assign, text_dominant_term). Any id registered but absent
+# here appends in registration order, so new operators are never
+# silently dropped — and the first-50 meta-test in
+# tests/test_driver_profile.py fails on typos or miscounts.
 _PRIORITY = (
-    # re-pinned TPC-H parameters: previous rows hash-matched on EMPTY
-    # results; these three must re-attest with real data
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    # de-vacuoused this round (predicate/operand fixes)
-    "filter_in_like",
-    "join_anti",
-    "set_except",
-    # hot-key-cap rewrite flows into these pair generators + invariants
-    "dedup_minhash_lsh",
-    "dedup_lsh_containment",
-    "dedup_winnow_pairs",
-    "dedup_winnow_containment",
-    # cosine threshold moved 0.5 → 0.45 this round (the old driver row
-    # attests the old definition) + the new clustering consumer of the
-    # same pairs
-    "dedup_embedding_cosine",
-    "dedup_semantic_components",
-    # multimodal fixture-constant dedupe
-    "multimodal_features_ok",
-    # stale ids: last driver row is round 2/3. (scan_parquet and
-    # agg_approx_distinct ceded their slots to the two
-    # semantics-changed cosine ids above: the bare scan is implicitly
-    # re-attested by every other query's scan, and the approx sketch's
-    # guarantee is carried by its agg_approx_distinct_tol companion
-    # below.)
-    "filter_limit1",
-    "filter_null_handling",
-    "join_broadcast_lookup",
-    "join_fk_monitoring",
-    "join_left_outer",
-    "join_semi",
-    "join_star",
-    "join_asof",
-    "agg_count_per_key",
-    "agg_conditional_sum",
-    "agg_group_counts",
-    "agg_sum_two_keys",
-    "agg_status_rollup",
-    "agg_approx_distinct_tol",
-    "agg_rollup",
-    "agg_cube",
-    "agg_percentile_approx",
-    "agg_percentile_approx_tol",
-    "sort_multi_key",
-    "set_union",
-    "set_intersect",
-    "window_lag",
-    "window_moving_frame",
-    "scalar_date_arith",
-    "scalar_date_format",
-    "scalar_string_concat",
-    "scalar_string_replace",
-    "scalar_math",
-    "scalar_array_ops",
-    "scalar_string_toolkit",
-    "udaf_grouped_apply",
-    "multimodal_frame_sample",
-    "sim_centroid_assign",
-    "text_token_stats",
-    "text_chunk",
-    "text_pii_scrub",
-    "stream_session",
+    # --- never driver-attested (registered r4/r5 past the window) ---
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "window_rank_family",
+    "dedup_incremental_jaccard",
+    "text_tfidf_top_terms",
+    "multimodal_audio_features",
+    "multimodal_audio_ok",
+    "multimodal_resize_ok",
+    # --- new in round 6 ---
+    "stream_interval_join",
+    "sim_kmeans_inertia_ok",
+    # --- last driver row round 2 ---
+    "scan_parquet",
+    "agg_approx_distinct",
+    # --- last driver row round 4 (30 of 41; rest defer to r7) ---
+    "filter_conj_eq",
+    "filter_col_eq",
+    "filter_date_range",
+    "project_columns",
+    "join_inner_using",
+    "join_range",
+    "agg_count",
+    "agg_multi",
+    "agg_count_distinct",
+    "pivot_event_counts",
+    "agg_percentile",
+    "sort_topk_global",
+    "window_row_number",
+    "window_topk_per_group",
+    "udf_pandas_scalar",
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "dedup_components",
+    "dedup_resolve_canonical",
+    "dedup_simhash_dupes_ok",
+    "sim_topk_cosine",
+    "sim_ivf_recall",
+    "sim_blocked_topk_ok",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_fingerprint",
+    "tpch_q1",
+    "tpch_q3",
+    "stream_tumbling",
+    "stream_sliding",
 )
 
 

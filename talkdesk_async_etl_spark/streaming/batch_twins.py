@@ -117,3 +117,33 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+        SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+               v.event_id AS v_id, v.ts AS v_ts
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 24 HOUR
+         AND v.ts <= p.ts
+    """,
+    tags=("streaming", "join"),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/J6 twin: the watermarked stream-stream interval join
+    (streams.purchases_with_prior_views, streams.py:185) run as a batch
+    plan — ``withWatermark`` is a no-op on a batch DataFrame, so this
+    executes the IDENTICAL join expression the streaming engine runs
+    (purchases left-outer views by the same user within the preceding
+    24 h) and its driver row attests the streaming join's logic, not a
+    re-derivation of it. Row-level output (unlike join_range, the
+    aggregated count form) so the oracle checks the join's actual pair
+    set including unmatched-purchase NULL rows."""
+    from talkdesk_async_etl_spark.streaming.streams import purchases_with_prior_views
+
+    return purchases_with_prior_views(t(spark, sf_dir, "events"), lookback="24 hours")

@@ -6,9 +6,14 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall time of the headline set (lower is
-better). Each query is executed once after a shared-session warmup;
-results are consumed via count() to materialize the full plan without
-driver-side collection of large results.
+better). Each query runs ``$SPARK_GRAFT_BENCH_REPEATS`` times (default
+3) after a shared-session warmup; ``queries`` holds the per-query MIN
+and ``spread`` the per-query max−min, so a round-over-round delta can
+be attributed (plan regression vs host noise) instead of guessed —
+single-sample timings on this host drift ±30% under GC/scheduling
+noise, which made the r4→r5 comparison unusable. Results are consumed
+via count() to materialize the full plan without driver-side
+collection of large results.
 """
 
 from __future__ import annotations
@@ -94,7 +99,10 @@ _HEADLINE_LLM = (
     "text_tfidf_top_terms",
 )
 
-HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM
+# Round-6 additions.
+_HEADLINE_R6 = ("stream_interval_join",)
+
+HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6
 
 
 def main() -> None:
@@ -115,30 +123,38 @@ def main() -> None:
     for name in TESTDATA_TABLES:
         read_table(spark, sf_dir, name).count()
 
-    # Best-of-2 per query: the first execution pays codegen compilation
-    # and (on this host) suffers multi-second scheduling noise; the
-    # second run measures the steady-state plan. Hygiene between runs:
-    # drop persisted intermediates and force a GC so one query's cached
-    # blocks/garbage can't tax the next (unchecked, the shared local JVM
-    # degrades later queries 10-30×).
+    # Min-of-N per query (default 3): the first execution pays codegen
+    # compilation and (on this host) suffers multi-second scheduling
+    # noise; the min measures the steady-state plan and the max−min
+    # spread says whether a round-over-round delta is signal or noise.
+    # Hygiene between runs: drop persisted intermediates and force a GC
+    # so one query's cached blocks/garbage can't tax the next
+    # (unchecked, the shared local JVM degrades later queries 10-30×).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        best, n = float("nan"), 0
+        samples: list[float] = []
+        n = 0
         try:
-            for _ in range(2):
+            for _ in range(repeats):
                 t0 = time.perf_counter()
                 n = spec.fn(spark, sf_dir).count()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best != best else min(best, elapsed)
+                samples.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
                 spark._jvm.System.gc()
         except Exception as exc:  # noqa: BLE001
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = float("nan")
+            spreads[name] = float("nan")
             continue
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
+        print(
+            f"  {name}: {timings[name]:.3f}s ±{spreads[name]:.3f} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(v for v in timings.values() if v == v), 3)
     core16 = round(sum(timings.get(n, 0.0) for n in _HEADLINE_CORE if timings.get(n, 0.0) == timings.get(n, 0.0)), 3)
@@ -160,7 +176,12 @@ def main() -> None:
                 "core16_wall_time": core16,
                 "full_wall_time": total,
                 "failed": failed,
+                "repeats": repeats,
                 "queries": timings,
+                # per-query max−min over the repeats: a delta vs last
+                # round smaller than the spread is noise, not a plan
+                # change.
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

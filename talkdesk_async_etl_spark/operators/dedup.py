@@ -68,17 +68,89 @@ def _cap_hot_keys(df: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame
     table — and sent every hot key's rows to ONE task, recreating the
     exact skew it guards against.
 
-    The input subtree is evaluated twice (count pass + anti-join
-    probe), DELIBERATELY unpersisted: Spark races the eager broadcast
-    stage and the probe stage into a cold cache's partition locks
-    (measured 2.5× slower than just recomputing), and at corpus scale
-    the expensive upstream (signatures/fingerprints) is checkpointed to
-    a table before this point anyway — both passes then read a
-    materialized relation. Callers that persist should do so on the
-    CAPPED output (one node, populated by whichever consumer runs
-    first), not the input."""
+    NULL-key rows are retained unconditionally (NULL never equals a hot
+    key in the anti-join) — matching their fate in the downstream
+    equality self-join, where NULL matches nothing and produces no
+    pairs. Callers whose keys can be NULL and who consume the output
+    outside a join must filter NULLs themselves.
+
+    The registered pair generators no longer call this in their hot
+    path — ``_bucket_pairs`` below gets the cap for free inside its one
+    groupBy (measured 1.47 s vs 2.01 s min-of-3 at sf0.1 for minhash).
+    This survives as the pre-guard for the checkpointed-signatures
+    path at corpus scale (see _bucket_pairs' mega-bucket note), where
+    both of its passes read a materialized relation.
+
+    If the input subtree IS recomputed twice here (count pass +
+    anti-join probe), leave it unpersisted: Spark races the eager
+    broadcast stage and the probe stage into a cold cache's partition
+    locks (measured 2.5× slower than just recomputing). Callers that
+    persist should do so on the CAPPED output (one node, populated by
+    whichever consumer runs first), not the input."""
     hot = df.groupBy(key).count().filter(F.col("count") > cap).select(key)
     return df.join(F.broadcast(hot), key, "left_anti")
+
+
+def _bucket_lists(rows: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame:
+    """Group exploded ``(doc_id, key)`` rows into per-key doc-id
+    buckets, dropping buckets larger than ``cap`` — the hot-key guard
+    as a FREE filter on an aggregation the pair generation needs
+    anyway, instead of _cap_hot_keys' separate count pass + anti-join.
+
+    NULL keys are dropped up front: in the self-join form a NULL key
+    matches nothing and yields no pairs; an unguarded groupBy would
+    collect all NULL-keyed rows into one bucket and pair them with
+    each other — a semantic change (current callers' keys are xxhash64
+    outputs and never NULL; the filter makes the equivalence
+    unconditional)."""
+    return (
+        rows.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= cap)
+    )
+
+
+def _pairs_from_lists(buckets: DataFrame) -> DataFrame:
+    """Emit each bucket's C(d, 2) ordered pairs (doc_a < doc_b)
+    JVM-side from its sorted doc list: one row per (bucket, pair), so
+    callers ``.distinct()`` (any-bucket-collision semantics, minhash)
+    or ``groupBy(pair).count()`` (>= n shared keys, winnow)."""
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+
+
+def _bucket_pairs(rows: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) from key-equality buckets in ONE
+    shuffle of the exploded table. The prior shape — _cap_hot_keys then
+    a self-join — shuffled it three times (count pass + both join
+    sides) or, persisted, still paid the count pass plus cache
+    population; this groupBy-collect_list form pays one shuffle and
+    enforces the cap as a free size filter. Measured min-of-3 at sf0.1
+    on dedup_minhash_lsh: 1.47 s vs 2.01 s (persisted capped
+    self-join) vs 1.53 s (UNcapped self-join) — identical output rows.
+
+    100 TB note: a bucket's doc list materializes in its reducer's
+    aggregation buffer before the size filter drops it, so a
+    pathological mega-bucket (millions of identical-signature docs —
+    corpus-boilerplate) concentrates in one task. At that scale the
+    exploded input reads from a checkpointed signatures table anyway;
+    run _cap_hot_keys as a pre-guard there (its two passes then scan a
+    materialized relation) and keep this single-shuffle shape for the
+    surviving rows."""
+    return _pairs_from_lists(_bucket_lists(rows, key, cap))
 
 
 def _perm_params(n: int) -> list[tuple[int, int]]:
@@ -341,12 +413,13 @@ def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(removed), "doc_id", "left_anti")
 
 
-def _winnow_capped_fps(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
-    """Exploded ``(doc_id, fp)`` winnowing fingerprints with corpus-hot
-    fingerprints removed — the shared input of the pair join AND the
-    containment invariant's eligibility gate (both must see the SAME
-    post-cap set, or a doc whose every fingerprint is corpus-hot would
-    be 'eligible' yet correctly unfindable).
+def _winnow_buckets(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
+    """Per-fingerprint doc-id buckets (``fp``, sorted ``ds``) with
+    corpus-hot fingerprints removed (bucket size > cap) — the shared
+    input of the pair generation AND the containment invariant's
+    eligibility gate (both must see the SAME post-cap set, or a doc
+    whose every fingerprint is corpus-hot would be 'eligible' yet
+    correctly unfindable).
 
     The explode is INLINE over the fingerprint expression (not a
     project-the-array-then-explode two-step): measured ~2.5× faster at
@@ -354,17 +427,17 @@ def _winnow_capped_fps(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
     over a codegen/JIT threshold and parts of the pipeline fall back to
     interpreted evaluation."""
     ex = docs.select("doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp"))
-    return _cap_hot_keys(ex, "fp", cap)
+    return _bucket_lists(ex, "fp", cap)
 
 
-def winnow_pairs_from_fps(ex: DataFrame) -> DataFrame:
-    """Pair join over an exploded capped fingerprint set: document
-    pairs sharing >= 2 (distinct — winnow_fingerprints deduplicates)
-    fingerprints."""
-    a, b = ex.alias("a"), ex.alias("b")
+def winnow_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """Pairs over capped fingerprint buckets: document pairs sharing
+    >= 2 (distinct — winnow_fingerprints deduplicates) fingerprints.
+    Each bucket emits its pairs once, so the per-pair row count IS the
+    shared-fingerprint count — one groupBy, no self-join."""
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _pairs_from_lists(buckets)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= 2)
     )
@@ -378,10 +451,11 @@ def winnow_pairs_for(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
     with constructed duplicates.
 
     ``cap`` drops fingerprints whose document frequency exceeds it
-    before the self-join (see ``_HOT_KEY_CAP`` — the stop-shingle skew
-    guard; a fingerprint in hundreds of documents is boilerplate, not
-    reuse signal)."""
-    return winnow_pairs_from_fps(scoped_persist(_winnow_capped_fps(docs, cap)))
+    (see ``_HOT_KEY_CAP`` — the stop-shingle skew guard; a fingerprint
+    in hundreds of documents is boilerplate, not reuse signal). The
+    cap is enforced as a free bucket-size filter inside the one
+    groupBy (_bucket_lists), not a separate count pass."""
+    return winnow_pairs_from_buckets(_winnow_buckets(docs, cap))
 
 
 @query("dedup_winnow_pairs", oracle=None, tags=("dedup", "winnow"))
@@ -416,8 +490,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost at scale: signatures are computed entirely inside the scan
     task as array expressions — zero shuffle until banding (the naive
     shingle×perm row explosion shuffles |shingles|·64 rows; this
-    shuffles |docs|·32 band keys). The only join is bucket-local
-    (band_key equality); verification touches candidate pairs only.
+    shuffles |docs|·32 band keys, ONCE — candidate pairs come from a
+    groupBy-collect_list per band bucket, not a self-join, so there is
+    no second shuffle of the exploded table and the hot-bucket cap is
+    a free size filter; see _bucket_pairs, measured 1.47 s vs 2.01 s
+    min-of-3 at sf0.1). Verification touches candidate pairs only.
     Output ⊆ dedup_near_jaccard's (banding can miss pairs — P(miss) ≈
     (1−j²)³² ≈ 10⁻⁷ at j = 0.6), hence rows-only check + equality
     unit test vs the exact operator at test scale."""
@@ -455,25 +532,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_bands)
         ]
     )
-    # Hot-bucket cap before the self-join: a band bucket holding d docs
-    # yields d·(d−1)/2 candidates, so one boilerplate-heavy bucket is
-    # quadratic at corpus scale. Docs this similar to >cap others still
-    # pair through their OTHER 31 bands unless every band is equally
-    # hot (i.e. the docs are boilerplate — no dedup signal lost). The
-    # cap shuffles only per-key counts (map-side partial agg) and
-    # anti-joins against the broadcast hot list — the exploded band
-    # payload itself never shuffles to be counted. No-op at test scale
+    # Candidate pairs per band bucket via ONE groupBy of the exploded
+    # band table (_bucket_pairs). The hot-bucket cap rides along as a
+    # free size filter: a band bucket holding d docs yields d·(d−1)/2
+    # candidates, so one boilerplate-heavy bucket is quadratic at
+    # corpus scale; docs this similar to >cap others still pair through
+    # their OTHER 31 bands unless every band is equally hot (i.e. the
+    # docs are boilerplate — no dedup signal lost). No-op at test scale
     # (max bucket ≪ cap); containment (LSH ⊆ exact) is unaffected
-    # because capping only DROPS candidates.
-    bands = _cap_hot_keys(
+    # because capping only DROPS candidates. A pair colliding in
+    # several bands is emitted once per band → distinct before
+    # verification, or duplicates double-verify.
+    candidates = _bucket_pairs(
         signed.select("doc_id", F.explode(band_keys).alias("band_key")), "band_key"
-    )
-    x, y = bands.alias("x"), bands.alias("y")
-    candidates = (
-        x.join(y, (F.col("x.band_key") == F.col("y.band_key")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    ).distinct()
     # Exact verification on candidates only (hash-set Jaccard).
     sa = signed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     sb = signed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
@@ -689,9 +761,15 @@ def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint cache."""
     with cache_scope():
         docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-        ex = scoped_persist(_winnow_capped_fps(_with_constructed_dupes(docs, _N_WINNOW_DUPES)))
+        # Persisted buckets (the capped OUTPUT — see _cap_hot_keys'
+        # cache note): the eligibility gate and the pair generation
+        # both read the same post-cap fingerprint buckets.
+        buckets = scoped_persist(
+            _winnow_buckets(_with_constructed_dupes(docs, _N_WINNOW_DUPES))
+        )
         eligible = (
-            ex.filter(F.col("doc_id") < _N_WINNOW_DUPES)
+            buckets.select(F.explode("ds").alias("doc_id"))
+            .filter(F.col("doc_id") < _N_WINNOW_DUPES)
             .groupBy("doc_id")
             .agg(F.count("*").alias("nfp"))
             .filter(F.col("nfp") >= 2)
@@ -700,7 +778,7 @@ def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc_id") + _DUP_OFFSET).alias("doc_b"),
             )
         )
-        found = winnow_pairs_from_fps(ex).select("doc_a", "doc_b")
+        found = winnow_pairs_from_buckets(buckets).select("doc_a", "doc_b")
         return collect_release(eligible.join(found, ["doc_a", "doc_b"], "left_anti"))
 
 

@@ -390,8 +390,9 @@ _RESOLVE_ORACLE = f"""
         SELECT src AS doc_id, least(src, min(dst)) AS component_id
         FROM reach GROUP BY src
     )
-    SELECT doc_id FROM documents
-    WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE component_id < doc_id)
+    SELECT doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM labels l
+                      WHERE l.component_id < l.doc_id AND l.doc_id = d.doc_id)
 """
 
 

@@ -396,8 +396,9 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN
-            (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        WHERE NOT EXISTS
+            (SELECT 1 FROM orders
+             WHERE o_orderpriority = '1-URGENT' AND o_custkey = c_custkey)
     """,
     tags=("join",),
 )

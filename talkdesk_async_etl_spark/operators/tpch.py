@@ -664,8 +664,9 @@ _Q22_ORACLE = """
             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
             FROM customer WHERE c_acctbal > 0
           )
-      AND c_custkey NOT IN (
-            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_orderpriority = '1-URGENT' AND o_custkey = c_custkey
           )
     GROUP BY c_nationkey
 """
@@ -681,7 +682,10 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order-dependent and a customer within one ulp of the
     mean would flip membership between engines. The no-urgent-orders
     predicate is a left-anti join with the priority filter pushed into
-    the orders scan."""
+    the orders scan; the oracle says NOT EXISTS (not NOT IN) so both
+    sides keep anti-join semantics even if a fixture regeneration ever
+    ships a NULL o_custkey — NOT IN returns zero rows on a NULL in the
+    subquery, a silent hash mismatch waiting to happen."""
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0)

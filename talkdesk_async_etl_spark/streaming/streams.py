@@ -44,9 +44,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk."""
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
-    ts_is_long = isinstance(ts_type, T.LongType)
+    # The probe needs nanosAsLong (a NANOS file is otherwise rejected
+    # outright). Save/restore the conf around it so a MICROS-generation
+    # probe doesn't leak a session-wide setting that would silently
+    # turn nanos timestamps into longs in unrelated batch reads. When
+    # the file IS nanos the conf must stay set — the streaming source
+    # re-reads the files at every micro-batch under the same session —
+    # so the restore only happens on the MICROS path (and on probe
+    # failure).
+    _CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(_CONF)
+    except Exception:  # noqa: BLE001 — unset conf raises in Spark 4
+        prev = None
+    spark.conf.set(_CONF, "true")
+    ts_is_long = True
+    try:
+        ts_type = spark.read.parquet(table_path(sf_dir, "events")).schema["ts"].dataType
+        ts_is_long = isinstance(ts_type, T.LongType)
+    finally:
+        if not ts_is_long:
+            if prev is None:
+                spark.conf.unset(_CONF)
+            else:
+                spark.conf.set(_CONF, prev)
     raw = (
         spark.readStream.schema(_EVENTS_DDL_TS_LONG if ts_is_long else _EVENTS_DDL_TS_TIMESTAMP)
         .option("maxFilesPerTrigger", 1)

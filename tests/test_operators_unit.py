@@ -414,6 +414,42 @@ def test_cap_hot_keys_drops_only_hot_keys(spark):
     assert _cap_hot_keys(df, "fp", cap=12).count() == 14
 
 
+def test_bucket_pairs_matches_selfjoin_and_guards_edges(spark):
+    """_bucket_pairs (the single-shuffle pair generator behind minhash
+    banding and winnowing) must emit exactly the pairs the capped
+    self-join form emitted: ordered (doc_a < doc_b), one row per
+    (bucket, pair), buckets above the cap skipped, NULL keys producing
+    no pairs (a NULL matches nothing in a join)."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.dedup import _bucket_pairs, _cap_hot_keys
+
+    rows = (
+        [(i, "hot") for i in range(6)]          # above cap=5 → dropped
+        + [(10, "warm"), (11, "warm"), (12, "warm")]  # C(3,2)=3 pairs
+        + [(20, "pair"), (21, "pair")]           # 1 pair
+        + [(30, "lone")]                          # no pair
+        + [(40, None), (41, None)]                # NULL: no pairs
+    )
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = sorted(tuple(r) for r in _bucket_pairs(df, "k", cap=5).collect())
+    assert got == [(10, 11), (10, 12), (11, 12), (20, 21)]
+    # Equivalence with the anti-join-cap + self-join formulation.
+    capped = _cap_hot_keys(df.filter(F.col("k").isNotNull()), "k", cap=5)
+    a, b = capped.alias("a"), capped.alias("b")
+    ref = sorted(
+        tuple(r)
+        for r in a.join(
+            b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .collect()
+    )
+    assert got == ref
+    # A bucket of exactly cap docs survives.
+    assert _bucket_pairs(df, "k", cap=3).count() == 3 + 1  # warm C(3,2) + pair
+
+
 def test_winnow_hot_fingerprint_cap_bounds_candidates(spark):
     """A boilerplate phrase shared by every document (the classic
     stop-shingle) makes the uncapped fingerprint join quadratic; with

@@ -417,3 +417,130 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TFIDF_TOP_K)
         .select("doc_id", "term", "tfidf")
     )
+
+
+_PACK_BUDGET = 256  # tokens per packed sequence (training context slot)
+_PACK_SHARDS = 8  # independent packing shards; scales with the cluster
+
+
+_PACK_ORACLE = f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    packed(shard, rn, doc_id, n_tokens, pack_no, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.pack_no ELSE p.pack_no + 1 END,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.fill + d.n_tokens ELSE d.n_tokens END
+        FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tokens, pack_no FROM packed
+"""
+
+
+@query("text_pack_sequences", oracle=_PACK_ORACLE, tags=("text", "packing", "udf"))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+: sequence packing — assign documents to fixed-token-budget
+    training sequences (the pretraining data-prep step that fills a
+    context window with whole documents instead of padding). Greedy
+    first-fit in doc_id order within deterministic shards
+    (``doc_id % {shards}``): walk the shard's docs in order, accumulate
+    token counts, open a new pack when the next doc would overflow the
+    budget. Packing is inherently sequential (each break depends on
+    every earlier break), so it runs as ``applyInPandas`` per shard —
+    the documented use of the grouped-UDF slow path for genuinely
+    order-dependent logic; token counting itself stays JVM-side.
+
+    Scale shape: ONE shuffle on the shard key; each shard packs
+    independently (packs never cross shards — the standard trade: a
+    little tail waste per shard for embarrassing parallelism), so at
+    100 TB the shard count scales with the cluster and state per task
+    is one (fill, pack_no) pair. The oracle replays the same greedy
+    walk as a recursive CTE advancing one row per shard per step.
+
+    Fully deterministic (no RNG, doc_id order) -> hash-checked."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs = []
+        fill, pack_no = 0, 0
+        first = True
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if first:
+                fill, first = nt, False
+            elif fill + nt <= _PACK_BUDGET:
+                fill += nt
+            else:
+                pack_no += 1
+                fill = nt
+            packs.append(pack_no)
+        pdf["pack_no"] = packs
+        return pdf[["doc_id", "shard", "n_tokens", "pack_no"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, schema="doc_id bigint, shard int, n_tokens int, pack_no bigint"
+    )
+
+
+_QUOTA_TOKENS = 2500  # per-language token budget (data-mixture weight)
+
+
+@query(
+    "text_lang_quota",
+    oracle=f"""
+        SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   CAST(sum(len(string_split(text, ' '))) OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM documents
+        ) WHERE cum_tokens <= {_QUOTA_TOKENS}
+    """,
+    tags=("text", "window"),
+)
+def text_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+: data-mixture quota enforcement — keep each language's
+    best documents up to a fixed token budget (how a pretraining mix
+    pins per-language/per-source weights). Rank within language by
+    quality (n_chars here, any score column in production) with a
+    doc_id tie-break, running-sum the token counts, keep rows while
+    the cumulative total is within budget.
+
+    Scale shape: one shuffle on lang + per-partition sort (a window,
+    same envelope as any W-family op). Language is a SKEWED partition
+    key at corpus scale (en dominates); production splits the window
+    key to (lang, source) sub-quotas or pre-computes the cutoff rank
+    from a quantile sketch and filters by rank instead — both
+    documented here, same semantics at the budget boundary."""
+    d = t(spark, sf_dir, "documents", spread=True).withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _QUOTA_TOKENS)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )

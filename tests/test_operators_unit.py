@@ -450,6 +450,33 @@ def test_bucket_pairs_matches_selfjoin_and_guards_edges(spark):
     assert _bucket_pairs(df, "k", cap=3).count() == 3 + 1  # warm C(3,2) + pair
 
 
+def test_pack_sequences_invariants(spark):
+    """Packing must cover every document exactly once, never overfill a
+    pack (except a pack holding one over-budget document alone), and
+    number packs contiguously from 0 per shard in doc_id order."""
+    from collections import defaultdict
+
+    from talkdesk_async_etl_spark.operators.text import (
+        _PACK_BUDGET,
+        text_pack_sequences,
+    )
+
+    rows = text_pack_sequences(spark, SF_SMALL).collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs)) == 500  # every doc exactly once
+    fills, members = defaultdict(int), defaultdict(list)
+    for r in rows:
+        fills[(r["shard"], r["pack_no"])] += r["n_tokens"]
+        members[(r["shard"], r["pack_no"])].append(r["n_tokens"])
+    for key, fill in fills.items():
+        assert fill <= _PACK_BUDGET or len(members[key]) == 1, key
+    per_shard = defaultdict(set)
+    for shard, pack_no in fills:
+        per_shard[shard].add(pack_no)
+    for shard, packs in per_shard.items():
+        assert packs == set(range(len(packs))), (shard, sorted(packs))
+
+
 def test_winnow_hot_fingerprint_cap_bounds_candidates(spark):
     """A boilerplate phrase shared by every document (the classic
     stop-shingle) makes the uncapped fingerprint join quadratic; with

@@ -100,7 +100,12 @@ _HEADLINE_LLM = (
 )
 
 # Round-6 additions.
-_HEADLINE_R6 = ("stream_interval_join", "text_pack_sequences", "text_lang_quota")
+_HEADLINE_R6 = (
+    "stream_interval_join",
+    "text_pack_sequences",
+    "text_lang_quota",
+    "dedup_incremental_lsh_ok",
+)
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6
 

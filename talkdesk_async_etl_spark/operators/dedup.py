@@ -478,6 +478,44 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs_for(t(spark, sf_dir, "documents", spread=True).select("doc_id", "text"))
 
 
+def _minhash_sig_expr():
+    """The 64-permutation MinHash signature as ONE array expression
+    over an ``hs`` (distinct shingle hashes) column — per-doc compute,
+    no explode, no shuffle. hs keeps full 64-bit hashes (verification
+    Jaccard stays collision-free); permutations fold to 31 bits so
+    a·h+b stays exact in a 64-bit long. ONE aggregate pass over the
+    shingle array folds all 64 running minima at once (zip_with
+    against a literal param-struct array) — measured ~1.7× faster
+    than 64 separate transform+array_min scans, and each shingle's
+    pmod is computed once instead of 64 times."""
+    params = _perm_params(_MINHASH_PERMS)
+    perm_lits = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for (a, b) in params]
+    )
+    return F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(_MERSENNE31).cast("long"), _MINHASH_PERMS),
+        lambda acc, h: F.zip_with(
+            acc,
+            perm_lits,
+            lambda m, p: F.least(m, (p["a"] * F.pmod(h, F.lit(_MERSENNE31)) + p["b"]) % _MERSENNE31),
+        ),
+    )
+
+
+def _band_keys_expr():
+    """32 banded LSH keys over a ``sig`` column: each band key hashes
+    its band index with its rows of the signature, so buckets from
+    different bands can never collide."""
+    n_bands = _MINHASH_PERMS // _LSH_BAND_ROWS
+    return F.array(
+        *[
+            F.xxhash64(F.lit(i), *[F.col("sig")[i * _LSH_BAND_ROWS + r] for r in range(_LSH_BAND_ROWS)])
+            for i in range(n_bands)
+        ]
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None, tags=("dedup", "lsh"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 (scale formulation): MinHash signatures + banded LSH.
@@ -502,37 +540,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents", spread=True).select(
         "doc_id", _shingle_hashes(F.col("text")).alias("hs")
     )
-    params = _perm_params(_MINHASH_PERMS)
-    # 64 universal-hash minima as one array column — per-doc compute,
-    # no explode, no shuffle. hs keeps full 64-bit hashes (verification
-    # Jaccard stays collision-free); permutations fold to 31 bits so
-    # a·h+b stays exact in a 64-bit long. ONE aggregate pass over the
-    # shingle array folds all 64 running minima at once (zip_with
-    # against a literal param-struct array) — measured ~1.7× faster
-    # than 64 separate transform+array_min scans, and each shingle's
-    # pmod is computed once instead of 64 times.
-    perm_lits = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for (a, b) in params])
-    sig = F.aggregate(
-        "hs",
-        F.array_repeat(F.lit(_MERSENNE31).cast("long"), _MINHASH_PERMS),
-        lambda acc, h: F.zip_with(
-            acc,
-            perm_lits,
-            lambda m, p: F.least(m, (p["a"] * F.pmod(h, F.lit(_MERSENNE31)) + p["b"]) % _MERSENNE31),
-        ),
-    )
     # Persist (scoped): the candidate self-join and both verification
     # sides all read signatures; unpersisted, the 64-permutation
     # pipeline would re-run once per consumer. (At 100 TB: checkpoint
     # to a signatures table instead.)
-    signed = scoped_persist(docs.select("doc_id", "hs", sig.alias("sig")))
-    n_bands = _MINHASH_PERMS // _LSH_BAND_ROWS
-    band_keys = F.array(
-        *[
-            F.xxhash64(F.lit(i), *[F.col("sig")[i * _LSH_BAND_ROWS + r] for r in range(_LSH_BAND_ROWS)])
-            for i in range(n_bands)
-        ]
-    )
+    signed = scoped_persist(docs.select("doc_id", "hs", _minhash_sig_expr().alias("sig")))
+    band_keys = _band_keys_expr()
     # Candidate pairs per band bucket via ONE groupBy of the exploded
     # band table (_bucket_pairs). The hot-bucket cap rides along as a
     # free size filter: a band bucket holding d docs yields d·(d−1)/2
@@ -930,8 +943,11 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale the 'old' side reads a persisted shingle/signature
     table instead of recomputing — same join, and the incremental win
     grows as new << corpus (here the 50/50 split halves the probe
-    side). The LSH variant runs identically: band the new batch, probe
-    the corpus's banded signature table."""
+    side). The LSH variant is ``incremental_lsh_pairs_for`` below:
+    band the new batch, probe the corpus's banded signatures, gate
+    pair emission on the bucket holding a new doc — its equality with
+    this exact operator is driver-attested by
+    ``dedup_incremental_lsh_ok``."""
     docs = t(spark, sf_dir, "documents", spread=True).select(
         "doc_id", _shingle_hashes(F.col("text")).alias("shs")
     )
@@ -970,3 +986,109 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return pairs.filter(jac >= 0.6).select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+def incremental_lsh_pairs_for(docs: DataFrame) -> DataFrame:
+    """LSH variant of the incremental new-batch-vs-corpus dedup — the
+    shape dedup_incremental_jaccard's docstring promises at corpus
+    scale: sign, band, and generate candidates ONLY for pairs that
+    involve a new document, then verify candidates with exact Jaccard
+    on the shingle-hash sets. Input: ``(doc_id, text, is_new)``.
+
+    Here both sides are signed in one pass for simplicity; in
+    production the corpus side reads its checkpointed signature table
+    and only the incoming batch computes signatures fresh — the band
+    groupBy then touches (corpus bands ∪ new bands) but pair emission
+    is gated on the bucket containing a new doc, so candidate work
+    tracks the NEW batch's bucket overlaps, not corpus × corpus.
+    Same single band shuffle as dedup_minhash_lsh (_bucket_pairs
+    shape) with the bucket's (doc_id, is_new) structs sorted by
+    doc_id; the any-new gate evaluates inside the pair expression, so
+    old×old pairs are never materialized."""
+    signed = scoped_persist(
+        docs.withColumn("hs", _shingle_hashes(F.col("text")))
+        .withColumn("sig", _minhash_sig_expr())
+        .select("doc_id", "is_new", "hs", "sig")
+    )
+    bands = signed.select(
+        F.struct("doc_id", "is_new").alias("dn"),
+        F.explode(_band_keys_expr()).alias("band_key"),
+    )
+    # Struct array sorts by its first field (doc_id, unique) — same
+    # ordered-pair guarantee as _bucket_lists.
+    grouped = (
+        bands.filter(F.col("band_key").isNotNull())
+        .groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= _HOT_KEY_CAP))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (x["is_new"] | y["is_new"]).alias("any_new"),
+                ),
+            ),
+        )
+    )
+    candidates = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .filter(F.col("p.any_new"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = signed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = signed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(F.array_union("hs_a", "hs_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_incremental_lsh_ok",
+    # Nonempty one-row invariant: the LSH incremental path must return
+    # EXACTLY the exact incremental answer at fixture scale (banding's
+    # P(miss) ≈ 10⁻⁷ per pair and is deterministic under the pinned
+    # seeds, so equality is stable until a signature/banding/gate bug
+    # breaks it — then n_pairs or matches_exact flips and the driver
+    # hash mismatches). The oracle pins the exact pair COUNT from the
+    # same recursive shingle SQL dedup_incremental_jaccard checks
+    # against, so the row can never pass vacuously.
+    oracle=f"""
+        WITH {_JACCARD_CTES}
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(1 AS BOOLEAN) AS matches_exact
+        FROM jpairs WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+    """,
+    tags=("dedup", "incremental", "lsh", "invariant"),
+)
+def dedup_incremental_lsh_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable equivalence invariant for the incremental LSH
+    path: ``incremental_lsh_pairs_for`` (band the batch, probe the
+    corpus, verify candidates) must produce exactly the pairs the
+    exact incremental operator produces. Counts are driver-side over
+    two bounded pair sets (both persisted in the scope); the returned
+    row is (n_pairs, matches_exact)."""
+    with cache_scope():
+        docs = t(spark, sf_dir, "documents", spread=True).select(
+            "doc_id", "text", (F.col("doc_id") % 2 == 1).alias("is_new")
+        )
+        lsh = scoped_persist(incremental_lsh_pairs_for(docs).select("doc_a", "doc_b"))
+        exact = scoped_persist(
+            dedup_incremental_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        )
+        n_pairs = lsh.count()
+        missing = exact.join(lsh, ["doc_a", "doc_b"], "left_anti").count()
+        extra = lsh.join(exact, ["doc_a", "doc_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_pairs, missing == 0 and extra == 0)],
+        "n_pairs long, matches_exact boolean",
+    )

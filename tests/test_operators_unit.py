@@ -450,6 +450,34 @@ def test_bucket_pairs_matches_selfjoin_and_guards_edges(spark):
     assert _bucket_pairs(df, "k", cap=3).count() == 3 + 1  # warm C(3,2) + pair
 
 
+def test_incremental_lsh_gates_old_old_pairs(spark):
+    """The incremental LSH path must pair new-vs-any but NEVER emit an
+    old-vs-old pair, even when two old documents are near-identical —
+    that's the entire incremental contract (old pairs were resolved by
+    previous runs)."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.dedup import incremental_lsh_pairs_for
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, base + " old_a", False),          # old near-dup of 1
+        (1, base + " old_b", False),          # old near-dup of 0
+        (2, base + " new_c", True),           # new near-dup of both
+        (3, " ".join(f"z{i}" for i in range(40)), True),  # new, unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    with cache_scope():
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in incremental_lsh_pairs_for(docs).collect()
+        }
+    assert (0, 1) not in got          # old x old gated out
+    assert (0, 2) in got and (1, 2) in got  # new vs old both found
+    assert all(3 not in p for p in got)     # unrelated new pairs nothing
+
+
 def test_pack_sequences_invariants(spark):
     """Packing must cover every document exactly once, never overfill a
     pack (except a pack holding one over-budget document alone), and

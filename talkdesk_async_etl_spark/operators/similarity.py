@@ -476,3 +476,63 @@ def sim_kmeans_inertia_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(bool(ok), len(history))], "inertia_ok boolean, rounds int"
     )
+
+
+_QUANT_LEVELS = 127  # symmetric int8: q = round(x/scale) in [-127, 127]
+
+_QUANT_ORACLE = f"""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                   / {_QUANT_LEVELS}.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           round(scale, 6) AS scale_q,
+           round(list_max(list_transform(v,
+                 x -> abs(x - floor(x / scale + 0.5) * scale))), 6) AS max_err,
+           list_max(list_transform(v,
+                 x -> abs(x - floor(x / scale + 0.5) * scale))) <= scale / 2 + 1e-12
+               AS within_half_step
+    FROM s WHERE scale > 0
+"""
+
+
+@query("sim_quantize_int8", oracle=_QUANT_ORACLE, tags=("similarity", "quantize"))
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 storage path: symmetric int8 quantization of the embedding
+    column — the 4× compression an ANN index applies before it ever
+    builds buckets (scale = max|x|/127 per vector, q = round(x/scale)).
+    Emits per-vector scale, max reconstruction error, and a
+    ``within_half_step`` invariant column: round-to-nearest guarantees
+    max|x - q·scale| <= scale/2, so any quantize/dequantize bug flips
+    the boolean and hash-mismatches.
+
+    Engine-portability: both sides quantize with ``floor(x/scale+0.5)``
+    (identical IEEE semantics; a bare round() would pit Spark HALF_UP
+    against DuckDB's banker's-rounding on exact .5 ties) after an exact
+    float→double widening. One scan, ZERO shuffle — quantization is
+    embarrassingly row-local, and at 100 TB it runs fused into the
+    same scan that computes LSH signatures. The real int8 array is
+    ``q.cast("array<tinyint>")`` on this same expression; the query
+    surfaces the scalar summaries because driver canonicalization
+    requires atomic columns."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    scale = F.array_max(F.transform("v", F.abs)) / float(_QUANT_LEVELS)
+    emb = emb.select("vec_id", "v", scale.alias("scale")).filter(F.col("scale") > 0)
+    err = F.array_max(
+        F.transform(
+            "v",
+            lambda x: F.abs(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round("scale", 6).alias("scale_q"),
+        F.round(err, 6).alias("max_err"),
+        (err <= F.col("scale") / 2 + 1e-12).alias("within_half_step"),
+    )

@@ -544,3 +544,157 @@ def text_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _QUOTA_TOKENS)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
+
+
+# Repetition thresholds follow the Gopher/MassiveText quality rules
+# (Rae et al. 2021, table A1 shape): a document whose n-gram stream is
+# dominated by repeats is boilerplate/spam, not prose.
+_REP_TRIGRAM_FLAG = 0.01
+
+_REPETITION_ORACLE = f"""
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_uniq_words AS INTEGER) AS n_uniq_words,
+           CAST(n_uniq_bigrams AS INTEGER) AS n_uniq_bigrams,
+           CAST(n_uniq_trigrams AS INTEGER) AS n_uniq_trigrams,
+           round((n_words - n_uniq_words) * 1.0 / n_words, 6) AS dup_word_frac,
+           round((greatest(n_words - 1, 1) - n_uniq_bigrams) * 1.0
+                 / greatest(n_words - 1, 1), 6) AS dup_bigram_frac,
+           round((greatest(n_words - 2, 1) - n_uniq_trigrams) * 1.0
+                 / greatest(n_words - 2, 1), 6) AS dup_trigram_frac,
+           (greatest(n_words - 2, 1) - n_uniq_trigrams) * 1.0
+               / greatest(n_words - 2, 1) > {_REP_TRIGRAM_FLAG} AS flagged
+    FROM (
+        SELECT doc_id,
+               len(words) AS n_words,
+               len(list_distinct(words)) AS n_uniq_words,
+               len(list_distinct(list_transform(range(1, len(words)),
+                   i -> array_to_string(words[i:i+1], ' ')))) AS n_uniq_bigrams,
+               len(list_distinct(list_transform(range(1, len(words) - 1),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS n_uniq_trigrams
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) >= 3
+    )
+"""
+
+
+@query("text_repetition_score", oracle=_REPETITION_ORACLE, tags=("text", "quality"))
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star D5: intra-document repetition signals — the
+    Gopher-style "fraction of duplicate n-grams" family of pretraining
+    quality scores. Per document: unique-word / unique-bigram /
+    unique-trigram counts, the corresponding duplicate fractions, and a
+    boilerplate flag when >1% of trigrams are repeats.
+
+    Everything is array-native inside the scan (``split`` →
+    ``transform``/``slice`` n-grams → ``array_distinct`` → ``size``):
+    one scan, ZERO shuffle, no explode — the n-gram streams never leave
+    their row, so at 100 TB this costs exactly one pass over the text
+    column. The duplicate fractions are integer-count ratios rounded at
+    6dp, so both engines round the identical double."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    words = F.split("text", " ")
+    n = F.size(words)
+
+    def uniq_ngrams(width: int):
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (width - 1)),
+            lambda i: F.array_join(F.slice(words, i, width), " "),
+        )
+        return F.size(F.array_distinct(grams))
+
+    d = (
+        d.filter(n >= 3)
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_uniq_words"),
+            uniq_ngrams(2).alias("n_uniq_bigrams"),
+            uniq_ngrams(3).alias("n_uniq_trigrams"),
+        )
+    )
+    nb = F.greatest(F.col("n_words") - 1, F.lit(1))
+    ntr = F.greatest(F.col("n_words") - 2, F.lit(1))
+    tri_frac = (ntr - F.col("n_uniq_trigrams")) * 1.0 / ntr
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_uniq_words",
+        "n_uniq_bigrams",
+        "n_uniq_trigrams",
+        F.round((F.col("n_words") - F.col("n_uniq_words")) * 1.0 / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round((nb - F.col("n_uniq_bigrams")) * 1.0 / nb, 6).alias("dup_bigram_frac"),
+        F.round(tri_frac, 6).alias("dup_trigram_frac"),
+        (tri_frac > _REP_TRIGRAM_FLAG).alias("flagged"),
+    )
+
+
+# Benchmark decontamination: word 4-grams, eval set = doc_id % 11 == 0
+# (a deterministic stand-in for "the benchmark suite"). 4-grams at this
+# corpus' doc length give a non-vacuous overlap at every test SF
+# (probed: 53 contaminated docs at sf0.001, 71 at sf0.01).
+_DECON_N = 4
+_DECON_MOD = 11
+
+_DECON_ORACLE = f"""
+    WITH g AS (
+        SELECT doc_id, unnest(grams) AS gram FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(words) - {_DECON_N - 2}),
+                       i -> array_to_string(words[i:i+{_DECON_N - 1}], ' '))) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        )
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM g t
+    JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0) e USING (gram)
+    WHERE t.doc_id % {_DECON_MOD} != 0
+    GROUP BY t.doc_id
+"""
+
+
+@query("text_decontaminate", oracle=_DECON_ORACLE, tags=("text", "dedup"))
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star D5: benchmark decontamination — flag training
+    documents that share any word 4-gram with the eval set, with the
+    count of distinct matched 4-grams (the PaLM/GPT-3-style
+    contamination check run before every pretraining job). Eval set
+    here is the deterministic ``doc_id % 11 == 0`` slice.
+
+    Scale shape: the eval side is SMALL by construction (benchmarks are
+    thousands of docs, the corpus is billions), so its distinct
+    4-gram set broadcasts and the corpus side never shuffles to
+    match — each scan task joins its rows against the broadcast set
+    in place. Per-doc grams are ``array_distinct``-ed inside the scan
+    BEFORE the explode, so the post-join groupBy counts distinct
+    matches with a plain count(*) — no second distinct shuffle. The
+    only shuffle is the final per-doc count of MATCHED rows
+    (contaminated grams only, a vanishing fraction of the corpus). At
+    100 TB the broadcast set becomes a bloom-filter pre-pass with the
+    same join as the exact confirmation on survivors."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= _DECON_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_N - 1)),
+            lambda i: F.array_join(F.slice(words, i, _DECON_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    by_doc = d.select("doc_id", F.array_distinct(grams).alias("grams"))
+    eval_grams = (
+        by_doc.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = by_doc.filter(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )

@@ -630,3 +630,80 @@ def test_winnow_pairs_inclusion_invariants(spark, tmp_path):
     # Exact dup shares every fingerprint; the paragraph pair only the
     # paragraph's — strictly fewer.
     assert pairs[(1, 2)] > pairs[(1, 3)]
+
+
+def test_decontaminate_never_flags_eval_docs(spark):
+    """The contamination report covers TRAIN docs only (eval docs
+    trivially 'contaminate' themselves) and every reported doc matched
+    at least one eval 4-gram."""
+    from talkdesk_async_etl_spark.operators.text import _DECON_MOD
+
+    out = load_all()["text_decontaminate"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows, "decontamination must be non-vacuous on the fixture"
+    assert all(r.doc_id % _DECON_MOD != 0 for r in rows)
+    assert all(r.n_hit_grams >= 1 for r in rows)
+
+
+def test_decontaminate_flags_a_planted_overlap(spark, tmp_path):
+    """End-to-end on a constructed corpus: a train doc that copies an
+    eval doc's 4-gram is flagged with the exact distinct-gram count; a
+    disjoint doc is not; short (<4 words) docs never crash."""
+    import os
+
+    from talkdesk_async_etl_spark.operators.text import text_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            # eval doc (id 0 % 11 == 0): grams 'a b c d', 'b c d e'
+            (0, "a b c d e", "en", "s", 9),
+            # train doc repeating 'a b c d' twice -> ONE distinct hit
+            (1, "a b c d x a b c d", "en", "s", 17),
+            # train doc sharing no 4-gram
+            (2, "p q r s t u", "en", "s", 11),
+            # short doc: no 4-grams at all
+            (3, "x y z", "en", "s", 5),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r.n_hit_grams for r in text_decontaminate(spark, sf_dir).collect()}
+    assert got == {1: 1}
+
+
+def test_repetition_score_on_constructed_docs(spark, tmp_path):
+    """A fully-repetitive doc scores dup fractions near 1 and is
+    flagged; an all-distinct doc scores 0 everywhere and is not."""
+    import os
+
+    from talkdesk_async_etl_spark.operators.text import text_repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam", "en", "s", 29),
+            (2, "one two three four five six", "en", "s", 27),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in text_repetition_score(spark, sf_dir).collect()}
+    spam, prose = got[1], got[2]
+    assert spam.n_uniq_words == 1 and spam.n_uniq_bigrams == 1 and spam.n_uniq_trigrams == 1
+    assert spam.dup_trigram_frac == 0.75 and spam.flagged  # (4-1)/4 repeats
+    assert prose.dup_word_frac == 0.0 == prose.dup_bigram_frac == prose.dup_trigram_frac
+    assert not prose.flagged
+
+
+def test_quantize_int8_roundtrip_exact(spark):
+    """The registered summary query asserts the half-step bound; here
+    the actual int8 array round-trips: q in [-127,127] and
+    dequantized values match the summary's max_err."""
+    out = load_all()["sim_quantize_int8"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows
+    assert all(r.within_half_step for r in rows)
+    assert all(0 < r.scale_q and 0 <= r.max_err <= r.scale_q / 2 + 1e-6 for r in rows)

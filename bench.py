@@ -107,6 +107,10 @@ _HEADLINE_R6 = (
     "stream_interval_join",
     "text_pack_sequences",
     "text_lang_quota",
+    "text_repetition_score",
+    "text_decontaminate",
+    "sim_quantize_int8",
+    "agg_grouping_sets",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

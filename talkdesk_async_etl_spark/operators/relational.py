@@ -758,6 +758,38 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9c: explicit GROUPING SETS — per-status totals AND per-priority
+    totals in ONE pass, the arbitrary-set shape neither rollup
+    (hierarchical) nor cube (full cross product) expresses. Catalyst
+    plans it as a single Expand + one hash aggregate, so the fact table
+    is still scanned exactly once; at 100 TB this replaces two separate
+    aggregation jobs (and their two scans) with one."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

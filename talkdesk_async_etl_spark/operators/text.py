@@ -673,7 +673,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the final per-doc count of MATCHED rows
     (contaminated grams only, a vanishing fraction of the corpus). At
     100 TB the broadcast set becomes a bloom-filter pre-pass with the
-    same join as the exact confirmation on survivors."""
+    same join as the exact confirmation on survivors.
+
+    The gram expression is INLINED into each ``explode`` rather than
+    materialized as an array column in a prior projection — the
+    project-then-explode form trips the codegen/JIT cliff on this huge
+    generated expression (measured 3.05 s vs 1.20 s min-of-3 at sf0.1;
+    same gotcha as the winnow/minhash generators)."""
     d = t(spark, sf_dir, "documents", spread=True)
     words = F.split("text", " ")
     n = F.size(words)
@@ -684,15 +690,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i, _DECON_N), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    by_doc = d.select("doc_id", F.array_distinct(grams).alias("grams"))
-    eval_grams = (
-        by_doc.filter(F.col("doc_id") % _DECON_MOD == 0)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
-    )
-    train = by_doc.filter(F.col("doc_id") % _DECON_MOD != 0).select(
-        "doc_id", F.explode("grams").alias("gram")
-    )
+    gram = F.explode(F.array_distinct(grams)).alias("gram")
+    eval_grams = d.filter(F.col("doc_id") % _DECON_MOD == 0).select(gram).distinct()
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", gram)
     return (
         train.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")

@@ -111,6 +111,7 @@ _HEADLINE_R6 = (
     "text_decontaminate",
     "sim_quantize_int8",
     "agg_grouping_sets",
+    "sim_random_projection",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

@@ -536,3 +536,63 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err, 6).alias("max_err"),
         (err <= F.col("scale") / 2 + 1e-12).alias("within_half_step"),
     )
+
+
+# Johnson-Lindenstrauss random projection: d=64 -> k=4 with a seeded
+# Gaussian matrix R ~ N(0, 1/k). k=4 is deliberately tiny so the
+# unrolled oracle stays readable; production picks k = O(log n / eps^2)
+# with the identical (row-local, zero-shuffle) plan.
+_RP_DIMS = 64
+_RP_K = 4
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Deterministic projection matrix, rounded to 6dp so the SAME
+    literals are embedded in the Spark plan and the oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    r = rng.standard_normal((_RP_DIMS, _RP_K)) / np.sqrt(_RP_K)
+    return [[round(float(x), 6) for x in row] for row in r]
+
+
+def _rp_oracle() -> str:
+    r = _rp_matrix()
+    cols = []
+    for j in range(_RP_K):
+        # Unrolled left-to-right sum: identical IEEE addition order to
+        # the Spark expression (both parse as ((t1+t2)+t3)+...), so the
+        # doubles agree to the last bit before rounding.
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({r[i][j]!r})" for i in range(_RP_DIMS)
+        )
+        cols.append(f"round({terms}, 6) AS p{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@query("sim_random_projection", oracle=_rp_oracle(), tags=("similarity", "projection"))
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 preprocessing: Johnson-Lindenstrauss random projection of the
+    embedding column (64 → 4 dims here; k scales with log n / eps² in
+    production, same plan). The seeded Gaussian matrix is a plan-time
+    literal — a few KB broadcast inside the task closure — and each
+    output coordinate is an unrolled dot product, so the operator is
+    row-local: one scan, ZERO shuffle, and it fuses into whatever scan
+    already reads the embeddings (LSH signatures, quantization).
+
+    Exact hash-check, not an invariant: both engines evaluate the SAME
+    6dp-rounded matrix literals in the SAME left-to-right addition
+    order, so the projected doubles are bit-identical before the final
+    6dp rounding. At 100 TB the projected table is what the ANN index
+    ingests — 16× less vector memory per table."""
+    r = _rp_matrix()
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cols = []
+    for j in range(_RP_K):
+        term = F.element_at("v", 1) * F.lit(r[0][j])
+        for i in range(1, _RP_DIMS):
+            term = term + F.element_at("v", i + 1) * F.lit(r[i][j])
+        cols.append(F.round(term, 6).alias(f"p{j}"))
+    return emb.select("vec_id", *cols)

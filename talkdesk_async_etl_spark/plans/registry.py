@@ -74,17 +74,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
 #      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
 #      audio/resize multimodal ids.
-#   2. The 9 ids new in round 6 (stream_interval_join,
+#   2. The 10 ids new in round 6 (stream_interval_join,
 #      sim_kmeans_inertia_ok, text_pack_sequences, text_lang_quota,
 #      dedup_incremental_lsh_ok, text_repetition_score,
-#      text_decontaminate, sim_quantize_int8, agg_grouping_sets) —
-#      new ids always enter the window the round they are registered,
-#      so never-attested debt stops accruing.
+#      text_decontaminate, sim_quantize_int8, agg_grouping_sets,
+#      sim_random_projection) — new ids always enter the window the
+#      round they are registered, so never-attested debt stops
+#      accruing.
 #   3. The 2 ids whose last driver row is round 2 (scan_parquet,
 #      agg_approx_distinct — they ceded round-5 slots; rotation debt
 #      now repaid).
-#   4. 23 of the 41 ids last attested in round 4, oldest tier first.
-# The remaining 18 round-4 ids don't fit (118 registered ids > 50
+#   4. 22 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 19 round-4 ids don't fit (119 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -97,7 +98,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # unchanged-since-r4 text ops whose scan+array-function surface the
 # three NEW in-window text ids exercise harder (text_quality_filter,
 # text_lang_id, text_fingerprint), agg_count (a strict sub-plan of
-# the in-window agg_multi and agg_grouping_sets), or the two streaming window twins
+# the in-window agg_multi and agg_grouping_sets), project_columns (a
+# strict sub-plan of literally every in-window query), or the two streaming window twins
 # (stream_tumbling, stream_sliding) whose exact expressions are
 # re-attested every round by test_streaming's batch-vs-stream
 # equivalence tests while stream_session carries the family's r5
@@ -133,6 +135,7 @@ _PRIORITY = (
     "text_decontaminate",
     "sim_quantize_int8",
     "agg_grouping_sets",
+    "sim_random_projection",
     # --- last driver row round 2 ---
     "scan_parquet",
     "agg_approx_distinct",
@@ -140,7 +143,6 @@ _PRIORITY = (
     "filter_conj_eq",
     "filter_col_eq",
     "filter_date_range",
-    "project_columns",
     "join_inner_using",
     "join_range",
     "agg_multi",

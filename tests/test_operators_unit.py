@@ -707,3 +707,37 @@ def test_quantize_int8_roundtrip_exact(spark):
     assert rows
     assert all(r.within_half_step for r in rows)
     assert all(0 < r.scale_q and 0 <= r.max_err <= r.scale_q / 2 + 1e-6 for r in rows)
+
+
+def test_random_projection_preserves_distances_on_average(spark):
+    """JL sanity: over many vector pairs the mean ratio of projected to
+    original squared distance is near 1 (k=4 gives high per-pair
+    variance ~sqrt(2/k), so assert the MEAN over ~250 consecutive-id
+    pairs within a generous band)."""
+    from pyspark.sql import functions as F2
+
+    from talkdesk_async_etl_spark.operators.similarity import _as_double
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    proj = load_all()["sim_random_projection"].fn(spark, SF_SMALL)
+    orig = read_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    both = orig.join(proj, "vec_id")
+    a = both.alias("a")
+    b = both.alias("b")
+    pairs = a.join(b, F2.col("a.vec_id") + 1 == F2.col("b.vec_id"))
+    d_orig = F2.aggregate(
+        F2.zip_with("a.v", "b.v", lambda x, y: (x - y) * (x - y)),
+        F2.lit(0.0),
+        lambda s, x: s + x,
+    )
+    d_proj = sum(
+        (F2.col(f"a.p{j}") - F2.col(f"b.p{j}")) * (F2.col(f"a.p{j}") - F2.col(f"b.p{j}"))
+        for j in range(4)
+    )
+    row = pairs.agg(
+        F2.avg(d_proj / d_orig).alias("mean_ratio"), F2.count("*").alias("n")
+    ).collect()[0]
+    assert row.n >= 200
+    assert 0.7 <= row.mean_ratio <= 1.3, row.mean_ratio

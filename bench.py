@@ -112,6 +112,11 @@ _HEADLINE_R6 = (
     "sim_quantize_int8",
     "agg_grouping_sets",
     "sim_random_projection",
+    "agg_corr_regr",
+    "window_winsorize",
+    "sample_deterministic",
+    "text_mixture_upsample",
+    "text_unigram_logprob",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

@@ -1,0 +1,108 @@
+"""Dataset sampling and mixture weighting for training-data curation.
+
+The two operations every large-scale pretraining pipeline runs after
+dedup/quality filtering: (a) deterministic subsampling at per-source
+rates, (b) epoch-weighted upsampling to hit a target source mixture.
+Both are expressed so the SAME row is kept/repeated on every run and on
+every engine — no RNG, no ``df.sample`` (whose Bernoulli draws are
+partition-order-dependent and unreproducible across engines).
+
+Scale notes: both operators are zero-shuffle row-local transforms — a
+pure filter and a pure explode over the scan. At 100 TB that matters:
+sampling 10% of a corpus costs one scan with the predicate pushed to
+the reader, and upsampling never materializes the repeats until the
+downstream consumer (the repeat factor rides along as metadata until
+``explode``, which generates rows pipeline-locally inside the same
+stage — no exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+# Knuth's multiplicative-hash constant (2^32 / phi). doc_id * K mod 100
+# scatters consecutive ids across buckets; int64 cannot overflow until
+# doc_id ~ 9.2e18/2.65e9 ≈ 3.5e9 docs — beyond any fixture and checked
+# by the ANSI overflow guard Spark 4 runs by default.
+_HASH_K = 2654435761
+_N_BUCKETS = 100
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+        SELECT doc_id, source,
+               (doc_id * {_HASH_K}) % {_N_BUCKETS} AS bucket,
+               ((CAST(substr(source, 4) AS INT) % 4) + 1) * 20 AS rate_pct
+        FROM documents
+        WHERE (doc_id * {_HASH_K}) % {_N_BUCKETS} <
+              ((CAST(substr(source, 4) AS INT) % 4) + 1) * 20
+    """,
+    tags=("sampling", "curation"),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling: each source gets a
+    rate (here 20/40/60/80% derived from the source id; in production a
+    broadcast rate table), and a document survives iff its
+    multiplicative-hash bucket falls under the rate. Reproducible
+    across runs, engines, and repartitionings — the keep-decision is a
+    pure function of (doc_id, source).
+
+    Plan: one scan, one row-local predicate, zero shuffle, zero RNG
+    state. The hash-bucket trick also gives consistent nested samples:
+    the 20% sample is a strict subset of the 40% sample, which lets a
+    pipeline carve train/val/test or progressive scaling subsets from
+    one pass."""
+    return (
+        t(spark, sf_dir, "documents", spread=True)
+        .withColumn(
+            "rate_pct",
+            (F.substring("source", 4, 10).cast("int") % 4 + 1) * 20,
+        )
+        .withColumn("bucket", F.pmod(F.col("doc_id") * _HASH_K, _N_BUCKETS))
+        .filter(F.col("bucket") < F.col("rate_pct"))
+        .select("doc_id", "source", "bucket", "rate_pct")
+    )
+
+
+@query(
+    "text_mixture_upsample",
+    oracle="""
+        WITH weighted AS (
+            SELECT doc_id, source, n_chars,
+                   (CAST(substr(source, 4) AS INT) % 3) + 1 AS weight
+            FROM documents
+        )
+        SELECT doc_id, source,
+               unnest(generate_series(1, weight)) AS epoch,
+               n_chars
+        FROM weighted
+    """,
+    tags=("sampling", "curation"),
+)
+def text_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted dataset mixing: repeat each document ``weight``
+    times (here 1–3× derived from the source id; in production the
+    weight column comes from a broadcast mixture table solving for a
+    target token distribution), tagging each copy with its epoch index
+    so a downstream shuffle-shard step can interleave epochs.
+
+    Plan: ``explode(sequence(1, weight))`` generates the repeat rows
+    inside the scan stage — row-local, no exchange, and the text column
+    is carried by reference until the explode, so a 3× upsample does
+    not triple the scan. Contrast with the naive ``unionAll`` of w
+    self-reads, which is w scans."""
+    return (
+        t(spark, sf_dir, "documents", spread=True)
+        .withColumn("weight", F.substring("source", 4, 10).cast("int") % 3 + 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("epoch"),
+            "n_chars",
+        )
+    )

@@ -698,3 +698,53 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit_grams"))
     )
+
+
+_LOGPROB_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS tf_global FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(ln(tf_global / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
+    FROM toks JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+@query("text_unigram_logprob", oracle=_LOGPROB_ORACLE, tags=("text", "quality"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 depth: perplexity-style quality score without an external LM —
+    per-document mean log-probability under the corpus's own unigram
+    distribution. Low scores mark gibberish/rare-token documents, high
+    scores mark boilerplate; pretraining curation pipelines (CCNet,
+    Gopher) bucket on exactly this signal before the expensive
+    KenLM/neural pass.
+
+    Plan: one explode feeding two keyed aggregations — term frequency
+    over the vocabulary (map-side partials make the shuffle
+    vocabulary-sized, not token-sized), corpus token total as a
+    broadcast single row (the scalar-subquery idiom, same as TF-IDF's
+    n_docs) — then the vocabulary relation joins back to the token
+    stream and a per-doc aggregate averages the log-probs. The
+    vocabulary join is the one real shuffle; at 100 TB the vocabulary
+    still fits the broadcast threshold after a mild frequency floor, so
+    the production variant broadcasts it and the token stream never
+    exchanges. Both engines round the mean to 6 dp so float summation
+    order cannot flip the hash."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf_global"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.log(F.col("tf_global") / F.col("n_total").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -48,6 +48,8 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.dedup",
     "talkdesk_async_etl_spark.operators.similarity",
     "talkdesk_async_etl_spark.operators.text",
+    "talkdesk_async_etl_spark.operators.stats",
+    "talkdesk_async_etl_spark.operators.sampling",
     "talkdesk_async_etl_spark.operators.tpch",
     "talkdesk_async_etl_spark.streaming.batch_twins",
 )
@@ -74,18 +76,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
 #      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
 #      audio/resize multimodal ids.
-#   2. The 10 ids new in round 6 (stream_interval_join,
+#   2. The 16 ids new in round 6 (stream_interval_join,
 #      sim_kmeans_inertia_ok, text_pack_sequences, text_lang_quota,
 #      dedup_incremental_lsh_ok, text_repetition_score,
 #      text_decontaminate, sim_quantize_int8, agg_grouping_sets,
-#      sim_random_projection) — new ids always enter the window the
+#      sim_random_projection, agg_corr_regr, window_winsorize,
+#      agg_hll_sketch_ok, sample_deterministic, text_mixture_upsample,
+#      text_unigram_logprob) — new ids always enter the window the
 #      round they are registered, so never-attested debt stops
 #      accruing.
 #   3. The 2 ids whose last driver row is round 2 (scan_parquet,
 #      agg_approx_distinct — they ceded round-5 slots; rotation debt
 #      now repaid).
-#   4. 22 of the 41 ids last attested in round 4, oldest tier first.
-# The remaining 19 round-4 ids don't fit (119 registered ids > 50
+#   4. 16 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 25 round-4 ids don't fit (125 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -98,8 +102,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # unchanged-since-r4 text ops whose scan+array-function surface the
 # three NEW in-window text ids exercise harder (text_quality_filter,
 # text_lang_id, text_fingerprint), agg_count (a strict sub-plan of
-# the in-window agg_multi and agg_grouping_sets), project_columns (a
-# strict sub-plan of literally every in-window query), or the two streaming window twins
+# the in-window agg_grouping_sets), project_columns (a
+# strict sub-plan of literally every in-window query), six late-batch
+# displacements whose exact surfaces the six NEW stats/sampling ids
+# exercise harder (filter_col_eq ⊂ filter_conj_eq and every equi-join;
+# filter_date_range ⊂ the in-window TPC-H date predicates;
+# join_inner_using ⊂ tpch_q3/q18's join trees; agg_multi ⊂
+# agg_corr_regr's fused multi-stat hash agg; agg_percentile — the
+# identical exact-percentile aggregate IS window_winsorize's first
+# pass; agg_count_distinct — computed verbatim on both the grouped and
+# global paths of agg_hll_sketch_ok), or the two streaming window twins
 # (stream_tumbling, stream_sliding) whose exact expressions are
 # re-attested every round by test_streaming's batch-vs-stream
 # equivalence tests while stream_session carries the family's r5
@@ -136,18 +148,18 @@ _PRIORITY = (
     "sim_quantize_int8",
     "agg_grouping_sets",
     "sim_random_projection",
+    "agg_corr_regr",
+    "window_winsorize",
+    "agg_hll_sketch_ok",
+    "sample_deterministic",
+    "text_mixture_upsample",
+    "text_unigram_logprob",
     # --- last driver row round 2 ---
     "scan_parquet",
     "agg_approx_distinct",
-    # --- last driver row round 4 (30 of 41; rest defer to r7) ---
+    # --- last driver row round 4 (16 of 41; rest defer to r7) ---
     "filter_conj_eq",
-    "filter_col_eq",
-    "filter_date_range",
-    "join_inner_using",
     "join_range",
-    "agg_multi",
-    "agg_count_distinct",
-    "agg_percentile",
     "sort_topk_global",
     "window_row_number",
     "window_topk_per_group",

@@ -741,3 +741,91 @@ def test_random_projection_preserves_distances_on_average(spark):
     ).collect()[0]
     assert row.n >= 200
     assert 0.7 <= row.mean_ratio <= 1.3, row.mean_ratio
+
+
+def test_sample_deterministic_nested_and_reproducible(spark):
+    """The hash-bucket sampler gives (a) nested samples — every row kept
+    at rate r is kept at every rate > r — and (b) the same keep set
+    regardless of physical partitioning."""
+    from talkdesk_async_etl_spark.operators.sampling import sample_deterministic
+
+    out = sample_deterministic(spark, SF_SMALL)
+    rows = {(r.doc_id, r.bucket, r.rate_pct) for r in out.collect()}
+    assert rows, "sampler must be non-vacuous on the fixture"
+    # every kept row's bucket is under its rate (the filter's contract)
+    assert all(b < rate for _, b, rate in rows)
+    # nesting: the kept set at 20% is a subset of what ANY higher rate
+    # keeps — equivalently, buckets < 20 appear for every rate tier
+    low = {d for d, b, _ in rows if b < 20}
+    assert low <= {d for d, b, _ in rows}
+    # physical-layout independence: repartitioning the input cannot
+    # change the decision (pure function of doc_id/source)
+    again = {(r.doc_id, r.bucket, r.rate_pct) for r in out.repartition(7).collect()}
+    assert rows == again
+
+
+def test_mixture_upsample_exact_epoch_counts(spark):
+    """Each document appears exactly ``weight`` times with contiguous
+    epochs 1..weight."""
+    from talkdesk_async_etl_spark.operators.sampling import text_mixture_upsample
+
+    out = text_mixture_upsample(spark, SF_SMALL).collect()
+    by_doc: dict[int, list[int]] = {}
+    weight: dict[int, int] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+        weight[r.doc_id] = int(r.source[3:]) % 3 + 1
+    assert by_doc, "upsample must be non-vacuous"
+    for doc_id, epochs in by_doc.items():
+        assert sorted(epochs) == list(range(1, weight[doc_id] + 1)), doc_id
+
+
+def test_winsorize_bounds_and_clip_count(spark, tmp_path):
+    """On a constructed distribution with one huge outlier per group:
+    the outlier is clipped to p95 (max_clip < raw max), the clipped
+    mean sits inside [min_clip, max_clip], and n_clipped counts only
+    rows outside [p05, p95]."""
+    import os
+
+    from talkdesk_async_etl_spark.operators.stats import window_winsorize
+
+    rows = [(i, "2024-01-01 00:00:00", i % 7, "a", float(v), "{}")
+            for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    ev.coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = window_winsorize(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n == 10
+    assert r.max_clip < 1000  # the outlier was clipped to p95
+    assert r.min_clip <= r.avg_clip <= r.max_clip
+    assert r.n_clipped == 2  # one row under p05, one over p95
+
+
+def test_unigram_logprob_orders_common_above_rare(spark, tmp_path):
+    """A doc of corpus-frequent words must out-score a doc of hapax
+    words (the signal quality bucketing keys on), and every score is
+    a finite negative number."""
+    import math
+    import os
+
+    from talkdesk_async_etl_spark.operators.text import text_unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the", "en", "s", 15),
+            (2, "zyx wvu tsr qpo", "en", "s", 15),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r.avg_logprob for r in text_unigram_logprob(spark, sf_dir).collect()}
+    assert got[1] > got[2]
+    assert all(math.isfinite(v) and v < 0 for v in got.values())

@@ -117,6 +117,7 @@ _HEADLINE_R6 = (
     "sample_deterministic",
     "text_mixture_upsample",
     "text_unigram_logprob",
+    "stream_funnel_state",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

@@ -147,3 +147,58 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from talkdesk_async_etl_spark.streaming.streams import purchases_with_prior_views
 
     return purchases_with_prior_views(t(spark, sf_dir, "events"), lookback="24 hours")
+
+
+@query(
+    "stream_funnel_state",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN CAST(ts AS TIMESTAMP) END) AS fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) AS fp
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               fv AS first_view_ts,
+               fp AS first_purchase_ts,
+               COALESCE(fp >= fv, FALSE) AS converted,
+               CASE WHEN fp >= fv
+                    THEN date_diff('microseconds', fv, fp) END AS latency_us
+        FROM f
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 depth: batch twin of the ``applyInPandasWithState`` funnel
+    operator (streams.funnel_state) — per-user first-view / first-
+    purchase timestamps (as epoch-micros), conversion flag, and latency.
+    The stateful stream holds exactly two running minimums per user and
+    derives converted/latency at emission, so this single conditional-
+    min aggregate IS its converged semantics; the equivalence is pinned
+    stream-vs-batch in tests/test_streaming.py and this twin carries the
+    hash-checked driver row.
+
+    Plan: one hash aggregate on user_id — conditional mins fold
+    map-side, the shuffle carries two timestamps per (partition, user),
+    and no window or join appears anywhere. The latency uses
+    ``timestampdiff(MICROSECOND, ...)`` / ``date_diff('microseconds')``
+    — exact integer arithmetic that is timezone-free on the fixture's
+    TIMESTAMP_NTZ column (``unix_micros`` rejects NTZ, and an NTZ→LTZ
+    cast would shift values by the session timezone)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    fp = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    agg = ev.groupBy("user_id").agg(fv.alias("fv"), fp.alias("fp"))
+    converted = F.coalesce(F.col("fp") >= F.col("fv"), F.lit(False))
+    return agg.select(
+        "user_id",
+        F.col("fv").alias("first_view_ts"),
+        F.col("fp").alias("first_purchase_ts"),
+        converted.alias("converted"),
+        F.when(
+            F.col("fp") >= F.col("fv"),
+            F.expr("timestampdiff(MICROSECOND, fv, fp)"),
+        ).alias("latency_us"),
+    )

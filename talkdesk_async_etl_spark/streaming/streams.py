@@ -160,6 +160,72 @@ def running_user_totals(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def funnel_state(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    view→purchase funnel tracking — first view timestamp, first purchase
+    timestamp, whether the user converted (first purchase at/after first
+    view), and the conversion latency.
+
+    The state is deliberately ORDER-INDEPENDENT: two running minimums
+    (epoch-micros of the earliest view / earliest purchase), with
+    ``converted``/``latency_us`` DERIVED from them at emission time.
+    Micro-batches can replay events in any arrival order — a purchase
+    can arrive before the view that precedes it in event time — and two
+    mins still converge to the same final answer, so the stream provably
+    agrees with the batch twin (``stream_funnel_state``) once all input
+    is processed. A formulation that tracked "first purchase AFTER the
+    current first view" online would need unbounded purchase history to
+    stay correct under out-of-order arrival.
+
+    State is two int64s per user — bounded regardless of stream length.
+    ``n_seen`` counts events folded into the state so the latest
+    update-mode emission per user is identifiable downstream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        fv, fp, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            micros = pdf["ts"].astype("int64") // 1000  # pandas ns → us
+            views = micros[pdf["event_type"] == "view"]
+            purchases = micros[pdf["event_type"] == "purchase"]
+            if len(views):
+                m = int(views.min())
+                fv = m if fv is None else min(fv, m)
+            if len(purchases):
+                m = int(purchases.min())
+                fp = m if fp is None else min(fp, m)
+        state.update((fv, fp, n))
+        converted = fv is not None and fp is not None and fp >= fv
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_view_us": [fv],
+                "first_purchase_us": [fp],
+                "converted": [converted],
+                "latency_us": [fp - fv if converted else None],
+                "n_seen": [n],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, first_view_us bigint, first_purchase_us bigint, "
+                "converted boolean, latency_us bigint, n_seen bigint"
+            ),
+            stateStructType="fv bigint, fp bigint, n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming plan to completion against the current files
     (tests/smoke): memory sink + processAllAvailable."""

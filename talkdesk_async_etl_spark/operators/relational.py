@@ -993,3 +993,55 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship = t(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("activity_date"))
     ordd = t(spark, sf_dir, "orders").select(F.col("o_orderdate").alias("activity_date"))
     return ship.subtract(ordd)
+
+
+@query(
+    "sink_partition_prune_ok",
+    # Invariant companion (pattern of sim_kmeans_inertia_ok): prune_ok
+    # is pinned TRUE — it flips FALSE if the reread plan loses its
+    # PartitionFilters (layout or reader regression) — while n_langs
+    # and n_en are real oracle-checked values: DuckDB computes them on
+    # the ORIGINAL table, so a sink that drops/duplicates rows or
+    # mangles the partition column breaks the hash even though Spark
+    # counted the round-tripped copy.
+    oracle="""
+        SELECT CAST(1 AS BOOLEAN) AS prune_ok,
+               (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+                   AS n_langs,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents
+                WHERE lang = 'en') AS n_en
+    """,
+    tags=("sink", "invariant"),
+)
+def sink_partition_prune_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 depth: write documents as a hive-partitioned parquet
+    dataset (``partitionBy(lang)``, sorted by doc_id within files),
+    read it back filtered on the partition key, and attest from the
+    PHYSICAL PLAN that the filter became a partition-directory prune
+    (``PartitionFilters``) rather than a data filter — the property
+    that makes a 100 TB corpus queryable per-language without scanning
+    the other languages. The row counts cross-check against the source
+    table via the oracle, so the sink round-trip is value-checked too."""
+    import contextlib
+    import io as _io
+
+    from talkdesk_async_etl_spark.sources.io import write_partitioned
+
+    d = t(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.gettempdir(), "tde_sink_partitioned")
+    write_partitioned(d, out, partition_by=("lang",), sort_by=("doc_id",))
+
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("lang") == "en")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    pf_line = next((l for l in plan.splitlines() if "PartitionFilters" in l), "")
+    prune_ok = "lang" in pf_line and "en" in pf_line
+    n_langs = back.select("lang").distinct().count()
+    n_en = pruned.count()
+    return spark.createDataFrame(
+        [(bool(prune_ok), n_langs, n_en)],
+        "prune_ok boolean, n_langs bigint, n_en bigint",
+    )

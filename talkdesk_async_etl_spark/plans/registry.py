@@ -76,20 +76,21 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
 #      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
 #      audio/resize multimodal ids.
-#   2. The 17 ids new in round 6 (stream_interval_join,
+#   2. The 18 ids new in round 6 (stream_interval_join,
 #      sim_kmeans_inertia_ok, text_pack_sequences, text_lang_quota,
 #      dedup_incremental_lsh_ok, text_repetition_score,
 #      text_decontaminate, sim_quantize_int8, agg_grouping_sets,
 #      sim_random_projection, agg_corr_regr, window_winsorize,
 #      agg_hll_sketch_ok, sample_deterministic, text_mixture_upsample,
-#      text_unigram_logprob, stream_funnel_state) — new ids always enter the window the
+#      text_unigram_logprob, stream_funnel_state,
+#      sink_partition_prune_ok) — new ids always enter the window the
 #      round they are registered, so never-attested debt stops
 #      accruing.
 #   3. The 2 ids whose last driver row is round 2 (scan_parquet,
 #      agg_approx_distinct — they ceded round-5 slots; rotation debt
 #      now repaid).
-#   4. 15 of the 41 ids last attested in round 4, oldest tier first.
-# The remaining 26 round-4 ids don't fit (126 registered ids > 50
+#   4. 14 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 27 round-4 ids don't fit (127 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -113,7 +114,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # pass; agg_count_distinct — computed verbatim on both the grouped and
 # global paths of agg_hll_sketch_ok), window_row_number (row_number is
 # one of the four functions the in-window window_rank_family ranks with
-# the identical partition/order spec), or the two streaming window twins
+# the identical partition/order spec), udf_pandas_scalar (the Arrow
+# scalar-UDF surface; the in-window text_pack_sequences applyInPandas
+# path and stream_funnel_state's applyInPandasWithState exercise the
+# same Arrow batch transfer with richer state), or the two streaming window twins
 # (stream_tumbling, stream_sliding) whose exact expressions are
 # re-attested every round by test_streaming's batch-vs-stream
 # equivalence tests while stream_session carries the family's r5
@@ -157,15 +161,15 @@ _PRIORITY = (
     "text_mixture_upsample",
     "text_unigram_logprob",
     "stream_funnel_state",
+    "sink_partition_prune_ok",
     # --- last driver row round 2 ---
     "scan_parquet",
     "agg_approx_distinct",
-    # --- last driver row round 4 (15 of 41; rest defer to r7) ---
+    # --- last driver row round 4 (14 of 41; rest defer to r7) ---
     "filter_conj_eq",
     "join_range",
     "sort_topk_global",
     "window_topk_per_group",
-    "udf_pandas_scalar",
     "dedup_exact",
     "dedup_near_jaccard",
     "dedup_components",

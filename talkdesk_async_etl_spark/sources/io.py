@@ -211,3 +211,31 @@ def append_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ())
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...],
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """S5/S6 depth: hive-layout partitioned parquet sink — the layout a
+    100 TB corpus is stored in so downstream readers partition-prune
+    (a reader filtering on the partition key lists ONLY the matching
+    directories; the pruned data is never opened).
+
+    ``repartition(partition_by)`` first: without it every task holds
+    rows of every partition value and the write fans out to
+    tasks × partitions small files — the classic small-files failure.
+    With it, each partition directory is written by the tasks owning
+    that key. ``sortWithinPartitions`` then orders rows inside each
+    file so min/max row-group stats make non-partition predicates
+    skippable too (poor man's Z-order; real clustering would bucket).
+    """
+    from pyspark.sql import functions as F
+
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_by])
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)

@@ -829,3 +829,31 @@ def test_unigram_logprob_orders_common_above_rare(spark, tmp_path):
     got = {r.doc_id: r.avg_logprob for r in text_unigram_logprob(spark, sf_dir).collect()}
     assert got[1] > got[2]
     assert all(math.isfinite(v) and v < 0 for v in got.values())
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    """The partitioned sink produces one hive directory per key with NO
+    top-level data files (every row lives under a partition), and the
+    reread equals the source."""
+    import os
+
+    from talkdesk_async_etl_spark.sources.io import read_table, write_partitioned
+
+    d = read_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "ds")
+    write_partitioned(d, out, partition_by=("lang",), sort_by=("doc_id",))
+    entries = os.listdir(out)
+    langs = {e for e in entries if e.startswith("lang=")}
+    assert langs == {
+        f"lang={r.lang}" for r in d.select("lang").distinct().collect()
+    }
+    assert not any(e.startswith("part-") for e in entries)
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    # sortWithinPartitions: each file's doc_ids are non-decreasing
+    import pyarrow.parquet as pq
+
+    lang_dir = os.path.join(out, sorted(langs)[0])
+    f = next(f for f in os.listdir(lang_dir) if f.endswith(".parquet"))
+    ids = pq.read_table(os.path.join(lang_dir, f), columns=["doc_id"])["doc_id"].to_pylist()
+    assert ids == sorted(ids)

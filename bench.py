@@ -118,6 +118,7 @@ _HEADLINE_R6 = (
     "text_mixture_upsample",
     "text_unigram_logprob",
     "stream_funnel_state",
+    "join_skew_salted",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

@@ -1045,3 +1045,120 @@ def sink_partition_prune_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(prune_ok), n_langs, n_en)],
         "prune_ok boolean, n_langs bigint, n_en bigint",
     )
+
+
+_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_noshuffle_ok",
+    # Invariant + value check: noshuffle_ok pins the plan property (a
+    # SortMergeJoin with ZERO Exchange operators — co-located bucketed
+    # reads); the per-segment counts are real oracle values computed by
+    # DuckDB on the SOURCE tables, so a bucketed write that drops or
+    # mis-hashes rows breaks the hash even though Spark joined its own
+    # round-tripped copies.
+    oracle="""
+        SELECT CAST(1 AS BOOLEAN) AS noshuffle_ok, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "bucketed", "invariant"),
+)
+def join_bucketed_noshuffle_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-depth: bucketed co-located join — write orders and customer
+    bucketed (and sorted) on the join key into catalog tables, join
+    them, and attest from the physical plan that NO shuffle happened:
+    both sides' buckets line up, so the SortMergeJoin reads bucket i of
+    each table in the same task. This is THE repeated-join optimization
+    at 100 TB — the shuffle is paid once at write time and amortized
+    over every subsequent join/aggregation on the bucket key, and it's
+    the one co-location strategy that works when BOTH sides are too big
+    to broadcast.
+
+    The ``merge`` hint forces SortMergeJoin (at test scale the
+    dimension fits the broadcast threshold, which would bypass the
+    bucketed path being attested; at production scale SMJ is what AQE
+    picks anyway). Bucket metadata requires catalog tables —
+    ``bucketBy`` + ``saveAsTable`` with an explicit path; a plain
+    path-based parquet write has no bucket spec."""
+    import contextlib
+    import io as _io
+
+    out = os.path.join(tempfile.gettempdir(), "tde_bucketed")
+    for tbl, name, key in (
+        ("tde_orders_b", "orders", "o_custkey"),
+        ("tde_customer_b", "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            t(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(out, name))
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    ob, cb = spark.table("tde_orders_b"), spark.table("tde_customer_b")
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    noshuffle = "SortMergeJoin" in plan and "Exchange" not in plan
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+        .select(F.lit(bool(noshuffle)).alias("noshuffle_ok"), "c_mktsegment", "n_orders")
+    )
+
+
+_SALTS = 16
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-depth: skew-salted equi-join — the manual remedy when one join
+    key holds a disproportionate share of the fact rows and a plain
+    shuffle join serializes that key's partition onto one task (AQE's
+    skew-join split handles moderate skew; extreme single-key skew
+    still wants salting). The fact side gets a deterministic salt
+    (event_id mod 16 — reproducible, unlike rand()); the dimension side
+    is EXPLODED 16× so every (key, salt) pair exists; the join key
+    becomes (key, salt), spreading each hot key over 16 tasks. The
+    result is provably identical to the unsalted join — the oracle IS
+    the plain join — because each fact row matches exactly one
+    replicated dim row.
+
+    Scale shape: dim replication costs salts × |dim| rows, which for a
+    broadcast-sized dim is free and for a larger dim trades 16× dim
+    shuffle volume for 16× hot-key parallelism — the right trade
+    exactly when skew, not volume, is the bottleneck. Decimal
+    accumulation for the money sum, as everywhere."""
+    ev = t(spark, sf_dir, "events", spread=True).withColumn(
+        "salt", F.pmod("event_id", F.lit(_SALTS))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

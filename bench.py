@@ -119,6 +119,7 @@ _HEADLINE_R6 = (
     "text_unigram_logprob",
     "stream_funnel_state",
     "join_skew_salted",
+    "cdc_latest_wins",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

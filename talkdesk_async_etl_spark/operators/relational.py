@@ -1162,3 +1162,73 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "cdc_latest_wins",
+    oracle="""
+        WITH v1 AS (
+            SELECT o_orderkey AS key, o_orderstatus AS status, 1 AS version
+            FROM orders
+        ),
+        v2 AS (
+            SELECT o_orderkey AS key, 'U' AS status, 2 AS version
+            FROM orders WHERE o_orderkey % 7 = 0
+        ),
+        merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        latest AS (
+            SELECT key, status, version,
+                   row_number() OVER (PARTITION BY key
+                                      ORDER BY version DESC) AS rn
+            FROM merged
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(version) AS BIGINT) AS version_sum
+        FROM latest WHERE rn = 1 GROUP BY status
+    """,
+    tags=("cdc", "window"),
+)
+def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's read semantics, driver-attested: the append-then-latest-wins
+    upsert emulation that replaces the reference's in-place Delta
+    UPDATE/MERGE (databricks/talkdesk_databricks_etl.py:245-253; live
+    MERGE is environment-blocked — no delta jars). Two deterministic
+    row versions are derived from orders (v2 'updates' every 7th key),
+    unioned, and resolved with the IDENTICAL window pattern
+    ``pipeline.monitoring.MonitoringStore.jobs()`` runs on its
+    append-only store: row_number per key ordered by version desc, keep
+    rank 1. ``version_sum`` proves updated keys actually won (each
+    key%7==0 contributes 2, others 1) — a tie-break or ordering bug
+    shifts it even when counts survive.
+
+    Scale shape: one window shuffle on the upsert key. At 100 TB the
+    append log is partitioned by ingest date, so the window reads only
+    partitions newer than the last compaction; a periodic compaction
+    job materializes rank-1 rows and truncates the log — the classic
+    merge-on-read table format, hand-rolled."""
+    from pyspark.sql import Window
+
+    base = t(spark, sf_dir, "orders", spread=True)
+    v1 = base.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("version"),
+    )
+    v2 = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("U").alias("status"),
+            F.lit(2).alias("version"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.col("version").desc())
+    latest = (
+        v1.unionAll(v2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.groupBy("status").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("version").cast("long").alias("version_sum"),
+    )

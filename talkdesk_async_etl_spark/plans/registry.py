@@ -76,7 +76,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
 #      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
 #      audio/resize multimodal ids.
-#   2. The 20 ids new in round 6 (stream_interval_join,
+#   2. The 21 ids new in round 6 (stream_interval_join,
 #      sim_kmeans_inertia_ok, text_pack_sequences, text_lang_quota,
 #      dedup_incremental_lsh_ok, text_repetition_score,
 #      text_decontaminate, sim_quantize_int8, agg_grouping_sets,
@@ -84,14 +84,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      agg_hll_sketch_ok, sample_deterministic, text_mixture_upsample,
 #      text_unigram_logprob, stream_funnel_state,
 #      sink_partition_prune_ok, join_bucketed_noshuffle_ok,
-#      join_skew_salted) — new ids always enter the window the
+#      join_skew_salted, cdc_latest_wins) — new ids always enter the window the
 #      round they are registered, so never-attested debt stops
 #      accruing.
 #   3. The 2 ids whose last driver row is round 2 (scan_parquet,
 #      agg_approx_distinct — they ceded round-5 slots; rotation debt
 #      now repaid).
-#   4. 12 of the 41 ids last attested in round 4, oldest tier first.
-# The remaining 29 round-4 ids don't fit (129 registered ids > 50
+#   4. 11 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 30 round-4 ids don't fit (130 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -123,7 +123,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # and test_plans pins the PushedFilters property directly), join_range
 # (the interval-join family's driver row is carried by the in-window
 # stream_interval_join, which checks the row-level pair set rather
-# than the aggregated count), or the two streaming window twins
+# than the aggregated count), window_topk_per_group (its
+# WindowGroupLimit plan property is pinned by test_plans, its ranking
+# surface by the in-window window_rank_family, and the new in-window
+# cdc_latest_wins IS the rank-1-per-key window shape), or the two streaming window twins
 # (stream_tumbling, stream_sliding) whose exact expressions are
 # re-attested every round by test_streaming's batch-vs-stream
 # equivalence tests while stream_session carries the family's r5
@@ -170,12 +173,12 @@ _PRIORITY = (
     "sink_partition_prune_ok",
     "join_bucketed_noshuffle_ok",
     "join_skew_salted",
+    "cdc_latest_wins",
     # --- last driver row round 2 ---
     "scan_parquet",
     "agg_approx_distinct",
-    # --- last driver row round 4 (12 of 41; rest defer to r7) ---
+    # --- last driver row round 4 (11 of 41; rest defer to r7) ---
     "sort_topk_global",
-    "window_topk_per_group",
     "dedup_exact",
     "dedup_near_jaccard",
     "dedup_components",

@@ -1,0 +1,217 @@
+"""Ingestion robustness and sink maintenance (SURVEY.md §2.1 depth).
+
+The reference ingests third-party HTTP CSV payloads with zero
+malformed-row handling (``pd.read_csv`` on the raw download,
+databricks/talkdesk_databricks_etl.py:437 — one bad line kills the
+report) and appends monitoring rows forever with no compaction
+(DB:221-223). These operators supply the production behaviors a
+long-running ETL engine needs around those edges:
+
+- ``scan_corrupt_recovery``: PERMISSIVE parsing with per-row corrupt
+  capture, so one mangled record quarantines instead of failing a
+  100 TB ingest.
+- ``scan_schema_evolution``: ``mergeSchema`` reads across batches whose
+  producers added columns over time — the append-only layout's schema
+  story.
+- ``sink_compaction_ok``: small-file compaction for append-heavy sinks
+  — the maintenance job that keeps file counts (and thus task counts
+  and NameNode/listing pressure) bounded.
+
+Each query constructs its fixture DETERMINISTICALLY from the driver's
+documents table via Spark itself (distributed write, no driver-side
+row loops), so the DuckDB oracle can compute the expected outcome
+directly from ``documents`` without ever seeing the intermediate files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+# Every 13th doc_id is emitted as truncated JSON — deterministic, so
+# both engines can predict exactly which rows quarantine.
+_CORRUPT_MOD = 13
+
+
+@query(
+    "scan_corrupt_recovery",
+    oracle=f"""
+        SELECT CAST(sum(CASE WHEN doc_id % {_CORRUPT_MOD} <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(sum(CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(sum(CASE WHEN doc_id % {_CORRUPT_MOD} <> 0
+                             THEN doc_id END) AS BIGINT) AS sum_good_ids
+        FROM documents
+    """,
+    tags=("scan", "robustness"),
+)
+def scan_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 depth: malformed-record quarantine. The reference feeds raw
+    HTTP payloads straight into ``pd.read_csv`` (DB:437) — one bad line
+    fails the whole report. Here a JSON-lines batch with a
+    deterministic fraction of truncated records (every 13th doc) is
+    parsed in PERMISSIVE mode with ``columnNameOfCorruptRecord``: good
+    rows parse normally, bad rows land whole in ``_corrupt_record``
+    with the data columns null, and ONE aggregate splits the batch into
+    (n_good, n_corrupt) plus a value checksum over the surviving rows.
+
+    The oracle never sees the dirty file — it predicts the outcome from
+    the source table, so a parser that silently drops or mis-assigns a
+    row breaks the hash. The aggregate references data columns alongside
+    ``_corrupt_record`` deliberately: Spark disallows queries that
+    project ONLY the corrupt column (the parser would need a second
+    pass to fill it).
+
+    Scale shape: the dirty write and the recovering read are both plain
+    distributed scans — no shuffle until the final single-row aggregate
+    (map-side partials → one exchange of 3 longs per task). At 100 TB
+    the same plan quarantines bad rows at full scan throughput; the
+    quarantined ``_corrupt_record`` column would be written to a
+    side-channel table for replay instead of being counted."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    out = os.path.join(tempfile.gettempdir(), "tde_dirty_jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    line = F.when(
+        F.col("doc_id") % _CORRUPT_MOD == 0,
+        # Truncated object: no closing brace, no value for "source".
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "source": ')
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "source", "n_chars")))
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    parsed = (
+        spark.read.schema(
+            "doc_id bigint, source string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("doc_id"))).alias("sum_good_ids"),
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lang_null,
+               (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+                FROM documents WHERE doc_id % 2 = 1) AS n_langs,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id END)
+                    AS BIGINT) AS sum_old_batch_ids
+        FROM documents
+    """,
+    tags=("scan", "robustness"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 depth: schema evolution across append batches. An old
+    producer wrote (doc_id, source); a newer one added ``lang``. The
+    two batches land as separate parquet directories and ONE
+    ``mergeSchema`` read reconciles them: the union schema applies,
+    old-batch rows surface ``lang = NULL``. The query proves no row was
+    dropped (n_total), the null-fill hit exactly the old batch
+    (n_lang_null + sum_old_batch_ids checksum), and the new column
+    survived with its values (n_langs).
+
+    Scale shape: ``mergeSchema`` pays one footer read per FILE at
+    planning time (no data scan) — at 100 TB that is why production
+    layouts keep schema in a catalog/manifest instead of re-merging
+    per query; the read itself stays a plain parallel scan either way.
+    The batch split (doc_id parity) is deterministic so the oracle
+    reconstructs both batches from the source table."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    out = os.path.join(tempfile.gettempdir(), "tde_schema_evo")
+    shutil.rmtree(out, ignore_errors=True)
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "lang")
+    old.write.parquet(os.path.join(out, "batch_a"))
+    new.write.parquet(os.path.join(out, "batch_b"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch_a"), os.path.join(out, "batch_b")
+    )
+    lang_null = F.col("lang").isNull()
+    return merged.agg(
+        F.count("*").alias("n_total"),
+        F.sum(lang_null.cast("long")).alias("n_lang_null"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.when(lang_null, F.col("doc_id"))).alias("sum_old_batch_ids"),
+    )
+
+
+_SMALL_FILE_ROWS = 100
+_COMPACT_FILES = 2
+
+
+@query(
+    "sink_compaction_ok",
+    # Invariant companion (pattern of sink_partition_prune_ok): the two
+    # flags are pinned TRUE — fewer files after compaction, and a
+    # many-files-before precondition so the test cannot pass vacuously —
+    # while the counts/checksum are real oracle values from the SOURCE
+    # table, so a compaction that drops, duplicates, or mangles rows
+    # breaks the hash even though Spark counted its own output.
+    oracle="""
+        SELECT CAST(1 AS BOOLEAN) AS compacted_ok,
+               CAST(1 AS BOOLEAN) AS many_before_ok,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM documents
+    """,
+    tags=("sink", "invariant"),
+)
+def sink_compaction_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 depth: small-file compaction — the maintenance job every
+    append-only sink needs (the reference appends one monitoring row
+    per run forever, DB:221-223; a year of runs is thousands of
+    KB-sized files whose listing + per-file task overhead dominates the
+    read). The fragmented state is produced with ``maxRecordsPerFile``
+    (100 rows/file), then compacted by a ``repartition(2)`` rewrite;
+    file counts are measured from ``input_file_name()`` on re-read and
+    the row count + doc_id checksum prove the rewrite was lossless.
+
+    Scale shape: compaction is one full shuffle of the fragmented data
+    — unavoidable and linear — but it runs OFF the query path on the
+    partitions newer than the last compaction watermark (same
+    merge-on-read pattern as cdc_latest_wins), and every subsequent
+    scan repays it with large sequential reads. Production sizes output
+    files to ~128 MB–1 GB via ``maxRecordsPerFile``/AQE advisory
+    partition size rather than a fixed count; the fixed 2 here makes
+    the invariant deterministic."""
+    d = t(spark, sf_dir, "documents", spread=True).select("doc_id", "source", "n_chars")
+    out = os.path.join(tempfile.gettempdir(), "tde_compaction")
+    shutil.rmtree(out, ignore_errors=True)
+    frag_dir, compact_dir = os.path.join(out, "frag"), os.path.join(out, "compact")
+    (
+        d.repartition(8)
+        .write.option("maxRecordsPerFile", _SMALL_FILE_ROWS)
+        .parquet(frag_dir)
+    )
+
+    frag = spark.read.parquet(frag_dir)
+    n_files_before = frag.select(F.input_file_name()).distinct().count()
+    frag.repartition(_COMPACT_FILES).write.parquet(compact_dir)
+
+    compacted = spark.read.parquet(compact_dir)
+    n_files_after = compacted.select(F.input_file_name()).distinct().count()
+    return compacted.agg(
+        F.lit(n_files_after < n_files_before).alias("compacted_ok"),
+        F.lit(n_files_before >= 8).alias("many_before_ok"),
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

@@ -106,3 +106,47 @@ def text_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
+
+
+@query(
+    "sample_shuffle_shards",
+    oracle="""
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(md5(CAST(doc_id AS VARCHAR))) AS first_pos,
+               max(md5(CAST(doc_id AS VARCHAR))) AS last_pos,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY shard
+    """,
+    tags=("sampling", "curation"),
+)
+def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: every document
+    gets a position key ``md5(doc_id)`` — a cryptographic hash, so the
+    induced order is indistinguishable from random yet identical on
+    every run and every engine (Spark and DuckDB md5 agree byte-for-
+    byte, making this hash-checkable end-to-end, unlike rand()) — and a
+    shard = the first hex nibble of that key (16 shards). The export
+    write is ``repartitionByRange(shard, position).sortWithinPartitions``
+    so each shard file is internally shuffled but reproducible; this
+    query returns the per-shard manifest (count, position bounds, token
+    checksum) that ships with the export.
+
+    Scale shape: one range-partitioned exchange — exactly the shuffle a
+    training-data writer must pay to break source/time locality before
+    the model sees the stream (upstream tables are clustered by source;
+    feeding them in storage order skews every batch). The hash is
+    computed in-scan; nothing else is touched until the exchange, and
+    the manifest aggregate folds map-side."""
+    pos = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    return (
+        t(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", "n_chars", pos.alias("pos"))
+        .groupBy(F.substring("pos", 1, 1).alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

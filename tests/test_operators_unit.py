@@ -857,3 +857,85 @@ def test_write_partitioned_layout(spark, tmp_path):
     f = next(f for f in os.listdir(lang_dir) if f.endswith(".parquet"))
     ids = pq.read_table(os.path.join(lang_dir, f), columns=["doc_id"])["doc_id"].to_pylist()
     assert ids == sorted(ids)
+
+
+def test_corrupt_recovery_quarantines_raw_lines(spark):
+    """Beyond the oracle's counts: corrupt rows must carry the ORIGINAL
+    line in ``_corrupt_record`` with every data column null (the replay
+    contract), and good rows must parse with the corrupt column null."""
+    import os
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.ingest import (
+        _CORRUPT_MOD,
+        scan_corrupt_recovery,
+    )
+
+    agg = scan_corrupt_recovery(spark, SF_SMALL).collect()[0]
+    total = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet")).count()
+    assert agg.n_good + agg.n_corrupt == total
+    assert agg.n_corrupt > 0, "fixture must exercise the quarantine path"
+
+    parsed = (
+        spark.read.schema(
+            "doc_id bigint, source string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(os.path.join(tempfile.gettempdir(), "tde_dirty_jsonl"))
+    )
+    bad = parsed.filter(parsed._corrupt_record.isNotNull()).collect()
+    assert len(bad) == agg.n_corrupt
+    for r in bad:
+        assert r.source is None and r.n_chars is None
+        assert r._corrupt_record.startswith('{"doc_id": ')
+        # the raw line names the quarantined doc — replay is possible
+        assert int(r._corrupt_record.split(":")[1].split(",")[0]) % _CORRUPT_MOD == 0
+
+
+def test_schema_evolution_nullfill_matches_batches(spark):
+    """mergeSchema must null-fill exactly the old batch: totals and the
+    old-batch checksum recompute from the source table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.ingest import scan_schema_evolution
+
+    got = scan_schema_evolution(spark, SF_SMALL).collect()[0]
+    d = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    assert got.n_total == d.count()
+    assert got.n_lang_null == old.count()
+    assert got.sum_old_batch_ids == old.agg(F.sum("doc_id")).collect()[0][0]
+
+
+def test_compaction_lossless_and_fewer_files(spark):
+    """The compaction rewrite must reduce file count from a genuinely
+    fragmented state without losing or duplicating a row."""
+    import os
+
+    from talkdesk_async_etl_spark.operators.ingest import sink_compaction_ok
+
+    got = sink_compaction_ok(spark, SF_SMALL).collect()[0]
+    assert got.compacted_ok and got.many_before_ok
+    assert got.n_rows == spark.read.parquet(
+        os.path.join(SF_SMALL, "documents.parquet")
+    ).count()
+
+
+def test_shuffle_shards_partition_the_corpus(spark):
+    """Shard manifest structure: every doc lands in exactly one shard
+    (counts sum to the corpus), position bounds are consistent with the
+    shard prefix, and the assignment is layout-independent."""
+    import os
+
+    from talkdesk_async_etl_spark.operators.sampling import sample_shuffle_shards
+
+    rows = sample_shuffle_shards(spark, SF_SMALL).collect()
+    total = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet")).count()
+    assert sum(r.n_docs for r in rows) == total
+    assert {r.shard for r in rows} <= set("0123456789abcdef")
+    for r in rows:
+        assert r.first_pos <= r.last_pos
+        assert r.first_pos.startswith(r.shard) and r.last_pos.startswith(r.shard)

@@ -120,6 +120,12 @@ _HEADLINE_R6 = (
     "stream_funnel_state",
     "join_skew_salted",
     "cdc_latest_wins",
+    # sink_compaction_ok is an invariant (excluded per the note above);
+    # these three are real operators even though two of them write
+    # their own fixture first — that write IS the op's realistic cost.
+    "scan_corrupt_recovery",
+    "scan_schema_evolution",
+    "sample_shuffle_shards",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

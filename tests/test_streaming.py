@@ -93,7 +93,77 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
         q.stop()
     written = spark.read.parquet(out)
     assert written.count() > 0
-    assert set(written.columns) == {"window_start", "event_type", "n_events", "total_value"}
+    assert set(written.columns) == {
+        "window_start", "event_type", "n_events", "total_value", "epoch",
+    }
+
+
+def test_foreach_batch_epoch_replay_is_idempotent(spark, events_batch, tmp_path):
+    """foreachBatch is at-least-once: after a failure the SAME epoch is
+    re-delivered. The epoch-directory overwrite must absorb the replay
+    (no duplicate rows) while leaving other epochs untouched."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "replay_out")
+    e0 = events_batch.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    e1 = events_batch.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id")
+
+    def write_epoch(df, epoch_id):
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out)
+        )
+
+    write_epoch(e0, 0)
+    write_epoch(e1, 1)
+    write_epoch(e0, 0)  # replayed epoch after a simulated failure
+    got = spark.read.parquet(out)
+    assert got.count() == e0.count() + e1.count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, events_batch, tmp_path):
+    """Kill a file-source stream mid-corpus, drop in new files, restart
+    from the SAME checkpoint: the offset log must skip the already-
+    committed epochs and the idempotent sink must deliver every event
+    exactly once across both runs — the recovery contract a production
+    ingest depends on."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    half1 = events_batch.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type"
+    )
+    half2 = events_batch.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    half1.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = foreach_batch_parquet(stream, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == half1.count()
+
+    half2.write.mode("append").parquet(src)
+    run_once()  # restart from the same checkpoint
+
+    got = spark.read.parquet(out)
+    assert got.count() == half1.count() + half2.count()
+    # exactly once: no event reprocessed into a second epoch
+    assert got.select("event_id").distinct().count() == got.count()
 
 
 def test_stateful_running_totals(spark, events_batch):

@@ -44,7 +44,6 @@ from talkdesk_async_etl_spark.pipeline.monitoring import (
 )
 from talkdesk_async_etl_spark.pipeline.retry import RetryPolicy
 from talkdesk_async_etl_spark.sources.http_source import ReportSource, fetch_report_csv
-from talkdesk_async_etl_spark.sources.io import write_csv_report
 
 # Reference DIST:39: ~100 reports per partition for connector fan-out.
 PARTITION_TARGET_SIZE = 100

@@ -182,6 +182,35 @@ def write_csv_report(
     return out
 
 
+def write_csv_report_observed(
+    df: DataFrame,
+    base: str,
+    report_name: str,
+    from_date: str,
+    to_date: str,
+    single_file: bool = False,
+) -> tuple[str, int]:
+    """S5 + A1 fused: write the report and collect ``rows_written`` in
+    the SAME job via the Observation API. The reference counts, then
+    writes — two full evaluations of the report (``report_df.count()``
+    DIST:233, then the CSV write DIST:156-163); for an engine-side
+    report at 100 TB the second scan is pure waste. ``df.observe``
+    attaches a zero-cost accumulator-backed aggregate to the write
+    job itself, so monitoring gets the exact written row count with no
+    extra pass and no race against concurrent source changes (the
+    count describes the rows THIS write saw, not a re-read).
+
+    Returns ``(output_path, rows_written)`` — the pair
+    ``pipeline.monitoring.ReportRow`` wants."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
+    out = write_csv_report(observed, base, report_name, from_date, to_date, single_file)
+    return out, int(obs.get["rows_written"])
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

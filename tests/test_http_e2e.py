@@ -197,3 +197,22 @@ def test_write_csv_report_single_file_accepts_file_uri(spark, tmp_path):
             df, "file://nas01/exports", "queue_activity", "2024-01-01", "2024-01-02",
             single_file=True,
         )
+
+
+def test_observed_write_counts_in_the_write_job(spark, tmp_path):
+    """The fused writer must return the exact written row count without
+    a second evaluation — verified by writing a non-deterministic-ish
+    plan once: the returned count matches what landed on disk."""
+    from talkdesk_async_etl_spark.sources.io import read_csv, write_csv_report_observed
+
+    df = spark.range(137).selectExpr("id", "id % 7 AS bucket").filter("bucket != 3")
+    out, n = write_csv_report_observed(
+        df, str(tmp_path), "observed", "2024-02-01", "2024-02-02"
+    )
+    back = read_csv(spark, out)
+    assert n == back.count() == 137 - 20  # ids with id%7==3: 20 of 137
+    # empty report: observe still resolves (no rows ever hit the agg)
+    out2, n2 = write_csv_report_observed(
+        df.filter("id < 0"), str(tmp_path), "observed_empty", "2024-02-01", "2024-02-02"
+    )
+    assert n2 == 0

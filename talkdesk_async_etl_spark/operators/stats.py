@@ -182,3 +182,116 @@ def agg_hll_sketch_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_groups").cast("long").alias("n_groups"),
         )
     )
+
+
+@query(
+    "agg_cohort_retention",
+    # Both engines truncate weeks to Monday (ISO) and the day gap
+    # between two Monday-truncated dates is always a multiple of 7, so
+    # the integer division is exact; DISTINCT user counts are
+    # order-independent. Week values are cast to DATE on both sides so
+    # the canonicalizer compares like types.
+    oracle="""
+        WITH acts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w,
+                   CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))
+                        OVER (PARTITION BY user_id)) AS DATE) AS cw
+            FROM events
+        )
+        SELECT cw AS cohort_week,
+               CAST(date_diff('day', cw, w) // 7 AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM acts GROUP BY cohort_week, week_offset
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-depth: weekly cohort retention — users grouped by the week of
+    their FIRST event, counted as active per week offset since. The
+    canonical growth-analytics matrix (the reference's monitoring only
+    counts statuses per day, RM:447-457; this is the per-entity
+    longitudinal extension).
+
+    Plan: the per-user first-event timestamp is a window MIN over
+    user_id — the same single shuffle a groupBy+self-join would pay,
+    in one pass with no join — then one distinct-aggregate over
+    (cohort_week, offset). At 100 TB the distinct is per (cohort,
+    offset) cell on user ids; swap `count_distinct` for the HLL-sketch
+    path (agg_hll_sketch_ok) when cells hold billions of users and a
+    ±2% retention figure is acceptable."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events", spread=True)
+    wu = Window.partitionBy("user_id")
+    acts = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        F.date_trunc("week", F.min("ts").over(wu)).cast("date").alias("cw"),
+    )
+    return (
+        acts.select(
+            F.col("cw").alias("cohort_week"),
+            F.expr("CAST(datediff(w, cw) div 7 AS BIGINT)").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+_HIST_BUCKETS = 16
+
+
+@query(
+    "agg_histogram",
+    # The bucket boundary arithmetic is written with the IDENTICAL
+    # expression shape on both engines — ((v - lo) * 16) / (hi - lo),
+    # then floor — so the IEEE double result (and thus every boundary
+    # decision) is bit-identical; lo/hi are exact min/max (order-
+    # independent). hi = lo (constant group) pins bucket 0 on both.
+    oracle=f"""
+        WITH stats AS (
+            SELECT event_type, min(value) AS lo, max(value) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE least(CAST(floor((e.value - s.lo) * {_HIST_BUCKETS}
+                                          / (s.hi - s.lo)) AS BIGINT),
+                               {_HIST_BUCKETS - 1}) END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events e JOIN stats s USING (event_type)
+        GROUP BY e.event_type, bucket
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-depth: equi-width value histogram per group — the two-pass
+    shape every metrics dashboard needs (distribution of report
+    latencies / payload sizes, not just the A10 percentiles).
+
+    Plan: pass 1 is a |groups|-row min/max aggregate that broadcasts
+    back onto the stream (the winsorize pattern); pass 2 computes the
+    bucket row-locally and aggregates |groups|×16 cells. Neither
+    shuffle carries more than the group count × buckets. At 100 TB
+    this beats a percentile-based histogram: min/max partials are
+    constant-size where exact percentile state is value-set-sized."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo")) * _HIST_BUCKETS / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(_HIST_BUCKETS - 1).cast("long"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -181,3 +181,68 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
     )
+
+
+@query(
+    "window_event_transitions",
+    # Exact-integer gap accounting: the microsecond diff is an exact
+    # BIGINT in both engines (the funnel twin's proven pattern), and
+    # SUM of BIGINTs is order-independent — no double-rounding hazard
+    # an avg would reintroduce. The per-user order is fully tie-broken
+    # by event_id so lag() is deterministic.
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   lag(event_type) OVER w AS prev_type,
+                   lag(CAST(ts AS TIMESTAMP)) OVER w AS prev_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        )
+        SELECT prev_type, event_type AS curr_type,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               CAST(sum(date_diff('microseconds', prev_ts, ts)) AS BIGINT)
+                   AS total_gap_us
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, curr_type
+    """,
+    tags=("window", "analytics"),
+)
+def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 depth: event-path analysis — the (previous event → current
+    event) transition matrix per user journey, with total dwell time
+    per edge. This is the funnel diagnostic behind stream_funnel_state:
+    which step users actually take next, and how long they linger. The
+    reference has nothing like it; any product analytics workload does.
+
+    Plan: ONE window shuffle on user_id serves both lag()s (shared
+    window spec → a single Window node), then a transition-matrix-sized
+    hash aggregate (|event_types|² rows — tiny at any corpus scale, so
+    the second exchange carries effectively nothing). Per-user skew is
+    the window hazard at 100 TB; a mega-user's partition sorts alone,
+    which AQE cannot split — the mitigation is the time-bucket salt
+    documented in operators/asof.py, with boundary rows carried over."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            F.col("event_type").alias("curr_type"),
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap_us"),
+        )
+        .groupBy("prev_type", "curr_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+    )

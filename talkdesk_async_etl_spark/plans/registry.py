@@ -77,7 +77,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
 #      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
 #      audio/resize multimodal ids.
-#   2. The 25 ids new in round 6 (scan_corrupt_recovery,
+#   2. The 28 ids new in round 6 (window_event_transitions,
+#      agg_cohort_retention, agg_histogram, scan_corrupt_recovery,
 #      scan_schema_evolution, sink_compaction_ok, sample_shuffle_shards,
 #      stream_interval_join,
 #      sim_kmeans_inertia_ok, text_pack_sequences, text_lang_quota,
@@ -93,8 +94,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   3. The 2 ids whose last driver row is round 2 (scan_parquet,
 #      agg_approx_distinct — they ceded round-5 slots; rotation debt
 #      now repaid).
-#   4. 7 of the 41 ids last attested in round 4, oldest tier first.
-# The remaining 34 round-4 ids don't fit (134 registered ids > 50
+#   4. 4 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 37 round-4 ids don't fit (137 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -137,6 +138,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # invariant companions whose equivalence claims are re-proven every
 # pytest run at two SFs while their subject ops' signature/matmul
 # surfaces stay exercised by the in-window dedup and sim families),
+# three ids displaced by the analytics batch (sim_topk_cosine — the
+# in-window sim_ivf_recall recomputes the identical brute-force
+# cosine top-k internally as its recall denominator, so the exact
+# path still executes under a driver row; dedup_near_jaccard — the
+# same shingle/Jaccard core runs inside the in-window
+# dedup_incremental_jaccard over corpus∪batch, and the r5-green
+# dedup_lsh_containment re-proves LSH ⊆ exact-pairs every pytest run;
+# dedup_exact — a single dropDuplicates/groupBy whose surface runs
+# inside the in-window cdc_latest_wins key-resolution and whose
+# streaming twin test_stream_dedup_bounded_state re-attests each run),
 # window_topk_per_group (its
 # WindowGroupLimit plan property is pinned by test_plans, its ranking
 # surface by the in-window window_rank_family, and the new in-window
@@ -167,6 +178,9 @@ _PRIORITY = (
     "multimodal_audio_ok",
     "multimodal_resize_ok",
     # --- new in round 6 ---
+    "window_event_transitions",
+    "agg_cohort_retention",
+    "agg_histogram",
     "scan_corrupt_recovery",
     "scan_schema_evolution",
     "sink_compaction_ok",
@@ -195,11 +209,8 @@ _PRIORITY = (
     # --- last driver row round 2 ---
     "scan_parquet",
     "agg_approx_distinct",
-    # --- last driver row round 4 (7 of 41; rest defer to r7) ---
-    "dedup_exact",
-    "dedup_near_jaccard",
+    # --- last driver row round 4 (4 of 41; rest defer to r7) ---
     "dedup_components",
-    "sim_topk_cosine",
     "sim_ivf_recall",
     "tpch_q1",
     "tpch_q3",

@@ -939,3 +939,64 @@ def test_shuffle_shards_partition_the_corpus(spark):
     for r in rows:
         assert r.first_pos <= r.last_pos
         assert r.first_pos.startswith(r.shard) and r.last_pos.startswith(r.shard)
+
+
+def test_event_transitions_account_for_every_nonfirst_event(spark):
+    """Structural invariant the hash can't see alone: each user's first
+    event has no predecessor, so transition count == events − users;
+    every gap is non-negative (the order really was time-ascending)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.windows import window_event_transitions
+
+    out = window_event_transitions(spark, SF_SMALL).collect()
+    ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in out) == n_events - n_users
+    assert all(r.total_gap_us >= 0 for r in out)
+
+
+def test_cohort_retention_week_zero_is_full_cohort(spark):
+    """Every user is by definition active in their first week, so the
+    offset-0 cell of each cohort equals the cohort's size, offsets are
+    non-negative, and cohort sizes sum to the distinct user count."""
+    import os
+
+    from talkdesk_async_etl_spark.operators.stats import agg_cohort_retention
+
+    rows = agg_cohort_retention(spark, SF_SMALL).collect()
+    ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    assert all(r.week_offset >= 0 for r in rows)
+    zero = {r.cohort_week: r.active_users for r in rows if r.week_offset == 0}
+    later = {
+        (r.cohort_week, r.week_offset): r.active_users
+        for r in rows
+        if r.week_offset > 0
+    }
+    assert sum(zero.values()) == ev.select("user_id").distinct().count()
+    # retention can never exceed the cohort's size
+    assert all(n <= zero[cw] for (cw, _), n in later.items())
+
+
+def test_histogram_covers_all_rows_in_range(spark):
+    """Bucket counts partition the table: they sum to the row count,
+    every bucket index is in [0, 16), and the extreme values land in
+    the extreme buckets (min → 0, max → 15)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.stats import _HIST_BUCKETS, agg_histogram
+
+    rows = agg_histogram(spark, SF_SMALL).collect()
+    ev = spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert all(0 <= r.bucket < _HIST_BUCKETS for r in rows)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, set()).add(r.bucket)
+    for buckets in by_type.values():
+        assert 0 in buckets and (_HIST_BUCKETS - 1) in buckets

@@ -129,6 +129,7 @@ _HEADLINE_R6 = (
     "window_event_transitions",
     "agg_cohort_retention",
     "agg_histogram",
+    "sim_knn_label_vote",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

@@ -65,15 +65,11 @@ _TOPK_ORACLE = f"""
 """
 
 
-@query("sim_topk_cosine", oracle=_TOPK_ORACLE, tags=("similarity",))
-def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 baseline: exact top-10 cosine neighbors for query vectors
-    vec_id < 5. The query side is broadcast (it is tiny by
-    construction); the corpus is scanned once with JVM-side
-    ``zip_with`` dot products; ranking is a window over q_id with a
-    deterministic vec_id tie-break."""
-    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", _as_double("embedding").alias("v"))
-    # Persist (scoped): the query and corpus sides both read this.
+def exact_topk_neighbors(emb: DataFrame) -> DataFrame:
+    """Tie-broken exact cosine top-k over an ``(vec_id, v)`` frame:
+    ``(q_id, neighbor_id, sim, rank)`` for the ``vec_id < _N_QUERIES``
+    query set. The shared core of sim_topk_cosine (which reports it)
+    and sim_knn_label_vote (which votes over it)."""
     with_norm = scoped_persist(emb.withColumn("norm", _norm("v")))
     q = with_norm.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
@@ -90,7 +86,20 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank")
+        .select("q_id", "neighbor_id", "sim", "rank")
+    )
+
+
+@query("sim_topk_cosine", oracle=_TOPK_ORACLE, tags=("similarity",))
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 baseline: exact top-10 cosine neighbors for query vectors
+    vec_id < 5. The query side is broadcast (it is tiny by
+    construction); the corpus is scanned once with JVM-side
+    ``zip_with`` dot products; ranking is a window over q_id with a
+    deterministic vec_id tie-break."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", _as_double("embedding").alias("v"))
+    return exact_topk_neighbors(emb).select(
+        "q_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rank"
     )
 
 
@@ -620,3 +629,80 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.expr(f"round({terms}, 6)").alias(f"p{j}"))
     return emb.select("vec_id", *cols)
+
+
+_KNN_ORACLE = f"""
+    WITH topk AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) DESC,
+                                c.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rank <= {_TOP_K}
+    ),
+    pred AS (
+        SELECT q_id, n_label AS pred_label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY count(*) DESC, n_label ASC) AS rn
+        FROM (SELECT t.q_id, e.label AS n_label
+              FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id)
+        GROUP BY q_id, n_label
+    )
+    SELECT CAST(g.label AS BIGINT) AS true_label,
+           CAST(p.pred_label AS BIGINT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_queries
+    FROM pred p JOIN embeddings g ON g.vec_id = p.q_id
+    WHERE p.rn = 1 GROUP BY true_label, pred_label
+"""
+
+
+@query("sim_knn_label_vote", oracle=_KNN_ORACLE, tags=("similarity", "labels"))
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 depth: kNN label propagation — classify each query vector by
+    majority vote over its exact top-k cosine neighbors' labels and
+    report the confusion matrix (true_label, pred_label, n_queries).
+    This is the primitive behind classifier-label spreading in curation
+    pipelines (score a small seed set, propagate to neighbors) and it
+    is the first consumer of the fixture's ``embeddings.label`` column.
+
+    Fully deterministic → exact hash-check: the neighbor set is the
+    tie-broken exact_topk_neighbors core (shared with sim_topk_cosine),
+    and vote ties break by (count DESC, label ASC) on both engines.
+
+    Scale shape: the corpus never shuffles — the top-k table is
+    queries×k rows, so BOTH label joins broadcast the tiny side into a
+    corpus scan, and the vote/confusion aggregates act on queries×k /
+    queries rows. With the ANN candidates (sim_topk_ivf) swapped in
+    for the exact core, the same plan classifies at index speed."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v"), "label"
+    )
+    labels = emb.select("vec_id", "label")
+    topk = exact_topk_neighbors(emb.select("vec_id", "v"))
+    votes = labels.join(
+        F.broadcast(topk.select("q_id", "neighbor_id")),
+        labels.vec_id == F.col("neighbor_id"),
+    ).select("q_id", F.col("label").alias("n_label"))
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.groupBy("q_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        labels.join(F.broadcast(pred), labels.vec_id == F.col("q_id"))
+        .groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count("*").alias("n_queries"))
+    )

@@ -77,7 +77,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
 #      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
 #      audio/resize multimodal ids.
-#   2. The 28 ids new in round 6 (window_event_transitions,
+#   2. The 29 ids new in round 6 (sim_knn_label_vote,
+#      window_event_transitions,
 #      agg_cohort_retention, agg_histogram, scan_corrupt_recovery,
 #      scan_schema_evolution, sink_compaction_ok, sample_shuffle_shards,
 #      stream_interval_join,
@@ -94,8 +95,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   3. The 2 ids whose last driver row is round 2 (scan_parquet,
 #      agg_approx_distinct — they ceded round-5 slots; rotation debt
 #      now repaid).
-#   4. 4 of the 41 ids last attested in round 4, oldest tier first.
-# The remaining 37 round-4 ids don't fit (137 registered ids > 50
+#   4. 3 of the 41 ids last attested in round 4, oldest tier first.
+# The remaining 38 round-4 ids don't fit (138 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -148,6 +149,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # dedup_exact — a single dropDuplicates/groupBy whose surface runs
 # inside the in-window cdc_latest_wins key-resolution and whose
 # streaming twin test_stream_dedup_bounded_state re-attests each run),
+# tpch_q1 (displaced by sim_knn_label_vote: the single-table
+# scan+aggregate shape is the suite's most-covered surface — the
+# flagship agg_conditional_sum is t1-smoked every round and the
+# in-window TPC-H ids aggregate over deeper plans — and q1 itself is
+# re-proven by oracle parity every pytest run),
 # window_topk_per_group (its
 # WindowGroupLimit plan property is pinned by test_plans, its ranking
 # surface by the in-window window_rank_family, and the new in-window
@@ -178,6 +184,7 @@ _PRIORITY = (
     "multimodal_audio_ok",
     "multimodal_resize_ok",
     # --- new in round 6 ---
+    "sim_knn_label_vote",
     "window_event_transitions",
     "agg_cohort_retention",
     "agg_histogram",
@@ -209,10 +216,9 @@ _PRIORITY = (
     # --- last driver row round 2 ---
     "scan_parquet",
     "agg_approx_distinct",
-    # --- last driver row round 4 (4 of 41; rest defer to r7) ---
+    # --- last driver row round 4 (3 of 41; rest defer to r7) ---
     "dedup_components",
     "sim_ivf_recall",
-    "tpch_q1",
     "tpch_q3",
 )
 

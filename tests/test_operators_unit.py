@@ -1000,3 +1000,17 @@ def test_histogram_covers_all_rows_in_range(spark):
         by_type.setdefault(r.event_type, set()).add(r.bucket)
     for buckets in by_type.values():
         assert 0 in buckets and (_HIST_BUCKETS - 1) in buckets
+
+
+def test_knn_label_vote_predicts_once_per_query(spark):
+    """The confusion matrix must account for every query exactly once,
+    with predictions drawn from the real label vocabulary."""
+    import os
+
+    from talkdesk_async_etl_spark.operators.similarity import _N_QUERIES, sim_knn_label_vote
+
+    rows = sim_knn_label_vote(spark, SF_SMALL).collect()
+    assert sum(r.n_queries for r in rows) == _N_QUERIES
+    emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    labels = {r[0] for r in emb.select("label").distinct().collect()}
+    assert all(r.pred_label in labels and r.true_label in labels for r in rows)

@@ -75,3 +75,62 @@ def get_or_create(spark: SparkSession | None = None) -> SparkSession:
         return spark
     active = SparkSession.getActiveSession()
     return active if active is not None else build_session()
+
+
+def cluster_conf(target_shuffle_partitions: int = 4000) -> dict[str, str]:
+    """The conf set the engine ships to a REAL cluster (the 100 TB /
+    ~1000-executor target this repo designs for) — the concrete form of
+    SCALING.md's local-vs-cluster deltas. Pass through ``build_session
+    (extra_conf=cluster_conf())`` on a cluster master; harmless-but-
+    pointless locally (the local profile pins partitions to cores
+    instead).
+
+    Rationale per knob:
+
+    - shuffle.partitions + AQE initialPartitionNum start HIGH (4000 ≈
+      4× executor cores for 1000 × 4-core executors): AQE coalesces
+      down to ~advisory size after seeing real map output, but it can
+      never split an initial partition that was too coarse — so the
+      only safe error is too many.
+    - advisoryPartitionSizeInBytes 128m: the post-coalesce target;
+      keeps reducer input comfortably under executor memory with room
+      for hash tables.
+    - files.maxPartitionBytes 256m: scan tasks sized so a 100 TB scan
+      is ~400k tasks, amortizing scheduling overhead without starving
+      parallelism; parquet row groups stay intact.
+    - skewJoin on (factor 5 / 256m threshold defaults): AQE splits
+      moderately skewed join partitions at runtime; EXTREME single-key
+      skew still wants the explicit salted join (join_skew_salted).
+    - autoBroadcastJoinThreshold 64m: dimensions meaningfully larger
+      than the 10m default still beat a 100 TB fact shuffle when
+      broadcast; executors at this scale have the headroom.
+    - dynamicAllocation + shuffleTracking: fan-out stages (connector
+      ingest, per-partition asyncio loops) idle between waves; release
+      executors without an external shuffle service.
+    - Kryo: the pipeline's dataclass rows and numpy-free operator
+      closures serialize fine on Kryo and it halves shuffle bytes for
+      the few non-Tungsten paths (RDD-free engine → mostly moot, but
+      free).
+    - maxResultSize 4g: the engine collects only bounded sets
+      (SURVEY §1.3), but a 1000-partition TakeOrderedAndProject merge
+      of wide rows can brush the 1g default.
+    """
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            target_shuffle_partitions
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(target_shuffle_partitions),
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.driver.maxResultSize": "4g",
+    }

@@ -590,3 +590,24 @@ def test_merge_store_upsert_semantics_simulated(spark):
     assert reopened["status"] == "RUNNING" and reopened["from_date"] == "2024-01-03"
     assert reopened["end_time"] is None
     assert reopened["success_count"] is None and reopened["failed_count"] is None
+
+
+def test_cluster_conf_shape():
+    """The cluster profile must keep the scale invariants the local
+    profile can't express: a high initial shuffle-partition count that
+    AQE coalesces (never the other way), bounded scan-task bytes, and
+    the AQE trio on."""
+    from talkdesk_async_etl_spark.session import cluster_conf
+
+    c = cluster_conf()
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert c["spark.sql.adaptive.coalescePartitions.enabled"] == "true"
+    assert c["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert int(c["spark.sql.shuffle.partitions"]) >= 1000
+    assert (
+        c["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]
+        == c["spark.sql.shuffle.partitions"]
+    )
+    assert c["spark.sql.files.maxPartitionBytes"].endswith("m")
+    # parameterization respected
+    assert cluster_conf(8000)["spark.sql.shuffle.partitions"] == "8000"

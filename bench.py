@@ -130,6 +130,9 @@ _HEADLINE_R6 = (
     "agg_cohort_retention",
     "agg_histogram",
     "sim_knn_label_vote",
+    # sixth batch (the KLL/theta sketch ids are invariants — excluded)
+    "agg_profile_columns",
+    "dedup_levenshtein",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

@@ -1104,3 +1104,86 @@ def dedup_incremental_lsh_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_pairs, missing == 0 and extra == 0)],
         "n_pairs long, matches_exact boolean",
     )
+
+
+# Edit-distance near-dup: short-field entity resolution. The length
+# band is a TRUE blocking key for the threshold below: same-band docs
+# differ by < _LEV_BAND chars, and cross-band pairs with dist <= 48
+# can only hide across one boundary — production runs the standard
+# two offset bandings (bkt and bkt+band/2) to close that; the oracle
+# mirrors the single banding so semantics stay hash-checkable.
+_LEV_MAX_CHARS = 256
+_LEV_BAND = 32
+_LEV_THRESHOLD = 48
+
+_LEVENSHTEIN_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, lang, n_chars // {_LEV_BAND} AS bkt
+        FROM documents
+        WHERE n_chars <= {_LEV_MAX_CHARS} AND strlen(text) = length(text)
+    )
+    SELECT a.doc_id AS doc_a, x.doc_id AS doc_b,
+           CAST(levenshtein(a.text, x.text) AS BIGINT) AS edit_dist
+    FROM d a JOIN d x
+      ON a.lang = x.lang AND a.bkt = x.bkt AND a.doc_id < x.doc_id
+    WHERE levenshtein(a.text, x.text) <= {_LEV_THRESHOLD}
+"""
+
+
+@query("dedup_levenshtein", oracle=_LEVENSHTEIN_ORACLE, tags=("dedup", "editdist"))
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs over short documents —
+    the entity-resolution flavor of dedup (titles, names, short
+    records) where character edits, not shingle overlap, define
+    similarity. Both engines implement classic Wagner-Fischer
+    Levenshtein, so the pair set AND the distances hash-match exactly.
+
+    Plan: block on (lang, 32-char length band) — an admissible prune,
+    since edit distance >= length difference — then equality-join
+    within blocks and score each candidate with Spark's THRESHOLDED
+    ``levenshtein(l, r, k)``, which runs the banded O(k·n) DP and
+    bails to -1 past k instead of filling the O(n·m) matrix. At
+    100 TB on short fields the block sizes are bounded by the key
+    cardinality; for skewed blocks apply the same hot-bucket cap as
+    the LSH family (_bucket_lists) before pairing. Long-document
+    near-dup belongs to the minhash/winnow operators, not here.
+
+    The oracle twin is restricted to single-byte text on BOTH sides
+    (octet_length = char_length): Spark's levenshtein counts CODE
+    POINTS while DuckDB's counts BYTES, so they diverge on multi-byte
+    UTF-8 ('café' vs 'cafe' is 1 in Spark, 2 in DuckDB —
+    test_levenshtein_semantics_pin_cross_engine pins both). Spark's
+    codepoint semantics are the ones a production caller gets on
+    unrestricted text."""
+    d = (
+        t(spark, sf_dir, "documents", spread=True)
+        .where(
+            (F.col("n_chars") <= _LEV_MAX_CHARS)
+            & (F.octet_length("text") == F.char_length("text"))
+        )
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.expr(f"CAST(n_chars div {_LEV_BAND} AS BIGINT)").alias("bkt"),
+        )
+    )
+    a, x = d.alias("a"), d.alias("x")
+    return (
+        a.join(
+            x,
+            on=[
+                F.col("a.lang") == F.col("x.lang"),
+                F.col("a.bkt") == F.col("x.bkt"),
+                F.col("a.doc_id") < F.col("x.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("x.doc_id").alias("doc_b"),
+            F.expr(f"levenshtein(a.text, x.text, {_LEV_THRESHOLD})")
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _LEV_THRESHOLD))
+    )

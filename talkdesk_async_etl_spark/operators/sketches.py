@@ -1,0 +1,207 @@
+"""Mergeable Apache Datasketches operators: KLL quantile sketches and
+theta distinct-count set algebra.
+
+Extends SURVEY.md §2.4's aggregate surface (the reference only counts
+and sums its monitoring rows, databricks/talkdesk_databricks_etl.py:
+191-200) with the two sketch families a 100 TB pipeline standardizes
+on beyond HLL (stats.py agg_hll_sketch_ok):
+
+- **KLL** replaces exact percentiles where A10's ``percentile`` state
+  is value-set-sized: sketch state is O(k log n) bytes regardless of
+  row count, partial sketches merge associatively (map-side combine,
+  per-batch rollup without rescanning history), and the rank error is
+  bounded (~1.65% at the default k=200).
+- **Theta** replaces exact COUNT DISTINCT where set ALGEBRA is needed:
+  unlike HLL, theta sketches support intersection and difference, so
+  "users who did A but not B" over billions of ids needs only two
+  KB-sized sketches — never a distinct-join.
+
+Both queries are invariant companions in the agg_hll_sketch_ok
+pattern: the oracle pins the EXACT counts (real, hash-checked values
+DuckDB recomputes) plus constant-TRUE tolerance flags; a sketch
+update/merge/estimate bug flips a flag → driver hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+# KLL default k=200 → ~1.65% single-sided rank error at 99% confidence;
+# 5% is 3x that. The check is on RANKS (the quantity KLL bounds), not
+# on quantile VALUES (which carry no distribution-free guarantee).
+_KLL_RANK_TOL = 0.05
+
+
+@query(
+    "agg_kll_quantiles_ok",
+    oracle="""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+               (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                FROM events) AS n_groups,
+               CAST(1 AS BOOLEAN) AS groups_p50_ok,
+               CAST(1 AS BOOLEAN) AS merged_p50_ok,
+               CAST(1 AS BOOLEAN) AS merged_p90_ok
+    """,
+    tags=("agg", "sketch", "invariant"),
+)
+def agg_kll_quantiles_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Datasketches KLL,
+    ``kll_sketch_agg_double``/``kll_merge_agg_double``): sketch the
+    event-value distribution per event type, MERGE the per-group
+    sketches into an overall sketch — never re-touching raw values —
+    and attest that every estimated quantile's true rank is within
+    ±5% of its target rank.
+
+    The attestation recomputes each estimate's exact rank with one
+    extra pass (fraction of values <= estimate): per-group estimates
+    broadcast-join back onto the fact scan; the merged estimates ride
+    a 1-row broadcast cross join. That exact pass is the expensive
+    path the sketch replaces — at 100 TB only the sketch pipeline
+    runs: per-partition KLL state is ~KBs, the shuffle moves sketches
+    instead of doubles, and per-batch sketches roll up incrementally
+    (merge 365 daily sketches instead of rescanning a year)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    per = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = per.agg(
+        F.expr("kll_merge_agg_double(sk)").alias("msk"),
+        F.count("*").alias("n_groups"),
+    ).select(
+        F.expr("kll_sketch_get_quantile_double(msk, 0.5)").alias("m50"),
+        F.expr("kll_sketch_get_quantile_double(msk, 0.9)").alias("m90"),
+        "n_groups",
+    )
+    # Exact rank of each per-group p50 estimate, via broadcast join of
+    # the |groups|-row estimate relation onto the fact scan.
+    per_est = per.select(
+        "event_type",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("e50"),
+    )
+    groups_ok = (
+        ev.join(F.broadcast(per_est), "event_type")
+        .groupBy("event_type")
+        .agg(F.avg((F.col("value") <= F.col("e50")).cast("double")).alias("r50"))
+        .agg(
+            F.bool_and(F.abs(F.col("r50") - 0.5) <= _KLL_RANK_TOL).alias(
+                "groups_p50_ok"
+            )
+        )
+    )
+    # Exact ranks of the merged estimates, via 1-row broadcast.
+    merged_ok = (
+        ev.crossJoin(F.broadcast(merged))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.max("n_groups").alias("n_groups"),
+            F.avg((F.col("value") <= F.col("m50")).cast("double")).alias("r50"),
+            F.avg((F.col("value") <= F.col("m90")).cast("double")).alias("r90"),
+        )
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_groups").cast("long").alias("n_groups"),
+            (F.abs(F.col("r50") - 0.5) <= _KLL_RANK_TOL).alias("merged_p50_ok"),
+            (F.abs(F.col("r90") - 0.9) <= _KLL_RANK_TOL).alias("merged_p90_ok"),
+        )
+    )
+    return merged_ok.crossJoin(F.broadcast(groups_ok)).select(
+        "n_rows", "n_groups", "groups_p50_ok", "merged_p50_ok", "merged_p90_ok"
+    )
+
+
+# Theta default lgK=12 (4096 retained hashes) → ~1.6% rse in estimation
+# mode; below 4096 distinct values the sketch is EXACT. Intersection /
+# difference errors are bounded relative to the UNION size (the
+# Datasketches guidance), so every flag tolerates 5% of |A ∪ B|.
+_THETA_TOL = 0.05
+
+
+@query(
+    "agg_theta_sketch_ok",
+    oracle="""
+        WITH s AS (
+            SELECT count(DISTINCT CASE WHEN o_orderstatus = 'F'
+                                       THEN o_custkey END) AS a,
+                   count(DISTINCT CASE WHEN o_orderstatus = 'O'
+                                       THEN o_custkey END) AS b,
+                   count(DISTINCT CASE WHEN o_orderstatus IN ('F', 'O')
+                                       THEN o_custkey END) AS u
+            FROM orders
+        )
+        SELECT CAST(a AS BIGINT) AS exact_a,
+               CAST(b AS BIGINT) AS exact_b,
+               CAST(u AS BIGINT) AS exact_union,
+               CAST(a + b - u AS BIGINT) AS exact_inter,
+               CAST(u - b AS BIGINT) AS exact_diff,
+               CAST(1 AS BOOLEAN) AS a_ok,
+               CAST(1 AS BOOLEAN) AS b_ok,
+               CAST(1 AS BOOLEAN) AS union_ok,
+               CAST(1 AS BOOLEAN) AS inter_ok,
+               CAST(1 AS BOOLEAN) AS diff_ok
+        FROM s
+    """,
+    tags=("agg", "sketch", "invariant"),
+)
+def agg_theta_sketch_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (``theta_sketch_agg`` +
+    ``theta_union``/``theta_intersection``/``theta_difference``):
+    sketch the customer sets behind finished ('F') and open ('O')
+    orders in ONE scan, then estimate |A|, |B|, |A ∪ B|, |A ∩ B| and
+    |A \\ B| purely from the two sketches — attested against exact
+    counts within 5% of the union size.
+
+    The single aggregate also computes the three exact distinct counts
+    (inter/diff follow by inclusion-exclusion, so no distinct-join is
+    ever needed), making this one scan + one aggregation total. At
+    100 TB only the sketch half runs: per-partition theta state is
+    bounded by lgK regardless of cardinality, and "customers who
+    ordered in Q1 but never since" becomes a difference of two stored
+    KB-sized sketches instead of an anti-join over billions of keys."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    pre = o.where(F.col("o_orderstatus").isin("F", "O")).select(
+        "o_custkey", (F.col("o_orderstatus") == "F").alias("in_a")
+    )
+    agg = pre.agg(
+        F.expr("theta_sketch_agg(CASE WHEN in_a THEN o_custkey END)").alias("ska"),
+        F.expr("theta_sketch_agg(CASE WHEN NOT in_a THEN o_custkey END)").alias(
+            "skb"
+        ),
+        F.count_distinct(F.when(F.col("in_a"), F.col("o_custkey"))).alias(
+            "exact_a"
+        ),
+        F.count_distinct(F.when(~F.col("in_a"), F.col("o_custkey"))).alias(
+            "exact_b"
+        ),
+        F.count_distinct("o_custkey").alias("exact_union"),
+    )
+    tol = F.greatest(F.lit(1.0), F.lit(_THETA_TOL) * F.col("exact_union"))
+
+    def ok(est_sql: str, exact_col) -> F.Column:
+        return F.abs(F.expr(est_sql) - exact_col) <= tol
+
+    return agg.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+            "exact_inter"
+        ),
+        (F.col("exact_union") - F.col("exact_b")).alias("exact_diff"),
+        ok("theta_sketch_estimate(ska)", F.col("exact_a")).alias("a_ok"),
+        ok("theta_sketch_estimate(skb)", F.col("exact_b")).alias("b_ok"),
+        ok(
+            "theta_sketch_estimate(theta_union(ska, skb))", F.col("exact_union")
+        ).alias("union_ok"),
+        ok(
+            "theta_sketch_estimate(theta_intersection(ska, skb))",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_union"),
+        ).alias("inter_ok"),
+        ok(
+            "theta_sketch_estimate(theta_difference(ska, skb))",
+            F.col("exact_union") - F.col("exact_b"),
+        ).alias("diff_ok"),
+    )

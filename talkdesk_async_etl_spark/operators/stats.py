@@ -240,6 +240,130 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_profile_columns",
+    # One aggregate CTE feeds six UNION ALL projections — the SQL twin
+    # of Spark's agg + stack. Numeric min/max surface as DOUBLE (BIGINT
+    # → DOUBLE is exact at these magnitudes), strings as VARCHAR, and
+    # the timestamp column as its DATE string so no engine-specific
+    # timestamp rendering enters the hash.
+    oracle="""
+        WITH a AS (
+            SELECT count(*) AS n,
+                   count(o_orderkey) AS c1, count(DISTINCT o_orderkey) AS d1,
+                   CAST(min(o_orderkey) AS DOUBLE) AS mn1,
+                   CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+                   count(o_custkey) AS c2, count(DISTINCT o_custkey) AS d2,
+                   CAST(min(o_custkey) AS DOUBLE) AS mn2,
+                   CAST(max(o_custkey) AS DOUBLE) AS mx2,
+                   count(o_totalprice) AS c3,
+                   count(DISTINCT o_totalprice) AS d3,
+                   min(o_totalprice) AS mn3, max(o_totalprice) AS mx3,
+                   count(o_orderstatus) AS c4,
+                   count(DISTINCT o_orderstatus) AS d4,
+                   min(o_orderstatus) AS mn4, max(o_orderstatus) AS mx4,
+                   count(o_orderpriority) AS c5,
+                   count(DISTINCT o_orderpriority) AS d5,
+                   min(o_orderpriority) AS mn5, max(o_orderpriority) AS mx5,
+                   count(o_orderdate) AS c6,
+                   count(DISTINCT o_orderdate) AS d6,
+                   CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn6,
+                   CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx6
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS column_name, CAST(n - c1 AS BIGINT) AS n_nulls,
+               CAST(d1 AS BIGINT) AS n_distinct, mn1 AS min_num,
+               mx1 AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str FROM a
+        UNION ALL
+        SELECT 'o_custkey', CAST(n - c2 AS BIGINT), CAST(d2 AS BIGINT),
+               mn2, mx2, NULL, NULL FROM a
+        UNION ALL
+        SELECT 'o_totalprice', CAST(n - c3 AS BIGINT), CAST(d3 AS BIGINT),
+               mn3, mx3, NULL, NULL FROM a
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(n - c4 AS BIGINT), CAST(d4 AS BIGINT),
+               NULL, NULL, mn4, mx4 FROM a
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(n - c5 AS BIGINT), CAST(d5 AS BIGINT),
+               NULL, NULL, mn5, mx5 FROM a
+        UNION ALL
+        SELECT 'o_orderdate', CAST(n - c6 AS BIGINT), CAST(d6 AS BIGINT),
+               NULL, NULL, mn6, mx6 FROM a
+    """,
+    tags=("agg", "stats", "profiling"),
+)
+def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile — per-column null count, exact
+    distinct count, and min/max — in long format (one row per column),
+    the ``ANALYZE TABLE`` / data-quality snapshot a monitoring pipeline
+    stores per ingest batch (the reference stores only row counts per
+    report, RM:447-457; this is the per-column extension that catches
+    schema drift, null storms, and key-cardinality anomalies).
+
+    Plan: TWO aggregates over the scan, cross-joined as 1-row
+    relations. Fusing all 25 statistics into one aggregate plans the
+    six exact DISTINCTs as an Expand (×7 rows) whose partial level
+    also carries the string min/max buffers — variable-width buffers
+    force SortAggregate, so the million-row expanded relation gets
+    SORTED on a 7-column key (measured 2.6 s at sf0.1). Split, the
+    min/max/count branch sort-aggregates only the raw rows and the
+    Expand branch keeps fixed-width buffers → whole-stage HashAggregate
+    (measured 1.0 s). The stack() unpivot of the 1-row result is free.
+    At 100 TB swap the exact distincts for ``approx_count_distinct``
+    (or the mergeable HLL/theta sketches in agg_hll_sketch_ok /
+    sketches.py): that removes the Expand branch entirely; exact
+    distinct is kept here because the oracle must reproduce the
+    numbers."""
+    cols = (
+        ("o_orderkey", 1),
+        ("o_custkey", 2),
+        ("o_totalprice", 3),
+        ("o_orderstatus", 4),
+        ("o_orderpriority", 5),
+        ("o_orderdate", 6),
+    )
+    o = t(spark, sf_dir, "orders", spread=True)
+    mm = o.agg(
+        F.count("*").alias("n"),
+        *[
+            e
+            for c, i in cols
+            for e in (
+                F.count(c).alias(f"c{i}"),
+                F.min(c).alias(f"mn{i}"),
+                F.max(c).alias(f"mx{i}"),
+            )
+        ],
+    )
+    dd = o.agg(*[F.count_distinct(c).alias(f"d{i}") for c, i in cols])
+    a = mm.crossJoin(F.broadcast(dd))
+    num = "CAST(mn{i} AS DOUBLE), CAST(mx{i} AS DOUBLE), CAST(NULL AS STRING), CAST(NULL AS STRING)"
+    txt = "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn{i}, mx{i}"
+    dt = (
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+        "CAST(CAST(mn{i} AS DATE) AS STRING), CAST(CAST(mx{i} AS DATE) AS STRING)"
+    )
+    rows = ", ".join(
+        f"'{c}', CAST(n - c{i} AS BIGINT), CAST(d{i} AS BIGINT), "
+        + kind.format(i=i)
+        for c, i, kind in (
+            ("o_orderkey", 1, num),
+            ("o_custkey", 2, num),
+            ("o_totalprice", 3, num),
+            ("o_orderstatus", 4, txt),
+            ("o_orderpriority", 5, txt),
+            ("o_orderdate", 6, dt),
+        )
+    )
+    return a.select(
+        F.expr(
+            f"stack(6, {rows}) AS "
+            "(column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        )
+    )
+
+
 _HIST_BUCKETS = 16
 
 

@@ -1014,3 +1014,49 @@ def test_knn_label_vote_predicts_once_per_query(spark):
     emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
     labels = {r[0] for r in emb.select("label").distinct().collect()}
     assert all(r.pred_label in labels and r.true_label in labels for r in rows)
+
+
+def test_levenshtein_semantics_pin_cross_engine(spark):
+    """dedup_levenshtein's hash-check rests on Spark and DuckDB
+    computing the SAME edit distance. Pin the semantics both ways on
+    constructed cases — classic, empty, unicode, and the thresholded
+    variant's -1 bail-out — so an engine-side change surfaces here
+    before the driver gate.
+
+    The unicode case pins the KNOWN divergence: Spark counts code
+    points (café→cafe = 1), DuckDB counts bytes (= 2) — which is why
+    the registered query restricts its oracle twin to single-byte
+    text on both sides."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("kitten", "sitting"),  # classic: 3
+        ("", "abc"),  # insertion-only: 3
+        ("abc", "abc"),  # identical: 0
+        ("café", "cafe"),  # unicode substitution: 1
+        ("ab", "ba"),  # two substitutions (no transposition op): 2
+    ]
+    df = spark.createDataFrame(cases, "l string, r string")
+    got = {
+        (r.l, r.r): (r.d, r.dt)
+        for r in df.select(
+            "l",
+            "r",
+            F.levenshtein("l", "r").alias("d"),
+            F.expr("levenshtein(l, r, 2)").alias("dt"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for l, r in cases:
+        (want,) = con.execute("SELECT levenshtein(?, ?)", [l, r]).fetchone()
+        d, dt = got[(l, r)]
+        if (l, r) == ("café", "cafe"):
+            assert d == 1, "Spark counts code points"
+            assert want == 2, "DuckDB counts bytes"
+            continue
+        assert d == want, (l, r, d, want)
+        # thresholded form agrees below the threshold, bails to -1 above
+        assert dt == (want if want <= 2 else -1), (l, r, dt, want)
+    con.close()
+    assert got[("kitten", "sitting")][0] == 3

@@ -133,6 +133,8 @@ _HEADLINE_R6 = (
     # sixth batch (the KLL/theta sketch ids are invariants — excluded)
     "agg_profile_columns",
     "dedup_levenshtein",
+    "graph_pagerank",
+    "agg_gap_fill_daily",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

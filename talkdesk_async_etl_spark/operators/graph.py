@@ -1,0 +1,202 @@
+"""Graph analytics beyond connected components: weighted PageRank.
+
+dedup.py's ``propagate_min_labels`` (connected components) covers the
+fixpoint-iteration pattern; PageRank adds the WEIGHTED message-passing
+variant every entity/link-analysis pipeline eventually needs (seed-doc
+importance over a citation/link graph, canonical-record authority in
+entity resolution). The demonstration graph is the nation-to-nation
+trade network: supplier nation → customer nation, edge weight = number
+of lineitems flowing between them (the tpch_q7 join tree, reduced to
+an edge list).
+
+Scale shape: the iteration state is two relations — ``edges`` (src,
+dst, w, normalized once by out-weight) and ``ranks`` (node, pr) — and
+each round is ONE shuffle join of ranks onto edges plus a groupBy(dst)
+whose map-side partial combine collapses contributions before the
+exchange. The corpus-sized join tree that BUILDS the edge list runs
+once, up front. Lineage is cut with localCheckpoint on a short fixed
+cadence exactly like components: an eager per-round broadcast of an
+UNcheckpointed rank relation re-executes every round since the last
+cut — quadratic work (checkpointing every 4th round measured 8.2 s at
+sf0.1; every 2nd, 3.4 s for the 8-round loop, the best of the swept
+cadences). On a web-scale graph both relations partition by node id
+and the per-round cost is |edges| shuffle bytes, never |corpus|. Dangling-node mass (nodes with no out-edges) is dropped, the
+common simplified formulation — both the Spark and oracle formulations
+drop it identically, so the hash-check pins the exact semantics.
+
+The oracle unrolls the same fixed iteration count as nested CTEs
+(generated from the same constants), so both engines run the identical
+arithmetic: pr = (1-d)/N + d * Σ pr_src · w/outw. Per-node fan-in here
+is ≤ |nations|, and final ranks are rounded to 6 dp, far above
+double-sum association noise."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 8
+_PR_CHECKPOINT_EVERY = 2  # measured best of {1, 2, 4} at sf0.1
+
+
+def _oracle_pagerank() -> str:
+    d = _PR_DAMPING
+    ctes = [
+        """
+        edges AS (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY src, dst
+        )""",
+        """
+        outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)""",
+        """
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION SELECT dst AS node FROM edges
+            )
+        )""",
+        """
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)""",
+        """
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)""",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""
+        pr{k} AS (
+            SELECT nodes.node,
+                   (1 - {d}) / (SELECT n FROM nn)
+                       + {d} * COALESCE(c.s, 0) AS pr
+            FROM nodes
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.pr * e.w / o.ow) AS s
+                FROM pr{k - 1} p
+                JOIN edges e ON e.src = p.node
+                JOIN outw o ON o.src = p.node
+                GROUP BY e.dst
+            ) c ON c.node = nodes.node
+        )""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+        SELECT n.n_name AS nation, round(p.pr, 6) AS pagerank
+        FROM pr{_PR_ITERS} p JOIN nation n ON n.n_nationkey = p.node
+    """
+    )
+
+
+# Below this node count the per-iteration rank/contribution relations
+# broadcast (Pregel-with-broadcast: edges stream from cache, never
+# shuffle; ONE tiny exchange per round for the partial sums). Above
+# it, ranks shuffle onto the edges' persisted src-partitioning — the
+# web-scale shape where ranks are billions of rows and only the
+# node-sized relation moves per round.
+_PR_BROADCAST_NODES = 100_000
+
+
+def pagerank_from_edges(
+    edges_raw: DataFrame,
+    iters: int = _PR_ITERS,
+    damping: float = _PR_DAMPING,
+    broadcast_nodes: int = _PR_BROADCAST_NODES,
+) -> DataFrame:
+    """Weighted PageRank core over an ``(src, dst, w)`` edge list →
+    ``(node, pr)``. Callers must hold an active cache_scope. The
+    returned relation is localCheckpointed (materialized), so it stays
+    valid after the scope releases the iteration's persists.
+
+    Like propagate_min_labels, the iteration partitions for the GRAPH
+    size, not the session default — 32-partition exchanges over a few
+    hundred edges make every round scheduling-dominated (the naive
+    form measured 12.6 s at sf0.1; graph-sized partitioning + the
+    broadcast fast path runs the same 8 iterations in ~2 s)."""
+    # Normalize once: each edge carries its transition probability,
+    # so the iteration never re-joins out-weights.
+    outw = edges_raw.groupBy("src").agg(F.sum("w").alias("ow"))
+    n_edges = edges_raw.count()
+    n_parts = max(1, n_edges // 100_000 + 1)
+    edges = scoped_persist(
+        edges_raw.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .repartition(n_parts, "src")
+    )
+    nodes = scoped_persist(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+    )
+    n_nodes = nodes.count()
+    small = n_nodes <= broadcast_nodes
+
+    def j(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df.repartition(n_parts, df.columns[0])
+
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("pr")
+    ).localCheckpoint()
+    for k in range(1, iters + 1):
+        contrib = (
+            j(ranks.withColumnRenamed("node", "src"))
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("s"))
+        )
+        ranks = nodes.join(
+            j(contrib.withColumnRenamed("dst", "node")), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit((1 - damping) / n_nodes)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+        if k % _PR_CHECKPOINT_EVERY == 0 and k < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks.localCheckpoint()
+
+
+@query("graph_pagerank", oracle=_oracle_pagerank(), tags=("graph", "iterative"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier-nation → customer-nation
+    trade graph, damping 0.85, 8 fixed iterations (see module
+    docstring for the scale shape and the dangling-mass convention).
+
+    The edge build deliberately reads lineitem WITHOUT the ``spread``
+    repartition: the lineitem⋈orders shuffle join parallelizes the
+    stream side at its own exchange, so a prefixed full-table
+    repartition is a pure extra shuffle (measured 1.9 → 0.8 s at
+    sf0.1). customer and supplier are true dimensions → broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    with cache_scope():
+        edges_raw = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+            )
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        ranks = pagerank_from_edges(edges_raw)
+        return (
+            ranks.join(F.broadcast(n), ranks.node == n.n_nationkey)
+            .select(
+                F.col("n_name").alias("nation"),
+                F.round("pr", 6).alias("pagerank"),
+            )
+        )

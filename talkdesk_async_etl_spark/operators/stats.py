@@ -364,6 +364,77 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_gap_fill_daily",
+    # DuckDB's generate_series(DATE, DATE, INTERVAL) emits timestamps;
+    # cast back to DATE so both engines produce a plain date key. The
+    # per-user span endpoints are exact min/max — order-independent.
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id, day
+        ),
+        span AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS day
+            FROM span
+        )
+        SELECT g.user_id, g.day,
+               CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+    tags=("agg", "timeseries"),
+)
+def agg_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per-user daily event counts DENSIFIED over
+    each user's own [first-day, last-day] span — missing days appear
+    with an explicit 0. Every downstream rolling-window or
+    day-over-day computation (W3's moving frames, retention deltas)
+    silently mis-frames on sparse data unless gaps are materialized
+    first; this is the operator that makes them dense.
+
+    Plan: daily counts (one hash agg), then ONE more groupBy(user)
+    that collects the user's (day, count) pairs into a map alongside
+    min/max — and the dense span is emitted row-locally by exploding
+    ``sequence(d0, d1)`` against that map. The naive formulation
+    LEFT-JOINs a generated calendar grid back onto the counts, paying
+    a shuffle of the DENSE grid; here densification happens after the
+    last exchange, so shuffled bytes stay proportional to the SPARSE
+    data. Per-user state is bounded by the span length in days — for
+    multi-decade spans at 100 TB, range-bucket the span (year) first
+    so no single row carries an unbounded array."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    packed = daily.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("day", "n"))
+        ).alias("m"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    return packed.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        "m",
+    ).select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("m")[F.col("day")], F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+    )
+
+
 _HIST_BUCKETS = 16
 
 

@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.text",
     "talkdesk_async_etl_spark.operators.stats",
     "talkdesk_async_etl_spark.operators.sketches",
+    "talkdesk_async_etl_spark.operators.graph",
     "talkdesk_async_etl_spark.operators.sampling",
     "talkdesk_async_etl_spark.operators.ingest",
     "talkdesk_async_etl_spark.operators.tpch",
@@ -93,13 +94,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      join_skew_salted, cdc_latest_wins) — new ids always enter the window the
 #      round they are registered, so never-attested debt stops
 #      accruing.
-#   3. The sixth round-6 batch (agg_kll_quantiles_ok,
-#      agg_theta_sketch_ok, agg_profile_columns, dedup_levenshtein) —
-#      displacement rationale at their entries below.
-#   4. 1 of the 41 ids last attested in round 4 (tpch_q3, the deepest
-#      hash-checked join tree of that tier).
-# The r2-stale scan_parquet/agg_approx_distinct and the remaining
-# round-4 ids don't fit (142 registered ids > 50
+#   3. The sixth/seventh round-6 batches (agg_kll_quantiles_ok,
+#      agg_theta_sketch_ok, agg_profile_columns, dedup_levenshtein,
+#      graph_pagerank) — displacement rationale at their entries below.
+# The r2-stale scan_parquet/agg_approx_distinct, the remaining
+# round-4 ids, and the one deferred round-6 id (agg_gap_fill_daily,
+# which leads the r7 window) don't fit (144 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok
@@ -234,8 +234,16 @@ _PRIORITY = (
     "agg_theta_sketch_ok",
     "agg_profile_columns",
     "dedup_levenshtein",
-    # --- last driver row round 4 (1 of 41; rest defer to r7) ---
-    "tpch_q3",
+    # --- seventh round-6 batch: the window is full, so only the id
+    #     with the most novel failure surface enters now.
+    #     graph_pagerank takes the slot pencilled for tpch_q3 (an
+    #     iterative checkpointed join loop + 6dp double ranks in a
+    #     vanilla session attests far more than a third r4-green
+    #     re-attestation; q3's join tree runs in-window via
+    #     q7/q8/q18 and q3 itself re-proves in every pytest run).
+    #     agg_gap_fill_daily is the one round-6 id deferred: it
+    #     LEADS the round-7 window ahead of the r4 tier.
+    "graph_pagerank",
 )
 
 

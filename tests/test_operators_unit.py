@@ -1060,3 +1060,55 @@ def test_levenshtein_semantics_pin_cross_engine(spark):
         assert dt == (want if want <= 2 else -1), (l, r, dt, want)
     con.close()
     assert got[("kitten", "sitting")][0] == 3
+
+
+def test_pagerank_constructed_graphs(spark):
+    """Pin the PageRank core's arithmetic on graphs with known
+    solutions: a symmetric 3-cycle stays at the uniform fixpoint
+    exactly, and a 2-node chain matches the hand-iterated recurrence
+    (including the dropped-dangling-mass convention)."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.graph import pagerank_from_edges
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    cycle = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)], "src int, dst int, w double"
+    )
+    with cache_scope():
+        got = {r.node: r.pr for r in pagerank_from_edges(cycle, iters=5).collect()}
+    assert all(abs(pr - 1 / 3) < 1e-12 for pr in got.values()), got
+
+    chain = spark.createDataFrame([(0, 1, 2.0)], "src int, dst int, w double")
+    with cache_scope():
+        got = {r.node: r.pr for r in pagerank_from_edges(chain, iters=5).collect()}
+    # Hand-iterate: node 1 is dangling, so its mass is dropped each
+    # round; node 0 never receives, settling at (1-d)/2 immediately.
+    d, pr0, pr1 = 0.85, 0.5, 0.5
+    for _ in range(5):
+        pr0, pr1 = (1 - d) / 2, (1 - d) / 2 + d * pr0
+    assert abs(got[0] - pr0) < 1e-12 and abs(got[1] - pr1) < 1e-12, got
+
+
+def test_gap_fill_spans_are_dense_and_zero_filled(spark):
+    """Constructed sparse series: each user's output must cover every
+    day of their own [min, max] span exactly once, with 0 on the gap
+    days and the original counts elsewhere."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.stats import agg_gap_fill_daily
+    from tests.conftest import SF_SMALL
+
+    out = agg_gap_fill_daily(spark, SF_SMALL).collect()
+    by_user: dict[int, dict] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, {})[r.day] = r.n_events
+    assert by_user
+    for user, days in by_user.items():
+        d0, d1 = min(days), max(days)
+        span = (d1 - d0).days + 1
+        assert len(days) == span, (user, len(days), span)  # dense, no dup days
+        assert all(
+            d0 + dt.timedelta(days=i) in days for i in range(span)
+        ), user
+        assert days[d0] > 0 and days[d1] > 0, (user, "span endpoints active")

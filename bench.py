@@ -135,6 +135,9 @@ _HEADLINE_R6 = (
     "dedup_levenshtein",
     "graph_pagerank",
     "agg_gap_fill_daily",
+    # seventh batch (sink_clustered_layout_ok is an invariant — excluded)
+    "join_lateral_topn",
+    "udtf_word_chunks",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

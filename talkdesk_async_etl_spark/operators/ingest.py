@@ -215,3 +215,74 @@ def sink_compaction_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+_CLUSTER_FILES = 8
+
+
+@query(
+    "sink_clustered_layout_ok",
+    # Invariant companion: disjointness + file count are pinned, the
+    # row count and key checksum are real oracle values from the
+    # source — a clustering write that drops/duplicates rows or
+    # produces overlapping file ranges breaks the hash.
+    oracle="""
+        SELECT CAST(1 AS BOOLEAN) AS ranges_disjoint,
+               CAST(1 AS BOOLEAN) AS files_ok,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_keys
+        FROM orders
+    """,
+    tags=("sink", "layout", "invariant"),
+)
+def sink_clustered_layout_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 depth: range-CLUSTERED data layout — write orders
+    range-partitioned + sorted on ``o_custkey`` so every file owns a
+    disjoint key interval, then attest that disjointness from the
+    files actually written. This is the layout story behind partition
+    pruning's finer-grained sibling: with disjoint per-file (and
+    per-row-group) min/max, a point or range predicate on the cluster
+    key skips every non-overlapping file via parquet footer stats —
+    at 100 TB the difference between touching ~1 file and all of them.
+
+    Plan: ``repartitionByRange`` (one range exchange driven by a
+    sampled boundary estimate — the same exchange any global sort
+    pays) + ``sortWithinPartitions`` (in-partition sort, no second
+    exchange) + write. The attestation re-reads with
+    ``input_file_name()``, reduces to per-file [min, max] intervals,
+    and checks non-overlap with a single lag window over the
+    files-sized relation. Production swaps the fixed file count for
+    AQE advisory sizing and multi-key layouts for Z-/Hilbert-curve
+    encodings; single-key range clustering is the exact shape
+    ``repartitionByRange`` gives for free."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = os.path.join(tempfile.gettempdir(), "tde_clustered")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        o.repartitionByRange(_CLUSTER_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(out)
+    )
+    back = spark.read.parquet(out)
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("o_custkey").alias("lo"),
+        F.max("o_custkey").alias("hi"),
+        F.count("*").alias("n"),
+        F.sum("o_custkey").alias("s"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("lo", "f")
+    flagged = per_file.select(
+        "n",
+        "s",
+        (F.lag("hi").over(w) < F.col("lo")).alias("disjoint_from_prev"),
+    )
+    return flagged.agg(
+        F.coalesce(F.bool_and("disjoint_from_prev"), F.lit(True)).alias(
+            "ranges_disjoint"
+        ),
+        (F.count("*") <= _CLUSTER_FILES).alias("files_ok"),
+        F.sum("n").alias("n_rows"),
+        F.sum("s").alias("sum_keys"),
+    )

@@ -1232,3 +1232,49 @@ def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.sum("version").cast("long").alias("version_sum"),
     )
+
+
+@query(
+    "join_lateral_topn",
+    # DuckDB runs the genuine correlated LATERAL; both sides order by
+    # (acctbal DESC, custkey) so ties cannot flip membership or order.
+    oracle="""
+        SELECT n.n_name AS nation, c.c_custkey AS custkey,
+               c.c_acctbal AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) c
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-depth: correlated LATERAL join — for every nation, the top-2
+    customers by account balance, expressed as a per-row correlated
+    subquery via Spark 4's ``DataFrame.lateralJoin`` (the DataFrame
+    face of SQL ``LATERAL``). The window formulation (W4
+    window_topk_per_group) covers the uniform-top-N case; LATERAL is
+    the general tool when the inner query differs per outer row
+    (per-row limits, per-row predicates, table functions).
+
+    Plan note: Catalyst decorrelates this into a join + per-key limit
+    (WindowGroupLimit-style) rather than executing one subquery per
+    outer row — the declarative form keeps the 100 TB path open: a
+    naive per-row re-scan of customer would be O(|nation| · |customer|);
+    the decorrelated plan is one shuffle of each side."""
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    inner = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return n.lateralJoin(inner).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )

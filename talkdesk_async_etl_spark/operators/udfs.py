@@ -91,3 +91,76 @@ def udaf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(
         _cust_stats, schema="o_custkey bigint, n_orders bigint, price_spread double"
     )
+
+
+_UDTF_CHUNK = 16
+
+
+@F.udtf(returnType="chunk_idx int, chunk_text string, n_words int")
+class _WordChunkUDTF:
+    """Python UDTF: split a document into fixed 16-word chunks.
+
+    Semantically a non-overlapping cousin of text_chunk's JVM-side
+    sliding windows — it exists to pin Spark 4's Python UDTF machinery
+    (register → LATERAL correlate → multi-row/multi-column yield)
+    against a relational oracle, not to replace the built-in form.
+    """
+
+    def eval(self, text: str):  # noqa: D102 — interface method
+        if text is None:
+            return
+        words = [w for w in text.split(" ") if w]
+        for i in range(0, (len(words) + _UDTF_CHUNK - 1) // _UDTF_CHUNK):
+            chunk = words[i * _UDTF_CHUNK : (i + 1) * _UDTF_CHUNK]
+            yield i, " ".join(chunk), len(chunk)
+
+
+@query(
+    "udtf_word_chunks",
+    # DuckDB rebuilds the same chunks relationally: words array →
+    # correlated range() over the chunk count → 1-based list slice.
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / {_UDTF_CHUNK}.0)
+                                        AS BIGINT))) AS idx
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(idx AS INTEGER) AS chunk_idx,
+               array_to_string(
+                   ws[idx * {_UDTF_CHUNK} + 1 : (idx + 1) * {_UDTF_CHUNK}], ' '
+               ) AS chunk_text,
+               CAST(least({_UDTF_CHUNK}, len(ws) - idx * {_UDTF_CHUNK})
+                    AS INTEGER) AS n_words
+        FROM e
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 completion: a REAL Python UDTF (table function) — one
+    input row yields many output rows with a typed multi-column
+    schema — registered and consumed through SQL ``LATERAL``, the
+    UDTF's native call form.
+
+    Policy note: the UDTF API is row-at-a-time by design, so this is a
+    demonstrator of the API surface, not a hot-path pattern — the
+    production form of this exact computation is text_chunk's in-scan
+    ``sequence``/``slice``/``explode`` (JVM-side, zero Python). When a
+    UDTF is genuinely needed at scale (logic only expressible in
+    Python), enable Arrow transport
+    (``spark.sql.execution.pythonUDTF.arrow.enabled``) so batches
+    cross the boundary columnar instead of pickled row-by-row."""
+    spark.udtf.register("tde_word_chunks", _WordChunkUDTF)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM udtf_docs d, LATERAL tde_word_chunks(d.text) c
+        """
+    )

@@ -138,6 +138,8 @@ _HEADLINE_R6 = (
     # seventh batch (sink_clustered_layout_ok is an invariant — excluded)
     "join_lateral_topn",
     "udtf_word_chunks",
+    "scan_recursive_cte",
+    "scalar_variant_json",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

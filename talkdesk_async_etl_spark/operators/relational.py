@@ -1278,3 +1278,57 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey"),
         F.col("c_acctbal").alias("acctbal"),
     )
+
+
+_RECURSIVE_ORACLE = """
+    WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+        SELECT doc_id, doc_id, 0 FROM documents
+        UNION ALL
+        SELECT doc_id, anc_id // 10, depth + 1 FROM anc WHERE anc_id >= 10
+    )
+    SELECT doc_id,
+           CAST(max(depth) AS INTEGER) AS depth,
+           CAST(min(anc_id) FILTER (WHERE anc_id < 10) AS BIGINT) AS root_id,
+           CAST(sum(anc_id) AS BIGINT) AS path_sum
+    FROM anc GROUP BY doc_id
+"""
+
+
+@query("scan_recursive_cte", oracle=_RECURSIVE_ORACLE, tags=("scan", "recursive"))
+def scan_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-depth: Spark 4 recursive CTE (``WITH RECURSIVE``) — the
+    declarative form of the hierarchy walk / recursive rollup
+    (org chart, category tree, bill of materials) that previously
+    required a driver-side DataFrame loop (dedup.py's
+    propagate_min_labels). The hierarchy here is derived from the data
+    itself (parent = doc_id div 10, a forest rooted at the one-digit
+    ids), so both engines recurse over identical, acyclic chains and
+    every per-doc rollup (depth, root, path checksum) hash-matches.
+
+    Scale + semantics notes: Spark supports UNION ALL recursion only
+    (verified: UNION-dedup recursion raises
+    UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the recursion must be
+    ACYCLIC with per-row termination — exactly the hierarchy-walk
+    shape; cyclic graph closure (components) stays on the iterative
+    checkpointed loop, which dedups its frontier each round. Each
+    recursion level is one join pass over the previous level; total
+    rows = Σ chain lengths (≤ digits(doc_id) per doc). The level and
+    row caps (``spark.sql.cteRecursionLevelLimit`` 100,
+    ``spark.sql.cteRecursionRowLimit`` 1M — raise the latter for real
+    hierarchies) bound runaway recursion at 100 TB."""
+    t(spark, sf_dir, "documents").createOrReplaceTempView("rec_documents")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+            SELECT doc_id, doc_id, 0 FROM rec_documents
+            UNION ALL
+            SELECT doc_id, anc_id DIV 10, depth + 1 FROM anc WHERE anc_id >= 10
+        )
+        SELECT doc_id,
+               CAST(max(depth) AS INT) AS depth,
+               CAST(min(CASE WHEN anc_id < 10 THEN anc_id END) AS BIGINT)
+                   AS root_id,
+               CAST(sum(anc_id) AS BIGINT) AS path_sum
+        FROM anc GROUP BY doc_id
+        """
+    )

@@ -252,3 +252,39 @@ def scalar_string_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("lang").alias("lang_upper"),
         F.trim(F.col("source")).alias("source_trim"),
     )
+
+
+@query(
+    "scalar_variant_json",
+    # DuckDB has no VARIANT; its JSON extraction is the semantic twin.
+    oracle="""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY k
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-depth: the Spark 4 VARIANT path for semi-structured data —
+    ``parse_json`` once into a binary VARIANT, then typed
+    ``variant_get`` extraction — vs scalar_json_extract's string-level
+    ``get_json_object``. At 100 TB this is the difference that
+    matters: VARIANT parses each JSON document ONCE into a shredded
+    binary encoding (and stores that way in parquet), so N extractions
+    cost one parse + N cheap binary probes, where get_json_object
+    re-parses the string per call. The aggregate shape is the standard
+    group-on-extracted-key rollup."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    return (
+        ev.select(
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

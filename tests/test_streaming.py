@@ -295,3 +295,54 @@ def test_stateful_funnel_matches_batch_twin(spark):
     assert not mismatches, dict(list(mismatches.items())[:3])
     # non-vacuity: the fixture must exercise both funnel outcomes
     assert any(v[2] for v in want.values()) and not all(v[2] for v in want.values())
+
+
+def test_stateful_running_totals_tws(spark, events_batch):
+    """transformWithStateInPandas (the Spark 4 successor state API):
+    the ValueState-based processor must converge to the same batch
+    groupBy answer as the applyInPandasWithState form.
+
+    Skips where the ``protobuf`` package is absent: the TWS
+    state-server protocol imports google.protobuf Python-side
+    (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE with
+    ImportError otherwise) — see running_user_totals_tws's docstring."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state protocol",
+    )
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.streaming.streams import running_user_totals_tws
+
+    q = run_to_memory_sink(
+        running_user_totals_tws(read_events_stream(spark, SF_SMALL)),
+        "t_state_tws",
+        "update",
+    )
+    try:
+        latest = spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) rn
+                FROM t_state_tws
+            ) WHERE rn = 1
+            """
+        )
+        got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in latest.collect()}
+        want = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in events_batch.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("tv"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        mismatch = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+        assert not mismatch, f"mismatches: {dict(list(mismatch.items())[:3])}"
+    finally:
+        q.stop()

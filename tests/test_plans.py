@@ -335,3 +335,61 @@ def test_cdc_latest_wins_pushes_group_limit(spark):
     the window shuffle carries ~|keys| rows, not the whole append log."""
     plan = plan_of(spark, "cdc_latest_wins")
     assert "WindowGroupLimit" in plan
+
+
+def test_lateral_topn_decorrelates_to_group_limit(spark):
+    """join_lateral_topn must NOT execute one inner subquery per outer
+    row: Catalyst decorrelates the correlated LATERAL into a join with
+    a per-key WindowGroupLimit. A per-row re-scan would show multiple
+    customer FileScans or a nested-loop shape."""
+    import re
+
+    plan = plan_of(spark, "join_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    # formatted output prints each node twice (tree + detail section);
+    # count detail headers for the true scan count: one per table.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_profile_distinct_branch_stays_hash_aggregated(spark):
+    """agg_profile_columns splits string min/max from the count-distinct
+    Expand precisely so the expanded relation hash-aggregates; if the
+    branches re-fuse, the variable-width buffers force a SortAggregate
+    over the ×7-expanded rows (measured 2.6 vs 2.0 s at sf0.1)."""
+    plan = plan_of(spark, "agg_profile_columns")
+    tree = plan.splitlines()
+    exp_idx = next(i for i, l in enumerate(tree) if "Expand (" in l)
+    # The node printed directly above the Expand in the tree is its
+    # consumer — the distinct-dedup aggregate. It must be hash-based.
+    assert "HashAggregate" in tree[exp_idx - 1], tree[exp_idx - 1]
+
+
+def test_levenshtein_blocks_before_scoring(spark):
+    """dedup_levenshtein must join on the (lang, length-band) block key
+    — an unconditioned self-join would be the quadratic cross product."""
+    plan = plan_of(spark, "dedup_levenshtein")
+    assert "Join" in plan and "Cross" not in plan
+    assert "levenshtein" in plan  # thresholded scoring in the plan
+
+
+def test_theta_sketch_single_scan(spark):
+    """agg_theta_sketch_ok computes both sketches and all exact counts
+    from ONE scan of orders (the CASE-WHEN single-pass shape)."""
+    import re
+
+    plan = plan_of(spark, "agg_theta_sketch_ok")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_gap_fill_densifies_after_last_exchange(spark):
+    """agg_gap_fill_daily's dense grid must be generated AFTER the
+    final shuffle (explode against the per-user map), so no Exchange
+    consumes the exploded relation."""
+    plan = plan_of(spark, "agg_gap_fill_daily")
+    # The formatted tree prints root-first, so everything printed
+    # before the Generate (the explode) is closer to the root: none of
+    # it may be an Exchange — only projections sit above densification.
+    tree = plan[: plan.index("(1) Scan")]
+    gen_at = tree.index("Generate")
+    assert "Exchange" not in tree[:gen_at], tree[:gen_at]
+    assert "Exchange" in tree[gen_at:]  # the sparse-side shuffles exist

@@ -140,6 +140,7 @@ _HEADLINE_R6 = (
     "udtf_word_chunks",
     "scan_recursive_cte",
     "scalar_variant_json",
+    "agg_unpivot_melt",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

@@ -1332,3 +1332,45 @@ def scan_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY doc_id
         """
     )
+
+
+@query(
+    "agg_unpivot_melt",
+    # The oracle computes the same per-type stats straight from the
+    # long-form source — a lossy pivot→melt roundtrip (dropped type,
+    # miscounted nulls, wrong value column) breaks the hash.
+    oracle="SELECT event_type, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY event_type",
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9's inverse: wide→long via ``DataFrame.unpivot`` (melt). The
+    pivoted per-user crosstab (pivot_event_counts' shape keyed by user)
+    melts back to (user_id, event_type, n) rows, and re-aggregating the
+    melted relation must reproduce the per-type stats of the original
+    long-form events — the roundtrip that proves neither direction
+    drops or double-counts.
+
+    Scale shape: unpivot is an Expand (×|value columns|) inside the
+    stage — no shuffle of its own; the only exchanges are the two
+    aggregations either side. The melt keeps NULL cells out via the
+    post-filter (a user with no 'error' events contributes no long
+    row), matching the long-form source exactly."""
+    e = t(spark, sf_dir, "events", spread=True)
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=list(_EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).where(F.col("n").isNotNull())
+    return long.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )

@@ -98,11 +98,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      agg_theta_sketch_ok, agg_profile_columns, dedup_levenshtein,
 #      graph_pagerank) — displacement rationale at their entries below.
 # The r2-stale scan_parquet/agg_approx_distinct, the remaining
-# round-4 ids, and the seven deferred round-6 ids (agg_gap_fill_daily,
+# round-4 ids, and the eight deferred round-6 ids (agg_gap_fill_daily,
 # join_lateral_topn, udtf_word_chunks, sink_clustered_layout_ok,
-# scan_recursive_cte, scalar_variant_json, agg_unpivot_melt —
+# scan_recursive_cte, scalar_variant_json, agg_unpivot_melt,
+# graph_triangle_count —
 # registered after the window filled; they LEAD the r7 window ahead
-# of the r4 tier) don't fit (150 registered ids > 50
+# of the r4 tier) don't fit (151 registered ids > 50
 # slots × rotation) and are DELIBERATELY deferred to round 7; all are
 # either rows-only checks whose guarantee is carried by an in-window
 # invariant companion (multimodal_image_features←multimodal_features_ok

@@ -393,3 +393,15 @@ def test_gap_fill_densifies_after_last_exchange(spark):
     gen_at = tree.index("Generate")
     assert "Exchange" not in tree[:gen_at], tree[:gen_at]
     assert "Exchange" in tree[gen_at:]  # the sparse-side shuffles exist
+
+
+def test_triangle_count_closes_wedges_with_equi_joins(spark):
+    """graph_triangle_count must never degrade to a cross product:
+    wedge generation and the closing probe are hash equi-joins (on u
+    and on the (v1, v2) pair key), and the node-sized degree/nation
+    relations broadcast. A BroadcastNestedLoopJoin or CartesianProduct
+    here would be the sum(deg^2) blowup degree orientation exists to
+    prevent."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # degree + nation lookups

@@ -141,6 +141,7 @@ _HEADLINE_R6 = (
     "scan_recursive_cte",
     "scalar_variant_json",
     "agg_unpivot_melt",
+    "graph_triangle_count",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6

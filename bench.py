@@ -1,9 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints TWO JSON lines — a full
+per-query detail line, then a compact summary as the LAST stdout line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": ..., "queries": {...}, "spread": {...}, ...}   # detail
+    {"metric": "headline_query_wall_time", "value": N, "unit": "sec",
+     "core16_wall_time": N, "full_wall_time": N, "failed": [...],
+     "repeats": N, "sf": ..., "n_queries": N,
+     "detail": "bench_detail.json"}                           # summary
+
+The compact line is last because the driver's stdout tail capture is
+bounded: the r6 run's single 93-query line overflowed it and the
+driver recorded ``parsed: null`` — the summary must fit and terminate
+the stream. The full per-query map is also written to
+``bench_detail.json`` at the repo root so the judge's round-over-round
+per-query comparison never depends on tail capture.
 
 ``value`` is the total wall time of the headline set (lower is
 better). Each query runs ``$SPARK_GRAFT_BENCH_REPEATS`` times (default
@@ -202,32 +214,41 @@ def main() -> None:
     core16 = round(sum(timings.get(n, 0.0) for n in _HEADLINE_CORE if timings.get(n, 0.0) == timings.get(n, 0.0)), 3)
     failed = sorted(n for n, v in timings.items() if v != v)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                # tier splits: core16 is the round-over-round comparable
-                # number (same 16 queries since round 1); full is the
-                # whole headline sweep including the relational tier.
-                # A crashed query's NaN is EXCLUDED from the sums, which
-                # would otherwise read as a speedup — `failed` makes
-                # that explicit (non-empty failed = the wall times are
-                # not comparable to other rounds).
-                "core16_wall_time": core16,
-                "full_wall_time": total,
-                "failed": failed,
-                "repeats": repeats,
-                "queries": timings,
-                # per-query max−min over the repeats: a delta vs last
-                # round smaller than the spread is noise, not a plan
-                # change.
-                "spread": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # tier splits: core16 is the round-over-round comparable number
+    # (same 16 queries since round 1); full is the whole headline sweep
+    # including the relational tier. A crashed query's NaN is EXCLUDED
+    # from the sums, which would otherwise read as a speedup — `failed`
+    # makes that explicit (non-empty failed = the wall times are not
+    # comparable to other rounds).
+    summary = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "core16_wall_time": core16,
+        "full_wall_time": total,
+        "failed": failed,
+        "repeats": repeats,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "bench_detail.json",
+    }
+    # Full detail: the summary plus the per-query min map and the
+    # per-query max−min spread (a delta vs last round smaller than the
+    # spread is noise, not a plan change). Written to a file AND
+    # printed on its own (penultimate) stdout line; the compact
+    # summary is the LAST line so the driver's bounded tail capture
+    # always parses it.
+    detail = dict(summary, queries=timings, spread=spreads)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench_detail.json write failed: {exc}", file=sys.stderr)
+    print(json.dumps(detail))
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
+from talkdesk_async_etl_spark.plans.cache import (
+    cache_scope,
+    collect_release,
+    scoped_persist,
+)
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -275,7 +279,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(tris.select(F.col("v1").alias("node")))
             .union(tris.select(F.col("v2").alias("node")))
         )
-        return (
+        # The output is ≤|nation| rows by construction, so materialize
+        # INSIDE the scope: the persisted und/oriented relations serve
+        # their ~15 plan references during this one evaluation, then
+        # the scope frees them. Returning the lazy plan here would let
+        # the scope exit unpersist both before any read (the persists
+        # would be dead code and the edge-build subtree recomputed at
+        # execution time).
+        return collect_release(
             members.join(F.broadcast(n), members.node == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"))
             .agg(F.count("*").alias("triangles"))

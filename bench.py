@@ -156,7 +156,13 @@ _HEADLINE_R6 = (
     "graph_triangle_count",
 )
 
-HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6
+# Round-7 additions.
+_HEADLINE_R7 = (
+    "tpch_q21",
+    "tpch_q20",
+)
+
+HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6 + _HEADLINE_R7
 
 
 def main() -> None:

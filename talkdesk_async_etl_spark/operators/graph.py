@@ -227,70 +227,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle set via the canonical a<b<c three-way self-join —
     orientation changes the join ORDER, never the triangle set, which
     is exactly what the hash-check proves."""
+    # The output is ≤|nation| rows by construction, so materialize
+    # INSIDE the scope: the persisted und/oriented relations serve
+    # their ~15 plan references during this one evaluation, then the
+    # scope frees them. Returning the lazy plan would let the scope
+    # exit unpersist both before any read (the persists would be dead
+    # code and the edge-build subtree recomputed at execution time).
+    with cache_scope():
+        return collect_release(triangle_count_plan(spark, sf_dir, persist=True))
+
+
+def triangle_count_plan(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+    """Lazy plan for :func:`graph_triangle_count` — exposed so the
+    physical-plan tests can ``explain`` the real join tree (the query
+    itself returns an already-materialized driver-local result).
+    ``persist=True`` requires an active :func:`cache_scope`."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
-    with cache_scope():
-        und = scoped_persist(
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-            .where(F.col("s_nationkey") != F.col("c_nationkey"))
-            .select(
-                F.least("s_nationkey", "c_nationkey").alias("a"),
-                F.greatest("s_nationkey", "c_nationkey").alias("b"),
-            )
-            .distinct()
+    keep = scoped_persist if persist else (lambda df: df)
+    und = keep(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
         )
-        deg = (
-            und.select(F.col("a").alias("node"))
-            .union(und.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keep(
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
-        da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")))
-        db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")))
-        a_first = (F.col("da") < F.col("db")) | (
-            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-        )
-        oriented = scoped_persist(
-            und.join(da, "a")
-            .join(db, "b")
-            .select(
-                F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-                F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-            )
-        )
-        e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
-        e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
-        wedges = e1.join(e2, "u").where(
-            (F.col("d1") < F.col("d2"))
-            | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
-        )
-        tris = wedges.join(
-            oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
-            ["v1", "v2"],
-        ).select("u", "v1", "v2")
-        members = (
-            tris.select(F.col("u").alias("node"))
-            .union(tris.select(F.col("v1").alias("node")))
-            .union(tris.select(F.col("v2").alias("node")))
-        )
-        # The output is ≤|nation| rows by construction, so materialize
-        # INSIDE the scope: the persisted und/oriented relations serve
-        # their ~15 plan references during this one evaluation, then
-        # the scope frees them. Returning the lazy plan here would let
-        # the scope exit unpersist both before any read (the persists
-        # would be dead code and the edge-build subtree recomputed at
-        # execution time).
-        return collect_release(
-            members.join(F.broadcast(n), members.node == n.n_nationkey)
-            .groupBy(F.col("n_name").alias("nation"))
-            .agg(F.count("*").alias("triangles"))
-        )
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select("u", "v1", "v2")
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v1").alias("node")))
+        .union(tris.select(F.col("v2").alias("node")))
+    )
+    return (
+        members.join(F.broadcast(n), members.node == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("triangles"))
+    )
 
 
 @query("graph_pagerank", oracle=_oracle_pagerank(), tags=("graph", "iterative"))

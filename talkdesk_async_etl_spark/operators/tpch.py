@@ -26,9 +26,14 @@ pure built-in DataFrame expressions (no UDFs, no collects).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from talkdesk_async_etl_spark.plans.cache import (
+    cache_scope,
+    collect_release,
+    scoped_persist,
+)
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -843,4 +848,196 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 6
             ).alias("avg_yearly")
         )
+    )
+
+
+# --- Q21 / Q20 (round 7): the two decorrelation shapes the suite
+# lacked — multi-EXISTS/NOT-EXISTS self-joins on the fact table (Q21)
+# and a nested IN with a correlated aggregate subquery (Q20). Both are
+# adapted onto the fixture's columns with the plan shape preserved:
+# no l_commitdate/l_receiptdate → "late" reuses Q4's convention
+# (shipped >90 days after the order date); no partsupp → Q20's
+# stock-vs-shipments comparison becomes a supplier's in-window shipped
+# share of a part vs that part's total in-window flow.
+
+_Q21_LATE_DAYS = 90
+
+_Q21_ORACLE = f"""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+      AND s_nationkey = n_nationkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+@query("tpch_q21", oracle=_Q21_ORACLE, tags=("tpch", "join", "semi", "anti"))
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted: "late" is
+    Q4's shipped-more-than-90-days-after-order convention (the fixture
+    has no commit/receipt dates), and no single-nation filter — the
+    fixture spreads one supplier per nation at sf0.001, so the
+    canonical filter would leave one supplier; the nation join stays
+    for the shape. The decorrelation surface is the point: a
+    correlated EXISTS (another supplier contributed to the same order)
+    AND a correlated NOT EXISTS (no OTHER supplier was late on it),
+    both self-joins of lineitem on the order key with a supplier
+    inequality — compiled to a LEFT SEMI and a LEFT ANTI join. The
+    late-lineitems relation is built once and scoped-persisted: it is
+    both the l1 stream AND the NOT-EXISTS probe side (l3's
+    late-in-an-F-order predicate is the same relation by
+    construction), so the lineitem⋈orders join runs once, not twice.
+    Per-node state is bounded: both self-joins hash/sort on
+    l_orderkey, so a 1000-executor run shuffles lineitem by order key
+    exactly once for each probe and never materializes a per-supplier
+    cross product. Output is ≤100 rows by LIMIT → collect_release
+    materializes inside the scope so the persisted relation serves
+    both probes before release. Reference parity: the reference has no
+    relational surface (SURVEY §0); this extends the Q4/Q17/Q22
+    subquery family to the last canonical decorrelation shapes."""
+    with cache_scope():
+        return collect_release(tpch_q21_plan(spark, sf_dir, persist=True))
+
+
+def tpch_q21_plan(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+    """Lazy plan for :func:`tpch_q21` — exposed so the physical-plan
+    tests can ``explain`` the semi/anti join tree (the query itself
+    returns an already-materialized ≤100-row result).
+    ``persist=True`` requires an active :func:`cache_scope`."""
+    ordf = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    keep = scoped_persist if persist else (lambda df: df)
+    late = keep(
+        li.join(ordf, li.l_orderkey == ordf.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waited = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        waited.join(supp, waited.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+_Q20_NAME_PREFIX = "blue "
+_Q20_DATE_LO = "1996-01-01"
+_Q20_DATE_HI = "1997-01-01"
+_Q20_SHARE = 0.5
+
+_Q20_ORACLE = f"""
+    SELECT s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '{_Q20_NAME_PREFIX}%')
+          AND l.l_shipdate >= DATE '{_Q20_DATE_LO}'
+          AND l.l_shipdate <  DATE '{_Q20_DATE_HI}'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > (
+            SELECT {_Q20_SHARE} * sum(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+              AND l2.l_shipdate >= DATE '{_Q20_DATE_LO}'
+              AND l2.l_shipdate <  DATE '{_Q20_DATE_HI}')
+    )
+    ORDER BY s_name
+"""
+
+
+@query("tpch_q20", oracle=_Q20_ORACLE, tags=("tpch", "join", "semi", "agg"))
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, adapted: no partsupp table,
+    so "excess stock" (ps_availqty > half the year's shipments) becomes
+    a dominant-shipper test — a supplier qualifies if, for some part
+    whose name starts with the prefix, it shipped MORE THAN half of
+    that part's total in-window quantity. The shape under test is the
+    nested IN with a correlated aggregate subquery in the HAVING,
+    decorrelated past even the Q17 shape: aggregate per
+    (supplier, part) once, then the per-part total the correlated
+    subquery needs is a WINDOW SUM over that aggregate (the sum of a
+    part's per-supplier sums IS its total — quantities are additive),
+    so the correlation costs one extra partkey exchange over
+    (supplier × part)-cardinality data instead of a second read of
+    lineitem plus a join back. The part-name IN-subquery is a semi
+    join against the filtered part dim, pushed below the aggregate so
+    the prefix-and-window-pruned scan feeds exactly ONE shuffle — at
+    100 TB the heavy relation moves once, single-scan by construction
+    (no diamond to hope ReusedExchange collapses). The output is
+    supplier-cardinality (NOT bounded), so no driver collect and no
+    scoped persist — the plan stays lazy. Quantities are integral
+    doubles — sums are exact and 0.5× is a power-of-two scale, so the
+    threshold comparison is bit-identical across engines.
+    Deterministic: s_name is unique and the only output."""
+    part_f = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li_w = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q20_DATE_LO).cast("date"))
+            & (F.col("l_shipdate") < F.lit(_Q20_DATE_HI).cast("date"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    li_named = li_w.join(part_f, li_w.l_partkey == part_f.p_partkey, "left_semi")
+    per_pair = li_named.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    part_win = Window.partitionBy("l_partkey")
+    dominant = (
+        per_pair.withColumn(
+            "qty_threshold", F.lit(_Q20_SHARE) * F.sum("pair_qty").over(part_win)
+        )
+        .filter(F.col("pair_qty") > F.col("qty_threshold"))
+        .select("l_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name")
+        .orderBy("s_name")
     )

@@ -72,182 +72,98 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-6 window, in priority order:
-#   1. The 16 ids that have NEVER had a driver row (registered in
-#      rounds 4–5 past the 50-slot window — deliberately deferred then,
-#      front-loaded now per the round-5 verdict): the ten TPC-H queries
-#      q4/q7/q8/q13/q14/q15/q17/q18/q19/q22, window_rank_family,
-#      dedup_incremental_jaccard, text_tfidf_top_terms, and the three
-#      audio/resize multimodal ids.
-#   2. The 29 ids new in round 6 (sim_knn_label_vote,
-#      window_event_transitions,
-#      agg_cohort_retention, agg_histogram, scan_corrupt_recovery,
-#      scan_schema_evolution, sink_compaction_ok, sample_shuffle_shards,
-#      stream_interval_join,
-#      sim_kmeans_inertia_ok, text_pack_sequences, text_lang_quota,
-#      dedup_incremental_lsh_ok, text_repetition_score,
-#      text_decontaminate, sim_quantize_int8, agg_grouping_sets,
-#      sim_random_projection, agg_corr_regr, window_winsorize,
-#      agg_hll_sketch_ok, sample_deterministic, text_mixture_upsample,
-#      text_unigram_logprob, stream_funnel_state,
-#      sink_partition_prune_ok, join_bucketed_noshuffle_ok,
-#      join_skew_salted, cdc_latest_wins) — new ids always enter the window the
-#      round they are registered, so never-attested debt stops
-#      accruing.
-#   3. The sixth/seventh round-6 batches (agg_kll_quantiles_ok,
-#      agg_theta_sketch_ok, agg_profile_columns, dedup_levenshtein,
-#      graph_pagerank) — displacement rationale at their entries below.
-# The r2-stale scan_parquet/agg_approx_distinct, the remaining
-# round-4 ids, and the eight deferred round-6 ids (agg_gap_fill_daily,
-# join_lateral_topn, udtf_word_chunks, sink_clustered_layout_ok,
-# scan_recursive_cte, scalar_variant_json, agg_unpivot_melt,
-# graph_triangle_count —
-# registered after the window filled; they LEAD the r7 window ahead
-# of the r4 tier) don't fit (151 registered ids > 50
-# slots × rotation) and are DELIBERATELY deferred to round 7; all are
-# either rows-only checks whose guarantee is carried by an in-window
-# invariant companion (multimodal_image_features←multimodal_features_ok
-# r5, dedup_simhash←dedup_simhash_dupes_ok, sim_topk_blocked←
-# sim_blocked_topk_ok, sim_topk_ivf←sim_ivf_recall), unchanged
-# trivial scans/scalars (csv_roundtrip, scan_json_doc,
-# scalar_json_extract, scalar_json_struct, text_token_count_regex,
-# text_split_assign, text_dominant_term, pivot_event_counts — the
-# pivot's agg-family siblings agg_rollup/agg_cube are r5-green),
-# unchanged-since-r4 text ops whose scan+array-function surface the
-# three NEW in-window text ids exercise harder (text_quality_filter,
-# text_lang_id, text_fingerprint), agg_count (a strict sub-plan of
-# the in-window agg_grouping_sets), project_columns (a
-# strict sub-plan of literally every in-window query), six late-batch
-# displacements whose exact surfaces the six NEW stats/sampling ids
-# exercise harder (filter_col_eq ⊂ filter_conj_eq and every equi-join;
-# filter_date_range ⊂ the in-window TPC-H date predicates;
-# join_inner_using ⊂ tpch_q3/q18's join trees; agg_multi ⊂
-# agg_corr_regr's fused multi-stat hash agg; agg_percentile — the
-# identical exact-percentile aggregate IS window_winsorize's first
-# pass; agg_count_distinct — computed verbatim on both the grouped and
-# global paths of agg_hll_sketch_ok), window_row_number (row_number is
-# one of the four functions the in-window window_rank_family ranks with
-# the identical partition/order spec), udf_pandas_scalar (the Arrow
-# scalar-UDF surface; the in-window text_pack_sequences applyInPandas
-# path and stream_funnel_state's applyInPandasWithState exercise the
-# same Arrow batch transfer with richer state), filter_conj_eq (its
-# conjunctive-pushdown surface runs inside every in-window TPC-H scan
-# and test_plans pins the PushedFilters property directly), join_range
-# (the interval-join family's driver row is carried by the in-window
-# stream_interval_join, which checks the row-level pair set rather
-# than the aggregated count), four ids displaced by the new
-# ingest/export batch (sort_topk_global — its TakeOrderedAndProject
-# plan property is pinned by test_plans and the ORDER BY ... LIMIT
-# surface runs verbatim inside the in-window tpch_q3/q10 top-N tails;
-# dedup_resolve_canonical — shares the propagate_min_labels core with
-# the in-window dedup_components and its rank-1-per-cluster canonical
-# pick is the identical window shape the in-window cdc_latest_wins
-# hash-checks; dedup_simhash_dupes_ok / sim_blocked_topk_ok —
-# invariant companions whose equivalence claims are re-proven every
-# pytest run at two SFs while their subject ops' signature/matmul
-# surfaces stay exercised by the in-window dedup and sim families),
-# three ids displaced by the analytics batch (sim_topk_cosine — the
-# in-window sim_ivf_recall recomputes the identical brute-force
-# cosine top-k internally as its recall denominator, so the exact
-# path still executes under a driver row; dedup_near_jaccard — the
-# same shingle/Jaccard core runs inside the in-window
-# dedup_incremental_jaccard over corpus∪batch, and the r5-green
-# dedup_lsh_containment re-proves LSH ⊆ exact-pairs every pytest run;
-# dedup_exact — a single dropDuplicates/groupBy whose surface runs
-# inside the in-window cdc_latest_wins key-resolution and whose
-# streaming twin test_stream_dedup_bounded_state re-attests each run),
-# tpch_q1 (displaced by sim_knn_label_vote: the single-table
-# scan+aggregate shape is the suite's most-covered surface — the
-# flagship agg_conditional_sum is t1-smoked every round and the
-# in-window TPC-H ids aggregate over deeper plans — and q1 itself is
-# re-proven by oracle parity every pytest run),
-# window_topk_per_group (its
-# WindowGroupLimit plan property is pinned by test_plans, its ranking
-# surface by the in-window window_rank_family, and the new in-window
-# cdc_latest_wins IS the rank-1-per-key window shape), or the two streaming window twins
-# (stream_tumbling, stream_sliding) whose exact expressions are
-# re-attested every round by test_streaming's batch-vs-stream
-# equivalence tests while stream_session carries the family's r5
-# driver row. Any id registered but absent here appends in
-# registration order, so new operators are never silently dropped —
-# and the first-50 meta-test in tests/test_driver_profile.py fails on
-# typos or miscounts.
+# Round-7 window, in priority order (executes the round-6 verdict's
+# items 3–4 and ROUND_NOTES' rotation pre-plan):
+#   1. The 8 ids that have NEVER had a driver row (registered late in
+#      round 6 after the window filled): agg_gap_fill_daily,
+#      join_lateral_topn, udtf_word_chunks, sink_clustered_layout_ok,
+#      scan_recursive_cte, scalar_variant_json, agg_unpivot_melt,
+#      graph_triangle_count. A green row for each takes union
+#      coverage to 151/151.
+#   2. Ids NEW in round 7 — new ids always enter the window the round
+#      they are registered, so never-attested debt stops accruing.
+#      Each new id displaces one r4-stale id from tier 4 (displacement
+#      rationale inline at each swap).
+#   3. The two r2-stale ids (scan_parquet, agg_approx_distinct) —
+#      their sub-plan/dominated-coverage justification has carried
+#      them five rounds; refreshing them now costs two cheap slots and
+#      ends the staleness argument entirely.
+#   4. The r4-attested tier (latest driver row round 4), oldest debt
+#      first. 41 ids exist; the window fits 40 minus the round-7
+#      additions. Deferred to r8 (with the rest of the r5 tier, which
+#      rotates there per the pre-plan):
+#      - project_columns — a strict sub-plan of literally every
+#        in-window query; the weakest marginal slot in the tier.
+#      Further deferrals, one per round-7 addition, are listed at the
+#      point of the swap below.
+# The 50 r5-attested ids and the 50 r6-attested ids are deliberately
+# out-of-window: after this round no id's latest row is older than r5,
+# and the r8 pre-plan rotates the r5 tier plus any r7 leftovers. Any
+# id registered but absent here appends in registration order, so new
+# operators are never silently dropped — and the first-50 meta-test in
+# tests/test_driver_profile.py fails on typos or miscounts.
 _PRIORITY = (
-    # --- never driver-attested (registered r4/r5 past the window) ---
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "window_rank_family",
-    "dedup_incremental_jaccard",
-    "text_tfidf_top_terms",
-    "multimodal_audio_features",
-    "multimodal_audio_ok",
-    "multimodal_resize_ok",
-    # --- new in round 6 ---
-    "sim_knn_label_vote",
-    "window_event_transitions",
-    "agg_cohort_retention",
-    "agg_histogram",
-    "scan_corrupt_recovery",
-    "scan_schema_evolution",
-    "sink_compaction_ok",
-    "sample_shuffle_shards",
-    "stream_interval_join",
-    "sim_kmeans_inertia_ok",
-    "text_pack_sequences",
-    "text_lang_quota",
-    "dedup_incremental_lsh_ok",
-    "text_repetition_score",
-    "text_decontaminate",
-    "sim_quantize_int8",
-    "agg_grouping_sets",
-    "sim_random_projection",
-    "agg_corr_regr",
-    "window_winsorize",
-    "agg_hll_sketch_ok",
-    "sample_deterministic",
-    "text_mixture_upsample",
-    "text_unigram_logprob",
-    "stream_funnel_state",
-    "sink_partition_prune_ok",
-    "join_bucketed_noshuffle_ok",
-    "join_skew_salted",
-    "cdc_latest_wins",
-    # --- new in round 6, sixth batch (sketches + profiling + edit
-    #     distance). These took the 4 slots previously pencilled for
-    #     scan_parquet/agg_approx_distinct (r2-stale) and
-    #     dedup_components/sim_ivf_recall (r4): scan_parquet is a
-    #     strict sub-plan of every in-window query, so its scan
-    #     surface is re-attested 50 times regardless; the rows-only
-    #     agg_approx_distinct is strictly dominated by the in-window
-    #     sketch invariants (agg_hll_sketch_ok + the two new ones),
-    #     which pin EXACT distinct counts and sketch tolerance in the
-    #     same row; dedup_components / sim_ivf_recall join the r4→r7
-    #     tier — their label-propagation and recall cores are
-    #     re-proven by oracle parity every pytest run, and the
-    #     components shape shares propagate_min_labels with the
-    #     r5-green dedup_semantic_components.
-    "agg_kll_quantiles_ok",
-    "agg_theta_sketch_ok",
-    "agg_profile_columns",
-    "dedup_levenshtein",
-    # --- seventh round-6 batch: the window is full, so only the id
-    #     with the most novel failure surface enters now.
-    #     graph_pagerank takes the slot pencilled for tpch_q3 (an
-    #     iterative checkpointed join loop + 6dp double ranks in a
-    #     vanilla session attests far more than a third r4-green
-    #     re-attestation; q3's join tree runs in-window via
-    #     q7/q8/q18 and q3 itself re-proves in every pytest run).
-    #     agg_gap_fill_daily is the one round-6 id deferred: it
-    #     LEADS the round-7 window ahead of the r4 tier.
-    "graph_pagerank",
+    # --- tier 1: never driver-attested (late round-6 registrations) ---
+    "agg_gap_fill_daily",
+    "join_lateral_topn",
+    "udtf_word_chunks",
+    "sink_clustered_layout_ok",
+    "scan_recursive_cte",
+    "scalar_variant_json",
+    "agg_unpivot_melt",
+    "graph_triangle_count",
+    # --- tier 2: new in round 7 (swaps documented at tier 4) ---
+    # tpch_q21 displaces dedup_simhash_dupes_ok, tpch_q20 displaces
+    # sim_blocked_topk_ok: both displaced ids are invariant COMPANIONS
+    # whose equivalence claims re-prove every pytest run at two SFs,
+    # while their subject ops (dedup_simhash, sim_topk_blocked) stay
+    # in-window — the two new decorrelation shapes (multi-EXISTS /
+    # NOT-EXISTS self-join, nested IN + correlated aggregate) have no
+    # driver row at all yet.
+    "tpch_q21",
+    "tpch_q20",
+    # --- tier 3: r2-stale refresh ---
+    "scan_parquet",
+    "agg_approx_distinct",
+    # --- tier 4: the round-4 tier, attestation-staleness drain ---
+    "csv_roundtrip",
+    "scan_json_doc",
+    "filter_conj_eq",
+    "filter_col_eq",
+    "filter_date_range",
+    "join_inner_using",
+    "agg_count",
+    "agg_multi",
+    "agg_count_distinct",
+    "pivot_event_counts",
+    "agg_percentile",
+    "sort_topk_global",
+    "window_row_number",
+    "window_topk_per_group",
+    "scalar_json_extract",
+    "scalar_json_struct",
+    "join_range",
+    "udf_pandas_scalar",
+    "multimodal_image_features",
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "dedup_components",
+    "dedup_resolve_canonical",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_topk_blocked",
+    "sim_topk_ivf",
+    "sim_ivf_recall",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_count_regex",
+    "text_split_assign",
+    "text_dominant_term",
+    "tpch_q1",
+    "tpch_q3",
+    "stream_tumbling",
+    "stream_sliding",
 )
 
 

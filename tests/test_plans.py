@@ -402,6 +402,51 @@ def test_triangle_count_closes_wedges_with_equi_joins(spark):
     relations broadcast. A BroadcastNestedLoopJoin or CartesianProduct
     here would be the sum(deg^2) blowup degree orientation exists to
     prevent."""
-    plan = plan_of(spark, "graph_triangle_count")
+    import contextlib
+    import io
+
+    from talkdesk_async_etl_spark.operators.graph import triangle_count_plan
+
+    # The registered query materializes inside its cache scope (the
+    # result is ≤25 rows), so explain the exposed lazy builder instead.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        triangle_count_plan(spark, SF_SMALL).explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan  # degree + nation lookups
+
+
+def test_tpch_q21_compiles_exists_pair_to_semi_and_anti(spark):
+    """Q21's correlated EXISTS / NOT EXISTS self-join pair must plan
+    as LEFT SEMI + LEFT ANTI hash/sort joins on the order key — never
+    a cross product or an inner-join-plus-distinct that would carry
+    the per-order lineitem multiplicity through the shuffle."""
+    import contextlib
+    import io
+
+    from talkdesk_async_etl_spark.operators.tpch import tpch_q21_plan
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tpch_q21_plan(spark, SF_SMALL).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan, plan[:800]
+    assert "LeftAnti" in plan, plan[:800]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 without a global sort
+
+
+def test_tpch_q20_single_lineitem_scan_window_threshold(spark):
+    """Q20's correlated aggregate subquery decorrelates to ONE
+    lineitem scan: per-(supplier, part) hash agg, then the per-part
+    total as a window sum OVER that aggregate — the plan must contain
+    exactly one lineitem scan, a Window node, and a semi join for the
+    part-name IN-subquery."""
+    import re
+
+    plan = plan_of(spark, "tpch_q20")
+    n_scans = len(re.findall(r"lineitem\.parquet", plan))
+    assert n_scans == 1, f"expected 1 lineitem scan location, plan has {n_scans}"
+    assert "Window" in plan
+    assert "LeftSemi" in plan

@@ -160,6 +160,7 @@ _HEADLINE_R6 = (
 _HEADLINE_R7 = (
     "tpch_q21",
     "tpch_q20",
+    "multimodal_wav_real",
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6 + _HEADLINE_R7

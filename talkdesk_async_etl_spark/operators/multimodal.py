@@ -343,3 +343,149 @@ def multimodal_resize_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("height") == _RESIZE_H)
     )
     return resized.select("media_id", ok.alias("resize_ok"))
+
+
+# --- Round 7: ONE real codec, end to end -----------------------------
+# The image/audio decoders above are deterministic fakes (PIL/librosa
+# absent in this container). WAV needs neither: the RIFF/WAVE container
+# with uncompressed PCM decodes with the stdlib ``wave`` module plus a
+# numpy frombuffer — so this path is the honest article: real bytes,
+# real header parse, real PCM extraction, hash-checked features. The
+# fixture WAVs are ENCODED from a deterministic integer formula, which
+# is what lets DuckDB re-derive the expected stats independently — if
+# the decoder mis-parsed the header or the sample layout, every
+# aggregate below would mismatch.
+
+_WAV_N = 48
+_WAV_RATE = 8000
+_WAV_BASE_SAMPLES, _WAV_SAMPLES_MOD = 256, 64  # n = 256 + id % 64
+# sample j of clip i: ((i*31 + j*17) % 65536) - 32768, int16 range.
+_WAV_A, _WAV_B = 31, 17
+
+
+def _wav_pcm(i: int) -> "np.ndarray":
+    n = _WAV_BASE_SAMPLES + i % _WAV_SAMPLES_MOD
+    j = np.arange(n, dtype=np.int64)
+    return (((i * _WAV_A + j * _WAV_B) % 65536) - 32768).astype(np.int16)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = _WAV_RATE) -> bytes:
+    """Real WAV encoding: 16-bit mono PCM via the stdlib ``wave``
+    writer (produces a spec-correct RIFF header, not a mock)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_real(content: bytes) -> tuple["np.ndarray", int]:
+    """Real WAV decoding: parse the RIFF/WAVE header with the stdlib
+    ``wave`` reader, return (int16 sample array, sample_rate). Raises
+    on malformed containers — this is NOT a fake; feeding it arbitrary
+    bytes fails like a codec should."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise DecodeNotAvailableError(
+                f"only 16-bit mono PCM supported, got width={w.getsampwidth()} "
+                f"channels={w.getnchannels()}"
+            )
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2"), rate
+
+
+def synthetic_wav_df(spark: SparkSession, n: int = _WAV_N) -> DataFrame:
+    """Fixture of REAL spec-correct WAV blobs, one per clip id, PCM
+    content derived from the shared integer formula."""
+    rows = [(i, encode_wav(_wav_pcm(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def extract_wav_stats(media: DataFrame) -> DataFrame:
+    """Per-clip PCM stats from REAL decoded bytes via ``mapInPandas``
+    (same Arrow-streaming shape as the fake-codec paths: blobs in,
+    small feature rows out; waveforms never cross a shuffle)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for row in pdf.itertuples():
+                samples, rate = decode_wav_real(bytes(row.content))
+                s = samples.astype(np.int64)
+                out.append(
+                    (
+                        row.media_id,
+                        len(s),
+                        rate,
+                        int(s.min()),
+                        int(s.max()),
+                        round(float(s.sum()) / len(s), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "amp_min",
+                    "amp_max",
+                    "amp_mean",
+                ],
+            )
+
+    return media.mapInPandas(
+        per_batch,
+        schema=(
+            "media_id long, n_samples long, sample_rate int, "
+            "amp_min int, amp_max int, amp_mean double"
+        ),
+    )
+
+
+@query(
+    "multimodal_wav_real",
+    # The oracle re-derives every stat from the generating formula —
+    # completely independent of the WAV container. A header mis-parse
+    # (wrong endianness, off-by-one frame count, sample-width
+    # confusion) breaks the hash.
+    oracle=f"""
+        WITH vals AS (
+            SELECT i,
+                   ((i * {_WAV_A}
+                     + unnest(range(0, {_WAV_BASE_SAMPLES} + i % {_WAV_SAMPLES_MOD}))
+                       * {_WAV_B}) % 65536) - 32768 AS v
+            FROM range({_WAV_N}) t(i)
+        )
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
+               CAST(min(v) AS INTEGER) AS amp_min,
+               CAST(max(v) AS INTEGER) AS amp_max,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS amp_mean
+        FROM vals GROUP BY i
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star, real-codec notch: spec-correct WAV blobs decoded by
+    an actual RIFF/PCM parser (stdlib ``wave``; no fake anywhere on
+    this path), per-clip amplitude stats extracted over the same
+    mapInPandas Arrow shape as the stubbed codecs, hash-checked against
+    a DuckDB oracle that recomputes the stats from the PCM generating
+    formula without ever seeing a WAV byte. Integer sums are exact, so
+    the mean comparison is bit-identical after shared 6-dp rounding.
+    At scale the WAV column is any binary blob column: decode cost
+    parallelizes per Arrow batch and only feature rows shuffle."""
+    return extract_wav_stats(synthetic_wav_df(spark))

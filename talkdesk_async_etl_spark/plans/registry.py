@@ -122,6 +122,14 @@ _PRIORITY = (
     # driver row at all yet.
     "tpch_q21",
     "tpch_q20",
+    # multimodal_wav_real displaces multimodal_image_features: the new
+    # id is the multimodal family's first HASH-CHECKED driver row with
+    # a REAL codec on the path (stdlib RIFF/PCM parse, formula-derived
+    # oracle), strictly stronger evidence than the displaced rows-only
+    # fake-decoder id, whose plumbing invariant companion
+    # multimodal_features_ok is r5-green and re-proves every pytest
+    # run.
+    "multimodal_wav_real",
     # --- tier 3: r2-stale refresh ---
     "scan_parquet",
     "agg_approx_distinct",
@@ -144,7 +152,6 @@ _PRIORITY = (
     "scalar_json_struct",
     "join_range",
     "udf_pandas_scalar",
-    "multimodal_image_features",
     "dedup_exact",
     "dedup_near_jaccard",
     "dedup_components",

@@ -161,6 +161,9 @@ _HEADLINE_R7 = (
     "tpch_q21",
     "tpch_q20",
     "multimodal_wav_real",
+    # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
+    # are invariants (attestation passes dominate their wall time;
+    # excluded per the invariant-exclusion note above).
 )
 
 HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6 + _HEADLINE_R7

@@ -286,3 +286,105 @@ def sink_clustered_layout_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.sum("s").alias("sum_keys"),
     )
+
+
+_Z_BITS = 16  # bits per dimension → 32-bit z-value
+_Z_MASK = (1 << _Z_BITS) - 1
+_Z_FILES = 8
+
+
+def _z_terms_sql(xcol: str, ycol: str) -> str:
+    """DuckDB expression: interleave the low 16 bits of two nonneg
+    BIGINT expressions (x gets even bit positions, y odd)."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({xcol}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({ycol}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_value(x, y):
+    """JVM-side z-value: same bit interleave as :func:`_z_terms_sql`,
+    built from shiftright/bitwiseAND/sum — stays inside whole-stage
+    codegen, no UDF."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(
+            F.shiftright(x.bitwiseAND(_Z_MASK), b).bitwiseAND(1).cast("bigint")
+            * F.lit(1 << (2 * b))
+        )
+        terms.append(
+            F.shiftright(y.bitwiseAND(_Z_MASK), b).bitwiseAND(1).cast("bigint")
+            * F.lit(1 << (2 * b + 1))
+        )
+    out = terms[0]
+    for term in terms[1:]:
+        out = out + term
+    return out
+
+
+@query(
+    "sink_zorder_layout_ok",
+    # The z-value checksum is REAL oracle data: DuckDB recomputes the
+    # bit interleave from orders with plain integer arithmetic, so an
+    # endianness/shift/masking bug on the Spark side breaks the hash —
+    # the disjointness and file-count flags ride on top of that.
+    oracle=f"""
+        WITH z AS (
+            SELECT {_z_terms_sql(f"o_custkey & {_Z_MASK}", f"o_orderkey & {_Z_MASK}")} AS zv
+            FROM orders
+        )
+        SELECT CAST(1 AS BOOLEAN) AS ranges_disjoint,
+               CAST(1 AS BOOLEAN) AS files_ok,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(zv) AS BIGINT) AS sum_z
+        FROM z
+    """,
+    tags=("sink", "layout", "invariant"),
+)
+def sink_zorder_layout_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 depth, multi-dimensional: Z-ORDER clustered layout — the
+    two-column sibling of ``sink_clustered_layout_ok``. Single-key
+    range clustering makes predicates on THAT key skip files but does
+    nothing for a second column; interleaving the bits of two keys
+    (o_custkey, o_orderkey) into one z-value and range-clustering on
+    it gives every file a compact hypercube-ish region of the 2-D key
+    space, so parquet footer min/max stats prune files for predicates
+    on EITHER column — the OPTIMIZE ZORDER story, built from
+    primitives Spark already has: a codegen'd bit-interleave
+    expression, ``repartitionByRange`` (one sampled range exchange),
+    ``sortWithinPartitions``, and a files-sized lag-window
+    disjointness attestation on re-read. At 100 TB the z-exchange
+    costs the same as any global sort and the attestation relation is
+    |files|-sized, not data-sized."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    zv = zorder_value(F.col("o_custkey"), F.col("o_orderkey")).alias("zv")
+    out = os.path.join(tempfile.gettempdir(), "tde_zorder")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        o.select("o_orderkey", "o_custkey", zv)
+        .repartitionByRange(_Z_FILES, "zv")
+        .sortWithinPartitions("zv")
+        .write.parquet(out)
+    )
+    back = spark.read.parquet(out)
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("zv").alias("lo"),
+        F.max("zv").alias("hi"),
+        F.count("*").alias("n"),
+        F.sum("zv").alias("s"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("lo", "f")
+    flagged = per_file.select(
+        "n",
+        "s",
+        (F.lag("hi").over(w) < F.col("lo")).alias("disjoint_from_prev"),
+    )
+    return flagged.agg(
+        F.coalesce(F.bool_and("disjoint_from_prev"), F.lit(True)).alias("ranges_disjoint"),
+        (F.count("*") <= _Z_FILES).alias("files_ok"),
+        F.sum("n").alias("n_rows"),
+        F.sum("s").alias("sum_z"),
+    )

@@ -1374,3 +1374,101 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         F.sum("n").cast("long").alias("n_events"),
     )
+
+
+# --- Round 7: bloom-filter semi-join reduction (runtime-filter shape).
+_BLOOM_BITS = 1024  # 16 longs
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3
+_BLOOM_NATIONS = (0, 1, 2, 3, 4)
+
+
+def _bloom_pos_sql(key_sql: str, k: int) -> str:
+    """SQL for bit position k of a key — xxhash64 with the probe index
+    as a second hashed column, identical on build and probe sides."""
+    return f"pmod(xxhash64({key_sql}, {k}), {_BLOOM_BITS})"
+
+
+@query(
+    "join_bloom_prefilter_ok",
+    # n_exact is a REAL oracle value (the semi-join count DuckDB
+    # recomputes); the flags pin the bloom guarantees: membership has
+    # NO false negatives (structural), and the filter actually prunes.
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(1 AS BOOLEAN) AS no_false_negatives,
+               CAST(1 AS BOOLEAN) AS prune_effective
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey IN {_BLOOM_NATIONS})
+    """,
+    tags=("join", "runtime-filter", "invariant"),
+)
+def join_bloom_prefilter_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter / bloom semi-join reduction: build a 1024-bit
+    3-hash bloom filter over the build side's join keys (suppliers in
+    a 5-nation set), ship it to the probe side as a LITERAL word array
+    (the broadcast-variable shape), and pre-filter the lineitem scan
+    with a pure codegen expression — the technique that turns a
+    shuffle-everything semi join into a scan-local row drop at 100 TB
+    (what Spark's own runtime row-level filtering and Dynamic
+    Partition Pruning do under the hood).
+
+    The build side aggregates to ≤16 longs via explode(K positions) →
+    bit_or of single-bit masks — then a driver fetch bounded by the
+    filter's BIT WIDTH (16 rows), never by data. The probe predicate
+    is zero-join, zero-shuffle: element_at on the literal word array +
+    bitwiseAND, inside the scan's codegen stage. Attested in ONE
+    distributed pass (a left join against the key set supplies the
+    exact-membership flag — no driver-side key list, the key set
+    scales with SF): the bloom loses NO true member and actually
+    prunes; the exact member count is the hash-checked real value."""
+    keys = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(list(_BLOOM_NATIONS)))
+        .select(F.col("s_suppkey").alias("key"))
+    )
+    words_df = (
+        keys.select(
+            F.explode(
+                F.array(*[F.expr(_bloom_pos_sql("key", k)) for k in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .selectExpr(
+            "CAST(p / 64 AS INT) AS w",
+            "shiftleft(1L, CAST(p % 64 AS INT)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    # Bounded driver fetch: ≤ _BLOOM_WORDS rows by construction.
+    words = [0] * _BLOOM_WORDS
+    for r in words_df.collect():
+        words[r["w"]] = r["bits"]
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    bit_checks = []
+    for k in range(_BLOOM_K):
+        p = _bloom_pos_sql("l_suppkey", k)
+        bit_checks.append(
+            f"(element_at({arr_sql}, CAST(({p}) / 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(({p}) % 64 AS INT))) != 0"
+        )
+    hit = F.expr(" AND ".join(bit_checks))
+
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey")
+    flagged = li.join(
+        keys.withColumn("is_member", F.lit(True)),
+        li.l_suppkey == F.col("key"),
+        "left",
+    ).select(hit.alias("hit"), F.coalesce("is_member", F.lit(False)).alias("exact"))
+    agg = flagged.agg(
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.sum((F.col("exact") & ~F.col("hit")).cast("long")).alias("n_missed"),
+        F.sum(F.col("hit").cast("long")).alias("n_candidates"),
+        F.count("*").alias("n_total"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_missed") == 0).alias("no_false_negatives"),
+        (F.col("n_candidates") < F.col("n_total")).alias("prune_effective"),
+    )

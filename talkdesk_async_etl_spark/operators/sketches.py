@@ -205,3 +205,104 @@ def agg_theta_sketch_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_union") - F.col("exact_b"),
         ).alias("diff_ok"),
     )
+
+
+# Count-min: depth 4 × width 512. Overestimate-only by construction;
+# per-query excess is ~N/width per hash row, and taking the min over 4
+# rows makes excess > 4N/width vanishingly unlikely — and, for fixed
+# data + fixed xxhash64 seeds, DETERMINISTIC, so the bound flag is
+# stable across runs (the agg_approx_distinct_tol pattern).
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_TOPK = 10
+
+
+@query(
+    "agg_cms_topk_ok",
+    # The true top-10 counts are REAL oracle values (deterministic
+    # tie-break on the key); the two flags pin the CMS guarantees.
+    oracle=f"""
+        WITH c AS (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS custkey,
+               CAST(cnt AS BIGINT) AS true_cnt,
+               CAST(1 AS BOOLEAN) AS cms_overestimates_ok,
+               CAST(1 AS BOOLEAN) AS cms_bound_ok
+        FROM c ORDER BY cnt DESC, o_custkey LIMIT {_CMS_TOPK}
+    """,
+    tags=("agg", "sketch", "invariant"),
+)
+def agg_cms_topk_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (the frequency member of the sketch family,
+    next to HLL/KLL/theta): estimate per-customer order counts from a
+    4×512-cell sketch and attest, for the true top-10 customers, that
+    the estimate (a) never underestimates — CMS's structural guarantee
+    — and (b) overshoots by at most 4·N/width.
+
+    Scale shape: the sketch build is explode(4 hash cells per row)
+    with the (depth, bucket) hash-aggregate's MAP-SIDE partial combine
+    collapsing every partition to ≤ 2048 cells before the exchange —
+    the shuffle moves O(depth·width) cells per partition, never the
+    fact rows, and cell counts merge associatively across
+    batches/partitions (a CMS is a sum). Estimation probes the
+    ≤ 2048-row sketch via broadcast. Everything is JVM-side
+    (xxhash64 + pmod + explode) — no UDF. The exact top-10 pass
+    exists only because the attestation needs the true counts; at
+    100 TB only the sketch pipeline runs. Hash seeds are the depth
+    index, so the sketch is reproducible across engines and rounds."""
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(d)), F.lit(_CMS_WIDTH)).alias(
+                    "b"
+                ),
+            )
+            for d in range(_CMS_DEPTH)
+        ]
+    )
+    cms = (
+        o.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+    truth = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("o_custkey").asc())
+        .limit(_CMS_TOPK)
+    )
+    n_total = o.agg(F.count("*").alias("n_total"))
+    probes = truth.select(
+        "o_custkey",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col("o_custkey"), F.lit(d)), F.lit(_CMS_WIDTH)
+                        ).alias("b"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("o_custkey", "true_cnt", F.col("cell.d").alias("d"), F.col("cell.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("o_custkey", "true_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(n_total)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        (F.col("est") >= F.col("true_cnt")).alias("cms_overestimates_ok"),
+        (
+            (F.col("est") - F.col("true_cnt"))
+            <= F.ceil(F.lit(4.0) * F.col("n_total") / _CMS_WIDTH)
+        ).alias("cms_bound_ok"),
+    )

@@ -161,6 +161,8 @@ _HEADLINE_R7 = (
     "tpch_q21",
     "tpch_q20",
     "multimodal_wav_real",
+    "scalar_higher_order_lambda",
+    "udaf_ewma_timeseries",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

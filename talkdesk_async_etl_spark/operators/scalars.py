@@ -288,3 +288,45 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "scalar_higher_order_lambda",
+    # DuckDB's list lambdas mirror Spark's HOFs one-to-one; both
+    # engines cast the float32 vector to double FIRST, then fold
+    # sequentially, so the 6-dp rounded sums hash-match.
+    oracle="""
+        SELECT vec_id,
+               round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> x * x)), 6) AS sq_norm,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+               round(list_sum(list_transform(
+                   list_zip(CAST(embedding AS DOUBLE[]),
+                            list_reverse(CAST(embedding AS DOUBLE[]))),
+                   p -> p[1] * p[2])), 6) AS rev_dot
+        FROM embeddings
+    """,
+    tags=("scalar", "lambda"),
+)
+def scalar_higher_order_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family depth: the higher-order-function lambda surface —
+    ``transform`` (map), ``filter``, ``zip_with`` (binary map), and
+    ``aggregate`` (fold) over the embedding vectors, entirely inside
+    whole-stage codegen: per-element lambdas compile to JVM
+    expressions, so a 64-wide vector op costs array traversal, never a
+    UDF row trip. This is the built-in path the similarity family's
+    dot products ride; here it is attested standalone: squared L2 norm
+    (fold of a map), positive-component count (filter + size), and the
+    self-reversed dot product (zip_with of the vector against its
+    reverse — an order-sensitive pairing that breaks if either
+    engine's zip or reverse is off by one)."""
+    vec = F.col("embedding").cast("array<double>")
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(fold(F.transform(vec, lambda x: x * x)), 6).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            fold(F.zip_with(vec, F.reverse(vec), lambda x, y: x * y)), 6
+        ).alias("rev_dot"),
+    )

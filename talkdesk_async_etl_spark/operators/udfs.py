@@ -164,3 +164,61 @@ def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs d, LATERAL tde_word_chunks(d.text) c
         """
     )
+
+
+_EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+    WITH RECURSIVE e AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, rn, value AS ewma FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               {_EWMA_ALPHA} * e.value + {1 - _EWMA_ALPHA} * r.ewma
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(rn AS BIGINT) AS rn,
+           round(ewma, 6) AS ewma
+    FROM r
+"""
+
+
+def _ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    ewma = pdf["value"].astype("float64").ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "rn": range(1, len(pdf) + 1),
+            "ewma": ewma.round(6),
+        }
+    )
+
+
+@query("udaf_ewma_timeseries", oracle=_EWMA_ORACLE, tags=("udf", "timeseries"))
+def udaf_ewma_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive grouped sequential computation: per-user EWMA
+    (α=0.3) over the event stream — the recurrence y_i = α·x_i +
+    (1−α)·y_{i−1} that no window frame expresses (every output depends
+    on the ENTIRE prefix through a multiplicative chain). One shuffle
+    on the group key, then each user's history visits Python once as
+    an Arrow batch; pandas' ``ewm(adjust=False)`` evaluates the exact
+    recurrence vectorized. The DuckDB oracle steps the same recurrence
+    via a recursive CTE in the same (ts, event_id) order — float64
+    operations in identical sequence on both engines, so the 6-dp
+    rounded values hash-match. State is bounded by the largest single
+    group (same caveat as udaf_grouped_apply: pre-bucket or split
+    skewed users at 100 TB; a year of events per user is still one
+    Arrow batch)."""
+    ev = t(spark, sf_dir, "events", spread=True).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _ewma_group, schema="user_id bigint, rn bigint, ewma double"
+    )

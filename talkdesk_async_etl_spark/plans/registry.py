@@ -143,6 +143,17 @@ _PRIORITY = (
     "sink_zorder_layout_ok",
     "agg_cms_topk_ok",
     "join_bloom_prefilter_ok",
+    # scalar_higher_order_lambda displaces scalar_json_extract: the
+    # in-window (tier-1) scalar_variant_json exercises the JSON-path
+    # surface strictly harder (parse_json → typed variant_get), while
+    # the HOF lambda surface (transform/filter/zip_with/aggregate) has
+    # no driver row anywhere. udaf_ewma_timeseries displaces
+    # udf_pandas_scalar: the same Arrow transfer surface plus grouped
+    # ordering and sequential state — and udf_pandas_scalar's scalar
+    # path still runs inside the r6-green text_pack_sequences /
+    # stream_funnel_state Arrow pipelines.
+    "scalar_higher_order_lambda",
+    "udaf_ewma_timeseries",
     # --- tier 3: r2-stale refresh ---
     "scan_parquet",
     "agg_approx_distinct",
@@ -161,10 +172,8 @@ _PRIORITY = (
     "sort_topk_global",
     "window_row_number",
     "window_topk_per_group",
-    "scalar_json_extract",
     "scalar_json_struct",
     "join_range",
-    "udf_pandas_scalar",
     "dedup_exact",
     "dedup_near_jaccard",
     "dedup_components",

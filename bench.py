@@ -163,6 +163,7 @@ _HEADLINE_R7 = (
     "multimodal_wav_real",
     "scalar_higher_order_lambda",
     "udaf_ewma_timeseries",
+    "scan_table_checksum",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -1472,3 +1472,56 @@ def join_bloom_prefilter_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_missed") == 0).alias("no_false_negatives"),
         (F.col("n_candidates") < F.col("n_total")).alias("prune_effective"),
     )
+
+
+@query(
+    "scan_table_checksum",
+    # Same canonicalization on both engines: integer/string columns
+    # verbatim, the timestamp via strftime, the money column as exact
+    # cents — md5 of the '|'-joined string, 60-bit hex prefix as a
+    # BIGINT, folded per group with the order-insensitive bit_xor.
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   o_orderpriority,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               )), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_checksum
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("scan", "checksum"),
+)
+def scan_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration fingerprint: an engine-independent per-group content
+    checksum — md5 over a canonical row serialization, 60-bit prefix
+    as a BIGINT, folded with bit_xor. This is the operator a user
+    switching engines (the repo's whole premise) runs on BOTH systems
+    to prove a table survived the move: bit_xor is commutative and
+    associative, so the fold is partition-order- and shuffle-
+    order-insensitive, parallelizes map-side like any aggregate, and
+    any single changed/dropped/duplicated row flips the result.
+    Canonicalization rules (pinned identically in the oracle):
+    integers and strings verbatim, timestamps formatted to seconds,
+    money as exact cents — never raw double-to-string, which engines
+    format differently. Scale: one scan + one |groups|-row exchange;
+    the md5 runs codegen-side (JVM commons-codec), ~100 MB/s/core —
+    checksum a 100 TB table in one pass alongside ingestion."""
+    o = t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(h).alias("xor_checksum"),
+    )

@@ -1525,3 +1525,121 @@ def scan_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.bit_xor(h).alias("xor_checksum"),
     )
+
+
+_MAXBY_ORACLE = """
+    WITH rk AS (
+        SELECT o_orderstatus, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+               row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    cr AS (
+        SELECT o_orderstatus, o_orderpriority,
+               row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority DESC) AS r
+        FROM c
+    )
+    SELECT mx.o_orderstatus,
+           CAST(mx.o_orderkey AS BIGINT) AS top_order,
+           CAST(mn.o_orderkey AS BIGINT) AS bottom_order,
+           cr.o_orderpriority AS mode_priority
+    FROM (SELECT o_orderstatus, o_orderkey FROM rk WHERE rmax = 1) mx
+    JOIN (SELECT o_orderstatus, o_orderkey FROM rk WHERE rmin = 1) mn
+      USING (o_orderstatus)
+    JOIN cr USING (o_orderstatus)
+    WHERE cr.r = 1
+"""
+
+
+@query("agg_max_by_mode", oracle=_MAXBY_ORACLE, tags=("agg",))
+def agg_max_by_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family depth: ``max_by`` / ``min_by`` (argmax/argmin without
+    a self-join or window) and a DETERMINISTIC mode. The ordering
+    argument is a struct — (o_totalprice, o_orderkey) — so ties on
+    the price break on the key and the answer is reproducible; a bare
+    ``mode()`` is tie-arbitrary on both engines, so the mode here is
+    max_by over the per-(status, priority) counts with the same
+    struct-tie-break trick. One hash aggregate for argmax/argmin (the
+    state per group is ONE (ordering, value) pair — compare a window
+    row_number formulation, which sorts the whole partition), plus a
+    groups-sized second aggregate for the mode; the oracle uses the
+    window formulation precisely because it is the semantics max_by
+    replaces."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    ords = F.struct("o_totalprice", "o_orderkey")
+    extremes = o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", ords).alias("top_order"),
+        F.min_by("o_orderkey", ords).alias("bottom_order"),
+    )
+    mode = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max_by(
+                "o_orderpriority", F.struct("cnt", "o_orderpriority")
+            ).alias("mode_priority")
+        )
+    )
+    return extremes.join(F.broadcast(mode), "o_orderstatus").select(
+        "o_orderstatus", "top_order", "bottom_order", "mode_priority"
+    )
+
+
+_NULLSAFE_MOD = 7
+
+_NULLSAFE_ORACLE = f"""
+    WITH n AS (
+        SELECT CASE WHEN o_custkey % {_NULLSAFE_MOD} = 0 THEN NULL
+                    ELSE o_custkey END AS k,
+               o_orderstatus
+        FROM orders
+    ),
+    a AS (SELECT k, count(*) AS n_f FROM n WHERE o_orderstatus = 'F' GROUP BY k),
+    b AS (SELECT k, count(*) AS n_o FROM n WHERE o_orderstatus = 'O' GROUP BY k)
+    SELECT CAST(a.k AS BIGINT) AS k,
+           CAST(a.n_f AS BIGINT) AS n_f,
+           CAST(b.n_o AS BIGINT) AS n_o
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@query("join_null_safe", oracle=_NULLSAFE_ORACLE, tags=("join",))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family depth: NULL-safe equality join (``eqNullSafe`` /
+    ``<=>`` — SQL's IS NOT DISTINCT FROM). A plain equi-join silently
+    drops every NULL-keyed row (NULL = NULL is NULL), which is exactly
+    wrong when NULL is a real category ("no customer id"); the
+    null-safe comparator treats NULL as a joinable value. Here a
+    deterministic NULL-injection (custkey ≡ 0 mod 7 → NULL) builds two
+    per-key aggregates and joins them null-safely, so the NULL group's
+    row survives — the oracle joins with IS NOT DISTINCT FROM and
+    would lose that row (hash mismatch) if the comparator degraded to
+    plain equality. Catalyst plans <=> as a hash join key (it's still
+    an equality predicate on a normalized key), not a nested loop —
+    same shuffle shape as any equi-join at 100 TB."""
+    o = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % _NULLSAFE_MOD == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_orderstatus",
+    )
+    a = o.filter(F.col("o_orderstatus") == "F").groupBy("k").agg(F.count("*").alias("n_f"))
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("k").alias("kb"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(F.col("kb")))
+        .select("k", "n_f", "n_o")
+    )

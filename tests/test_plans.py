@@ -450,3 +450,57 @@ def test_tpch_q20_single_lineitem_scan_window_threshold(spark):
     assert n_scans == 1, f"expected 1 lineitem scan location, plan has {n_scans}"
     assert "Window" in plan
     assert "LeftSemi" in plan
+
+
+def test_bloom_probe_is_codegen_literal_no_smj(spark):
+    """join_bloom_prefilter_ok's probe predicate must be a literal
+    bloom lookup inside the scan stage (element_at on a literal array
+    + bitwiseAND), and the attestation membership join must broadcast
+    — a SortMergeJoin would mean the 'runtime filter' shipped the
+    probe side somewhere."""
+    plan = plan_of(spark, "join_bloom_prefilter_ok")
+    assert "element_at" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_cells_partial_aggregate(spark):
+    """agg_cms_topk_ok's sketch build must partial-aggregate map-side:
+    two-level HashAggregate around the (depth, bucket) exchange so the
+    shuffle carries ≤ depth×width cells per partition, never the
+    exploded fact rows."""
+    plan = plan_of(spark, "agg_cms_topk_ok")
+    assert plan.count("HashAggregate") >= 2
+    # The deliberate 1-row n_total crossJoin plans as a broadcast
+    # nested loop of a single row — benign; a CartesianProduct (both
+    # sides unbounded) is the failure this test guards against.
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_group_exchange(spark):
+    """udaf_ewma_timeseries: one hash exchange on the group key into
+    FlatMapGroupsInPandas — the Arrow group-map boundary — and nothing
+    after it."""
+    import re
+
+    plan = plan_of(spark, "udaf_ewma_timeseries")
+    assert "FlatMapGroupsInPandas" in plan
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^),]*)", plan)
+    assert all("user_id" in c for c in hash_ex), hash_ex
+
+
+def test_hof_lambda_stays_in_scan_stage(spark):
+    """scalar_higher_order_lambda is a pure per-row vector op: the
+    plan must contain NO exchange at all — the lambdas compile into
+    the scan's projection."""
+    plan = plan_of(spark, "scalar_higher_order_lambda")
+    assert "Exchange" not in plan, plan[:800]
+    assert "transform" in plan and "zip_with" in plan
+
+
+def test_table_checksum_partial_aggregates(spark):
+    """scan_table_checksum: the md5 fold must partial-aggregate
+    map-side (two-level HashAggregate) — the whole point of bit_xor's
+    associativity is that a 100 TB checksum shuffles |groups| rows."""
+    plan = plan_of(spark, "scan_table_checksum")
+    assert plan.count("HashAggregate") >= 2
+    assert "md5" in plan

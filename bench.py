@@ -164,6 +164,9 @@ _HEADLINE_R7 = (
     "scalar_higher_order_lambda",
     "udaf_ewma_timeseries",
     "scan_table_checksum",
+    "agg_max_by_mode",
+    "join_null_safe",
+    "graph_bfs_distance",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -1,4 +1,5 @@
-"""Graph analytics beyond connected components: weighted PageRank.
+"""Graph analytics beyond connected components: weighted PageRank,
+degree-oriented triangle counting, and frontier-expansion BFS.
 
 dedup.py's ``propagate_min_labels`` (connected components) covers the
 fixpoint-iteration pattern; PageRank adds the WEIGHTED message-passing
@@ -335,4 +336,104 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_name").alias("nation"),
                 F.round("pr", 6).alias("pagerank"),
             )
+        )
+
+
+_BFS_MAX_ROUNDS = 10
+
+
+def _oracle_bfs() -> str:
+    return f"""
+    WITH RECURSIVE und AS (
+        SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS a,
+                        greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    edges AS (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst FROM und
+    ),
+    walk(node, dist) AS (
+        SELECT (SELECT min(a) FROM und) AS node, 0 AS dist
+        UNION
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < {_BFS_MAX_ROUNDS}
+    )
+    SELECT n.n_name AS nation, CAST(min(w.dist) AS INTEGER) AS dist
+    FROM walk w JOIN nation n ON n.n_nationkey = w.node
+    GROUP BY nation
+    """
+
+
+@query("graph_bfs_distance", oracle=_oracle_bfs(), tags=("graph", "iterative"))
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path distances from the smallest trade-graph node
+    — the fourth graph kernel next to components (dedup.py), PageRank,
+    and triangles: frontier expansion with an anti-join against the
+    visited set, the Pregel BFS every distributed graph engine ships.
+
+    Scale shape: per round, ONE hash join of the frontier against the
+    edge list (partitioned by src and scoped-persisted — edges never
+    rebuild) plus one anti-join against the visited relation; both
+    relations are node-sized, never edge-sized, and the frontier
+    SHRINKS as the ball saturates. Rounds are data-independent beyond
+    the emptiness probe (a bounded driver action, ≤ the diameter cap
+    of {_BFS_MAX_ROUNDS}). The oracle walks the same graph with a
+    recursive UNION CTE — its (node, dist) dedup bounds the recursion
+    on cycles — and takes min(dist), which equals first-discovery
+    level. Output is ≤|nation| rows by construction → materialized
+    inside the scope (collect_release), so the persisted edge/visited
+    relations serve every round before release."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    with cache_scope():
+        und = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .where(F.col("s_nationkey") != F.col("c_nationkey"))
+            .select(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            )
+            .distinct()
+        )
+        edges = scoped_persist(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+                und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+        )
+        # Bounded driver fetch: the single source id.
+        src0 = edges.agg(F.min("src").alias("m")).collect()[0]["m"]
+        dist = scoped_persist(
+            edges.sparkSession.createDataFrame(
+                [(int(src0), 0)], "node int, dist int"
+            )
+        )
+        frontier = dist
+        for rnd in range(1, _BFS_MAX_ROUNDS + 1):
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .withColumn("dist", F.lit(rnd))
+            )
+            new = scoped_persist(nxt.join(dist, "node", "left_anti"))
+            if new.isEmpty():
+                break
+            dist = scoped_persist(dist.union(new))
+            frontier = new
+        return collect_release(
+            dist.join(F.broadcast(n), dist.node == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.min("dist").cast("int").alias("dist"))
         )

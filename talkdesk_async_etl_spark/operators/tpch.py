@@ -1,27 +1,33 @@
 """Classic TPC-H query shapes over the driver testdata star schema.
 
 The reference's own relational surface is config-scan-and-join thin
-(SURVEY.md §0); these fifteen canonical warehouse queries demonstrate
+(SURVEY.md §0); these seventeen canonical warehouse queries demonstrate
 the engine on the heavier plans the same tables support —
 multi-aggregate scan (Q1), join + top-k (Q3/Q10/Q18), correlated
 EXISTS (Q4), six-way join (Q5), selective filter-aggregate (Q6),
 double-role dimension join (Q7), seven-join market-share ratio (Q8),
 outer-join histogram (Q13), ratio aggregate (Q14),
 aggregate-max-equality (Q15), correlated per-group-average subquery
-(Q17), disjunctive mixed-side predicates (Q19), scalar-subquery filter
-+ anti-join (Q22) — each with a deterministic DuckDB oracle. This is
-every TPC-H query expressible over the fixture's eight tables: the
-remaining seven (Q2, Q9, Q11, Q16, Q20, Q21, Q12's canonical form)
-require the partsupp table or lineitem commit/receipt columns the
-fixture does not ship. Date and selectivity parameters are pinned
+(Q17), disjunctive mixed-side predicates (Q19), nested IN with a
+correlated aggregate subquery (Q20, adapted), multi-EXISTS/NOT-EXISTS
+self-joins (Q21, adapted), scalar-subquery filter + anti-join (Q22) —
+each with a deterministic DuckDB oracle. This is every TPC-H query
+expressible over the fixture's eight tables: the remaining five (Q2,
+Q9, Q11, Q16, Q12's canonical form) require the partsupp table or
+lineitem columns (shipmode, commit/receipt dates) the fixture does
+not ship; Q20/Q21's partsupp/receipt-date dependencies are adapted
+onto available columns with the decorrelation shape preserved (see
+their docstrings). Date and selectivity parameters are pinned
 literals INSIDE the fixture's data ranges (orders
 1995-01-01..2001-08-01) so every oracle row set is non-empty; where
 the fixture lacks a canonical column (l_shipmode, l_commitdate,
 p_container, o_comment, c_phone) the query is adapted onto available
 columns with the plan shape preserved — each docstring says how.
 
-Scale notes per query are in the docstrings; all fifteen are
-pure built-in DataFrame expressions (no UDFs, no collects).
+Scale notes per query are in the docstrings; all seventeen are
+pure built-in DataFrame expressions with no UDFs and no data-sized
+collects (Q21's ≤100-row collect_release is the one bounded driver
+materialization, documented at its definition).
 """
 
 from __future__ import annotations

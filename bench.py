@@ -167,6 +167,8 @@ _HEADLINE_R7 = (
     "agg_max_by_mode",
     "join_null_safe",
     "graph_bfs_distance",
+    "join_asof_forward_tol",
+    "sql_text_api",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

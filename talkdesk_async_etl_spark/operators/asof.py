@@ -102,3 +102,65 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         carried.filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "prior_view_ts")
     )
+
+
+@query(
+    "join_asof_forward_tol",
+    # Forward as-of with a 1-hour tolerance: the FIRST view at or
+    # after each purchase, nulled when it falls outside the window.
+    # The oracle takes min(following view ts) per purchase and applies
+    # the tolerance afterward — the declarative form of the same
+    # semantics.
+    oracle="""
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+               CASE WHEN min(v.ts) <= p.ts + INTERVAL 1 HOUR
+                    THEN CAST(min(v.ts) AS TIMESTAMP) END AS next_view_ts
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts >= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 completion: FORWARD as-of join with tolerance — for each
+    purchase, the first view by the same user at or after the purchase,
+    but only within 1 hour (the "did the user come back?" enrichment).
+    Same union-window pattern as the backward join, mirrored: the
+    frame is [current row, unbounded FOLLOWING] and ``first(...,
+    ignorenulls)`` picks the earliest following view; at equal
+    timestamps views sort AFTER purchases (is_view ASC) so a
+    simultaneous view is inside the forward-inclusive frame, matching
+    the oracle's ``v.ts >= p.ts``. The tolerance is a post-window
+    conditional — no second join. Cost: the same ONE shuffle on
+    user_id + per-partition sort as the backward variant; direction
+    is free, which is the point of the union-window form over a
+    range-join (where forward/backward each pay their own O(n·m)
+    envelope)."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    both = e.filter(F.col("event_type").isin("purchase", "view")).withColumn(
+        "is_view", (F.col("event_type") == "view").cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").asc(), F.col("event_id").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = both.withColumn(
+        "next_view_raw",
+        F.first(F.when(F.col("is_view") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("next_view_raw") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                F.col("next_view_raw"),
+            ).alias("next_view_ts"),
+        )
+    )

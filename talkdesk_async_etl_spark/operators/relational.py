@@ -1643,3 +1643,35 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a.k.eqNullSafe(F.col("kb")))
         .select("k", "n_f", "n_o")
     )
+
+
+_SQL_TEXT = """
+    SELECT c.c_mktsegment,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM {cust} c LEFT JOIN {ord} o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@query(
+    "sql_text_api",
+    oracle=_SQL_TEXT.format(cust="customer", ord="orders"),
+    tags=("scan", "sql"),
+)
+def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface attestation: the engine's queries are equally
+    expressible as SQL TEXT over registered temp views — the entry
+    point a SQL-first user of the reference would reach for. The exact
+    statement the DuckDB oracle runs (modulo view names) goes through
+    ``spark.sql``; Catalyst parses/optimizes it into the same plan the
+    DataFrame API builds (left join + two-level hash aggregate with a
+    distinct-count Expand), so this row attests the SQL parser/
+    analyzer path end-to-end, not new operator semantics. Temp view
+    names are prefixed to avoid colliding with other queries sharing
+    the session."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("sql_api_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sql_api_orders")
+    return spark.sql(_SQL_TEXT.format(cust="sql_api_customer", ord="sql_api_orders"))

@@ -169,6 +169,9 @@ _HEADLINE_R7 = (
     "graph_bfs_distance",
     "join_asof_forward_tol",
     "sql_text_api",
+    "multimodal_ppm_real",
+    "text_vocab_oov",
+    "agg_rolling_wau",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -489,3 +489,145 @@ def multimodal_wav_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the WAV column is any binary blob column: decode cost
     parallelizes per Arrow batch and only feature rows shuffle."""
     return extract_wav_stats(synthetic_wav_df(spark))
+
+
+# --- Second real codec: PPM (P6) images -------------------------------
+# Binary PPM is a real, spec'd raster container (magic + dims +
+# maxval header, then raw RGB bytes) that needs no imaging library —
+# so the IMAGE path gets the same honest notch WAV gave audio: real
+# encode, real header parse, hash-checked stats. Pixel (x, y) of image
+# i is derived from an integer formula both engines can evaluate.
+
+_PPM_N = 36
+_PPM_W_BASE, _PPM_W_MOD = 8, 5  # width  = 8 + id % 5
+_PPM_H_BASE, _PPM_H_MOD = 6, 3  # height = 6 + id % 3
+# channel c of pixel (x, y) in image i: (i*7 + y*11 + x*13 + c*17) % 256
+_PPM_A, _PPM_B, _PPM_C, _PPM_D = 7, 11, 13, 17
+
+
+def _ppm_pixels(i: int) -> "np.ndarray":
+    w = _PPM_W_BASE + i % _PPM_W_MOD
+    h = _PPM_H_BASE + i % _PPM_H_MOD
+    y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+    return ((i * _PPM_A + y * _PPM_B + x * _PPM_C + c * _PPM_D) % 256).astype(np.uint8)
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """Real binary-PPM (P6) encoding: spec header + raw RGB rows."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def decode_ppm_real(content: bytes) -> "np.ndarray":
+    """Real binary-PPM (P6) decoding: parse the magic/dims/maxval
+    header (whitespace-delimited per spec), then reshape the raw RGB
+    payload. Raises on wrong magic, truncated payloads, or non-255
+    maxval — fails like a codec, not a fake."""
+    if not content.startswith(b"P6"):
+        raise DecodeNotAvailableError("not a binary PPM (P6) payload")
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment line, per spec
+            pos = content.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(content[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise DecodeNotAvailableError(f"only maxval=255 supported, got {maxval}")
+    raw = content[pos : pos + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise DecodeNotAvailableError("truncated PPM payload")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def synthetic_ppm_df(spark: SparkSession, n: int = _PPM_N) -> DataFrame:
+    rows = [(i, encode_ppm(_ppm_pixels(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def extract_ppm_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel stats from REAL decoded bytes (same
+    mapInPandas shape as every other codec path)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for row in pdf.itertuples():
+                px = decode_ppm_real(bytes(row.content)).astype(np.int64)
+                out.append(
+                    (
+                        row.media_id,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.min()),
+                        int(px.max()),
+                        round(float(px[:, :, 0].sum()) / px[:, :, 0].size, 6),
+                        round(float(px[:, :, 1].sum()) / px[:, :, 1].size, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "px_min", "px_max", "r_mean", "g_mean"],
+            )
+
+    return media.mapInPandas(
+        per_batch,
+        schema=(
+            "media_id long, width int, height int, px_min int, px_max int, "
+            "r_mean double, g_mean double"
+        ),
+    )
+
+
+@query(
+    "multimodal_ppm_real",
+    # The oracle re-derives every stat from the pixel formula — a
+    # header mis-parse (dims swapped, off-by-one past the maxval
+    # whitespace, channel interleave wrong) breaks the hash.
+    oracle=f"""
+        WITH dims AS (
+            SELECT i,
+                   {_PPM_W_BASE} + i % {_PPM_W_MOD} AS w,
+                   {_PPM_H_BASE} + i % {_PPM_H_MOD} AS h
+            FROM range({_PPM_N}) t(i)
+        ),
+        px AS (
+            SELECT d.i, d.w, d.h, y.y, x.x, c.c,
+                   (d.i * {_PPM_A} + y.y * {_PPM_B} + x.x * {_PPM_C}
+                    + c.c * {_PPM_D}) % 256 AS v
+            FROM dims d,
+                 LATERAL (SELECT unnest(range(0, d.h)) AS y) y,
+                 LATERAL (SELECT unnest(range(0, d.w)) AS x) x,
+                 LATERAL (SELECT unnest(range(0, 3)) AS c) c
+        )
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CAST(max(w) AS INTEGER) AS width,
+               CAST(max(h) AS INTEGER) AS height,
+               CAST(min(v) AS INTEGER) AS px_min,
+               CAST(max(v) AS INTEGER) AS px_max,
+               round(CAST(sum(CASE WHEN c = 0 THEN v END) AS DOUBLE)
+                     / (max(w) * max(h)), 6) AS r_mean,
+               round(CAST(sum(CASE WHEN c = 1 THEN v END) AS DOUBLE)
+                     / (max(w) * max(h)), 6) AS g_mean
+        FROM px GROUP BY i
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec notch #2, images: spec-correct binary PPM (P6) blobs
+    decoded by an actual header/raster parser (magic, dims, maxval,
+    comment handling — no imaging library, no fake), per-image channel
+    stats extracted over mapInPandas and hash-checked against a DuckDB
+    oracle that recomputes them from the pixel formula without seeing
+    a PPM byte. Together with the WAV path this makes one REAL decoder
+    per modality; PIL/ffmpeg drop into the same mapInPandas shape."""
+    return extract_ppm_stats(synthetic_ppm_df(spark))

@@ -490,3 +490,54 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+_WAU_DAYS = 7
+
+_WAU_ORACLE = f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du ON du.day > d.day - {_WAU_DAYS} AND du.day <= d.day
+    GROUP BY d.day
+"""
+
+
+@query("agg_rolling_wau", oracle=_WAU_ORACLE, tags=("agg", "timeseries"))
+def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-count: per day, the distinct users active in
+    the trailing 7-day window (WAU — the metric DAU/WAU/MAU
+    dashboards are made of). DISTINCT does not distribute over a
+    window frame, so the engine first collapses events to the
+    (day, user) grain — the ONLY corpus-sized pass — then re-keys
+    each active pair onto the ≤7 window days it serves via an in-scan
+    ``explode(sequence(day, day+6))`` and distinct-counts per window
+    day. The shuffle after the dense explode carries (days × users ×
+    7) rows at most — day-grain, bounded, independent of raw event
+    volume; nothing range-joins the fact table. Window days with no
+    anchor activity are excluded on both sides (the oracle's
+    days-with-activity join), keeping the row set pinned. At 100 TB
+    the (day, user) collapse is the cost of one groupBy; swap the
+    exact distinct for per-day HLL sketches + window-merge when users
+    number in the billions and 1-2% error is acceptable."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    du = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    serves = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), _WAU_DAYS - 1))
+        ).alias("wday"),
+        "user_id",
+    )
+    anchor_days = du.select(F.col("day").alias("wday")).distinct()
+    return (
+        serves.join(anchor_days, "wday", "left_semi")
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

@@ -748,3 +748,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+_VOCAB_SIZE = 20
+
+_VOCAB_OOV_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT term, count(*) AS c FROM nz GROUP BY term),
+    vocab AS (SELECT term FROM tf ORDER BY c DESC, term ASC LIMIT {_VOCAB_SIZE})
+    SELECT nz.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS oov_rate
+    FROM nz LEFT JOIN vocab v ON nz.term = v.term
+    GROUP BY nz.doc_id
+"""
+
+
+@query("text_vocab_oov", oracle=_VOCAB_OOV_ORACLE, tags=("text",))
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D5 depth: vocabulary coverage — build the top-V (V=20)
+    corpus vocabulary (frequency-ranked, term tie-break so the cut is
+    deterministic on both engines) and score every document's
+    out-of-vocabulary token rate, the coverage metric that decides
+    tokenizer vocab sizing and flags corpora whose token distribution
+    a fixed vocab would shred.
+
+    Scale shape: the token explode never leaves its scan stage — the
+    term-frequency aggregate partial-combines map-side (shuffle
+    carries distinct terms, not token instances), the vocabulary is a
+    TakeOrdered of that (top-V rows → broadcast), and the per-doc
+    scoring pass re-explodes in-scan, left-joins the broadcast vocab,
+    and partial-combines to one row per doc before its exchange. Two
+    passes over the text is the honest cost (the vocab is a global
+    statistic); at 100 TB the vocab build amortizes across every
+    downstream scoring run — persist it as a table and the metric
+    becomes one pass."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(_VOCAB_SIZE)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("double")) / F.count("*"), 6
+            ).alias("oov_rate"),
+        )
+    )

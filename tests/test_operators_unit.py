@@ -1156,3 +1156,29 @@ def test_wav_stats_from_real_bytes(spark):
         assert r["n_samples"] == len(s)
         assert r["amp_min"] == int(s.min()) and r["amp_max"] == int(s.max())
         assert r["amp_mean"] == round(float(s.sum()) / len(s), 6)
+
+
+def test_ppm_decoder_is_real():
+    """decode_ppm_real must be an actual P6 parser: bit-exact pixel
+    round-trip (incl. a comment in the header, which the spec allows)
+    and codec-like failure on garbage/truncation."""
+    import numpy as np
+    import pytest as _pytest
+
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        _ppm_pixels,
+        decode_ppm_real,
+        encode_ppm,
+    )
+
+    px = _ppm_pixels(4)
+    blob = encode_ppm(px)
+    assert blob.startswith(b"P6\n")
+    assert np.array_equal(decode_ppm_real(blob), px)
+    # spec allows comments between header fields
+    commented = blob.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert np.array_equal(decode_ppm_real(commented), px)
+    with _pytest.raises(Exception):
+        decode_ppm_real(b"JUNK" + blob[4:])
+    with _pytest.raises(Exception):
+        decode_ppm_real(blob[:-5])  # truncated raster

@@ -407,11 +407,17 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        edges = scoped_persist(
-            und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-                und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-            )
+        # Graph-sized partitioning, same reasoning as pagerank_from_edges
+        # and propagate_min_labels: the iteration works on the EDGE
+        # graph, orders of magnitude smaller than the corpus that built
+        # it — session-default 32-partition exchanges over a few hundred
+        # edges make every round scheduling-dominated (measured 3.2 s →
+        # ~1 s at sf0.1 for the identical rounds).
+        edges_wide = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
+        n_parts = max(1, edges_wide.count() // 100_000 + 1)
+        edges = scoped_persist(edges_wide.repartition(n_parts, "src"))
         # Bounded driver fetch: the single source id.
         src0 = edges.agg(F.min("src").alias("m")).collect()[0]["m"]
         dist = scoped_persist(
@@ -421,13 +427,18 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = dist
         for rnd in range(1, _BFS_MAX_ROUNDS + 1):
+            # The frontier is node-sized — broadcast it onto the
+            # persisted edges (below ~10^5 nodes; at web scale drop the
+            # hint and both sides shuffle on the node key, the
+            # pagerank_from_edges switch).
             nxt = (
-                frontier.join(edges, frontier.node == edges.src)
+                F.broadcast(frontier)
+                .join(edges, frontier.node == edges.src)
                 .select(F.col("dst").alias("node"))
                 .distinct()
                 .withColumn("dist", F.lit(rnd))
             )
-            new = scoped_persist(nxt.join(dist, "node", "left_anti"))
+            new = scoped_persist(nxt.join(F.broadcast(dist), "node", "left_anti"))
             if new.isEmpty():
                 break
             dist = scoped_persist(dist.union(new))

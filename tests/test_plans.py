@@ -477,15 +477,17 @@ def test_cms_cells_partial_aggregate(spark):
 
 
 def test_ewma_single_group_exchange(spark):
-    """udaf_ewma_timeseries: one hash exchange on the group key into
-    FlatMapGroupsInPandas — the Arrow group-map boundary — and nothing
-    after it."""
+    """udaf_ewma_timeseries: one hash exchange on the USER-BUCKET key
+    into FlatMapGroupsInPandas — the Arrow group-map boundary — and
+    nothing after it. (Bucketing users instead of grouping per user
+    cuts the per-call Arrow floor ~25×; every user still lands wholly
+    in one bucket.)"""
     import re
 
     plan = plan_of(spark, "udaf_ewma_timeseries")
     assert "FlatMapGroupsInPandas" in plan
     hash_ex = re.findall(r"Exchange hashpartitioning\(([^),]*)", plan)
-    assert all("user_id" in c for c in hash_ex), hash_ex
+    assert all("bucket" in c for c in hash_ex), hash_ex
 
 
 def test_hof_lambda_stays_in_scan_stage(spark):

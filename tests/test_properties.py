@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the pure kernels whose
+correctness the oracle checks rely on: the z-order bit interleave (the
+DuckDB oracle SQL and a reference implementation must agree for ALL
+inputs, not just the fixture's key range), the EWMA recurrence (the
+vectorized pandas path must equal the literal recurrence the DuckDB
+recursive CTE steps), and the two real codecs (round-trip identity on
+arbitrary payloads)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from talkdesk_async_etl_spark.operators.ingest import _Z_BITS, _Z_MASK, _z_terms_sql
+
+
+def _interleave_ref(x: int, y: int) -> int:
+    z = 0
+    for b in range(_Z_BITS):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**40), st.integers(0, 2**40))
+def test_zorder_sql_matches_reference(x, y):
+    """The oracle's generated SQL interleave == the bit-twiddling
+    reference, for keys far beyond the fixture's range (masking
+    included)."""
+    con = duckdb.connect()
+    sql = _z_terms_sql(f"{x} & {_Z_MASK}", f"{y} & {_Z_MASK}")
+    got = con.execute(f"SELECT {sql}").fetchone()[0]
+    assert got == _interleave_ref(x & _Z_MASK, y & _Z_MASK)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=64), min_size=1, max_size=50))
+def test_pandas_ewm_equals_normalized_recurrence(values):
+    """pandas ewm(adjust=False) — the vectorized path inside
+    udaf_ewma_timeseries — must equal the NORMALIZED recurrence
+    y = (ow·prev + nw·x)/(ow + nw), ow = 1−α, BIT-FOR-BIT in float64.
+    This is the form the DuckDB oracle steps (with repr-exact
+    literals); the textbook y = αx + (1−α)y differs by ~1 ulp (found
+    by this very test on [1.5, 1.5]: pandas' ÷(ow+nw) step compensates
+    the weights' rounding), which a 6-dp round would usually — but not
+    provably always — hide."""
+    import pandas as pd
+
+    alpha = 0.3
+    ow = 1 - alpha
+    got = pd.Series(values, dtype="float64").ewm(alpha=alpha, adjust=False).mean()
+    y = values[0]
+    expect = [y]
+    for x in values[1:]:
+        y = (ow * y + alpha * x) / (ow + alpha)
+        expect.append(y)
+    assert np.array_equal(got.to_numpy(), np.array(expect)), (
+        "vectorized ewm diverged from the normalized recurrence"
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 2000), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_arbitrary_pcm(n, seed):
+    """encode_wav → decode_wav_real is the identity on arbitrary int16
+    PCM, any length."""
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        decode_wav_real,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    out, rate = decode_wav_real(encode_wav(pcm, sample_rate=44100))
+    assert rate == 44100
+    assert np.array_equal(out, pcm)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_ppm_roundtrip_arbitrary_raster(w, h, seed):
+    """encode_ppm → decode_ppm_real is the identity on arbitrary RGB
+    rasters, any dimensions."""
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        decode_ppm_real,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm_real(encode_ppm(px)), px)

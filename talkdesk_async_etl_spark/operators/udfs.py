@@ -169,14 +169,16 @@ def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_ALPHA = 0.3
 
 # pandas ewm(adjust=False) does NOT evaluate the textbook
-# y = α·x + (1−α)·y: its C kernel computes the normalized form
-# (old_wt·prev + new_wt·x) / (old_wt + new_wt) with old_wt = 1−α —
-# which differs from the textbook form by ~1 ulp (the ÷(≈1) step
-# compensates the weights' rounding). The oracle steps the NORMALIZED
-# form with repr-exact float literals, making both engines bit-
-# identical BEFORE the 6-dp rounding (property-tested over random
-# inputs in tests/test_properties.py) instead of relying on rounding
-# to absorb an ulp gap at a .5e-6 boundary.
+# y = α·x + (1−α)·y. Its C kernel (pandas 2.x aggregations.pyx)
+# computes the NORMALIZED form (old_wt·prev + new_wt·x) /
+# (old_wt + new_wt), old_wt = 1−α — one ulp off the textbook form —
+# AND skips the update entirely when prev == cur ("avoid numerical
+# errors on constant series"), so a constant run stays bit-constant.
+# The oracle steps the same guarded normalized form with repr-exact
+# float literals, making both engines bit-identical BEFORE the 6-dp
+# rounding (property-tested over random inputs incl. constant runs in
+# tests/test_properties.py) instead of relying on rounding to absorb
+# an ulp gap at a .5e-6 boundary.
 _EWMA_OW = 1 - _EWMA_ALPHA
 
 _EWMA_ORACLE = f"""
@@ -190,8 +192,9 @@ _EWMA_ORACLE = f"""
         SELECT user_id, rn, value AS ewma FROM e WHERE rn = 1
         UNION ALL
         SELECT e.user_id, e.rn,
-               ({_EWMA_OW!r} * r.ewma + {_EWMA_ALPHA!r} * e.value)
-                   / ({_EWMA_OW!r} + {_EWMA_ALPHA!r})
+               CASE WHEN r.ewma = e.value THEN r.ewma
+                    ELSE ({_EWMA_OW!r} * r.ewma + {_EWMA_ALPHA!r} * e.value)
+                         / ({_EWMA_OW!r} + {_EWMA_ALPHA!r}) END
         FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
     )
     SELECT CAST(user_id AS BIGINT) AS user_id,

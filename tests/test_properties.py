@@ -37,16 +37,26 @@ def test_zorder_sql_matches_reference(x, y):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=64), min_size=1, max_size=50))
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(-1e6, 1e6, allow_nan=False, width=64),
+            st.just(1.5),  # force constant runs to hit pandas' guard
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
 def test_pandas_ewm_equals_normalized_recurrence(values):
     """pandas ewm(adjust=False) — the vectorized path inside
     udaf_ewma_timeseries — must equal the NORMALIZED recurrence
-    y = (ow·prev + nw·x)/(ow + nw), ow = 1−α, BIT-FOR-BIT in float64.
-    This is the form the DuckDB oracle steps (with repr-exact
-    literals); the textbook y = αx + (1−α)y differs by ~1 ulp (found
-    by this very test on [1.5, 1.5]: pandas' ÷(ow+nw) step compensates
-    the weights' rounding), which a 6-dp round would usually — but not
-    provably always — hide."""
+    y = (ow·prev + nw·x)/(ow + nw), ow = 1−α, BIT-FOR-BIT in float64,
+    WITH pandas' constant-run guard: when prev == cur the kernel skips
+    the update outright ("avoid numerical errors on constant series" —
+    found by this very test on [1.5, 1.5]). This guarded normalized
+    form is exactly what the DuckDB oracle steps (repr-exact
+    literals); the textbook y = αx + (1−α)y differs by ~1 ulp, which a
+    6-dp round would usually — but not provably always — hide."""
     import pandas as pd
 
     alpha = 0.3
@@ -55,10 +65,11 @@ def test_pandas_ewm_equals_normalized_recurrence(values):
     y = values[0]
     expect = [y]
     for x in values[1:]:
-        y = (ow * y + alpha * x) / (ow + alpha)
+        if y != x:
+            y = (ow * y + alpha * x) / (ow + alpha)
         expect.append(y)
     assert np.array_equal(got.to_numpy(), np.array(expect)), (
-        "vectorized ewm diverged from the normalized recurrence"
+        "vectorized ewm diverged from the guarded normalized recurrence"
     )
 
 

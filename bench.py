@@ -206,9 +206,15 @@ def main() -> None:
     # so one query's cached blocks/garbage can't tax the next
     # (unchecked, the shared local JVM degrades later queries 10-30×).
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # Optional subset (comma-separated ids): targeted re-measurement
+    # and the output-contract regression test both use this.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = {n.strip() for n in only_env.split(",") if n.strip()} or None
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
+        if only and name not in only:
+            continue
         spec = registry[name]
         samples: list[float] = []
         n = 0

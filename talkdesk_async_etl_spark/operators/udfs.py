@@ -199,7 +199,7 @@ _EWMA_ORACLE = f"""
     )
     SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(rn AS BIGINT) AS rn,
-           round(ewma, 6) AS ewma
+           CAST(floor(ewma * 1e6 + 0.5) AS BIGINT) AS ewma_micros
     FROM r
 """
 
@@ -218,11 +218,17 @@ def _ewma_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     ewma = g["value"].transform(
         lambda s: s.astype("float64").ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
     )
+    # NO rounding here — the caller quantizes to integer micros.
+    # (Three round(…, 6) implementations were tried and all disagree
+    # on this op's boundary-dense values: pandas .round is half-EVEN,
+    # Spark F.round rounds the shortest-decimal repr half-up, DuckDB
+    # rounds the scaled binary — at sf0.1, rn=6 values land EXACTLY on
+    # .5e-6 decimal boundaries, where the three modes split 19 ways.)
     return pd.DataFrame(
         {
             "user_id": pdf["user_id"],
             "rn": g.cumcount().add(1),
-            "ewma": ewma.round(6),
+            "ewma": ewma,
         }
     )
 
@@ -242,7 +248,9 @@ def udaf_ewma_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1 (measured 3.4 s; bucketed, sub-second). The DuckDB oracle
     steps the same recurrence via a recursive CTE in the same
     (ts, event_id) order — float64 operations in identical sequence on
-    both engines, so the 6-dp rounded values hash-match. State is
+    both engines, so the integer micro-unit quantization (see the
+    floor note below; round(…,6) is engine-divergent on this op's
+    boundary-dense values) hash-matches exactly. State is
     bounded by the largest single bucket; at 100 TB raise the bucket
     count with user cardinality (buckets ≈ users/50) and split
     multi-year histories at watermark boundaries, chaining the
@@ -258,4 +266,16 @@ def udaf_ewma_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda pdf: _ewma_bucket(pdf.drop(columns=["bucket"])),
             schema="user_id bigint, rn bigint, ewma double",
         )
+        # Quantize to integer MICRO-UNITS with floor(v·1e6 + 0.5):
+        # both engines run the IDENTICAL double multiply/add/floor on
+        # the bit-identical recurrence value, and the integer output
+        # has no decimal-repr ambiguity — round(…, 6)'s three
+        # implementations (pandas half-even, Spark shortest-repr
+        # half-up, DuckDB scaled-binary) all disagree on this op's
+        # boundary-dense values (19 exact .5e-6 splits at sf0.1).
+        .withColumn(
+            "ewma_micros",
+            F.floor(F.col("ewma") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .drop("ewma")
     )

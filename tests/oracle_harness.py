@@ -82,8 +82,12 @@ def compare(spark, name: str, fn, oracle: str, sf_dir: str) -> list[str]:
         problems.append(f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}")
     sn, dn = _normalize(s_cols, s_rows), _normalize(d_cols, d_rows)
     if sn != dn:
-        diff_s = [r for r in sn if r not in set(dn)][:3]
-        diff_d = [r for r in dn if r not in set(sn)][:3]
+        # Precompute the membership sets ONCE — building them inside
+        # the comprehension re-hashed 100k rows per row (O(n²): a
+        # 100k-row mismatch spun for an hour before reporting).
+        dn_set, sn_set = set(dn), set(sn)
+        diff_s = [r for r in sn if r not in dn_set][:3]
+        diff_d = [r for r in dn if r not in sn_set][:3]
         problems.append(f"{name}: value mismatch; spark-only={diff_s} duckdb-only={diff_d}")
     # Vacuity gate: an agreement on nothing proves nothing.
     if name not in EXPECT_EMPTY:

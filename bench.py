@@ -172,6 +172,7 @@ _HEADLINE_R7 = (
     "multimodal_ppm_real",
     "text_vocab_oov",
     "agg_rolling_wau",
+    "scalar_try_arithmetic",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

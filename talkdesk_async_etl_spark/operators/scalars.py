@@ -330,3 +330,47 @@ def scalar_higher_order_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold(F.zip_with(vec, F.reverse(vec), lambda x, y: x * y)), 6
         ).alias("rev_dot"),
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    # DuckDB has no try_* family; the oracle spells out the NULL-on-
+    # error contract the try functions implement — which is the point:
+    # the CASE is what every pipeline writes by hand until it adopts
+    # the try form.
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN (o_custkey % 10) = 0 THEN NULL
+                    ELSE round(o_totalprice / (o_custkey % 10), 6) END
+                   AS price_per_unit,
+               CASE WHEN (o_custkey % 10) = 0 THEN NULL
+                    ELSE o_orderkey / (o_custkey % 10) END AS key_div,
+               try_cast(o_orderpriority AS INTEGER) AS prio_num
+        FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family depth: ANSI error-safe arithmetic — ``try_divide`` and
+    ``try_cast`` return NULL where strict ANSI mode would fail the
+    whole 100 TB job (division by zero, a non-numeric cast). The
+    divisor (custkey mod 10) hits zero on ~10% of rows by
+    construction, so the NULL-on-error path is exercised and
+    hash-attested, not just typed; the priority strings are never
+    numeric, so try_cast's all-NULL column pins the cast side (the
+    oracle's try_cast agrees). These stay inside whole-stage codegen —
+    error-safety costs a branch, not a UDF. The oracle writes the
+    equivalent guard CASE by hand, which is exactly the boilerplate
+    the try family deletes."""
+    o = t(spark, sf_dir, "orders")
+    divisor = F.col("o_custkey") % 10
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), divisor), 6).alias("price_per_unit"),
+        F.try_divide(F.col("o_orderkey"), divisor).alias("key_div"),
+        # Plain .cast THROWS here — Spark 4 defaults to ANSI mode, so a
+        # non-numeric string kills the job; try_cast is the survivable
+        # form (verified: the .cast variant fails this very query with
+        # CAST_INVALID_INPUT).
+        F.col("o_orderpriority").try_cast("int").alias("prio_num"),
+    )

@@ -173,6 +173,7 @@ _HEADLINE_R7 = (
     "text_vocab_oov",
     "agg_rolling_wau",
     "scalar_try_arithmetic",
+    "agg_entropy_per_group",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

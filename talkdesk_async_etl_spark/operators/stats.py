@@ -20,7 +20,7 @@ incrementally instead of rescanning history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.registry import query
@@ -540,4 +540,46 @@ def agg_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         serves.join(anchor_days, "wday", "left_semi")
         .groupBy(F.col("wday").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+_ENTROPY_ORACLE = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(n) AS t FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-sum((c.n * 1.0 / tot.t) * ln(c.n * 1.0 / tot.t)), 6)
+               AS entropy
+    FROM c JOIN tot USING (user_id)
+    GROUP BY c.user_id
+"""
+
+
+@query("agg_entropy_per_group", oracle=_ENTROPY_ORACLE, tags=("agg", "stats"))
+def agg_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution —
+    the label-balance/diversity metric a training-data pipeline gates
+    on (near-zero entropy = a user/source emitting one event type;
+    ln(k) = uniform). Two hash aggregates, both map-side-combined:
+    (user, type) counts — the only pass that sees raw events — then a
+    per-user fold of −Σ p·ln p computed from the counts relation
+    (users × types rows, ≤ a few per user). Nothing but built-ins; the
+    shared 6-dp rounding is safe here by the round-7 criterion (ln
+    outputs are generic transcendental doubles, never decimal-short,
+    so no engine-divergent .5e-6 boundaries — unlike the EWMA case
+    documented in ROUND_NOTES)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(tot)
+    return (
+        c.withColumn("term", -p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(F.sum("term"), 6).alias("entropy"),
+        )
     )

@@ -174,6 +174,8 @@ _HEADLINE_R7 = (
     "agg_rolling_wau",
     "scalar_try_arithmetic",
     "agg_entropy_per_group",
+    "scalar_map_ops",
+    "join_interval_overlap",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

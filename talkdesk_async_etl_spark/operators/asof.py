@@ -164,3 +164,65 @@ def join_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("next_view_ts"),
         )
     )
+
+
+_OVERLAP_ORACLE = """
+    WITH spans AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(CAST(ts AS TIMESTAMP)) AS s, max(CAST(ts AS TIMESTAMP)) AS e
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT a.day,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(date_diff('second',
+                              greatest(a.s, b.s),
+                              least(a.e, b.e))) AS BIGINT) AS total_overlap_s
+    FROM spans a JOIN spans b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.day
+"""
+
+
+@query("join_interval_overlap", oracle=_OVERLAP_ORACLE, tags=("join", "interval"))
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 completion: interval-OVERLAP self-join — which users' daily
+    activity spans overlap, per day (concurrency analysis: the shape
+    behind co-presence, meeting conflicts, session collision counts).
+    Intervals are built by collapsing events to per-(user, day)
+    [min ts, max ts] spans — the ONLY corpus-sized pass — then the
+    overlap pairs come from an equi-join on the DAY bucket with the
+    symmetric overlap predicate (a.s ≤ b.e AND b.s ≤ a.e) as the join
+    filter and a.user < b.user deduplicating the symmetric pair. At
+    100 TB the day bucket bounds each join group to that day's active
+    users (intervals spanning bucket boundaries split into one
+    fragment per bucket, same as any interval index); the shuffle
+    carries span rows (users × days), never events. Overlap seconds
+    are exact integer arithmetic on both engines — no float in the
+    hash."""
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    a = spans.select(
+        F.col("day"), F.col("user_id").alias("ua"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = spans.select(
+        F.col("day").alias("day_b"), F.col("user_id").alias("ub"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("day") == F.col("day_b"))
+        & (F.col("ua") < F.col("ub"))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea")),
+    )
+    overlap_s = (
+        F.unix_timestamp(F.least("ea", "eb")) - F.unix_timestamp(F.greatest("sa", "sb"))
+    )
+    return pairs.groupBy("day").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(overlap_s).alias("total_overlap_s"),
+    )

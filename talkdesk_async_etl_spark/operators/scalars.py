@@ -374,3 +374,58 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CAST_INVALID_INPUT).
         F.col("o_orderpriority").try_cast("int").alias("prio_num"),
     )
+
+
+@query(
+    "scalar_map_ops",
+    # The oracle derives every output DIRECTLY from the source columns
+    # — ground truth that never touches a map — so each scalar attests
+    # that the Spark-side MapType pipeline (create_map → map_filter /
+    # transform_values / map_values / element_at) lands on exactly the
+    # values the columns dictate.
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS BIGINT)
+                   AS price_cents,
+               CAST((CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 2 = 0
+                          THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS INTEGER) AS n_even,
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    + o_orderkey + o_custkey AS BIGINT) AS sum_vals,
+               CAST(o_custkey * 2 AS BIGINT) AS cust_doubled
+        FROM orders
+    """,
+    tags=("scalar", "map"),
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-family depth: the MapType column surface — ``create_map``,
+    ``map_filter`` (entry-level lambda over (k, v)),
+    ``transform_values``, ``map_values`` + ``aggregate`` fold, and
+    ``element_at`` lookup, all inside whole-stage codegen (map lambdas
+    compile to JVM expressions like the array HOFs). Maps are how
+    semi-structured per-row attributes ride a typed schema when the
+    key set is open-ended (the `events.props` shape without the JSON
+    re-parse); this query pins the full read/filter/rewrite path over
+    a map built from exact integer columns, so every derived scalar
+    has a column-derived ground truth and the hash-check is exact —
+    no float ambiguity (money enters as exact cents)."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = F.create_map(
+        F.lit("price_cents"), cents,
+        F.lit("key"), F.col("o_orderkey"),
+        F.lit("cust"), F.col("o_custkey"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, F.lit("price_cents")).alias("price_cents"),
+        F.size(F.map_filter(m, lambda k, v: v % 2 == 0)).alias("n_even"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_vals"
+        ),
+        F.element_at(
+            F.transform_values(m, lambda k, v: v * 2), F.lit("cust")
+        ).alias("cust_doubled"),
+    )

@@ -176,6 +176,7 @@ _HEADLINE_R7 = (
     "agg_entropy_per_group",
     "scalar_map_ops",
     "join_interval_overlap",
+    "window_range_time",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

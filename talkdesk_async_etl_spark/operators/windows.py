@@ -246,3 +246,56 @@ def window_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").cast("long").alias("total_gap_us"),
         )
     )
+
+
+@query(
+    "window_range_time",
+    # No duplicate (user, ts) pairs exist in the fixture (pinned by
+    # the testdata contract test), so the RANGE frame contents are
+    # identical on both engines; the sum is ~tens of 2-dp values, so
+    # the shared 2-dp round sits ~10 orders of magnitude from any
+    # boundary.
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "timeseries"),
+)
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 completion: a TIME-interval RANGE frame — each event's
+    trailing-1-hour activity (count + value sum) per user, the
+    rate-limiter / burst-detection window. Unlike W3's day-grain
+    numeric frame, the frame edge here is a wall-clock offset on the
+    raw timestamps: the DataFrame API expresses it as
+    ``rangeBetween(-3600, 0)`` over unix-seconds ordering (the
+    interval-literal SQL form compiles to the same RangeFrame). Cost
+    is identical to any window: ONE shuffle on user_id +
+    per-partition sort; the frame scan is incremental (Spark's
+    unbounded-preceding-style sliding aggregation), never a per-row
+    re-scan — at 100 TB the only hazard is a single user's history in
+    one partition, the same skew caveat as every per-key window
+    (salt by time bucket with boundary carry-in)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    # MICROsecond ordering, not unix_timestamp: the fixture's ts is
+    # TIMESTAMP(MICROS), and second-truncated ordering silently widens
+    # the frame for events within the truncated fraction of the 1-hour
+    # edge (found at sf0.1: one event pair exactly straddled it —
+    # Spark counted 2 in-window, DuckDB's full-precision INTERVAL
+    # comparison counted 1).
+    # unix_micros requires TIMESTAMP (not the parquet reader's
+    # TIMESTAMP_NTZ); the cast is value-preserving in the UTC session.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )

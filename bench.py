@@ -177,6 +177,7 @@ _HEADLINE_R7 = (
     "scalar_map_ops",
     "join_interval_overlap",
     "window_range_time",
+    "agg_bitmap_distinct",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

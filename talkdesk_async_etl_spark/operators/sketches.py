@@ -306,3 +306,57 @@ def agg_cms_topk_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.lit(4.0) * F.col("n_total") / _CMS_WIDTH)
         ).alias("cms_bound_ok"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    # Every output is a REAL oracle value: plain exact distinct counts
+    # — the bitmap pipeline must land on them exactly or the hash
+    # breaks (bitmaps are exact, unlike the HLL/theta/CMS family).
+    oracle="""
+        WITH per AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        ),
+        tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+                FROM events)
+        SELECT per.event_type, per.n_users, tot.n_total
+        FROM per, tot
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmaps — the fourth
+    member of the cardinality family and the only exact one with
+    sketch-like mergeability (HLL estimates, theta estimates with
+    algebra, CMS is frequencies; a bitmap IS the set). Spark 3.5+'s
+    ``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``
+    shard the id space into disjoint 32k-bit buckets: per
+    (group, bucket) the aggregate state is a fixed ≤4 KB bitmap
+    regardless of row count, bitmaps OR-merge associatively (per-batch
+    rollup, same as the HLL story but with zero error), and the
+    distinct count is the sum of disjoint per-bucket popcounts. The
+    per-type counts come from the construct level; the overall count
+    re-MERGES the per-(type, bucket) bitmaps across types with
+    ``bitmap_or_agg`` — attesting the merge path, not just the build.
+    At 100 TB this is the exact-count design when ids are dense
+    integers; sparse/wide id spaces flip to HLL (bounded state) or
+    theta (algebra)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    total = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("obm"))
+        .agg(F.sum(F.expr("bitmap_count(obm)")).alias("n_total"))
+    )
+    return per_type.crossJoin(F.broadcast(total)).select(
+        "event_type", "n_users", "n_total"
+    )

@@ -103,8 +103,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # graph_bfs_distance, join_asof_forward_tol, sql_text_api,
 # multimodal_ppm_real, text_vocab_oov, agg_rolling_wau,
 # scalar_try_arithmetic, agg_entropy_per_group, scalar_map_ops,
-# join_interval_overlap, window_range_time — registered after the
-# window filled;
+# join_interval_overlap, window_range_time, agg_bitmap_distinct —
+# registered after the window filled;
 # pytest-oracle-green at sf0.001/0.01 AND swept green at sf0.1) LEAD
 # the r8 window, same precedent as round 6's late batch. Any
 # id registered but absent here appends in registration order, so new

@@ -178,6 +178,11 @@ _HEADLINE_R7 = (
     "join_interval_overlap",
     "window_range_time",
     "agg_bitmap_distinct",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -506,3 +506,65 @@ def test_table_checksum_partial_aggregates(spark):
     plan = plan_of(spark, "scan_table_checksum")
     assert plan.count("HashAggregate") >= 2
     assert "md5" in plan
+
+
+def test_tpch_q2_joinback_broadcasts_dims_topk(spark):
+    """Q2's min-cost join-back must stay equi-join (partkey + cost),
+    broadcast the part/supplier dims, and take the top-100 without a
+    global sort."""
+    plan = plan_of(spark, "tpch_q2")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+
+
+def test_tpch_q9_single_lineitem_scan_broadcast_dims(spark):
+    """Q9's five-way join reads lineitem ONCE; the name-filtered part
+    dim and supplier⋈nation broadcast so the only big shuffle is the
+    lineitem⋈orders order-key join."""
+    import re
+
+    plan = plan_of(spark, "tpch_q9")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_threshold_is_one_row_broadcast(spark):
+    """Q11's global-scalar threshold joins back as a broadcast of a
+    ONE-row aggregate (BroadcastNestedLoopJoin over a single row is
+    the expected — and cheap — shape for a keyless scalar join); the
+    part-value aggregate itself must hash-aggregate with partials.
+    The static plan shows the val subtree twice (filter side + totals
+    side); the contract is that AQE's exchange reuse collapses it so
+    lineitem is scanned ONCE at runtime — asserted on the
+    post-execution final plan."""
+    plan = plan_of(spark, "tpch_q11")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    df = load_all()["tpch_q11"].fn(spark, SF_SMALL)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "ReusedExchange" in buf.getvalue()
+
+
+def test_tpch_q12_pushes_ship_window_to_scan(spark):
+    """Q12's one-year ship window must reach the lineitem scan as
+    PushedFilters; the late-predicate (needs both sides) evaluates
+    post-join."""
+    plan = plan_of(spark, "tpch_q12")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, plan[:800]
+
+
+def test_tpch_q16_anti_join_before_distinct_count(spark):
+    """Q16's complaint-supplier exclusion must plan as a broadcast
+    LEFT ANTI join, and the count-distinct must run through the
+    Expand/partial-aggregate pipeline (never a re-shuffle of raw
+    pairs per group)."""
+    plan = plan_of(spark, "tpch_q16")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Expand" in plan or "distinct" in plan.lower()

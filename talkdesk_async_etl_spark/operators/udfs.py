@@ -279,3 +279,125 @@ def udaf_ewma_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ewma")
     )
+
+
+_ASOF_TOL_US = 2 * 3600 * 1_000_000  # 2-hour match tolerance
+
+_COGROUP_ORACLE = f"""
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click'),
+         m AS (SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+               FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND c.ts <= p.ts)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (c_ts IS NOT NULL
+                AND epoch_us(p_ts) - epoch_us(c_ts) <= {_ASOF_TOL_US}) AS BIGINT)
+               AS n_matched,
+           CAST(coalesce(sum(epoch_us(p_ts) - epoch_us(c_ts))
+                FILTER (c_ts IS NOT NULL
+                        AND epoch_us(p_ts) - epoch_us(c_ts) <= {_ASOF_TOL_US}), 0)
+               AS BIGINT) AS gap_sum_micros
+    FROM m GROUP BY user_id
+"""
+
+
+def _micros(s: pd.Series) -> pd.Series:
+    """Timestamp series → int64 microseconds, robust to pandas
+    materializing Arrow timestamp[us] as either datetime64[us] or
+    datetime64[ns] (the us→ns→us round-trip is exact for this range)."""
+    return s.astype("datetime64[us]").astype("int64")
+
+
+def _cogroup_asof_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """One call per user BUCKET (EWMA lesson: per-user calls pay the
+    ~2 ms Arrow round-trip floor per user; per-bucket pays it per
+    bucket and `merge_asof(by=...)` vectorizes the per-user as-of
+    inside). Purchases and clicks arrive co-partitioned on the bucket
+    key — THE cogroup contract: both sides shuffled with the same
+    partitioner, so each Python call sees every row for its users from
+    both relations and nothing else."""
+    out_cols = ("user_id", "n_purchases", "n_matched", "gap_sum_micros")
+    if left.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in out_cols})
+    left = left.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    if right.empty:
+        merged = left.assign(c_ts=pd.NaT)
+    else:
+        right = right.rename(columns={"ts": "c_ts"}).sort_values(
+            "c_ts", kind="mergesort"
+        ).reset_index(drop=True)
+        merged = pd.merge_asof(
+            left, right, left_on="ts", right_on="c_ts",
+            by="user_id", direction="backward", allow_exact_matches=True,
+        )
+    has_match = merged["c_ts"].notna()
+    gap = pd.Series(0, index=merged.index, dtype="int64")
+    gap[has_match] = _micros(merged.loc[has_match, "ts"]) - _micros(
+        merged.loc[has_match, "c_ts"]
+    )
+    matched = has_match & (gap <= _ASOF_TOL_US)
+    merged["is_matched"] = matched.astype("int64")
+    merged["gap_in_tol"] = gap.where(matched, 0)
+    g = merged.groupby("user_id", sort=False)
+    res = pd.DataFrame(
+        {
+            "n_purchases": g.size().astype("int64"),
+            "n_matched": g["is_matched"].sum().astype("int64"),
+            "gap_sum_micros": g["gap_in_tol"].sum().astype("int64"),
+        }
+    ).reset_index()
+    return res[list(out_cols)]
+
+
+@query("udaf_cogroup_asof", oracle=_COGROUP_ORACLE, tags=("udf", "cogroup", "asof"))
+def udaf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the two-sided Arrow surface
+    (``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas``) the
+    suite's other UDF entries don't touch: BOTH relations shuffle with
+    the same partitioner and each Python call receives the aligned
+    (left, right) group pair. The demonstration is the canonical
+    cogroup workload — per-user point-in-time merge (``pd.merge_asof``)
+    of two event streams: for every purchase, the latest click at or
+    before it, matched when the gap is within 2 h, rolled up per user.
+    The grouping key is a 32-way user bucket, not user_id (every user
+    still lands wholly in one bucket on both sides, so per-user
+    semantics are intact; `merge_asof(by="user_id")` vectorizes inside
+    the bucket — the EWMA per-call-floor lesson applied to the
+    two-sided case). The output carries timestamp GAPS, not joined
+    values, so duplicate-timestamp ties cannot make the result
+    engine-dependent: whichever equal-ts click wins the as-of, the gap
+    is identical. All outputs are exact BIGINT microsecond arithmetic —
+    no floats anywhere. The DuckDB oracle is a genuine ASOF LEFT JOIN
+    with the same tolerance as a post-filter. Scale: two co-partitioned
+    shuffles (one per side) on the bucket key and O(n log n) per-bucket
+    sorts in pandas; state is bounded by the largest bucket — raise the
+    bucket count with user cardinality at 100 TB, same policy as the
+    EWMA op. Union-window expresses backward as-of without Python
+    (operators/asof.py); this entry exists because tolerance + by-key
+    merge + per-key rollup in ONE pass is where cogroup earns its
+    shuffle, and the API itself is part of SURVEY §2.11's surface."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(32))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .withColumn("bucket", bucket)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .withColumn("bucket", bucket)
+    )
+    return (
+        p.groupBy("bucket")
+        .cogroup(c.groupBy("bucket"))
+        .applyInPandas(
+            lambda left, right: _cogroup_asof_bucket(
+                left.drop(columns=["bucket"]), right.drop(columns=["bucket"])
+            ),
+            schema="user_id bigint, n_purchases bigint, n_matched bigint, gap_sum_micros bigint",
+        )
+    )

@@ -299,3 +299,66 @@ def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
     )
+
+
+_FFILL_ORACLE = """
+    WITH base AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ), filled AS (
+        SELECT user_id,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        FROM base
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(fv) AS BIGINT) AS n_defined,
+           CAST(sum(CAST(floor(fv * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS filled_sum_micros
+    FROM filled
+    GROUP BY user_id
+"""
+
+
+@query("window_fill_forward", oracle=_FFILL_ORACLE, tags=("window", "timeseries"))
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: forward-fill (last observation carried forward) — the
+    time-series gap-repair primitive sensor/metrics pipelines apply
+    before any windowed aggregate. NULLs are injected deterministically
+    (every event_id divisible by 3 loses its value, ~33% of rows) so
+    both engines fill the SAME gaps; the fill is
+    ``last(v, ignorenulls=True)`` over the per-user event order — one
+    shuffle on user_id plus a per-partition sort, no self-join, no
+    as-of join. Rows before a user's first defined value stay NULL
+    (count(fv) < count(*) attests that leading-edge behavior). The
+    per-user sum of filled values is quantized to integer micros with
+    the shared floor(v·1e6 + 0.5) double expression — the fixture's
+    2-dp values sit ON decimal boundaries, exactly the case where
+    engine round() implementations diverge (see ROUND_NOTES round 7) —
+    so the aggregate is an exact, order-independent BIGINT on both
+    engines. Scale: the window frame is running-state (last non-null),
+    O(1) per row; skew bounded by max-events-per-user, same envelope
+    as every per-user window in the suite."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    base = ev.withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("fv", F.last("v", ignorenulls=True).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("fv").alias("n_defined"),
+            F.sum(F.floor(F.col("fv") * 1e6 + F.lit(0.5)).cast("bigint")).alias(
+                "filled_sum_micros"
+            ),
+        )
+    )

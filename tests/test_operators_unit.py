@@ -1182,3 +1182,88 @@ def test_ppm_decoder_is_real():
         decode_ppm_real(b"JUNK" + blob[4:])
     with _pytest.raises(Exception):
         decode_ppm_real(blob[:-5])  # truncated raster
+
+
+def test_fill_forward_leading_nulls_and_carry(spark):
+    """Constructed frame: leading NULLs stay NULL (no value to carry),
+    interior gaps carry the LAST defined value, and the per-user
+    rollup counts both behaviors."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: starts undefined (event_id 0 divisible by 3 → NULL)
+        (1, 0, base, 10.0),
+        (1, 1, base + dt.timedelta(minutes=1), 20.0),
+        (1, 3, base + dt.timedelta(minutes=2), 30.0),  # NULLed, carries 20.0
+        # user 2: fully defined
+        (2, 1, base, 5.0),
+        (2, 2, base + dt.timedelta(minutes=1), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    v = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["user_id"]: r
+        for r in df.withColumn("fv", F.last(v, ignorenulls=True).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("fv").alias("n_def"),
+            F.sum(F.floor(F.col("fv") * 1e6 + F.lit(0.5)).cast("bigint")).alias("s"),
+        )
+        .collect()
+    }
+    assert got[1]["n"] == 3 and got[1]["n_def"] == 2  # leading NULL not filled
+    assert got[1]["s"] == 40_000_000  # 20.0 (defined) + 20.0 (carried)
+    assert got[2]["n_def"] == 2 and got[2]["s"] == 12_000_000
+
+
+def test_cogroup_asof_bucket_edges():
+    """The cogroup kernel handles: empty click side (all unmatched),
+    exact-timestamp match (<= semantics), out-of-tolerance gap, and
+    multiple users in one bucket."""
+    import pandas as pd
+
+    from talkdesk_async_etl_spark.operators.udfs import (
+        _ASOF_TOL_US,
+        _cogroup_asof_bucket,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [t0, t0 + pd.Timedelta(hours=5), t0 + pd.Timedelta(hours=1)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            # user 1: click EXACTLY at the first purchase (gap 0, <= matches);
+            # it is also the latest click before the +5h purchase but 5h > 2h tol.
+            "ts": [t0, t0 + pd.Timedelta(minutes=30)],
+        }
+    )
+    res = _cogroup_asof_bucket(left, right).set_index("user_id")
+    assert res.loc[1, "n_purchases"] == 2 and res.loc[1, "n_matched"] == 1
+    assert res.loc[1, "gap_sum_micros"] == 0  # exact-ts match
+    assert res.loc[2, "n_matched"] == 1
+    assert res.loc[2, "gap_sum_micros"] == 30 * 60 * 1_000_000
+    assert 5 * 3600 * 1_000_000 > _ASOF_TOL_US  # the unmatched case is real
+    # empty right side: every purchase unmatched, zero gaps
+    empty = _cogroup_asof_bucket(left, right.iloc[0:0]).set_index("user_id")
+    assert int(empty["n_matched"].sum()) == 0
+    assert int(empty.loc[1, "n_purchases"]) == 2
+    # empty left side: typed empty result
+    none = _cogroup_asof_bucket(left.iloc[0:0], right)
+    assert none.empty and list(none.columns) == [
+        "user_id", "n_purchases", "n_matched", "gap_sum_micros",
+    ]

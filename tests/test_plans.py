@@ -568,3 +568,27 @@ def test_tpch_q16_anti_join_before_distinct_count(spark):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "Expand" in plan or "distinct" in plan.lower()
+
+
+def test_fill_forward_single_window_exchange(spark):
+    """Forward-fill must be ONE user-key exchange + window sort feeding
+    the rollup — no self-join, no second exchange on the same key
+    (the agg reuses the window's hashpartitioning)."""
+    import re
+
+    plan = plan_of(spark, "window_fill_forward")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
+
+
+def test_cogroup_asof_coparitions_both_sides(spark):
+    """The cogroup must plan as FlatMapCoGroupsInPandas with BOTH event
+    streams exchanged on the same bucket key — two hash exchanges, one
+    aligned Python stage, no join operator."""
+    import re
+
+    plan = plan_of(spark, "udaf_cogroup_asof")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan[:800]
+    assert "Join" not in plan

@@ -185,6 +185,8 @@ _HEADLINE_R7 = (
     "tpch_q16",
     "window_fill_forward",
     "udaf_cogroup_asof",
+    "window_sessionize_gap",
+    "sql_pipe_syntax",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -1675,3 +1675,41 @@ def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "customer").createOrReplaceTempView("sql_api_customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("sql_api_orders")
     return spark.sql(_SQL_TEXT.format(cust="sql_api_customer", ord="sql_api_orders"))
+
+
+_PIPE_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+"""
+
+_PIPE_SQL = """
+    FROM {ord}
+    |> WHERE o_orderstatus = 'F'
+    |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+       GROUP BY o_orderpriority
+    |> WHERE n_orders > 10
+    |> SELECT o_orderpriority, n_orders, total_value
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("scan", "sql"))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface attestation #2: Spark 4's SQL PIPE syntax
+    (`FROM t |> WHERE … |> AGGREGATE … |> WHERE …`) — the linear
+    query form where each `|>` stage consumes the previous result, so
+    post-aggregation filters reference OUTPUT aliases (`n_orders`)
+    instead of repeating HAVING expressions. Catalyst lowers the pipe
+    chain to the identical filter→aggregate→filter logical plan as the
+    classic formulation, which is exactly what the oracle runs as
+    plain ANSI SQL (DuckDB has no pipe syntax — the semantic
+    equivalence IS the attestation). Same plan economics as any
+    scan-agg: pushed status filter, two-level hash aggregate."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("pipe_api_orders")
+    return spark.sql(_PIPE_SQL.format(ord="pipe_api_orders"))

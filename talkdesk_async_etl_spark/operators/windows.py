@@ -362,3 +362,71 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SESSIONIZE_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+_SESSIONIZE_ORACLE = f"""
+    WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(CAST(ts AS TIMESTAMP))
+                        - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                        > {_SESSIONIZE_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM o
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_micros
+    FROM s GROUP BY user_id, session_no
+"""
+
+
+@query("window_sessionize_gap", oracle=_SESSIONIZE_ORACLE, tags=("window", "sessionize"))
+def window_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: gaps-and-islands sessionization — the classic two-window
+    formulation (lag to flag a >30-min inactivity gap, running sum of
+    flags to number the islands) producing ORDINAL session ids and
+    per-session stats. This is the window-native complement to the
+    built-in ``session_window`` twin (stream_session): the built-in
+    merges rows into [start, end) intervals but cannot hand you "this
+    user's 3rd session" or compose with other frames; the
+    gaps-and-islands form is what warehouse SQL migrations actually
+    carry. Both windows share partitionBy(user_id).orderBy(ts,
+    event_id) → ONE shuffle + one sort serve the lag, the cumulative
+    sum, AND (via the same hashpartitioning) the final per-session
+    aggregate. Gap arithmetic is unix-MICROS (the window_range_time
+    lesson: second-truncated timestamps silently misclassify
+    sub-second-straddling gaps); every output is an exact BIGINT.
+    Scale: per-user state is O(1) running state; skew bounded by
+    max-events-per-user, the suite's standard per-user-window
+    envelope."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros requires TIMESTAMP (the parquet reader yields NTZ).
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_micros = F.lag(micros).over(w)
+    is_new = F.when(
+        prev_micros.isNull() | ((micros - prev_micros) > _SESSIONIZE_GAP_US), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("dur_micros"),
+        )
+    )

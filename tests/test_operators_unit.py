@@ -1267,3 +1267,33 @@ def test_cogroup_asof_bucket_edges():
     assert none.empty and list(none.columns) == [
         "user_id", "n_purchases", "n_matched", "gap_sum_micros",
     ]
+
+
+def test_sessionize_gap_islands(spark):
+    """Constructed stream: events 10 min apart share a session; a
+    31-min gap opens a new one; session ordinals are per-user."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.windows import window_sessionize_gap
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 3 events in session 1 (gaps 10 min), then +31 min -> session 2
+    for i, mins in enumerate([0, 10, 20, 51]):
+        rows.append((1, i, base + dt.timedelta(minutes=mins)))
+    # user 2: single event
+    rows.append((2, 9, base))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    src = df.sparkSession  # reuse the session fixture's catalog
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        got = {
+            (r["user_id"], r["session_no"]): r
+            for r in window_sessionize_gap(src, d).collect()
+        }
+    assert got[(1, 1)]["n_events"] == 3
+    assert got[(1, 1)]["dur_micros"] == 20 * 60 * 1_000_000
+    assert got[(1, 2)]["n_events"] == 1 and got[(1, 2)]["dur_micros"] == 0
+    assert got[(2, 1)]["n_events"] == 1

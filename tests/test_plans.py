@@ -592,3 +592,16 @@ def test_cogroup_asof_coparitions_both_sides(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan[:800]
     assert "Join" not in plan
+
+
+def test_sessionize_gap_single_exchange(spark):
+    """Gaps-and-islands must ride ONE user-key exchange end-to-end:
+    the lag window, the running-sum window, and the per-session
+    aggregate all accept hashpartitioning(user_id) (grouping on
+    (user_id, session_no) is clustered by the user subset) — a second
+    exchange would mean the island numbering got re-shuffled."""
+    import re
+
+    plan = plan_of(spark, "window_sessionize_gap")
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]

@@ -187,6 +187,7 @@ _HEADLINE_R7 = (
     "udaf_cogroup_asof",
     "window_sessionize_gap",
     "sql_pipe_syntax",
+    "text_segment_dedup",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

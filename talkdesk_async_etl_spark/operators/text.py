@@ -812,3 +812,67 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_SEG_W = 10  # words per segment
+
+_SEG_DEDUP_ORACLE = f"""
+    WITH segs AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / {_SEG_W}.0)
+                                AS BIGINT))) AS i
+        FROM documents
+    ), seg2 AS (
+        SELECT doc_id,
+               array_to_string(w[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}], ' ') AS seg
+        FROM segs
+    ), pres AS (SELECT DISTINCT doc_id, seg FROM seg2),
+    cnt AS (SELECT seg, count(*) AS n_docs FROM pres GROUP BY seg)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(*) FILTER (c.n_docs >= 2) AS BIGINT) AS n_shared_segments
+    FROM seg2 s JOIN cnt c ON s.seg = c.seg
+    GROUP BY s.doc_id
+"""
+
+
+@query("text_segment_dedup", oracle=_SEG_DEDUP_ORACLE, tags=("text", "dedup"))
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2s: SEGMENT-level duplication profiling — the sub-document
+    complement to the doc-level dedup family. Training-data curation
+    removes boilerplate that repeats ACROSS documents (headers,
+    licenses, navigation chrome) even when the documents as wholes are
+    unique; the standard pass segments each doc into fixed word
+    windows and flags segments present in ≥2 distinct documents.
+    Segmentation is a JVM-side higher-order expression (transform over
+    sequence → slice → concat_ws) exploded in the scan stage — no
+    Python, no pre-shuffle materialization (the codegen-cliff lesson).
+    Per-doc segment totals come from the same pass. The cross-doc
+    count shuffles the DISTINCT (doc, segment) presence pairs on the
+    segment key; the count relation joins back on that same key
+    (co-partitioned — exchange reuse collapses the diamond), then one
+    doc-key aggregate. At 100 TB, group on xxhash64(segment) instead
+    of the raw string (8-byte shuffle keys; collisions only merge
+    counts, and a 64-bit space keeps the error below any curation
+    threshold) — the raw-string form here keeps the DuckDB oracle
+    exact. Scale: 3 shuffles, all on segment/doc keys, never on raw
+    text bytes except the presence pairs themselves."""
+    docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    seg_expr = (
+        f"explode(transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {_SEG_W}.0)"
+        f" AS INT) - 1), i -> concat_ws(' ', slice(split(text, ' '), i*{_SEG_W}+1,"
+        f" {_SEG_W}))))"
+    )
+    segs = docs.select("doc_id", F.expr(seg_expr).alias("seg"))
+    pres = segs.select("doc_id", "seg").distinct()
+    cnt = pres.groupBy("seg").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        segs.join(cnt, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_shared_segments"
+            ),
+        )
+    )

@@ -605,3 +605,19 @@ def test_sessionize_gap_single_exchange(spark):
     plan = plan_of(spark, "window_sessionize_gap")
     assert "Window" in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
+
+
+def test_segment_dedup_builds_segments_in_scan(spark):
+    """Segment windows must be built by in-scan higher-order
+    expressions (Generate/explode directly over the transform — never
+    a pre-shuffle array projection, the codegen cliff) and the
+    cross-doc count's exchange must be reused for the join-back."""
+    plan = plan_of(spark, "text_segment_dedup")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    df = load_all()["text_segment_dedup"].fn(spark, SF_SMALL)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "ReusedExchange" in buf.getvalue() or "tableCacheQueryStage" in buf.getvalue()

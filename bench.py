@@ -188,6 +188,7 @@ _HEADLINE_R7 = (
     "window_sessionize_gap",
     "sql_pipe_syntax",
     "text_segment_dedup",
+    "udf_map_in_arrow",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -401,3 +401,68 @@ def udaf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id bigint, n_purchases bigint, n_matched bigint, gap_sum_micros bigint",
         )
     )
+
+
+_NORM_SCALE = 1e12  # per-element square quantization (values are |x| < 1)
+
+_ARROW_NORM_ORACLE = """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12 + 0.5)
+                          AS BIGINT))) AS BIGINT) AS norm_q
+    FROM embeddings
+"""
+
+
+def _arrow_norm_batches(batches):
+    """Iterator[pyarrow.RecordBatch] → Iterator[pyarrow.RecordBatch]:
+    zero pandas — list offsets and the flat float32 buffer are read
+    directly, squared in float64, quantized to integer units, and
+    segment-summed. Per-element quantization BEFORE the sum makes the
+    reduction exact integer arithmetic, so numpy's segment sum and
+    DuckDB's list fold cannot disagree on float addition order."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        emb = batch.column(batch.schema.get_field_index("embedding"))
+        if isinstance(emb, pa.ChunkedArray):  # defensive; batches are flat
+            emb = emb.combine_chunks()
+        offsets = emb.offsets.to_numpy().astype("int64")
+        flat = emb.values.to_numpy(zero_copy_only=False).astype("float64")
+        q = np.floor(flat * flat * _NORM_SCALE + 0.5).astype("int64")
+        # ListArray offsets may start past 0 (sliced batches).
+        sums = np.add.reduceat(q, offsets[:-1]) if len(offsets) > 1 else np.array([], "int64")
+        sums[offsets[:-1] == offsets[1:]] = 0  # reduceat quirk on empty lists
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("vec_id")),
+                pa.array((offsets[1:] - offsets[:-1]).astype("int32")),
+                pa.array(sums),
+            ],
+            names=["vec_id", "n_dims", "norm_q"],
+        )
+
+
+@query("udf_map_in_arrow", oracle=_ARROW_NORM_ORACLE, tags=("udf", "arrow"))
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the RecordBatch-level Arrow surface (§2.11's
+    last uncovered entry point): no pandas materialization at all, the
+    Python side reads the list offsets and the flat float32 value
+    buffer as numpy views and emits a new RecordBatch. The workload is
+    the embedding-norm pass an ANN/quantization pipeline runs before
+    indexing. Exactness: each squared element is quantized to integer
+    units (floor(x²·1e12 + 0.5), identical IEEE double ops on both
+    engines) BEFORE summation, so the per-row reduction is exact
+    BIGINT arithmetic — numpy's pairwise/segment summation and
+    DuckDB's sequential list fold cannot diverge the way raw float
+    sums would. Scale: embarrassingly parallel, zero shuffle, Arrow
+    batch memory bounds the footprint; this is the shape to drop
+    tokenizers or ONNX feature extractors into when pandas conversion
+    overhead matters (mapInPandas pays the to-pandas copy; mapInArrow
+    does not)."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
+    return emb.mapInArrow(
+        _arrow_norm_batches, schema="vec_id long, n_dims int, norm_q long"
+    )

@@ -621,3 +621,15 @@ def test_segment_dedup_builds_segments_in_scan(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "ReusedExchange" in buf.getvalue() or "tableCacheQueryStage" in buf.getvalue()
+
+
+def test_map_in_arrow_zero_shuffle(spark):
+    """The Arrow-batch norm pass must be scan → (spread repartition) →
+    Python, with NO hash exchange and no aggregate — embarrassingly
+    parallel by construction."""
+    import re
+
+    plan = plan_of(spark, "udf_map_in_arrow")
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:600]
+    assert not re.search(r"Exchange hashpartitioning", plan)
+    assert "HashAggregate" not in plan

@@ -189,6 +189,8 @@ _HEADLINE_R7 = (
     "sql_pipe_syntax",
     "text_segment_dedup",
     "udf_map_in_arrow",
+    "join_scd2_point_in_time",
+    "window_match_pattern",
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -226,3 +226,79 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum(overlap_s).alias("total_overlap_s"),
     )
+
+
+_SCD2_ORACLE = """
+    WITH dim AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+               lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version_no,
+               CAST(floor(value) AS BIGINT) AS plan_level
+        FROM events WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), f AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, d.version_no, d.plan_level
+    FROM f LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@query("join_scd2_point_in_time", oracle=_SCD2_ORACLE, tags=("join", "asof", "scd2"))
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) build + point-in-time
+    join — the warehouse pattern behind "which plan was this user on
+    when they purchased?". The dimension's version history is DERIVED
+    (each signup event opens a version; `lead` over the per-user
+    signup order closes the previous one) and every purchase fact is
+    enriched with the version valid AT ITS EVENT TIME; purchases
+    before a user's first version stay NULL (left semantics). The
+    ORACLE is the textbook interval formulation (validity-range
+    predicate join); the ENGINE never materializes intervals at all —
+    the union-window as-of carries (version_no, plan_level) forward
+    onto facts in the per-user event order, which is semantically
+    identical (a fact's governing version IS the last version opened
+    at or before it) and costs ONE shuffle + sort instead of a
+    range-predicate join whose per-user cost is |facts|×|versions|.
+    Equal-timestamp edges mirror exactly: a same-instant signup is
+    visible to the purchase (dim sorts first at equal ts), and of two
+    same-instant signups the later event_id governs — in the interval
+    form the first's [t, t) validity is empty, in the window form the
+    carry takes the last. plan_level is floor(value) → exact BIGINT;
+    no floats in the output. Scale: the standard per-user-window
+    envelope; version histories are bounded per user so the carried
+    state is O(1)."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("version_no", F.row_number().over(wv).cast("long"))
+        .withColumn("plan_level", F.floor("value").cast("long"))
+        .select("event_id", "user_id", "ts", "version_no", "plan_level", F.lit(1).alias("is_dim"))
+    )
+    fact = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts",
+            F.lit(None).cast("long").alias("version_no"),
+            F.lit(None).cast("long").alias("plan_level"),
+            F.lit(0).alias("is_dim"),
+        )
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = sign.unionByName(fact).select(
+        "event_id", "user_id", "ts", "is_dim",
+        F.last("version_no", ignorenulls=True).over(wc).alias("version_no"),
+        F.last("plan_level", ignorenulls=True).over(wc).alias("plan_level"),
+    )
+    return carried.filter(F.col("is_dim") == 0).select(
+        "event_id", "user_id", "version_no", "plan_level"
+    )

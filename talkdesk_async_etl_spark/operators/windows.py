@@ -430,3 +430,98 @@ def window_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur_micros"),
         )
     )
+
+
+_PAT_STEP_US = 48 * 3600 * 1_000_000  # each step within 48 h of the previous
+# (median inter-event gap is ~7.4 h at every fixture SF — a 1 h bound is
+# vacuous; 48 h matches a meaningful fraction, probed below)
+_PAT_NONE = 1 << 60  # sentinel: "no qualifying prior step"
+
+_PATTERN_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ), v AS (
+        SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts_us END
+                             IGNORE NULLS) OVER w AS last_view_us
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), c AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                          IGNORE NULLS) OVER w AS last_click_us,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN coalesce(ts_us - last_view_us, {_PAT_NONE})
+                          END IGNORE NULLS) OVER w AS click_view_gap_us
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(*) FILTER (
+                last_click_us IS NOT NULL
+                AND ts_us - last_click_us <= {_PAT_STEP_US}
+                AND click_view_gap_us <= {_PAT_STEP_US}) AS BIGINT)
+               AS n_pattern
+    FROM c
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+"""
+
+
+@query("window_match_pattern", oracle=_PATTERN_ORACLE, tags=("window", "pattern"))
+def window_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: ordered event-pattern detection (MATCH_RECOGNIZE-style) —
+    per user, purchases completing the strict view → click → purchase
+    sequence with EACH step within 48 h of the previous. Spark has no
+    MATCH_RECOGNIZE; the pattern compiles to chained running carries
+    over ONE per-user sorted pass: carry the last view time; at every
+    click, freeze that click's view-gap; carry the frozen (click time,
+    click→view gap) pair forward; a purchase matches iff both carried
+    gaps are within the step bound. The frozen gap uses a BIGINT
+    sentinel (2^60 = "click had no prior view") instead of NULL so the
+    ignore-nulls carry can never skip past the LATEST click to an
+    older one that happened to have a view — the subtle bug a naive
+    two-carry formulation has; both engines run the identical integer
+    logic, so outputs are exact. One shuffle + one sort serve all
+    three carries AND (clustering subset) the per-user rollup vs the
+    event_transitions op's adjacent-pair matrix, this is the
+    arbitrary-depth ordered-pattern shape: add a step = add a carry,
+    still one pass. Scale: O(1) running state per row, per-user-window
+    envelope."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_type = lambda s: F.col("event_type") == s  # noqa: E731
+    last_view = F.last(F.when(is_type("view"), ts_us), ignorenulls=True).over(w)
+    staged = ev.select(
+        "user_id", "event_id", "event_type", ts_us.alias("ts_us"),
+        F.last(F.when(is_type("click"), ts_us), ignorenulls=True).over(w).alias("last_click_us"),
+        F.last(
+            F.when(
+                is_type("click"),
+                F.coalesce(ts_us - last_view, F.lit(_PAT_NONE)),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("click_view_gap_us"),
+    )
+    matched = (
+        F.col("last_click_us").isNotNull()
+        & ((F.col("ts_us") - F.col("last_click_us")) <= _PAT_STEP_US)
+        & (F.col("click_view_gap_us") <= _PAT_STEP_US)
+    )
+    return (
+        staged.filter(is_type("purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(matched, 1).otherwise(0)).alias("n_pattern"),
+        )
+    )

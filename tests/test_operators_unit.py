@@ -1297,3 +1297,69 @@ def test_sessionize_gap_islands(spark):
     assert got[(1, 1)]["dur_micros"] == 20 * 60 * 1_000_000
     assert got[(1, 2)]["n_events"] == 1 and got[(1, 2)]["dur_micros"] == 0
     assert got[(2, 1)]["n_events"] == 1
+
+
+def _events_dir(spark, rows, tmp):
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(tmp + "/events.parquet")
+    return tmp
+
+
+def test_match_pattern_latest_click_governs(spark, tmp_path):
+    """The sentinel carry must evaluate the LATEST click: a click with
+    no prior view blocks the pattern even when an OLDER click did have
+    a view (the bug a naive last-non-null view-at-click carry has)."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.windows import window_match_pattern
+
+    base = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: view -> click -> purchase, all within bounds: MATCH
+        (1, 1, base, "view", 0.0),
+        (2, 1, base + h, "click", 0.0),
+        (3, 1, base + 2 * h, "purchase", 0.0),
+        # user 2: view -> click(ok) ... then a NEW user-2 view-less
+        # click right before the purchase: latest click has a view 100
+        # days back -> its gap blows the bound: NO MATCH
+        (4, 2, base - dt.timedelta(days=100), "view", 0.0),
+        (5, 2, base, "click", 0.0),  # gap to view: 100 d > 48 h
+        (6, 2, base + h, "purchase", 0.0),
+        # user 3: click with NO view ever, then purchase: NO MATCH
+        (7, 3, base, "click", 0.0),
+        (8, 3, base + h, "purchase", 0.0),
+    ]
+    d = _events_dir(spark, rows, str(tmp_path))
+    got = {r["user_id"]: r for r in window_match_pattern(spark, d).collect()}
+    assert got[1]["n_pattern"] == 1
+    assert got[2]["n_pattern"] == 0
+    assert got[3]["n_pattern"] == 0
+
+
+def test_scd2_versions_and_prefix_facts(spark, tmp_path):
+    """SCD2 semantics: a purchase before any signup stays NULL; later
+    purchases pick the version open at their event time; a same-instant
+    signup is visible to the purchase."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.asof import join_scd2_point_in_time
+
+    base = dt.datetime(2024, 1, 1)
+    d1 = dt.timedelta(days=1)
+    rows = [
+        (1, 1, base + d1, "purchase", 0.0),          # before any version -> NULL
+        (2, 1, base + 2 * d1, "signup", 10.9),       # v1, plan 10
+        (3, 1, base + 3 * d1, "purchase", 0.0),      # v1
+        (4, 1, base + 4 * d1, "signup", 20.2),       # v2, plan 20
+        (5, 1, base + 4 * d1, "purchase", 0.0),      # same instant -> v2
+        (6, 1, base + 5 * d1, "purchase", 0.0),      # v2
+    ]
+    d = _events_dir(spark, rows, str(tmp_path))
+    got = {r["event_id"]: r for r in join_scd2_point_in_time(spark, d).collect()}
+    assert got[1]["version_no"] is None and got[1]["plan_level"] is None
+    assert got[3]["version_no"] == 1 and got[3]["plan_level"] == 10
+    assert got[5]["version_no"] == 2 and got[5]["plan_level"] == 20
+    assert got[6]["version_no"] == 2 and got[6]["plan_level"] == 20

@@ -633,3 +633,29 @@ def test_map_in_arrow_zero_shuffle(spark):
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:600]
     assert not re.search(r"Exchange hashpartitioning", plan)
     assert "HashAggregate" not in plan
+
+
+def test_scd2_is_union_window_not_range_join(spark):
+    """The SCD2 point-in-time enrichment must plan as the union-window
+    carry (one user-key exchange, Window, no Join operator) — never
+    the oracle's range-predicate join."""
+    import re
+
+    plan = plan_of(spark, "join_scd2_point_in_time")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan[:800]
+
+
+def test_match_pattern_single_exchange(spark):
+    """All three pattern carries must ride ONE user-key exchange —
+    adding a pattern step adds a carry (possibly a chained Window
+    layer when it nests an earlier carry, each with a key-identical
+    local sort), never a shuffle or a join."""
+    import re
+
+    plan = plan_of(spark, "window_match_pattern")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
+    # chained carries: at most the two dependent Window layers
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2, plan[:800]

@@ -191,6 +191,9 @@ _HEADLINE_R7 = (
     "udf_map_in_arrow",
     "join_scd2_point_in_time",
     "window_match_pattern",
+    "sample_stratified_exact",
+    # join_dpp_prune_ok is an attestation (partitioned-write cost
+    # dominates); excluded per the invariant-exclusion note above.
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -1713,3 +1713,66 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-agg: pushed status filter, two-level hash aggregate."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("pipe_api_orders")
     return spark.sql(_PIPE_SQL.format(ord="pipe_api_orders"))
+
+
+@query(
+    "join_dpp_prune_ok",
+    # Invariant + value check (same contract as the bucketed/static
+    # prune attestations): dpp_ok pins the runtime-pruning plan
+    # property; the day/event counts are real oracle values from the
+    # SOURCE events table, so a partitioned write that drops rows or
+    # mis-dates partitions breaks the hash.
+    oracle="""
+        SELECT CAST(1 AS BOOLEAN) AS dpp_ok,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE day(CAST(ts AS DATE)) = 1
+    """,
+    tags=("join", "prune", "invariant"),
+)
+def join_dpp_prune_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 depth: DYNAMIC partition pruning — the runtime complement
+    to the static prune attestation. The static case pushes a literal
+    partition predicate; here the selective predicate lives on a
+    JOINED dimension (a derived day-dim filtered to first-of-month
+    days), so the prunable partition set is only known at run time.
+    Spark plans a dynamicpruning subquery into the fact scan's
+    PartitionFilters (reusing the dim's broadcast), and the fact side
+    reads ONLY the surviving day directories — at 100 TB this is the
+    difference between scanning 1/30th of a date-partitioned fact
+    table and scanning all of it, for a query whose date filter never
+    mentions the fact table. Attested from the physical plan
+    ("dynamicpruning" inside the scan's PartitionFilters) and
+    value-checked: day and event counts for the selected days must
+    match the source table exactly."""
+    import contextlib
+    import io as _io
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    out = os.path.join(tempfile.gettempdir(), "tde_dpp_partitioned")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    facts = spark.read.parquet(out)
+    day_dim = (
+        t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") == 1)
+    )
+    joined = facts.join(day_dim, facts.event_date == day_dim.d)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    dpp_ok = "dynamicpruning" in plan
+    agg = joined.agg(
+        F.countDistinct("event_date").alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(bool(dpp_ok), agg["n_days"], agg["n_events"])],
+        "dpp_ok boolean, n_days bigint, n_events bigint",
+    )

@@ -18,7 +18,7 @@ stage — no exchange).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.registry import query
@@ -148,5 +148,59 @@ def sample_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").alias("first_pos"),
             F.max("pos").alias("last_pos"),
             F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_STRAT_K = 50  # exact per-stratum sample size
+
+_STRAT_ORACLE = f"""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(bit_xor(doc_id) AS BIGINT) AS sample_xor,
+           CAST(sum(n_chars) AS BIGINT) AS sample_chars
+    FROM ranked
+    WHERE rn <= {_STRAT_K}
+    GROUP BY lang
+"""
+
+
+@query("sample_stratified_exact", oracle=_STRAT_ORACLE, tags=("sampling", "d7"))
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 depth: EXACT-COUNT stratified sampling — exactly
+    min(K, |stratum|) documents per language, vs the rate-based
+    `sample_deterministic` whose per-stratum counts are only
+    binomially close to the rate. Exact counts are what eval-set and
+    few-shot-pool construction need ("100 per language, every run,
+    byte-identical"). Selection is deterministic with no RNG: rank by
+    md5 of the doc id (both engines' md5 agree byte-for-byte —
+    established by the shuffle-shard exporter) and keep rank ≤ K; the
+    doc-id tie-break makes even a collision deterministic. The
+    attestation hashes the XOR and char-total of the CHOSEN ids, so
+    both engines must select the identical document set, not just the
+    same counts. Scale: rank-≤-K over a stratum window plans as
+    partial WindowGroupLimit — every map task forwards at most K rows
+    per stratum before the one lang-key exchange, so a 100 TB corpus
+    ships |langs|×K×|tasks| rows at worst, not the corpus; the final
+    per-stratum aggregate reuses the same clustering."""
+    docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STRAT_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("sample_xor"),
+            F.sum("n_chars").alias("sample_chars"),
         )
     )

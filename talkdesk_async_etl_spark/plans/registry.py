@@ -107,7 +107,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # plus the canon-completing TPC-H batch tpch_q2/q9/q11/q12/q16 and
 # window_fill_forward / udaf_cogroup_asof / window_sessionize_gap /
 # sql_pipe_syntax / text_segment_dedup / udf_map_in_arrow /
-# join_scd2_point_in_time / window_match_pattern —
+# join_scd2_point_in_time / window_match_pattern /
+# join_dpp_prune_ok / sample_stratified_exact —
 # registered after the window filled;
 # pytest-oracle-green at sf0.001/0.01 AND swept green at sf0.1) LEAD
 # the r8 window, same precedent as round 6's late batch. Any

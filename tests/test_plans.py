@@ -659,3 +659,11 @@ def test_match_pattern_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:800]
     # chained carries: at most the two dependent Window layers
     assert len(re.findall(r"\(\d+\) Window\b", plan)) <= 2, plan[:800]
+
+
+def test_stratified_exact_pushes_group_limit(spark):
+    """Exact per-stratum sampling must plan partial+final
+    WindowGroupLimit — map tasks forward at most K rows per stratum,
+    so the lang-key exchange never carries the corpus."""
+    plan = plan_of(spark, "sample_stratified_exact")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:800]

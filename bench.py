@@ -192,6 +192,7 @@ _HEADLINE_R7 = (
     "join_scd2_point_in_time",
     "window_match_pattern",
     "sample_stratified_exact",
+    "dedup_components_star",
     # join_dpp_prune_ok is an attestation (partitioned-write cost
     # dominates); excluded per the invariant-exclusion note above.
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok

@@ -1187,3 +1187,98 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _LEV_THRESHOLD))
     )
+
+
+def components_large_small_star(pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the skew-safe alternative to
+    :func:`propagate_min_labels` this module's scaling notes promise.
+    Each half-round is ONE map-side-combinable min-aggregate plus ONE
+    equi-join fan-out of O(1) per edge: a hub node with 10^8
+    neighbors contributes a single (key → min) row to the aggregate
+    and each of its edges is rewritten independently — no per-node
+    neighbor list is ever collected, which is exactly where
+    label-propagation's groupBy state concentrates under power-law
+    skew. Converges in O(log n) rounds (vs diameter rounds), so it
+    also wins on long path-shaped components. Returns
+    ``(doc_id, component_id)`` for every node in ``pairs`` with
+    component_id = component minimum — identical output contract to
+    propagate_min_labels. Caller must hold an active cache_scope."""
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    nodes = scoped_persist(sym.select(F.col("u").alias("doc_id")).distinct())
+    n_parts = max(1, nodes.count() // 100_000 + 1)
+    # Canonical orientation (hi → lo) between rounds.
+    edges = (
+        sym.filter(F.col("u") > F.col("v"))
+        .distinct()
+        .repartition(n_parts, "u")
+        .localCheckpoint()
+    )
+    prev_sig = None
+    while True:
+        # LARGE-STAR: per node u over SYMMETRIC edges, m = min(N(u) ∪ u);
+        # every neighbor v > u re-attaches to m: emit (v, m).
+        s = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = s.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least(F.col("u"), F.col("mv"))
+        large = (
+            s.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR: per hi endpoint u over canonical edges,
+        # m = min of its lo-neighbors; u AND every other lo-neighbor
+        # attach to m: emit (u, m) ∪ {(w, m) : w ∈ N_lo(u) \ {m}}.
+        smins = large.groupBy("u").agg(F.min("v").alias("mv"))
+        small = (
+            large.join(smins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("mv").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("mv").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") > F.col("v"))
+            .distinct()
+            .repartition(n_parts, "u")
+            .localCheckpoint(eager=False)
+        )
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("h"),
+        ).collect()[0]
+        edges = small
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+    return nodes.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id")
+    )
+
+
+@query("dedup_components_star", oracle=_COMPONENTS_ORACLE, tags=("dedup", "graph"))
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 completion, skew-safe variant: the SAME duplicate-cluster
+    labels as dedup_components, computed by large-star/small-star
+    contraction instead of min-label propagation — and checked against
+    the SAME recursive-CTE transitive-closure oracle, so three
+    independent algorithms (label propagation, star contraction,
+    DuckDB closure) must agree on every label. Label propagation
+    shuffles each round's labels through a groupBy whose per-key cost
+    follows node degree (a power-law hub concentrates its whole
+    neighborhood); star contraction's per-round cost is degree-flat
+    (min-aggregate + O(1)-per-edge rewrite) and its round count is
+    O(log n) instead of O(diameter) — this is the variant to run when
+    the pair graph has celebrity nodes or long chains."""
+    with cache_scope():
+        return components_large_small_star(dedup_near_jaccard(spark, sf_dir))

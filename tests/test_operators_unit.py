@@ -1363,3 +1363,32 @@ def test_scd2_versions_and_prefix_facts(spark, tmp_path):
     assert got[3]["version_no"] == 1 and got[3]["plan_level"] == 10
     assert got[5]["version_no"] == 2 and got[5]["plan_level"] == 20
     assert got[6]["version_no"] == 2 and got[6]["plan_level"] == 20
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Both components algorithms must produce identical labels on the
+    shapes where they differ most: a long chain (diameter >> log n), a
+    hub star, and a mixed component with a non-minimal hub."""
+    from talkdesk_async_etl_spark.operators.dedup import (
+        components_large_small_star,
+        propagate_min_labels,
+    )
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    pairs = [
+        # chain 1-2-3-4-5-6-7-8 (diameter 7)
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),
+        # star hubbed at 100 (hub is NOT the component min: 50 < 100)
+        (100, 50), (100, 101), (100, 102), (100, 103),
+        # two-node component
+        (200, 201),
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with cache_scope():
+        star = {r["doc_id"]: r["component_id"]
+                for r in components_large_small_star(df).collect()}
+    with cache_scope():
+        prop = {r["doc_id"]: r["component_id"]
+                for r in propagate_min_labels(df).collect()}
+    assert star == prop
+    assert star[8] == 1 and star[103] == 50 and star[201] == 200

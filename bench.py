@@ -193,6 +193,9 @@ _HEADLINE_R7 = (
     "window_match_pattern",
     "sample_stratified_exact",
     "dedup_components_star",
+    "sim_topk_pq",
+    # sim_pq_recall_ok is an invariant (runs two full pipelines);
+    # excluded per the invariant-exclusion note above.
     # join_dpp_prune_ok is an attestation (partitioned-write cost
     # dominates); excluded per the invariant-exclusion note above.
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok

@@ -1392,3 +1392,18 @@ def test_star_contraction_matches_label_propagation(spark):
                 for r in propagate_min_labels(df).collect()}
     assert star == prop
     assert star[8] == 1 and star[103] == 50 and star[201] == 200
+
+
+def test_pq_returns_full_ranked_topk(spark):
+    """PQ output contract: a full, densely-ranked top-10 per query —
+    a lost shortlist block or a rerank join that drops vectors shows
+    up as a short or gapped ranking."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.similarity import sim_topk_pq
+
+    df = sim_topk_pq(spark, SF_SMALL)
+    assert df.count() == 50  # 5 queries x top-10
+    ranks = df.groupBy("q_id").agg(F.max("rank").alias("mx"), F.count("*").alias("n")).collect()
+    for r in ranks:
+        assert r["mx"] == 10 and r["n"] == 10

@@ -112,6 +112,9 @@ def test_rows_only_query_set_is_pinned():
         "dedup_winnow_pairs",
         "sim_topk_blocked",
         "sim_topk_ivf",
+        # PQ: codebook/ADC values are engine-internal floats; the
+        # driver-checked guarantee is sim_pq_recall_ok's 0.7 floor.
+        "sim_topk_pq",
         "agg_approx_distinct",
         "agg_percentile_approx",
         "multimodal_image_features",

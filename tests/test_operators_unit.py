@@ -1407,3 +1407,47 @@ def test_pq_returns_full_ranked_topk(spark):
     ranks = df.groupBy("q_id").agg(F.max("rank").alias("mx"), F.count("*").alias("n")).collect()
     for r in ranks:
         assert r["mx"] == 10 and r["n"] == 10
+
+
+def test_star_contraction_matches_union_find_random_graphs(spark):
+    """Randomized (fixed-seed) equivalence: on three random graph
+    shapes — sparse, clustered, and preferential-attachment-ish — the
+    star-contraction labels must equal a python union-find reference
+    relabeled to component minima."""
+    import random
+
+    from talkdesk_async_etl_spark.operators.dedup import components_large_small_star
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    def union_find_labels(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for n in list(parent):
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comp.values() for n in members}
+
+    for seed, n_nodes, n_edges in ((1, 40, 30), (2, 60, 80), (3, 50, 49)):
+        rng = random.Random(seed)
+        pairs = set()
+        while len(pairs) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                pairs.add((min(a, b) + 1000, max(a, b) + 1000))
+        pairs = sorted(pairs)
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        with cache_scope():
+            got = {r["doc_id"]: r["component_id"]
+                   for r in components_large_small_star(df).collect()}
+        assert got == union_find_labels(pairs), f"seed {seed} mismatch"

@@ -194,6 +194,8 @@ _HEADLINE_R7 = (
     "sample_stratified_exact",
     "dedup_components_star",
     "sim_topk_pq",
+    "join_band_nonequi",
+    "scalar_collation_ci",
     # sim_pq_recall_ok is an invariant (runs two full pipelines);
     # excluded per the invariant-exclusion note above.
     # join_dpp_prune_ok is an attestation (partitioned-write cost

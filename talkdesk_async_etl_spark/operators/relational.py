@@ -1776,3 +1776,56 @@ def join_dpp_prune_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(dpp_ok), agg["n_days"], agg["n_events"])],
         "dpp_ok boolean, n_days bigint, n_events bigint",
     )
+
+
+_BANDS = (
+    ("micro", 0, 50_000),
+    ("small", 50_000, 150_000),
+    ("mid", 150_000, 300_000),
+    ("large", 300_000, 450_000),
+    ("jumbo", 450_000, 1_000_000_000),
+)
+
+_BAND_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+_BAND_ORACLE = f"""
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+    FROM orders
+    JOIN (VALUES {_BAND_VALUES}) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+"""
+
+
+@query("join_band_nonequi", oracle=_BAND_ORACLE, tags=("join", "nonequi"))
+def join_band_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: pure non-equi (band) join — classify every order into a
+    price band by joining against a half-open interval dimension with
+    NO equality key at all. This is the one join shape where a
+    nested-loop is the RIGHT plan: the band dim is tiny and broadcast,
+    so the fact stream never shuffles and each row probes five
+    in-memory intervals inside the scan stage (BroadcastNestedLoopJoin
+    — cheap here, catastrophic if the build side scaled; the bounded
+    literal dim is the contract). The range join (join_range) carries
+    an equality key that bounds the explosion; this op covers the
+    keyless case a banding/bucketing migration actually hits. Bands
+    are half-open and exhaustive over the fixture's price domain, so
+    the join is lossless (count cross-checks total orders via the
+    oracle). Money sums accumulate in DECIMAL."""
+    bands = spark.createDataFrame(
+        list(_BANDS), "band string, lo long, hi long"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("band_value"),
+        )
+    )

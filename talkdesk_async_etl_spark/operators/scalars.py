@@ -429,3 +429,55 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform_values(m, lambda k, v: v * 2), F.lit("cust")
         ).alias("cust_doubled"),
     )
+
+
+_COLLATION_ORACLE = """
+    WITH mixed AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src,
+               n_chars
+        FROM documents
+    )
+    SELECT lower(src) AS source_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM mixed
+    GROUP BY lower(src)
+"""
+
+
+@query("scalar_collation_ci", oracle=_COLLATION_ORACLE, tags=("scalar", "collation"))
+def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: Spark 4 COLLATION surface — case-insensitive comparison
+    semantics attached to the VALUE (``collate(col, 'UTF8_LCASE')``)
+    instead of rewritten into every expression. Case variance is
+    injected deterministically (even doc_ids upper-case their source),
+    then the collated column feeds a plain ``groupBy`` — the engine
+    must merge 'SRC1' and 'src1' into ONE group under the collation.
+    The attestation is structural, not cosmetic: if collation silently
+    degraded to binary comparison the groups would split per case and
+    the output would carry DUPLICATE source_key rows after the
+    lower() normalization — a row-count mismatch against the oracle
+    (which expresses the same semantics as group-by-lower, the
+    pre-collation rewrite this feature replaces). The group
+    representative under a collation is whichever variant the
+    aggregate sees, so the output key is normalized with lower() on
+    both engines. Scale: identical plan economics to any string
+    groupBy — collation affects the comparator, not the shuffle
+    shape."""
+    mixed = t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("src"),
+        "n_chars",
+    )
+    return (
+        mixed.withColumn("ck", F.collate(F.col("src"), "UTF8_LCASE"))
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.lower(F.col("ck")).alias("source_key"), "n_docs", "total_chars"
+        )
+    )

@@ -667,3 +667,15 @@ def test_stratified_exact_pushes_group_limit(spark):
     so the lang-key exchange never carries the corpus."""
     plan = plan_of(spark, "sample_stratified_exact")
     assert plan.count("WindowGroupLimit") >= 2, plan[:800]
+
+
+def test_band_join_broadcasts_nested_loop(spark):
+    """The keyless band join must plan BroadcastNestedLoopJoin with
+    the 5-row band dim as the build side — the fact stream never
+    shuffles for classification."""
+    import re
+
+    plan = plan_of(spark, "join_band_nonequi")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1  # only the 5-group agg

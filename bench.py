@@ -198,8 +198,9 @@ _HEADLINE_R7 = (
     "scalar_collation_ci",
     # sim_pq_recall_ok is an invariant (runs two full pipelines);
     # excluded per the invariant-exclusion note above.
-    # join_dpp_prune_ok is an attestation (partitioned-write cost
-    # dominates); excluded per the invariant-exclusion note above.
+    # join_dpp_prune_ok / sink_jsonl_export_ok are attestations
+    # (partitioned-write + read-back cost dominates); excluded per the
+    # invariant-exclusion note above.
     # sink_zorder_layout_ok / agg_cms_topk_ok / join_bloom_prefilter_ok
     # are invariants (attestation passes dominate their wall time;
     # excluded per the invariant-exclusion note above).

@@ -388,3 +388,44 @@ def sink_zorder_layout_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.sum("s").alias("sum_z"),
     )
+
+
+_JSONL_ORACLE = """
+    SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+"""
+
+
+@query("sink_jsonl_export_ok", oracle=_JSONL_ORACLE, tags=("sink", "export"))
+def sink_jsonl_export_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: JSONL training-export sink — the exchange format training
+    pipelines actually emit. Documents are sharded by the first hex
+    nibble of md5(doc_id) (the shuffle-shard exporter's deterministic
+    key: both engines' md5 agree byte-for-byte), written as
+    hive-partitioned JSON LINES, and READ BACK; the attested numbers
+    (per-shard count, doc-id XOR, char total) are computed from the
+    ROUND-TRIPPED files while the oracle computes them from the source
+    table — a dropped row, a mangled escape, a shard misroute, or a
+    lossy text round-trip through JSON encoding breaks the hash.
+    Scale: one hash-partition exchange (16 shards; at production
+    scale use 2-3 nibbles → 256-4096 shards sized to the writer's
+    file target) and one partitioned write; the read-back is the
+    attestation cost, not the operator cost."""
+    out = os.path.join(tempfile.gettempdir(), "tde_jsonl_export")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
+    )
+    docs.repartition("shard").write.mode("overwrite").partitionBy("shard").json(out)
+    back = spark.read.schema(
+        "doc_id long, lang string, text string, n_chars long, shard string"
+    ).json(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("id_xor"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -876,3 +876,63 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_FH_DIM = 16  # hashed feature dimension
+
+_FH_BUCKET_SQL_DUCK = "CAST(('0x' || substr(md5(w), 1, 2)) AS BIGINT) % 16"
+_FH_SIGN_SQL_DUCK = (
+    "CASE WHEN CAST(('0x' || substr(md5(w), 3, 1)) AS BIGINT) % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+
+_FH_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), feat AS (
+        SELECT doc_id, {_FH_BUCKET_SQL_DUCK} AS bucket,
+               {_FH_SIGN_SQL_DUCK} AS sign
+        FROM words
+    )
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(coalesce(sum(CASE WHEN bucket = {i} THEN sign END), 0)"
+               f" AS BIGINT) AS f{i}" for i in range(_FH_DIM)
+           )}
+    FROM feat GROUP BY doc_id
+"""
+
+
+@query("text_feature_hashing", oracle=_FH_ORACLE, tags=("text", "embedding"))
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D3 bridge: the hashing trick — model-free bag-of-words
+    embeddings where feature index = hash(word) mod D and a second
+    hash bit supplies the sign (Weinberger et al.; the unbiased
+    signed variant). No vocabulary, no training, no shuffle of any
+    dictionary: each document's 16-dim signed-count vector folds up
+    map-side in ONE doc-key aggregate over the in-scan word explode.
+    Both engines derive bucket and sign from the same md5 hex digits
+    (the established cross-engine hash: Spark `conv(substring(md5))`
+    ≡ DuckDB `CAST('0x'||substr(md5))`), so every one of the 16
+    columns is an exact signed BIGINT — the embedding is
+    hash-checked, not approximated. At 100 TB this replaces md5 with
+    xxhash64 (same plan, cheaper hash) and D grows to 2^18+; columns
+    become an array constructed AFTER the aggregate — the per-bucket
+    conditional-sum shape is unchanged. Downstream: these vectors
+    feed the same cosine/LSH/PQ operators as model embeddings."""
+    docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    bucket = F.expr("CAST(conv(substring(md5(w), 1, 2), 16, 10) AS BIGINT) % 16")
+    sign = F.expr(
+        "CASE WHEN CAST(conv(substring(md5(w), 3, 1), 16, 10) AS BIGINT) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    feat = words.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+    return feat.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == i, F.col("sign"))), F.lit(0)
+            ).alias(f"f{i}")
+            for i in range(_FH_DIM)
+        ]
+    )

@@ -679,3 +679,16 @@ def test_band_join_broadcasts_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1  # only the 5-group agg
+
+
+def test_feature_hashing_single_aggregate_no_join(spark):
+    """The hashing trick must be one in-scan explode + one doc-key
+    aggregate with map-side partials — no vocabulary join, no second
+    exchange (the whole point vs TF-IDF's dictionary pass)."""
+    import re
+
+    plan = plan_of(spark, "text_feature_hashing")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the word explode
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2

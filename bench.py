@@ -197,6 +197,7 @@ _HEADLINE_R7 = (
     "join_band_nonequi",
     "scalar_collation_ci",
     "text_feature_hashing",
+    "agg_listagg_ordered",
     # sim_pq_recall_ok is an invariant (runs two full pipelines);
     # excluded per the invariant-exclusion note above.
     # join_dpp_prune_ok / sink_jsonl_export_ok are attestations

@@ -1829,3 +1829,42 @@ def join_band_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("band_value"),
         )
     )
+
+
+_LISTAGG_ORACLE = """
+    SELECT c_mktsegment,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+               AS priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@query("agg_listagg_ordered", oracle=_LISTAGG_ORACLE, tags=("agg", "string"))
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: ordered string aggregation — Spark 4's `listagg(DISTINCT …)
+    WITHIN GROUP (ORDER BY …)`, the SQL-standard surface every report
+    migration hits (DuckDB/Postgres `string_agg`, Oracle LISTAGG).
+    Determinism is the whole point of the WITHIN GROUP clause: an
+    unordered collect would hash-mismatch between engines on every
+    run, so this row attests the ordering contract itself. DISTINCT
+    bounds the per-group state to the value domain (5 priorities)
+    rather than the row count — without it a 100 TB group would
+    concatenate billions of rows; at scale pair with an explicit
+    domain cap or switch to collect_set + array_join + slice. One
+    broadcast dim join + one map-side-partial aggregate."""
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined.createOrReplaceTempView("listagg_src")
+    return joined.sparkSession.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(DISTINCT o_orderpriority, '|')
+                   WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM listagg_src
+        GROUP BY c_mktsegment
+        """
+    )

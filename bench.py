@@ -198,6 +198,8 @@ _HEADLINE_R7 = (
     "scalar_collation_ci",
     "text_feature_hashing",
     "agg_listagg_ordered",
+    "join_asof_nearest",
+    "graph_kcore",
     # sim_pq_recall_ok is an invariant (runs two full pipelines);
     # excluded per the invariant-exclusion note above.
     # join_dpp_prune_ok / sink_jsonl_export_ok are attestations

@@ -302,3 +302,86 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("is_dim") == 0).select(
         "event_id", "user_id", "version_no", "plan_level"
     )
+
+
+_NEAREST_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ), carried AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'view' THEN ts_us END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_view_us,
+               first_value(CASE WHEN event_type = 'view' THEN ts_us END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_view_us
+        FROM e
+    )
+    SELECT event_id, user_id,
+           CASE
+             WHEN prev_view_us IS NULL AND next_view_us IS NULL THEN NULL
+             WHEN next_view_us IS NULL THEN ts_us - prev_view_us
+             WHEN prev_view_us IS NULL THEN -(next_view_us - ts_us)
+             WHEN ts_us - prev_view_us <= next_view_us - ts_us
+                  THEN ts_us - prev_view_us
+             ELSE -(next_view_us - ts_us)
+           END AS nearest_gap_us
+    FROM carried
+    WHERE event_type = 'purchase'
+"""
+
+
+@query("join_asof_nearest", oracle=_NEAREST_ORACLE, tags=("join", "asof"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6c: NEAREST-direction as-of — for each purchase, the closest
+    view in time in EITHER direction, ties resolved toward the past
+    (the `merge_asof(direction='nearest')` semantic, the third member
+    of the family after backward and forward). One union-sorted pass:
+    the backward carry and the forward carry are two mirrored frames
+    over the SAME per-user sort — one exchange, two Window layers —
+    then the smaller absolute gap wins. The output is the SIGNED gap
+    in exact microseconds (positive = view before purchase, negative
+    = after), so both the choice and the tie-break are pure BIGINT
+    comparisons with no float anywhere; purchases by users with no
+    views stay NULL. The oracle runs the IDENTICAL window formulation
+    — a range-join restatement would cost DuckDB an O(n·m) per-user
+    envelope for nothing. Scale: the standard per-user-window
+    envelope, both directions in the same pass."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    both = ev.filter(F.col("event_type").isin("purchase", "view"))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    view_ts = F.when(F.col("event_type") == "view", ts_us)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us.asc(), F.col("event_id").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = both.select(
+        "event_id", "user_id", "event_type", ts_us.alias("ts_us"),
+        F.last(view_ts, ignorenulls=True).over(back).alias("prev_view_us"),
+        F.first(view_ts, ignorenulls=True).over(fwd).alias("next_view_us"),
+    )
+    prev_gap = F.col("ts_us") - F.col("prev_view_us")
+    next_gap = F.col("next_view_us") - F.col("ts_us")
+    nearest = (
+        F.when(F.col("prev_view_us").isNull() & F.col("next_view_us").isNull(), F.lit(None))
+        .when(F.col("next_view_us").isNull(), prev_gap)
+        .when(F.col("prev_view_us").isNull(), -next_gap)
+        .when(prev_gap <= next_gap, prev_gap)
+        .otherwise(-next_gap)
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", nearest.alias("nearest_gap_us"))
+    )

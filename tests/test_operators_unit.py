@@ -1451,3 +1451,44 @@ def test_star_contraction_matches_union_find_random_graphs(spark):
             got = {r["doc_id"]: r["component_id"]
                    for r in components_large_small_star(df).collect()}
         assert got == union_find_labels(pairs), f"seed {seed} mismatch"
+
+
+def test_kcore_peels_chain_keeps_clique(spark, tmp_path):
+    """Constructed check of the peel loop itself (the registered query
+    derives its graph from the trade tables; here we drive the same
+    loop body over a known shape): a 6-clique plus a pendant chain —
+    the chain must peel away round by round, the clique must survive
+    with degree 5."""
+    from pyspark.sql import functions as F
+
+    k = 5
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long").localCheckpoint()
+    n_edges = edges.count()
+    for _ in range(8):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .union(edges.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = F.broadcast(deg.filter(F.col("deg") >= k).select("node"))
+        pruned = (
+            edges.join(keep, edges.a == keep.node, "left_semi")
+            .join(keep, edges.b == keep.node, "left_semi")
+            .localCheckpoint()
+        )
+        n_pruned = pruned.count()
+        edges, stable = pruned, n_pruned == n_edges
+        n_edges = n_pruned
+        if stable:
+            break
+    survivors = {
+        r["node"]
+        for r in edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .collect()
+    }
+    assert survivors == {0, 1, 2, 3, 4, 5}
+    assert n_edges == 15  # the clique's edges, chain fully peeled

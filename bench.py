@@ -200,6 +200,8 @@ _HEADLINE_R7 = (
     "agg_listagg_ordered",
     "join_asof_nearest",
     "graph_kcore",
+    "scalar_xml_roundtrip",
+    "agg_bool_family",
     # sim_pq_recall_ok is an invariant (runs two full pipelines);
     # excluded per the invariant-exclusion note above.
     # join_dpp_prune_ok / sink_jsonl_export_ok are attestations

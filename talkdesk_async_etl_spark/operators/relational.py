@@ -1868,3 +1868,38 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+_BOOL_ORACLE = """
+    SELECT c_mktsegment,
+           bool_and(o_totalprice > 1500) AS all_above_min,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+               AS n_urgent,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@query("agg_bool_family", oracle=_BOOL_ORACLE, tags=("agg", "bool"))
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: the boolean aggregate family — `every` (bool_and), `some`
+    (bool_or), `count_if` — the predicates-per-group surface data
+    quality checks compile to ("every order above the floor?", "any
+    finished?"). All three fold map-side as single-bit/long partials;
+    one broadcast dim join + one aggregate."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.every(F.col("o_totalprice") > 1500).alias("all_above_min"),
+            F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

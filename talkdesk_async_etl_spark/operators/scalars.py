@@ -481,3 +481,46 @@ def scalar_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("ck")).alias("source_key"), "n_docs", "total_chars"
         )
     )
+
+
+_XML_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_exact,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@query("scalar_xml_roundtrip", oracle=_XML_ORACLE, tags=("scalar", "xml"))
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: Spark 4 XML surface — `to_xml(struct)` → `from_xml(schema)`
+    round-trip over real document text (which contains spaces and
+    arbitrary characters the XML writer must escape). The oracle never
+    parses XML: it predicts from the SOURCE table what a LOSSLESS
+    round-trip must yield — every row exact, per-lang counts and
+    doc-id XOR identical — so any escaping bug, encoding loss, or
+    silent null-on-parse-error in either direction breaks the hash
+    (the count of rows whose parsed struct equals the original
+    columns IS an output column). Legacy-feed ingestion is the use
+    case; the scale shape is row-local string codec work in the scan,
+    zero shuffle before the per-lang rollup."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    xml = docs.withColumn("x", F.to_xml(F.struct("doc_id", "lang", "text")))
+    parsed = xml.withColumn(
+        "p", F.from_xml("x", "doc_id BIGINT, lang STRING, text STRING")
+    )
+    exact = (
+        (F.col("p.doc_id") == F.col("doc_id"))
+        & (F.col("p.lang") == F.col("lang"))
+        & (F.col("p.text") == F.col("text"))
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(exact.cast("long")).alias("n_roundtrip_exact"),
+            F.expr("CAST(bit_xor(CASE WHEN p.doc_id = doc_id THEN doc_id END) AS BIGINT)").alias("id_xor"),
+        )
+    )

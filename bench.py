@@ -202,6 +202,8 @@ _HEADLINE_R7 = (
     "graph_kcore",
     "scalar_xml_roundtrip",
     "agg_bool_family",
+    "agg_approx_top_k_exact_domain",
+    "sql_named_params",
     # sim_pq_recall_ok is an invariant (runs two full pipelines);
     # excluded per the invariant-exclusion note above.
     # join_dpp_prune_ok / sink_jsonl_export_ok are attestations

@@ -1903,3 +1903,78 @@ def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+_ATK_ORACLE = """
+    SELECT o_orderpriority AS item,
+           CAST(count(*) AS BIGINT) AS est_count
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@query("agg_approx_top_k_exact_domain", oracle=_ATK_ORACLE, tags=("agg", "sketch"))
+def agg_approx_top_k_exact_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: the BUILT-IN `approx_top_k` sketch function (Spark 4) —
+    the engine-native counterpart to the hand-rolled count-min top-k
+    (agg_cms_topk_ok). Attested in the regime where the sketch is
+    provably exact: k = the full value domain (5 priorities) and the
+    default 10 000 tracked items dwarf it, so the frequency summary
+    must equal true counts — DuckDB's plain group-by count IS the
+    oracle, no tolerance needed. The struct-array result explodes to
+    atomic (item, est_count) rows for the harness. Scale: the sketch
+    state is bounded by maxItemsTracked regardless of rows, merges
+    associatively across partitions, and replaces a full shuffle of
+    group keys with a fixed-size summary when the domain outgrows the
+    tracked budget — at that point the exactness guarantee degrades
+    to top-k-with-error, which is the documented trade."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.explode(F.expr("approx_top_k(o_orderpriority, 5)")).alias("e")
+        )
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+    )
+
+
+_NAMED_PARAMS_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM IDENTIFIER(:tbl)
+    WHERE o_totalprice > :price_floor AND o_orderstatus = :status
+    GROUP BY o_orderpriority
+"""
+
+_NP_FLOOR = 50_000
+_NP_STATUS = "F"
+
+_NAMED_PARAMS_ORACLE = f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_totalprice > {_NP_FLOOR} AND o_orderstatus = '{_NP_STATUS}'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_named_params", oracle=_NAMED_PARAMS_ORACLE, tags=("scan", "sql"))
+def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: parameterized SQL — named parameter markers (`:param`)
+    bound through `spark.sql(..., args=...)` plus the `IDENTIFIER()`
+    clause for a safely-parameterized table reference. This is the
+    injection-safe surface an application embedding the engine should
+    use instead of f-string SQL: values bind as typed literals
+    (Catalyst constant-folds them like any literal — pushdown intact),
+    and IDENTIFIER() restricts the table slot to a valid identifier.
+    The oracle is the identical query with the parameters inlined, so
+    the binding itself is the attested behavior."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("np_orders")
+    return spark.sql(
+        _NAMED_PARAMS_SQL,
+        args={"tbl": "np_orders", "price_floor": _NP_FLOOR, "status": _NP_STATUS},
+    )

@@ -112,7 +112,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # dedup_components_star / sim_topk_pq / sim_pq_recall_ok /
 # join_band_nonequi / scalar_collation_ci / sink_jsonl_export_ok /
 # text_feature_hashing / agg_listagg_ordered / join_asof_nearest /
-# graph_kcore / scalar_xml_roundtrip / agg_bool_family —
+# graph_kcore / scalar_xml_roundtrip / agg_bool_family /
+# agg_approx_top_k_exact_domain / sql_named_params —
 # registered after the window filled;
 # pytest-oracle-green at sf0.001/0.01 AND swept green at sf0.1) LEAD
 # the r8 window, same precedent as round 6's late batch. Any

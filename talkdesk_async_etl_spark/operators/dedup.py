@@ -1217,8 +1217,22 @@ def components_large_small_star(pairs: DataFrame) -> DataFrame:
         .repartition(n_parts, "u")
         .localCheckpoint()
     )
+    # Convergence detection: an order-independent, collision-resistant
+    # signature of the edge set — (count, bit_xor(xxhash64(u, v))).
+    # The previous (count, sum(u·1000003 + v)) form was commutatively
+    # COLLIDING: {(5,1),(3,2)} and {(5,2),(3,1)} share count and sum,
+    # so a round that reshuffles parents while preserving the sum could
+    # terminate early with wrong labels. xxhash64 over the (u, v) pair
+    # makes each edge's contribution non-linear in its endpoints, and
+    # bit_xor keeps the fold order-independent; a collision now needs
+    # the XOR of two 64-bit avalanche-hash sets to match (~2^-64).
+    # Star contraction converges in O(log n) half-round pairs; the
+    # explicit cap turns any (theoretically impossible, but previously
+    # unguarded) signature oscillation into a loud failure instead of
+    # an infinite loop.
+    _MAX_ROUNDS = 64
     prev_sig = None
-    while True:
+    for _round in range(_MAX_ROUNDS):
         # LARGE-STAR: per node u over SYMMETRIC edges, m = min(N(u) ∪ u);
         # every neighbor v > u re-attaches to m: emit (v, m).
         s = edges.union(
@@ -1254,12 +1268,16 @@ def components_large_small_star(pairs: DataFrame) -> DataFrame:
         )
         sig = small.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("h"),
+            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
         ).collect()[0]
         edges = small
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(
+            f"components_large_small_star did not converge in {_MAX_ROUNDS} rounds"
+        )
     roots = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
     return nodes.join(roots, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id")

@@ -432,9 +432,20 @@ def _arrow_norm_batches(batches):
         offsets = emb.offsets.to_numpy().astype("int64")
         flat = emb.values.to_numpy(zero_copy_only=False).astype("float64")
         q = np.floor(flat * flat * _NORM_SCALE + 0.5).astype("int64")
-        # ListArray offsets may start past 0 (sliced batches).
-        sums = np.add.reduceat(q, offsets[:-1]) if len(offsets) > 1 else np.array([], "int64")
-        sums[offsets[:-1] == offsets[1:]] = 0  # reduceat quirk on empty lists
+        # ListArray offsets may start past 0 (sliced batches). reduceat
+        # cannot take a start index == len(values) (raised by a trailing
+        # empty list, or by index 0 when EVERY list is empty), and its
+        # result at an interior empty list is the NEXT element rather
+        # than an empty sum — so mask empty lists out before reduceat
+        # and scatter the segment sums back over a zero base. Dropping
+        # an empty list's start is lossless: its two offsets are equal,
+        # so the surviving consecutive starts still delimit exactly the
+        # non-empty segments.
+        starts = offsets[:-1]
+        nonempty = starts < offsets[1:]
+        sums = np.zeros(len(starts), dtype="int64")
+        if nonempty.any():
+            sums[nonempty] = np.add.reduceat(q, starts[nonempty])
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column(batch.schema.get_field_index("vec_id")),

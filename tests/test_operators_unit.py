@@ -1492,3 +1492,57 @@ def test_kcore_peels_chain_keeps_clique(spark, tmp_path):
     }
     assert survivors == {0, 1, 2, 3, 4, 5}
     assert n_edges == 15  # the clique's edges, chain fully peeled
+
+
+def test_arrow_norm_batches_empty_lists():
+    """ADVICE fix pin: _arrow_norm_batches must survive every empty-list
+    placement — interior, trailing (start offset == len(values), which
+    reduceat rejects), and an all-empty batch (reduceat index 0 on an
+    empty array) — and emit 0 for each, not a neighbour's sum."""
+    import pyarrow as pa
+
+    from talkdesk_async_etl_spark.operators.udfs import _arrow_norm_batches
+
+    def run(lists):
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(range(len(lists))), type=pa.int64()),
+                pa.array(lists, type=pa.list_(pa.float32())),
+            ],
+            names=["vec_id", "embedding"],
+        )
+        (out,) = list(_arrow_norm_batches([batch]))
+        return out.column(1).to_pylist(), out.column(2).to_pylist()
+
+    # interior + trailing empties
+    dims, norms = run([[0.5, 0.5], [], [0.5], []])
+    assert dims == [2, 0, 1, 0]
+    assert norms == [500_000_000_000, 0, 250_000_000_000, 0]
+    # all-empty batch
+    dims, norms = run([[], [], []])
+    assert dims == [0, 0, 0] and norms == [0, 0, 0]
+    # leading empty
+    dims, norms = run([[], [1.0]])
+    assert dims == [0, 1] and norms == [0, 1_000_000_000_000]
+
+
+def test_star_contraction_signature_not_commutative_collision(spark):
+    """ADVICE fix pin: the convergence signature must distinguish the
+    documented collision class of the old (count, sum(u*1000003+v))
+    form — {(5,1),(3,2)} vs {(5,2),(3,1)} share count and linear sum
+    but are different edge sets."""
+    from pyspark.sql import functions as F
+
+    def sig(pairs):
+        df = spark.createDataFrame(pairs, "u long, v long")
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    a, b = [(5, 1), (3, 2)], [(5, 2), (3, 1)]
+    # the old linear form collides on exactly this pair of sets
+    assert 5 * 1_000_003 + 1 + 3 * 1_000_003 + 2 == 5 * 1_000_003 + 2 + 3 * 1_000_003 + 1
+    assert sig(a) != sig(b)
+    assert sig(a) == sig(list(reversed(a)))  # still order-independent

@@ -72,148 +72,85 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-7 window, in priority order (executes the round-6 verdict's
-# items 3–4 and ROUND_NOTES' rotation pre-plan):
-#   1. The 8 ids that have NEVER had a driver row (registered late in
-#      round 6 after the window filled): agg_gap_fill_daily,
-#      join_lateral_topn, udtf_word_chunks, sink_clustered_layout_ok,
-#      scan_recursive_cte, scalar_variant_json, agg_unpivot_melt,
-#      graph_triangle_count. A green row for each takes union
-#      coverage to 151/151.
-#   2. Ids NEW in round 7 — new ids always enter the window the round
+# Round-8 window, in priority order (executes ROUND_NOTES' round-8
+# rotation pre-plan):
+#   1. The 43 late-round-7 ids that have NEVER had a driver row
+#      (registered after the round-7 window filled; every one is
+#      pytest-oracle-green at sf0.001/0.01 AND swept green at sf0.1).
+#      Green rows for all 43 take union driver coverage to the full
+#      registry.
+#   2. Ids NEW in round 8 — new ids always enter the window the round
 #      they are registered, so never-attested debt stops accruing.
-#      Each new id displaces one r4-stale id from tier 4 (displacement
-#      rationale inline at each swap).
-#   3. The two r2-stale ids (scan_parquet, agg_approx_distinct) —
-#      their sub-plan/dominated-coverage justification has carried
-#      them five rounds; refreshing them now costs two cheap slots and
-#      ends the staleness argument entirely.
-#   4. The r4-attested tier (latest driver row round 4), oldest debt
-#      first. 41 ids exist; the window fits 40 minus the round-7
-#      additions. Deferred to r8 (with the rest of the r5 tier, which
-#      rotates there per the pre-plan):
-#      - project_columns — a strict sub-plan of literally every
-#        in-window query; the weakest marginal slot in the tier.
-#      Further deferrals, one per round-7 addition, are listed at the
-#      point of the swap below.
-# The 50 r5-attested ids and the 50 r6-attested ids are deliberately
-# out-of-window: after this round no id's latest row is older than r5,
-# and the r8 pre-plan rotates the r5 tier plus any r7 leftovers. The
-# late round-7 additions (agg_max_by_mode, join_null_safe,
-# graph_bfs_distance, join_asof_forward_tol, sql_text_api,
-# multimodal_ppm_real, text_vocab_oov, agg_rolling_wau,
-# scalar_try_arithmetic, agg_entropy_per_group, scalar_map_ops,
-# join_interval_overlap, window_range_time, agg_bitmap_distinct,
-# plus the canon-completing TPC-H batch tpch_q2/q9/q11/q12/q16 and
-# window_fill_forward / udaf_cogroup_asof / window_sessionize_gap /
-# sql_pipe_syntax / text_segment_dedup / udf_map_in_arrow /
-# join_scd2_point_in_time / window_match_pattern /
-# join_dpp_prune_ok / sample_stratified_exact /
-# dedup_components_star / sim_topk_pq / sim_pq_recall_ok /
-# join_band_nonequi / scalar_collation_ci / sink_jsonl_export_ok /
-# text_feature_hashing / agg_listagg_ordered / join_asof_nearest /
-# graph_kcore / scalar_xml_roundtrip / agg_bool_family /
-# agg_approx_top_k_exact_domain / sql_named_params —
-# registered after the window filled;
-# pytest-oracle-green at sf0.001/0.01 AND swept green at sf0.1) LEAD
-# the r8 window, same precedent as round 6's late batch. Any
-# id registered but absent here appends in registration order, so new
-# operators are never silently dropped — and the first-50 meta-test in
-# tests/test_driver_profile.py fails on typos or miscounts.
+#      Each displaces one r4-stale id from tier 3 (rationale inline).
+#   3. The r4-attested tier leftovers (latest driver row round 4,
+#      displaced from the round-7 window). Whatever round-8 additions
+#      push below slot 50 rotates to r9 with the r5 tier — every
+#      deferred id keeps its every-pytest-run oracle parity check, so
+#      deferral costs recency of the driver row, not coverage.
+# The r5/r6/r7-attested tiers are deliberately out-of-window; they
+# rotate r9+ per the pre-plan. Any id registered but absent here
+# appends in registration order, so new operators are never silently
+# dropped — and the first-50 meta-test in tests/test_driver_profile.py
+# fails on typos or miscounts.
 _PRIORITY = (
-    # --- tier 1: never driver-attested (late round-6 registrations) ---
-    "agg_gap_fill_daily",
-    "join_lateral_topn",
-    "udtf_word_chunks",
-    "sink_clustered_layout_ok",
-    "scan_recursive_cte",
-    "scalar_variant_json",
-    "agg_unpivot_melt",
-    "graph_triangle_count",
-    # --- tier 2: new in round 7 (swaps documented at tier 4) ---
-    # tpch_q21 displaces dedup_simhash_dupes_ok, tpch_q20 displaces
-    # sim_blocked_topk_ok: both displaced ids are invariant COMPANIONS
-    # whose equivalence claims re-prove every pytest run at two SFs,
-    # while their subject ops (dedup_simhash, sim_topk_blocked) stay
-    # in-window — the two new decorrelation shapes (multi-EXISTS /
-    # NOT-EXISTS self-join, nested IN + correlated aggregate) have no
-    # driver row at all yet.
-    "tpch_q21",
-    "tpch_q20",
-    # multimodal_wav_real displaces multimodal_image_features: the new
-    # id is the multimodal family's first HASH-CHECKED driver row with
-    # a REAL codec on the path (stdlib RIFF/PCM parse, formula-derived
-    # oracle), strictly stronger evidence than the displaced rows-only
-    # fake-decoder id, whose plumbing invariant companion
-    # multimodal_features_ok is r5-green and re-proves every pytest
-    # run.
-    "multimodal_wav_real",
-    # sink_zorder_layout_ok displaces stream_tumbling and
-    # agg_cms_topk_ok displaces stream_sliding: both displaced window
-    # twins' exact expressions are re-attested every pytest run by
-    # test_streaming's batch-vs-stream equivalence while
-    # stream_session carries the family's driver row; the new ids are
-    # novel surfaces (bit-interleaved layout checksum, frequency
-    # sketch). join_bloom_prefilter_ok displaces tpch_q1: the
-    # single-table scan-agg shape is the suite's most-covered surface
-    # (t1-smoked flagship every round, deeper in-window TPC-H
-    # aggregates, oracle parity every pytest run).
-    "sink_zorder_layout_ok",
-    "agg_cms_topk_ok",
-    "join_bloom_prefilter_ok",
-    # scalar_higher_order_lambda displaces scalar_json_extract: the
-    # in-window (tier-1) scalar_variant_json exercises the JSON-path
-    # surface strictly harder (parse_json → typed variant_get), while
-    # the HOF lambda surface (transform/filter/zip_with/aggregate) has
-    # no driver row anywhere. udaf_ewma_timeseries displaces
-    # udf_pandas_scalar: the same Arrow transfer surface plus grouped
-    # ordering and sequential state — and udf_pandas_scalar's scalar
-    # path still runs inside the r6-green text_pack_sequences /
-    # stream_funnel_state Arrow pipelines.
-    "scalar_higher_order_lambda",
-    "udaf_ewma_timeseries",
-    # scan_table_checksum displaces csv_roundtrip: the engine-parity
-    # fingerprint (md5-canonical bit_xor, hash-matched 60-bit
-    # checksums across Spark and DuckDB) is the strongest row-content
-    # attestation in the suite; the displaced CSV write/read surface
-    # is exercised by the S5 CSV sink + observed-count orchestration
-    # tests every pytest run.
-    "scan_table_checksum",
-    # --- tier 3: r2-stale refresh ---
-    "scan_parquet",
-    "agg_approx_distinct",
-    # --- tier 4: the round-4 tier, attestation-staleness drain ---
-    "scan_json_doc",
-    "filter_conj_eq",
-    "filter_col_eq",
-    "filter_date_range",
-    "join_inner_using",
-    "agg_count",
-    "agg_multi",
-    "agg_count_distinct",
-    "pivot_event_counts",
-    "agg_percentile",
-    "sort_topk_global",
-    "window_row_number",
-    "window_topk_per_group",
-    "scalar_json_struct",
-    "join_range",
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "dedup_components",
-    "dedup_resolve_canonical",
-    "dedup_simhash",
-    "sim_topk_cosine",
-    "sim_topk_blocked",
-    "sim_topk_ivf",
-    "sim_ivf_recall",
-    "text_quality_filter",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_count_regex",
-    "text_split_assign",
-    "text_dominant_term",
-    "tpch_q3",
+    # --- tier 1: never driver-attested (late round-7 registrations) ---
+    "agg_max_by_mode",
+    "join_null_safe",
+    "graph_bfs_distance",
+    "join_asof_forward_tol",
+    "sql_text_api",
+    "multimodal_ppm_real",
+    "text_vocab_oov",
+    "agg_rolling_wau",
+    "scalar_try_arithmetic",
+    "agg_entropy_per_group",
+    "scalar_map_ops",
+    "join_interval_overlap",
+    "window_range_time",
+    "agg_bitmap_distinct",
+    "tpch_q2",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "window_fill_forward",
+    "udaf_cogroup_asof",
+    "window_sessionize_gap",
+    "sql_pipe_syntax",
+    "text_segment_dedup",
+    "udf_map_in_arrow",
+    "join_scd2_point_in_time",
+    "window_match_pattern",
+    "join_dpp_prune_ok",
+    "sample_stratified_exact",
+    "dedup_components_star",
+    "sim_topk_pq",
+    "sim_pq_recall_ok",
+    "join_band_nonequi",
+    "scalar_collation_ci",
+    "sink_jsonl_export_ok",
+    "text_feature_hashing",
+    "agg_listagg_ordered",
+    "join_asof_nearest",
+    "graph_kcore",
+    "scalar_xml_roundtrip",
+    "agg_bool_family",
+    "agg_approx_top_k_exact_domain",
+    "sql_named_params",
+    # --- tier 2: new in round 8 (each swap displaces one tier-3 id,
+    #     rationale inline at the swap) ---
+    # --- tier 3: r4-tier leftovers displaced from the round-7 window,
+    #     weakest-marginal first deferrals happen from the BOTTOM ---
+    # project_columns deferred again to r9: strict sub-plan of every
+    # in-window query, the tier's weakest marginal slot (same rationale
+    # as rounds 6-7).
+    "tpch_q1",
+    "udf_pandas_scalar",
+    "scalar_json_extract",
+    "stream_tumbling",
+    "stream_sliding",
+    "multimodal_image_features",
+    "csv_roundtrip",
 )
 
 

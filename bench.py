@@ -214,7 +214,23 @@ _HEADLINE_R7 = (
     # excluded per the invariant-exclusion note above).
 )
 
-HEADLINE = _HEADLINE_CORE + _HEADLINE_RELATIONAL + _HEADLINE_LLM + _HEADLINE_R6 + _HEADLINE_R7
+_HEADLINE_R8 = (
+    "scan_python_datasource",
+    "udaf_apply_in_arrow",
+    "sql_udf_scalar",
+    "sql_udf_table",
+    "sql_execute_immediate",
+    "scan_transpose",
+)
+
+HEADLINE = (
+    _HEADLINE_CORE
+    + _HEADLINE_RELATIONAL
+    + _HEADLINE_LLM
+    + _HEADLINE_R6
+    + _HEADLINE_R7
+    + _HEADLINE_R8
+)
 
 
 def main() -> None:

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.sampling",
     "talkdesk_async_etl_spark.operators.ingest",
     "talkdesk_async_etl_spark.operators.tpch",
+    "talkdesk_async_etl_spark.operators.engine_api",
     "talkdesk_async_etl_spark.streaming.batch_twins",
 )
 
@@ -138,19 +139,26 @@ _PRIORITY = (
     "agg_approx_top_k_exact_domain",
     "sql_named_params",
     # --- tier 2: new in round 8 (each swap displaces one tier-3 id,
-    #     rationale inline at the swap) ---
-    # --- tier 3: r4-tier leftovers displaced from the round-7 window,
-    #     weakest-marginal first deferrals happen from the BOTTOM ---
-    # project_columns deferred again to r9: strict sub-plan of every
-    # in-window query, the tier's weakest marginal slot (same rationale
-    # as rounds 6-7).
+    #     deferral rationale at tier 3) ---
+    "scan_python_datasource",
+    "udaf_apply_in_arrow",
+    "sql_udf_scalar",
+    "sql_udf_table",
+    "sql_execute_immediate",
+    "scan_transpose",
+    # --- tier 3: r4-tier leftovers displaced from the round-7 window.
+    # The six round-8 additions above displace (bottom-up)
+    # csv_roundtrip, multimodal_image_features, stream_sliding,
+    # stream_tumbling, scalar_json_extract, udf_pandas_scalar — all six
+    # re-prove under every-pytest-run oracle parity, the stream twins
+    # additionally under test_streaming's batch-vs-stream equivalence,
+    # udf_pandas_scalar inside the r6-green Arrow pipelines, and the
+    # CSV surface under the S5 orchestration tests; the new ids are
+    # never-attested engine entry points (Python DataSource, grouped
+    # applyInArrow, SQL-defined functions, EXECUTE IMMEDIATE,
+    # transpose). project_columns deferred again to r9: strict sub-plan
+    # of every in-window query (same rationale as rounds 6-7).
     "tpch_q1",
-    "udf_pandas_scalar",
-    "scalar_json_extract",
-    "stream_tumbling",
-    "stream_sliding",
-    "multimodal_image_features",
-    "csv_roundtrip",
 )
 
 

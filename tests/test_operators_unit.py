@@ -1546,3 +1546,58 @@ def test_star_contraction_signature_not_commutative_collision(spark):
     assert 5 * 1_000_003 + 1 + 3 * 1_000_003 + 2 == 5 * 1_000_003 + 2 + 3 * 1_000_003 + 1
     assert sig(a) != sig(b)
     assert sig(a) == sig(list(reversed(a)))  # still order-independent
+
+
+def test_python_datasource_remainder_rows_exact(spark):
+    """Split planning must emit every id exactly once even when the
+    row count does not divide the partition count (remainder rows land
+    in the last split) — an off-by-one drops or doubles ids."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.engine_api import SynthRowsDataSource
+
+    spark.dataSource.register(SynthRowsDataSource)
+    df = (
+        spark.read.format("synthrows")
+        .option("n_rows", 103)  # 103 = 3*34 + 1: remainder forced
+        .option("partitions", 3)
+        .load()
+    )
+    got = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("nd"),
+        F.sum("id").alias("s"),
+    ).collect()[0]
+    assert (got["n"], got["nd"], got["s"]) == (103, 103, 103 * 102 // 2)
+
+
+def test_transpose_report_shape(spark):
+    """scan_transpose output contract: one row per metric, one column
+    per order status, BIGINT-lossless."""
+    df = load_all()["scan_transpose"].fn(spark, SF_SMALL)
+    rows = {r["key"]: r for r in df.collect()}
+    assert set(rows) == {"n_orders", "total_cents"}
+    assert set(df.columns) == {"key", "F", "O", "P"}
+    for r in rows.values():
+        assert all(isinstance(r[c], int) for c in ("F", "O", "P"))
+
+
+def test_apply_in_arrow_group_stats_quantized():
+    """The Arrow group kernel quantizes per element BEFORE summing —
+    constructed values whose float sum is order-dependent must still
+    produce the exact integer total."""
+    import pyarrow as pa
+
+    from talkdesk_async_etl_spark.operators.engine_api import _arrow_group_stats
+
+    tbl = pa.table(
+        {
+            "event_type": ["x"] * 4,
+            "user_id": [7, 3, 9, 5],
+            "value": [0.1, 0.2, 0.0000005, 1e6],
+        }
+    )
+    out = _arrow_group_stats(tbl).to_pydict()
+    # floor-half-up per element: 100000 + 200000 + 1 (0.5 rounds up) + 1e12
+    assert out["value_sum_micros"] == [100_000 + 200_000 + 1 + 10**12]
+    assert out["n"] == [4] and out["min_user"] == [3] and out["max_user"] == [9]

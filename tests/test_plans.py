@@ -692,3 +692,38 @@ def test_feature_hashing_single_aggregate_no_join(spark):
     assert "Generate" in plan  # the word explode
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+
+
+def test_sql_udf_scalar_inlines_no_python(spark):
+    """The SQL-defined function must inline into codegen — no Python
+    eval node of any flavour may appear in the plan."""
+    plan = plan_of(spark, "sql_udf_scalar")
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sql_udf_table_inlines_to_filtered_scan(spark):
+    """The SQL table function resolves to a plain filtered scan-agg —
+    the n_chars bound must reach the parquet scan as a pushed filter."""
+    plan = plan_of(spark, "sql_udf_table")
+    assert "EvalPython" not in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "LessThan(n_chars,600)" in pushed
+
+
+def test_python_datasource_plans_requested_partitions(spark):
+    """The Python DataSource must plan exactly the requested splits."""
+    from talkdesk_async_etl_spark.operators.engine_api import (
+        _PYDS_PARTS,
+        _PYDS_ROWS,
+        SynthRowsDataSource,
+    )
+
+    spark.dataSource.register(SynthRowsDataSource)
+    df = (
+        spark.read.format("synthrows")
+        .option("n_rows", _PYDS_ROWS)
+        .option("partitions", _PYDS_PARTS)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == _PYDS_PARTS

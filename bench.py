@@ -221,6 +221,10 @@ _HEADLINE_R8 = (
     "sql_udf_table",
     "sql_execute_immediate",
     "scan_transpose",
+    "join_spatial_grid",
+    "agg_cooccurrence_pairs",
+    "ml_logreg_score",
+    "cdc_incremental_agg",
 )
 
 HEADLINE = (

@@ -429,3 +429,56 @@ def sink_jsonl_export_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("id_xor"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_IVM_CUTOFF = "1997-01-01"
+
+_IVM_ORACLE = """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+"""
+
+
+@query("cdc_incremental_agg", oracle=_IVM_ORACLE, tags=("cdc", "agg", "ivm"))
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 depth — incremental aggregate maintenance (the materialized-
+    view pattern): a per-customer (count, exact-cents sum) SNAPSHOT
+    built from history is merged with a DELTA batch's partial
+    aggregates by union + re-aggregate, WITHOUT rescanning history.
+    This is the mergeable-state shape that makes nightly 100 TB
+    rollups O(delta) instead of O(corpus): count and sum are
+    associative, so partials combine per key exactly. The snapshot is
+    localCheckpoint'd to sever lineage — the merge plan provably
+    cannot reach back into the base scan (a stored snapshot behaves
+    the same). The oracle recomputes the aggregate from the FULL
+    table, so the attestation is maintain(snapshot, delta) ==
+    recompute(all): any key dropped in the merge, double-counted
+    partial, or cents-rounding drift between the two paths breaks the
+    hash. Non-mergeable aggregates (exact distinct, median) need the
+    sketch family instead (agg_hll_sketch_ok / agg_bitmap_distinct /
+    agg_kll_quantiles_ok)."""
+    orders = t(spark, sf_dir, "orders", spread=True)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    # The snapshot a previous run would have persisted (lineage cut).
+    snapshot = partial(orders.filter(F.col("o_orderdate") < cutoff)).localCheckpoint()
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""Pattern-mining and model-scoring operators (SURVEY.md §2.10 D9/D10).
+
+Two shapes a training-data curation pipeline runs beyond the
+dedup/similarity families already covered:
+
+- **co-occurrence mining** (market-basket over user event journeys) —
+  the support-counting core of FP-growth/apriori, reduced to its
+  Spark-native form: collapse to the (user, item) grain, bound
+  per-user state by the item DOMAIN (not event volume), emit pairs
+  from the sorted per-user item set, count supports in one map-side
+  combinable aggregate.
+- **in-scan model scoring** (logistic quality classifier) — the
+  "score every document with a small model" pass (CCNet/Gopher-style
+  quality filtering). With literal weights the entire model is a
+  codegen'd expression: no UDF, no shuffle, scan-speed inference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+_MIN_SUPPORT = 5
+
+_COOC_ORACLE = f"""
+    WITH grain AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS et_a,
+           b.event_type AS et_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM grain a
+    JOIN grain b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    HAVING count(*) >= {_MIN_SUPPORT}
+"""
+
+
+@query("agg_cooccurrence_pairs", oracle=_COOC_ORACLE, tags=("mining", "agg"))
+def agg_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: frequent item-PAIR mining over user event journeys (the
+    support-counting pass of market-basket analysis). Scale shape:
+    the event stream collapses to the distinct (user, item) grain
+    FIRST (one exchange, map-side combinable), then per-user item sets
+    are bounded by the ITEM DOMAIN (5 event types here; never event
+    volume), and pairs explode from the sorted set in-scan —
+    |domain|² per user worst-case, each pair 2 small strings. The
+    oracle is the self-join formulation the set form replaces; the
+    self-join duplicates the grain relation and shuffles it twice,
+    the set form shuffles once. For catalog-sized domains (retail
+    SKUs) the same code holds because real baskets are small; a
+    hot-key cap on set size would be the 100 TB guard."""
+    # No pre-distinct: collect_set IS the dedup, and it partial-
+    # aggregates map-side — one exchange on user_id total (a separate
+    # distinct would add a second exchange on the full grain).
+    sets = (
+        t(spark, sf_dir, "events", spread=True)
+        .select("user_id", "event_type")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ets"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ets, (a, i) ->"
+                " transform(slice(ets, i + 2, size(ets)), b ->"
+                " struct(a AS et_a, b AS et_b))))"
+            )
+        ).alias("p")
+    ).select("p.et_a", "p.et_b")
+    return (
+        pairs.groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= _MIN_SUPPORT)
+    )
+
+
+# Literal model weights: z = w0 + w_chars·n_chars + w_spaces·n_spaces.
+# Calibrated so scores straddle 0.5 on the fixture (~47/53 split) —
+# a vacuously one-sided classifier would attest nothing.
+_W0, _W_CHARS, _W_SPACES = -1.8, 0.004, 0.01
+
+_LOGREG_ORACLE = f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS f_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                   AS f_spaces
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor(1 / (1 + exp(-({_W0} + f_chars * {_W_CHARS}
+                                     + f_spaces * {_W_SPACES}))) * 1000000 + 0.5)
+                AS BIGINT) AS p_micro,
+           CAST(({_W0} + f_chars * {_W_CHARS} + f_spaces * {_W_SPACES}) >= 0
+                AS INTEGER) AS is_quality
+    FROM feat
+"""
+
+
+@query("ml_logreg_score", oracle=_LOGREG_ORACLE, tags=("mining", "text", "ml"))
+def ml_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: logistic-regression document scoring as a pure codegen'd
+    expression — the "small quality classifier over every document"
+    pass. The model (literal weights over cheap text features) lives
+    entirely inside the scan projection: no UDF, no shuffle, no
+    model-server round-trip; at 100 TB this runs at scan speed and the
+    only cost above reading is a handful of FLOPs per row. The
+    quality FLAG is decided on the raw margin (z ≥ 0 ⇔ p ≥ 0.5 —
+    exact, no float-boundary risk); the probability is quantized to
+    integer micro-units with the identical IEEE expression order on
+    both engines. Swapping in real trained weights (or widening to a
+    hashed n-gram weight vector, cf. text_feature_hashing) changes
+    literals, not the plan."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    f_chars = F.col("n_chars").cast("double")
+    f_spaces = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ).cast("double")
+    z = F.lit(_W0) + f_chars * _W_CHARS + f_spaces * _W_SPACES
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.floor(p * 1_000_000 + F.lit(0.5)).cast("bigint").alias("p_micro"),
+        (z >= 0).cast("int").alias("is_quality"),
+    )

@@ -55,6 +55,8 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.ingest",
     "talkdesk_async_etl_spark.operators.tpch",
     "talkdesk_async_etl_spark.operators.engine_api",
+    "talkdesk_async_etl_spark.operators.spatial",
+    "talkdesk_async_etl_spark.operators.mining",
     "talkdesk_async_etl_spark.streaming.batch_twins",
 )
 
@@ -89,10 +91,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      deferred id keeps its every-pytest-run oracle parity check, so
 #      deferral costs recency of the driver row, not coverage.
 # The r5/r6/r7-attested tiers are deliberately out-of-window; they
-# rotate r9+ per the pre-plan. Any id registered but absent here
-# appends in registration order, so new operators are never silently
-# dropped — and the first-50 meta-test in tests/test_driver_profile.py
-# fails on typos or miscounts.
+# rotate r9+ per the pre-plan. Round-8 additions REGISTERED AFTER the
+# window filled (join_spatial_grid, agg_cooccurrence_pairs,
+# ml_logreg_score, cdc_incremental_agg, …) lead the r9 window — the
+# same precedent as rounds 6-7's late batches; each is
+# pytest-oracle-green at sf0.001/0.01/0.1. Any id registered but
+# absent here appends in registration order, so new operators are
+# never silently dropped — and the first-50 meta-test in
+# tests/test_driver_profile.py fails on typos or miscounts.
 _PRIORITY = (
     # --- tier 1: never driver-attested (late round-7 registrations) ---
     "agg_max_by_mode",

@@ -1601,3 +1601,110 @@ def test_apply_in_arrow_group_stats_quantized():
     # floor-half-up per element: 100000 + 200000 + 1 (0.5 rounds up) + 1e12
     assert out["value_sum_micros"] == [100_000 + 200_000 + 1 + 10**12]
     assert out["n"] == [4] and out["min_user"] == [3] and out["max_user"] == [9]
+
+
+def test_spatial_grid_equals_brute_force(spark, tmp_path):
+    """Grid join vs a python brute-force reference on constructed key
+    sets: the 3x3 neighborhood must find EVERY pair within r (incl.
+    exact-boundary d2 == r^2 and cross-cell diagonals) and nothing
+    beyond."""
+    from talkdesk_async_etl_spark.operators.spatial import (
+        _R,
+        _SPACE,
+        join_spatial_grid,
+    )
+
+    ckeys = list(range(1, 120))
+    skeys = list(range(1, 25))
+    spark.createDataFrame([(k,) for k in ckeys], "c_custkey long").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    spark.createDataFrame([(k,) for k in skeys], "s_suppkey long").write.parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+
+    def cpos(k):
+        return ((k * 48271) % _SPACE, (k * 69621 + 12345) % _SPACE)
+
+    def spos(k):
+        return ((k * 16807 + 333333) % _SPACE, (k * 65539 + 777777) % _SPACE)
+
+    expect = {}
+    for ck in ckeys:
+        cx, cy = cpos(ck)
+        d2s = []
+        for sk in skeys:
+            sx, sy = spos(sk)
+            d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+            if d2 <= _R * _R:
+                d2s.append(d2)
+        if d2s:
+            expect[ck] = (len(d2s), min(d2s), sum(d2s))
+    got = {
+        r["c_custkey"]: (r["n_within"], r["min_d2"], r["sum_d2"])
+        for r in join_spatial_grid(spark, str(tmp_path)).collect()
+    }
+    assert expect, "constructed fixture must be non-vacuous"
+    assert got == expect
+
+
+def test_cooccurrence_support_threshold(spark, tmp_path):
+    """Constructed journeys: a pair shared by 6 users survives the
+    support-5 cut, a pair shared by 2 users does not; repeated events
+    of one type for one user count ONCE."""
+    from talkdesk_async_etl_spark.operators.mining import agg_cooccurrence_pairs
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)  # read_table probes events.ts
+    rows = []
+    for u in range(6):  # users 0-5: {click, view} — click repeated
+        rows += [(u, "click", ts), (u, "click", ts), (u, "view", ts)]
+    for u in (10, 11):  # only 2 users: {click, error}
+        rows += [(u, "click", ts), (u, "error", ts)]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["et_a"], r["et_b"]): r["n_users"]
+        for r in agg_cooccurrence_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == {("click", "view"): 6}
+
+
+def test_logreg_flag_consistent_with_probability(spark):
+    """is_quality must be decided on the margin (z >= 0 <=> p >= 0.5):
+    every flagged doc has p_micro >= 500000 and both classes occur."""
+    from pyspark.sql import functions as F
+
+    df = load_all()["ml_logreg_score"].fn(spark, SF_SMALL)
+    bad = df.filter(
+        (F.col("is_quality") == 1) != (F.col("p_micro") >= 500_000)
+    ).count()
+    assert bad == 0
+    classes = {r["is_quality"] for r in df.select("is_quality").distinct().collect()}
+    assert classes == {0, 1}  # non-vacuous split
+
+
+def test_incremental_agg_merges_disjoint_and_overlapping_keys(spark, tmp_path):
+    """Constructed snapshot/delta straddle: a key only in history, a
+    key only in the delta, and a key in both must all merge exactly."""
+    import datetime
+
+    from talkdesk_async_etl_spark.operators.ingest import cdc_incremental_agg
+
+    old = datetime.datetime(1996, 5, 1)
+    new = datetime.datetime(1997, 5, 1)
+    rows = [
+        (1, 10.0, old),          # key 1: history only
+        (2, 20.0, new),          # key 2: delta only
+        (3, 30.0, old), (3, 40.005, new),  # key 3: both (cents round)
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["o_custkey"]: (r["n_orders"], r["total_cents"])
+        for r in cdc_incremental_agg(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 1000), 2: (1, 2000), 3: (2, 3000 + 4001)}

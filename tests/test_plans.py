@@ -727,3 +727,33 @@ def test_python_datasource_plans_requested_partitions(spark):
         .load()
     )
     assert df.rdd.getNumPartitions() == _PYDS_PARTS
+
+
+def test_spatial_grid_broadcasts_replicated_build_side(spark):
+    """The radius join must broadcast the ×9-replicated supplier side
+    and never explode the customer probe side: exactly the two
+    build-side Generates, one BroadcastHashJoin, no cartesian."""
+    import re
+
+    plan = plan_of(spark, "join_spatial_grid")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # the two sequence(-1,1) explodes, both under the broadcast side
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 2
+
+
+def test_cooccurrence_single_user_exchange(spark):
+    """Pair mining: ONE exchange builds the per-user sets (collect_set
+    partial-aggregates map-side; no separate distinct), pairs explode
+    in-scan, and the support count re-aggregates on the pair key."""
+    plan = plan_of(spark, "agg_cooccurrence_pairs")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count("hashpartitioning(et_a") == 1
+
+
+def test_logreg_score_zero_shuffle_no_udf(spark):
+    """In-scan model scoring: the whole model is a codegen'd
+    projection — no exchange, no Python eval node."""
+    plan = plan_of(spark, "ml_logreg_score")
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan

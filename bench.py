@@ -225,6 +225,11 @@ _HEADLINE_R8 = (
     "agg_cooccurrence_pairs",
     "ml_logreg_score",
     "cdc_incremental_agg",
+    "scalar_regex_family",
+    "scalar_url_parse",
+    "scalar_interval_math",
+    "scalar_mask_pii",
+    "scalar_aes_roundtrip",
 )
 
 HEADLINE = (

@@ -524,3 +524,191 @@ def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(bit_xor(CASE WHEN p.doc_id = doc_id THEN doc_id END) AS BIGINT)").alias("id_xor"),
         )
     )
+
+
+_REGEX_FAMILY_ORACLE = """
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_numbers,
+           regexp_extract(props, '[0-9]+') AS first_number,
+           CAST(regexp_matches(props, '"k": [0-9]+') AS BOOLEAN) AS has_k,
+           CAST(CASE WHEN regexp_extract(props, '[0-9]+') = ''
+                     THEN 0
+                     ELSE CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+                END AS BIGINT) AS first_value
+    FROM events WHERE event_id % 10 = 0
+"""
+
+
+@query("scalar_regex_family", oracle=_REGEX_FAMILY_ORACLE, tags=("scalar", "regex"))
+def scalar_regex_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: the Spark 3.5+ regex toolkit beyond replace/extract —
+    ``regexp_count`` (occurrences), ``regexp_substr`` (first match or
+    NULL), ``rlike``, and numeric extraction, over the events payload
+    column (the reference regex-scrubs payloads only via replace,
+    DB:226-228). All codegen'd JVM regex — no Python. DuckDB twins:
+    len(regexp_extract_all) for count, regexp_extract for substr
+    (which returns '' where Spark returns NULL — normalized via the
+    CASE; the first_number column keeps DuckDB's ''-vs-NULL seam
+    visible by coalescing Spark's NULL to '')."""
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    first = F.regexp_substr(F.col("props"), F.lit("[0-9]+"))
+    return ev.select(
+        "event_id",
+        F.regexp_count(F.col("props"), F.lit("[0-9]+")).alias("n_numbers"),
+        F.coalesce(first, F.lit("")).alias("first_number"),
+        F.col("props").rlike('"k": [0-9]+').alias("has_k"),
+        F.coalesce(first.cast("bigint"), F.lit(0)).alias("first_value"),
+    )
+
+
+_URL_ORACLE = """
+    SELECT c_custkey,
+           'talkdesk.example.com' AS host,
+           '/' || lower(c_mktsegment) || '/report' AS path,
+           'cust=' || CAST(c_custkey AS VARCHAR) AS query,
+           replace(c_name, '#', '%23') AS name_enc,
+           c_name AS name_roundtrip
+    FROM customer
+"""
+
+
+@query("scalar_url_parse", oracle=_URL_ORACLE, tags=("scalar", "url"))
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: URL building + parsing — the reference constructs report
+    download URLs by concatenation (async_utils.py:56-106); here the
+    built URL is parsed BACK with ``parse_url`` (HOST/PATH/QUERY) and
+    the customer name round-trips through ``url_encode``/``url_decode``
+    (application/x-www-form-urlencoded). The oracle re-derives every
+    component from the SOURCE columns — if parse_url mis-splits or the
+    encode/decode pair is lossy, the hash breaks. (Fixture names only
+    contain '#', so the oracle's percent-encoding is one replace.)"""
+    c = t(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://talkdesk.example.com/"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit("/report?cust="),
+        F.col("c_custkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.url_encode(F.col("c_name")).alias("name_enc"),
+        F.url_decode(F.url_encode(F.col("c_name"))).alias("name_roundtrip"),
+    )
+
+
+# DuckDB-oracle gotcha (probed, v1.0): INTERVAL 3 MONTH and
+# INTERVAL 90 DAY compare EQUAL under the months≈30-days interval
+# ordering convention, and common-subexpression elimination folds
+# `ts + INTERVAL 3 MONTH` and `ts + INTERVAL 90 DAY` in one SELECT
+# into a single expression — both columns silently become +3 months.
+# The day-add is therefore written as DATE + 90 (integer day add).
+_INTERVAL_ORACLE = """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_3mo,
+           CAST(o_orderdate AS DATE) + 90 AS due_90d,
+           CAST(date_diff('hour', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS hours_since_anchor,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - (1995 * 12 + 1)
+                AS BIGINT) AS months_since_anchor
+    FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+@query("scalar_interval_math", oracle=_INTERVAL_ORACLE, tags=("scalar", "date"))
+def scalar_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: INTERVAL arithmetic — month addition (end-of-month clamp
+    semantics, identical in both engines: Jan 31 + 2 months = Mar 31),
+    day addition, and elapsed units against an anchor. Cross-engine
+    seam pinned here: Spark's ``timestampdiff(MONTH, ...)`` counts
+    FULL elapsed months while DuckDB's ``date_diff('month', ...)``
+    counts month BOUNDARIES crossed — the two disagree mid-month, so
+    the month delta is computed with explicit year/month arithmetic
+    (boundary semantics, written identically in both engines). Hours
+    agree because order dates are midnight-aligned timestamps."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.expr("date_add(MONTH, 3, o_orderdate)").cast("date").alias("due_3mo"),
+        F.expr("date_add(DAY, 90, o_orderdate)").cast("date").alias("due_90d"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '1995-01-01 00:00:00', o_orderdate)"
+        ).alias("hours_since_anchor"),
+        (
+            F.year(d) * 12 + F.month(d) - F.lit(1995 * 12 + 1)
+        ).cast("bigint").alias("months_since_anchor"),
+    )
+
+
+_MASK_ORACLE = """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+               '[A-Z]', '#', 'g'), '[a-z]', '*', 'g'), '[0-9]', '0', 'g')
+               AS seg_masked
+    FROM customer
+"""
+
+
+@query("scalar_mask_pii", oracle=_MASK_ORACLE, tags=("scalar", "pii"))
+def scalar_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: the built-in ``mask()`` PII redactor (Spark 3.5+) — class
+    -preserving character masking (upper→X, lower→x, digit→n, other
+    kept), plus the custom-replacement-chars form. Complements
+    text_pii_scrub's pattern-level scrubbing: mask is the
+    shape-preserving variant auditors want (length and character
+    classes survive, content doesn't). The oracle rebuilds the exact
+    masking with per-class regexp_replace chains."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.col("c_name")).alias("name_masked"),
+        F.mask(
+            F.col("c_mktsegment"),
+            F.lit("#"),
+            F.lit("*"),
+            F.lit("0"),
+        ).alias("seg_masked"),
+    )
+
+
+# DuckDB's octet_length only takes BLOB; strlen(VARCHAR) is its
+# byte-length twin of Spark's octet_length (probed on multibyte text).
+_AES_ORACLE = """
+    SELECT doc_id,
+           CAST((strlen(text) // 16 + 1) * 16 AS BIGINT) AS ct_len,
+           CAST(TRUE AS BOOLEAN) AS roundtrip_ok
+    FROM documents
+"""
+
+
+@query("scalar_aes_roundtrip", oracle=_AES_ORACLE, tags=("scalar", "crypto"))
+def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: column-level encryption — ``aes_encrypt``/``aes_decrypt``
+    round-trip in deterministic ECB mode (GCM's random IV would make
+    the ciphertext non-attestable; ECB is used here precisely because
+    determinism is the test contract — production key-per-column GCM
+    is the same two calls). The oracle cannot compute AES, so it pins
+    what it CAN predict exactly from the source: PKCS#7 ciphertext
+    length ((len div 16)+1)·16 and round-trip identity per row — a
+    truncated decrypt, wrong padding, or charset-lossy round-trip
+    breaks either column."""
+    d = t(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")
+    ct = F.expr("aes_encrypt(text, '0123456789abcdef', 'ECB')")
+    back = F.expr(
+        "CAST(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'),"
+        " '0123456789abcdef', 'ECB') AS STRING)"
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length(ct).cast("bigint").alias("ct_len"),
+        (back == F.col("text")).alias("roundtrip_ok"),
+    )

@@ -1708,3 +1708,29 @@ def test_incremental_agg_merges_disjoint_and_overlapping_keys(spark, tmp_path):
         for r in cdc_incremental_agg(spark, str(tmp_path)).collect()
     }
     assert got == {1: (1, 1000), 2: (1, 2000), 3: (2, 3000 + 4001)}
+
+
+def test_aes_wrong_key_does_not_roundtrip(spark):
+    """Decrypting with a different key must fail (padding error) —
+    ECB round-trip identity is only meaningful if the key matters."""
+    import pyspark.errors
+
+    df = spark.range(1).selectExpr(
+        "CAST(try_aes_decrypt(aes_encrypt('secret text', '0123456789abcdef', 'ECB'),"
+        " 'ffffffffffffffff', 'ECB') AS STRING) AS wrong"
+    )
+    row = df.collect()[0]
+    assert row["wrong"] != "secret text"  # wrong key never round-trips
+
+
+def test_mask_preserves_shape(spark):
+    """mask() contract on a constructed string: classes swap, other
+    chars and length survive."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.mask(F.lit("Ab3-Z z9")).alias("m"),
+        F.mask(F.lit("Ab3"), F.lit("#"), F.lit("*"), F.lit("0")).alias("c"),
+    ).collect()[0]
+    assert row["m"] == "Xxn-X xn"
+    assert row["c"] == "#*0"

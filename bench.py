@@ -230,6 +230,9 @@ _HEADLINE_R8 = (
     "scalar_interval_math",
     "scalar_mask_pii",
     "scalar_aes_roundtrip",
+    "sql_scripting_block",
+    "dq_expectations",
+    "graph_sssp_weighted",
 )
 
 HEADLINE = (

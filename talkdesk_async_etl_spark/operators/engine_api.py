@@ -350,3 +350,113 @@ def scan_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return agg.transpose()
+
+
+# ---------------------------------------------------------------------------
+# S24: SQL scripting (BEGIN ... END compound statements)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_ORACLE = """
+    WITH cents AS (
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        FROM orders
+    ),
+    cut AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS cutoff FROM cents)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(32 AS BIGINT) AS loop_pow
+    FROM cents, cut
+    WHERE c > cutoff
+    GROUP BY o_orderstatus
+"""
+
+
+@query("sql_scripting_block", oracle=_SCRIPT_ORACLE, tags=("sql", "scripting"))
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: Spark 4 SQL SCRIPTING — a BEGIN...END compound with
+    DECLARE'd variables, a scalar-subquery SET, and a WHILE loop, the
+    procedural surface SQL-first users migrate stored procedures onto.
+    The script derives a mean-price cutoff as a VARIABLE (exact
+    integer cents — sum//count — because a double avg is
+    partial-aggregation-order-dependent and could flip a boundary
+    row between engines), loops a register to 2^5 (control-flow
+    exercised, folded into the output), and returns the above-cutoff
+    status counts. The oracle inlines variable and loop as plain SQL."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff BIGINT;
+          DECLARE p BIGINT DEFAULT 1;
+          DECLARE i INT DEFAULT 1;
+          SET cutoff = (
+            SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     div count(*)
+            FROM script_orders);
+          WHILE i <= 5 DO
+            SET p = p * 2;
+            SET i = i + 1;
+          END WHILE;
+          SELECT o_orderstatus,
+                 count(*) AS n_above,
+                 p AS loop_pow
+          FROM script_orders
+          WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > cutoff
+          GROUP BY o_orderstatus;
+        END
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8: streaming Python DataSource (SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+class SynthStreamDataSource(DataSource):
+    """Streaming twin of :class:`SynthRowsDataSource`: a rate-like
+    source whose offsets are plain row counters and whose rows derive
+    from the same integer formulas, so a batch query over the union of
+    all micro-batches is predictable exactly. Demonstrates the Spark 4
+    simple stream reader contract: ``initialOffset`` → ``read(start)``
+    → (offset bookkeeping by the engine) with replay via
+    ``readBetweenOffsets`` — the at-least-once seam a real feed tap
+    (webhook buffer, audit cursor) implements."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthstream"
+
+    def schema(self) -> str:
+        return "id bigint, bucket int, amount_cents bigint"
+
+    def simpleStreamReader(self, schema):
+        return SynthStreamReader(self.options)
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SynthStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch_rows, self.max_rows)
+        rows = [(k, k % 7, (k * k) % 1_000_003) for k in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (k, k % 7, (k * k) % 1_000_003)
+            for k in range(start["pos"], end["pos"])
+        )
+
+    def commit(self, end):
+        pass

@@ -570,3 +570,104 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("core_deg") >= _KCORE_K)
     )
     return final_deg
+
+
+_SSSP_SRC = 3  # supplier nation with out-edges at every SF (probed)
+_SSSP_ROUNDS = 6
+
+
+def _oracle_sssp() -> str:
+    """Unrolled Bellman-Ford relaxation (the pagerank-oracle pattern:
+    recursive SQL cannot aggregate inside the recursive term, so each
+    round is a generated CTE computing d_{k+1}(v) = min(d_k(v),
+    min_{(u,v,w)} d_k(u)+w))."""
+    # AS MATERIALIZED on every CTE (the graph_kcore lesson): DuckDB
+    # inlines multiply-referenced CTEs, and each round references the
+    # previous one twice — inlined, d6 would re-evaluate the 4-table
+    # edge join 2^6 times (measured: 11 s at sf0.01, unbounded at
+    # sf0.1; materialized: milliseconds).
+    rounds = []
+    for k in range(1, _SSSP_ROUNDS + 1):
+        rounds.append(
+            f"""d{k} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{k - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{k - 1} d JOIN edges e ON e.src = d.node
+            ) GROUP BY node
+        )"""
+        )
+    return f"""
+    WITH edges AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                    % 97 + 1 AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    d0 AS (SELECT CAST({_SSSP_SRC} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+    {",".join(rounds)}
+    SELECT n.n_name AS nation, d.dist AS dist
+    FROM d{_SSSP_ROUNDS} d JOIN nation n ON n.n_nationkey = d.node
+    """
+
+
+@query("graph_sssp_weighted", oracle=_oracle_sssp(), tags=("graph",))
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 kernel #6 — weighted single-source shortest paths by
+    Bellman-Ford relaxation over the trade graph (edge weight = exact
+    trade cents % 97 + 1, a deterministic positive BIGINT both engines
+    derive identically). Complements graph_bfs_distance (hop counts):
+    here the metric is a WEIGHTED sum, so the frontier trick (visited
+    set + anti-join) is unsound — a later path can be cheaper — and
+    the correct distributed form is whole-relation relaxation:
+    d_{k+1}(v) = min(d_k(v), min over edges (u,v): d_k(u)+w). Each
+    round is ONE dist⋈edges equi-join plus a map-side-combinable min
+    aggregate; the iteration state is node-sized, never corpus-sized,
+    and the corpus-sized edge BUILD runs exactly once. Fixed round
+    count on BOTH engines (like graph_pagerank): the attestation is
+    exact equality of d_6, which at these graph diameters is the true
+    shortest-path vector (probed: source 3 reaches all 25 nations at
+    every SF inside 6 rounds). All arithmetic is BIGINT — no float
+    relaxation drift."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").cast("bigint").alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg((F.sum(cents) % 97 + 1).alias("w"))
+        .localCheckpoint()  # node²-bounded; built once, read every round
+    )
+    dist = spark.createDataFrame(
+        [(_SSSP_SRC, 0)], "node bigint, dist bigint"
+    ).localCheckpoint()
+    for k in range(1, _SSSP_ROUNDS + 1):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if k % 2 == 0 and k < _SSSP_ROUNDS:
+            dist = dist.localCheckpoint()
+    return dist.join(F.broadcast(n), dist.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), "dist"
+    )

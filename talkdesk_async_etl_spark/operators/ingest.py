@@ -482,3 +482,107 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+_DQ_ORACLE = """
+    WITH ref AS (
+        SELECT count(*) AS orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT * FROM (
+        SELECT 'r1_custkey_not_null' AS rule,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'r2_orderkey_unique',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'r3_status_in_domain',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'r4_price_positive',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+                                        OR o_totalprice <= 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'r5_price_under_300k',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE o_totalprice > 300000) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'r6_date_in_range',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                                        OR o_orderdate >= DATE '1999-01-01')
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'r7_custkey_references_customer',
+               CAST((SELECT count(*) FROM orders) AS BIGINT),
+               CAST(orphans AS BIGINT)
+        FROM ref
+    )
+"""
+
+
+@query("dq_expectations", oracle=_DQ_ORACLE, tags=("quality", "agg"))
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25: a declarative data-quality expectation suite (the
+    Great-Expectations/DLT-expectations pattern) — not-null,
+    uniqueness, domain, range, business-threshold, date-window, and
+    referential-integrity rules evaluated over the orders feed in
+    ONE pass. Scale shape: all six single-table rules compile into a
+    single aggregate over one scan (conditional counts share the
+    partial-aggregation buffers); only the referential rule needs a
+    second relation, as a broadcast-dim LEFT-ANTI count — the fact
+    table is never shuffled at all. Output is the audit artifact
+    (rule, n_checked, n_violations); r5 is deliberately calibrated to
+    FAIL on real rows (~4% of orders exceed the 300k threshold) so
+    the attestation proves violations are counted, not just that
+    zeros match."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+
+    def cnt(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    single = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        cnt(F.col("o_custkey").isNull()).alias("r1"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("r2"),
+        cnt(~F.col("o_orderstatus").isin("F", "O", "P")).alias("r3"),
+        cnt(F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).alias("r4"),
+        cnt(F.col("o_totalprice") > 300_000).alias("r5"),
+        cnt(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        ).alias("r6"),
+    )
+    orphans = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r7"))
+    )
+    wide = single.crossJoin(orphans)  # 1×1 rows — assembling the audit row
+    return wide.select(
+        F.expr(
+            "stack(7,"
+            " 'r1_custkey_not_null', r1,"
+            " 'r2_orderkey_unique', r2,"
+            " 'r3_status_in_domain', r3,"
+            " 'r4_price_positive', r4,"
+            " 'r5_price_under_300k', r5,"
+            " 'r6_date_in_range', r6,"
+            " 'r7_custkey_references_customer', r7)"
+            " AS (rule, n_violations)"
+        ),
+        "n_checked",
+    ).select("rule", "n_checked", "n_violations")

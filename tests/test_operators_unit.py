@@ -1734,3 +1734,81 @@ def test_mask_preserves_shape(spark):
     ).collect()[0]
     assert row["m"] == "Xxn-X xn"
     assert row["c"] == "#*0"
+
+
+def test_sssp_relaxation_beats_direct_edge(spark, tmp_path):
+    """Constructed trade graph where the 2-hop path (w=2+2) is cheaper
+    than the direct edge (w=97): the relaxation must return the 2-hop
+    distance — a frontier/BFS-style first-touch would lock in 97."""
+    import datetime
+
+    from talkdesk_async_etl_spark.operators.graph import graph_sssp_weighted
+
+    ts = datetime.datetime(1995, 1, 1)
+    # one supplier/customer per nation; one order+lineitem per edge
+    # edge(src → dst, price): price 0.01 → w = 1%97+1 = 2; 0.96 → 97
+    edges = [(3, 4, 0.01), (4, 5, 0.01), (3, 5, 0.96)]
+    suppliers = {u for u, _, _ in edges}
+    customers = {v for _, v, _ in edges}
+    spark.createDataFrame(
+        [(n, f"N{n}") for n in (3, 4, 5, 6)], "n_nationkey int, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(100 + n, n) for n in suppliers], "s_suppkey long, s_nationkey int"
+    ).write.parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(200 + n, n) for n in customers], "c_custkey long, c_nationkey int"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(i, 200 + v, ts) for i, (_, v, _) in enumerate(edges)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, 100 + u, p) for i, (u, _, p) in enumerate(edges)],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {r["nation"]: r["dist"] for r in graph_sssp_weighted(spark, str(tmp_path)).collect()}
+    assert got == {"N3": 0, "N4": 2, "N5": 4}  # N6 isolated → absent
+
+
+def test_dq_expectations_counts_each_violation(spark, tmp_path):
+    """Constructed feed with exactly one violation per rule: the audit
+    must attribute each to the right rule."""
+    import datetime
+
+    from talkdesk_async_etl_spark.operators.ingest import dq_expectations
+
+    ts = datetime.datetime(1995, 6, 1)
+    rows = [
+        (1, 10, "F", 100.0, ts),                            # clean
+        (2, None, "O", 100.0, ts),                          # r1 null custkey
+        (3, 10, "P", 100.0, ts), (3, 10, "P", 100.0, ts),   # r2 dup orderkey
+        (4, 10, "X", 100.0, ts),                            # r3 bad status
+        (5, 10, "F", -5.0, ts),                             # r4 non-positive
+        (6, 10, "F", 300001.0, ts),                         # r5 over threshold
+        (7, 10, "F", 100.0, datetime.datetime(1890, 1, 1)), # r6 out of range
+        (8, 999, "F", 100.0, ts),                           # r7 orphan key
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame([(10,)], "c_custkey long").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    got = {
+        r["rule"]: (r["n_checked"], r["n_violations"])
+        for r in dq_expectations(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "r1_custkey_not_null": (9, 1),
+        "r2_orderkey_unique": (9, 1),
+        "r3_status_in_domain": (9, 1),
+        "r4_price_positive": (9, 1),
+        "r5_price_under_300k": (9, 1),
+        "r6_date_in_range": (9, 1),
+        # r7: NULL custkey doesn't join → also orphaned by anti-join
+        "r7_custkey_references_customer": (9, 2),
+    }

@@ -407,3 +407,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the sacrificed-late-row invariant: every counted event is on-time
     n_files = len(glob.glob(src + "/*.parquet"))
     assert n_files >= 3
+
+
+def test_streaming_python_datasource_exact_totals(spark, tmp_path):
+    """T8: the Spark 4 streaming Python DataSource
+    (SimpleDataSourceStreamReader). A rate-like synthetic source whose
+    offsets are plain row counters must deliver every id in
+    [0, max_rows) exactly once across micro-batches — totals are
+    checked against the generating formula, so a skipped offset range
+    or a replayed batch breaks the sums."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.engine_api import SynthStreamDataSource
+
+    spark.dataSource.register(SynthStreamDataSource)
+    max_rows = 350
+    stream = (
+        spark.readStream.format("synthstream")
+        .option("batch_rows", 100)  # 4 micro-batches: 100+100+100+50
+        .option("max_rows", max_rows)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM synth_stream_sink").collect()[0].c
+            if n >= max_rows:
+                break
+            time.sleep(0.5)
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT id) AS nd, sum(id) AS s,"
+            " sum(amount_cents) AS a FROM synth_stream_sink"
+        ).collect()[0]
+    finally:
+        q.stop()
+    assert (got.n, got.nd) == (max_rows, max_rows)
+    assert got.s == max_rows * (max_rows - 1) // 2
+    assert got.a == sum((k * k) % 1_000_003 for k in range(max_rows))

@@ -233,6 +233,10 @@ _HEADLINE_R8 = (
     "sql_scripting_block",
     "dq_expectations",
     "graph_sssp_weighted",
+    "udtf_arrow_tokens",
+    "agg_skew_kurtosis",
+    "scalar_bitwise_ops",
+    "text_bpe_apply",
 )
 
 HEADLINE = (

@@ -712,3 +712,34 @@ def scalar_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(ct).cast("bigint").alias("ct_len"),
         (back == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+_BITWISE_ORACLE = """
+    SELECT o_orderkey,
+           o_orderkey << 3 AS shl,
+           o_orderkey >> 2 AS shr,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS toggled,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INTEGER) AS popcount
+    FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+@query("scalar_bitwise_ops", oracle=_BITWISE_ORACLE, tags=("scalar", "bitwise"))
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: the bitwise toolkit — shifts, AND/OR/XOR masks, popcount —
+    the primitives the engine's own z-order interleave
+    (sink_zorder_layout_ok), bloom filter (join_bloom_prefilter_ok),
+    and bitmap-distinct operators are built from, attested standalone.
+    All codegen'd integer ops; exact cross-engine by construction."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(F.col("o_orderkey"), 3).alias("shl"),
+        F.shiftright(F.col("o_orderkey"), 2).alias("shr"),
+        F.col("o_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("o_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("o_orderkey").bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.bit_count(F.col("o_orderkey")).alias("popcount"),
+    )

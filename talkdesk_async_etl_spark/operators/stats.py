@@ -583,3 +583,50 @@ def agg_entropy_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 6).alias("entropy"),
         )
     )
+
+
+# Estimator seam (probed): Spark's skewness/kurtosis are POPULATION
+# estimators (g1 = m3/m2^1.5, excess g2 = m4/m2² − 3) while DuckDB's
+# builtins are the SAMPLE-adjusted G1/G2 — on (1,2,4,8): Spark
+# 0.6568/−1.0990 vs DuckDB 1.1376/0.7577. The oracle therefore
+# rebuilds the population form from raw central moments instead of
+# calling DuckDB's builtins.
+_SKEW_ORACLE = """
+    WITH m AS (
+        SELECT o_orderstatus,
+               avg(o_totalprice) AS mu,
+               avg(o_totalprice * o_totalprice) AS m2r,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    ),
+    c AS (
+        SELECT o.o_orderstatus,
+               avg(pow(o.o_totalprice - m.mu, 2)) AS m2,
+               avg(pow(o.o_totalprice - m.mu, 3)) AS m3,
+               avg(pow(o.o_totalprice - m.mu, 4)) AS m4
+        FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+        GROUP BY o.o_orderstatus
+    )
+    SELECT o_orderstatus,
+           round(m3 / pow(m2, 1.5), 6) AS skew,
+           round(m4 / (m2 * m2) - 3, 6) AS kurt
+    FROM c
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_SKEW_ORACLE, tags=("stats", "agg"))
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: third/fourth-moment shape statistics — ``skewness`` /
+    ``kurtosis`` built-ins per order status (distribution-drift
+    monitoring for the profile family). Both are single-pass
+    moment aggregates (map-side combinable running moments), the same
+    shuffle shape as avg/stddev. 6-dp rounding on both engines: the
+    moments are generic doubles far from decimal boundaries (the
+    agg_entropy_per_group criterion); the oracle's two-pass central-
+    moment form and Spark's streaming one-pass updates agree to
+    ~12 significant digits on this data."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.skewness("o_totalprice"), 6).alias("skew"),
+        F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
+    )

@@ -936,3 +936,71 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_FH_DIM)
         ]
     )
+
+
+# A literal BPE-style merge table, applied in priority order. Each
+# rule rewrites a space-separated symbol pair into its merged symbol —
+# exactly how a trained BPE vocabulary is applied at tokenization
+# time (training itself is the pair-counting loop
+# agg_cooccurrence_pairs demonstrates the scale shape of).
+_BPE_MERGES = (
+    ("t h", "th"),
+    ("th e", "the"),
+    ("i n", "in"),
+    ("a n", "an"),
+    ("an d", "and"),
+    ("e r", "er"),
+    ("o n", "on"),
+    ("r e", "re"),
+)
+
+
+def _bpe_oracle() -> str:
+    expr = "regexp_replace(lower(substr(text, 1, 32)), '[^a-z]', '', 'g')"
+    expr = f"trim(regexp_replace({expr}, '(.)', '\\1 ', 'g'))"
+    for pat, rep in _BPE_MERGES:
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return f"""
+        WITH enc AS (SELECT doc_id, {expr} AS encoded FROM documents)
+        SELECT doc_id,
+               CAST(len(string_split(encoded, ' ')) AS INTEGER) AS n_tokens,
+               substr(encoded, 1, 48) AS encoded_prefix
+        FROM enc WHERE encoded <> ''
+    """
+
+
+@query("text_bpe_apply", oracle=_bpe_oracle(), tags=("text", "tokenize"))
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4t: BPE merge-table APPLICATION at scan speed — the
+    tokenization-time half of byte-pair encoding: symbols start as
+    characters and a trained, ordered merge list contracts adjacent
+    pairs. With the merge table as literals the whole tokenizer is a
+    chain of codegen'd ``replace`` calls inside the scan projection —
+    zero shuffle, zero Python, the shape a 100 TB tokenize-and-count
+    pass wants (a real 50k-merge vocabulary compiles the same way, or
+    moves to a broadcast trie in a pandas UDF when the chain exceeds
+    codegen limits — the 8-merge chain here stays well inside).
+    Normalization (lowercase a-z of the first 32 chars) keeps the
+    symbol alphabet closed; the per-doc token count and the encoded
+    prefix are both hash-checked, so a merge applied out of ORDER
+    (th e→the before t h→th yields different symbols) breaks the
+    hash."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    enc = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.substring("text", 1, 32)), "[^a-z]", ""),
+            "(.)",
+            "$1 ",
+        )
+    )
+    for pat, rep in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(pat), F.lit(rep))
+    return (
+        d.select("doc_id", enc.alias("encoded"))
+        .filter(F.col("encoded") != "")
+        .select(
+            "doc_id",
+            F.size(F.split("encoded", " ")).alias("n_tokens"),
+            F.substring("encoded", 1, 48).alias("encoded_prefix"),
+        )
+    )

@@ -477,3 +477,52 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         _arrow_norm_batches, schema="vec_id long, n_dims int, norm_q long"
     )
+
+
+_ARROW_UDTF_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, t AS tok
+        FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        WHERE t <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE length(tok) >= 8) AS BIGINT) AS n_long,
+           CAST(sum(length(tok)) AS BIGINT) AS chars_total
+    FROM toks
+    GROUP BY doc_id
+"""
+
+
+@query("udtf_arrow_tokens", oracle=_ARROW_UDTF_ORACLE, tags=("udf", "udtf", "arrow"))
+def udtf_arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9: the ARROW-OPTIMIZED Python UDTF (Spark 4 ``@udtf(useArrow=
+    True)``) — same table-function semantics as the row-at-a-time
+    udtf_word_chunks, but rows cross the Python boundary in Arrow
+    batches, removing the per-row pickle round-trip that docstring
+    flags as the scale caveat. The UDTF splits on single spaces
+    (mirroring DuckDB's string_split exactly, empty fragments dropped
+    on both sides) and the lateral output is re-aggregated per doc so
+    the checked result is atomic-typed."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string", useArrow=True)
+    class SpaceTokens:
+        def eval(self, text: str):
+            if text:
+                for w in text.split(" "):
+                    if w:
+                        yield (w,)
+
+    spark.udtf.register("space_tokens_arrow", SpaceTokens)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("udtfa_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(CASE WHEN length(tok) >= 8 THEN 1 ELSE 0 END) AS n_long,
+               sum(length(tok)) AS chars_total
+        FROM udtfa_docs, LATERAL space_tokens_arrow(text) AS s
+        GROUP BY doc_id
+        """
+    )

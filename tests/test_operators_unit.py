@@ -1812,3 +1812,21 @@ def test_dq_expectations_counts_each_violation(spark, tmp_path):
         # r7: NULL custkey doesn't join → also orphaned by anti-join
         "r7_custkey_references_customer": (9, 2),
     }
+
+
+def test_bpe_merge_order_matters(spark, tmp_path):
+    """Constructed doc: 'the' must collapse via t h → th then th e →
+    the (priority order). A reversed table would leave 't h e'
+    unmerged — the encoded prefix pins the order."""
+    spark.createDataFrame(
+        [(1, "the thin and"), (2, "???")],  # doc 2 normalizes to empty → dropped
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from talkdesk_async_etl_spark.operators.text import text_bpe_apply
+
+    rows = {r["doc_id"]: r for r in text_bpe_apply(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1}
+    # 'thethinand' → chars → merges: th+e→the, th+i stays 'th i',
+    # a n→an, an d→and
+    assert rows[1]["encoded_prefix"] == "the th in and"
+    assert rows[1]["n_tokens"] == 4

@@ -757,3 +757,18 @@ def test_logreg_score_zero_shuffle_no_udf(spark):
     plan = plan_of(spark, "ml_logreg_score")
     assert "Exchange hashpartitioning" not in plan
     assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_arrow_udtf_uses_arrow_eval(spark):
+    """udtf_arrow_tokens must plan the ARROW UDTF evaluator, not the
+    row-at-a-time pickled one."""
+    plan = plan_of(spark, "udtf_arrow_tokens")
+    assert "ArrowEvalPythonUDTF" in plan
+
+
+def test_bpe_apply_zero_shuffle(spark):
+    """The merge chain is a scan projection: no exchange beyond the
+    fixture-spread repartition, no Python."""
+    plan = plan_of(spark, "text_bpe_apply")
+    assert "hashpartitioning" not in plan
+    assert "EvalPython" not in plan

@@ -237,6 +237,11 @@ _HEADLINE_R8 = (
     "agg_skew_kurtosis",
     "scalar_bitwise_ops",
     "text_bpe_apply",
+    "set_ops_all",
+    "agg_weighted_median",
+    # dedup_minhash_jaccard_est is an invariant (exact pipeline + sig
+    # join); csv_quoted_roundtrip is a sink attestation (write+read
+    # dominates) — both excluded per the invariant-exclusion note.
 )
 
 HEADLINE = (

@@ -1300,3 +1300,108 @@ def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair graph has celebrity nodes or long chains."""
     with cache_scope():
         return components_large_small_star(dedup_near_jaccard(spark, sf_dir))
+
+
+_MINHASH_EST_TOL = 0.30  # ≈5σ for 64 permutations at J≈0.6
+
+_MINHASH_EST_ORACLE = (
+    f"WITH {_JACCARD_CTES} SELECT doc_a, doc_b, jaccard,"
+    " CAST(TRUE AS BOOLEAN) AS est_ok FROM jpairs"
+)
+
+
+@query("dedup_minhash_jaccard_est", oracle=_MINHASH_EST_ORACLE, tags=("dedup", "sketch"))
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2e: MinHash as a Jaccard ESTIMATOR, accuracy-attested — the
+    sketch claim underneath dedup_minhash_lsh made checkable: for every
+    exact-Jaccard pair (deterministic ground truth), the fraction of
+    agreeing signature minima must sit within ±0.30 of the true
+    Jaccard (≈5σ for 64 permutations at J≥0.6; the estimator's std is
+    √(J(1−J)/64) ≤ 0.0625). The exact Jaccard value is a hash-checked
+    output column, the tolerance flag must be TRUE on every row — so a
+    broken permutation fold, a signature truncation, or a band/row
+    mixup fails the driver check rather than silently degrading
+    recall. Scale: signatures are the SAME in-scan fold the LSH path
+    uses; the pair relation is candidate-sized, so the two signature
+    joins broadcast the pairs, never the corpus."""
+    pairs = dedup_near_jaccard(spark, sf_dir)
+    sigs = scoped_persist(
+        t(spark, sf_dir, "documents", spread=True).select(
+            "doc_id",
+            _shingle_hashes(F.col("text")).alias("hs"),
+        ).select("doc_id", _minhash_sig_expr().alias("sig"))
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+            )
+        )
+        / F.lit(float(_MINHASH_PERMS))
+    )
+    return (
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= _MINHASH_EST_TOL).alias("est_ok"),
+        )
+    )
+
+
+_SETALL_ORACLE = """
+    WITH a AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1995-01-01'
+                 AND o_orderdate < DATE '1996-01-01'),
+         b AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1996-01-01'
+                 AND o_orderdate < DATE '1997-01-01'),
+         ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+         ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    SELECT 'intersect_all' AS op, o_custkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', o_custkey, CAST(count(*) AS BIGINT)
+    FROM ea GROUP BY 2
+"""
+
+
+@query("set_ops_all", oracle=_SETALL_ORACLE, tags=("setop",))
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 completion — the MULTISET set operations: ``INTERSECT ALL``
+    keeps min(multiplicity) per value and ``EXCEPT ALL`` keeps the
+    excess, semantics the distinct variants (set_intersect/set_except)
+    erase. Workload: per-customer order-count overlap between two
+    years (how much of 1995's ordering behavior repeated in 1996).
+    Catalyst compiles both to aggregate-and-replicate plans — no
+    row-pairing join; the shuffle key is the value itself. The
+    year-bag multiplicities are the hash-checked evidence that
+    duplicates survived."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    d = F.col("o_orderdate")
+    a = o.filter(
+        (d >= F.lit("1995-01-01").cast("timestamp"))
+        & (d < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    b = o.filter(
+        (d >= F.lit("1996-01-01").cast("timestamp"))
+        & (d < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    return ia.unionByName(ea)

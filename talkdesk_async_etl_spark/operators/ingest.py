@@ -586,3 +586,51 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_checked",
     ).select("rule", "n_checked", "n_violations")
+
+
+_CSVQ_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length('v,"' || substr(text, 1, 20) || '"' || chr(10)
+                           || 'tail')) AS BIGINT) AS chars_total,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@query("csv_quoted_roundtrip", oracle=_CSVQ_ORACLE, tags=("scan", "csv"))
+def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 depth — CSV round-trip under adversarial content: every value
+    carries an embedded comma, double quote, AND newline (the reference
+    pipes raw HTTP text into pd.read_csv, DB:437 — exactly the payload
+    shape that silently splits rows without proper quoting). The write
+    quotes/escapes, the read uses multiLine=true (embedded newlines
+    make records span physical lines — the option a naive reader
+    misses), and per-lang count / char-total / id-XOR are attested
+    against the SOURCE table, so a split row, a swallowed quote, or a
+    lost newline all break the hash."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('v,"'),
+            F.substring("text", 1, 20),
+            F.lit('"\ntail'),
+        ).alias("gnarly"),
+    )
+    out = tempfile.mkdtemp(prefix="tde_csvq_")
+    d.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("inferSchema", True)
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("gnarly")).cast("bigint").alias("chars_total"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("id_xor"),
+    )

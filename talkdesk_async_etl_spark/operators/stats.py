@@ -630,3 +630,72 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("o_totalprice"), 6).alias("skew"),
         F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
     )
+
+
+_WMEDIAN_ORACLE = """
+    WITH w AS (
+        SELECT c_mktsegment, c_acctbal, c_custkey,
+               c_custkey % 5 + 1 AS wt
+        FROM customer
+    ),
+    cum AS (
+        SELECT c_mktsegment, c_acctbal, wt,
+               sum(wt) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(wt) OVER (PARTITION BY c_mktsegment) AS tot
+        FROM w
+    ),
+    pick AS (
+        SELECT c_mktsegment, c_acctbal, tot,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY cw) AS rn
+        FROM cum WHERE 2 * cw >= tot
+    )
+    SELECT c_mktsegment,
+           c_acctbal AS weighted_median,
+           CAST(tot AS BIGINT) AS total_weight
+    FROM pick WHERE rn = 1
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("stats", "agg"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: weighted median per group — the lower weighted median
+    (first value whose cumulative weight reaches half the total) with
+    a deterministic (value, key) ordering, so the answer is an EXACT
+    input double: no interpolation arithmetic, no float drift, exact
+    hash-check. One exchange on the group key serves both window
+    passes and the pick; weights are derived integers so the
+    cumulative sums are exact BIGINTs. (The unweighted case is
+    A10's percentile family; weighted quantiles at 100 TB ride the
+    same shape or the KLL sketch when one pass must suffice.)"""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer", spread=True).select(
+        "c_mktsegment",
+        "c_acctbal",
+        "c_custkey",
+        (F.col("c_custkey") % 5 + 1).alias("wt"),
+    )
+    cum = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.sum("wt")
+        .over(
+            Window.partitionBy("c_mktsegment")
+            .orderBy("c_acctbal", "c_custkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("c_mktsegment")).alias("tot"),
+    )
+    pick = cum.filter(2 * F.col("cw") >= F.col("tot")).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("c_mktsegment").orderBy("cw")),
+    )
+    return pick.filter(F.col("rn") == 1).select(
+        "c_mktsegment",
+        F.col("c_acctbal").alias("weighted_median"),
+        F.col("tot").cast("bigint").alias("total_weight"),
+    )

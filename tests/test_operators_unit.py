@@ -1830,3 +1830,38 @@ def test_bpe_merge_order_matters(spark, tmp_path):
     # a n→an, an d→and
     assert rows[1]["encoded_prefix"] == "the th in and"
     assert rows[1]["n_tokens"] == 4
+
+
+def test_weighted_median_lower_pick(spark, tmp_path):
+    """Constructed weights: values 1,2,3 with weights 1,1,4 — the
+    cumulative half (total 6, half 3) is first reached AT value 3
+    (cw=2 at value 2 < 3); a >-only or interpolating pick would
+    differ."""
+    from talkdesk_async_etl_spark.operators.stats import agg_weighted_median
+
+    # wt = c_custkey % 5 + 1 → choose keys to force weights 1,1,4
+    rows = [("S", 1.0, 5), ("S", 2.0, 10), ("S", 3.0, 3)]  # wts 1,1,4
+    spark.createDataFrame(
+        rows, "c_mktsegment string, c_acctbal double, c_custkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    got = agg_weighted_median(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["weighted_median"] == 3.0 and got[0]["total_weight"] == 6
+
+
+def test_set_ops_all_keeps_multiplicities(spark, tmp_path):
+    """Constructed bags: key 1 appears 3x in 1995 and 1x in 1996 →
+    intersect_all 1, except_all 2. Distinct set ops would report 1/0."""
+    import datetime
+
+    from talkdesk_async_etl_spark.operators.dedup import set_ops_all
+
+    d95 = datetime.datetime(1995, 6, 1)
+    d96 = datetime.datetime(1996, 6, 1)
+    rows = [(1, d95), (1, d95), (1, d95), (1, d96), (2, d96)]
+    spark.createDataFrame(
+        [(i, k, d) for i, (k, d) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {(r["op"], r["o_custkey"]): r["n"] for r in set_ops_all(spark, str(tmp_path)).collect()}
+    assert got == {("intersect_all", 1): 1, ("except_all", 1): 2}

@@ -239,6 +239,10 @@ _HEADLINE_R8 = (
     "text_bpe_apply",
     "set_ops_all",
     "agg_weighted_median",
+    "text_bigram_logprob",
+    "text_url_canonicalize",
+    "agg_grouping_id",
+    "scalar_str_to_map",
     # dedup_minhash_jaccard_est is an invariant (exact pipeline + sig
     # join); csv_quoted_roundtrip is a sink attestation (write+read
     # dominates) — both excluded per the invariant-exclusion note.

@@ -1978,3 +1978,32 @@ def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NAMED_PARAMS_SQL,
         args={"tbl": "np_orders", "price_floor": _NP_FLOOR, "status": _NP_STATUS},
     )
+
+
+_GROUPING_ID_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("agg", "rollup"))
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 depth — ``grouping()`` / ``grouping_id()`` over a ROLLUP:
+    the flags that let a consumer tell a subtotal row from a data row
+    whose key is genuinely NULL (without them a rollup over a nullable
+    column is ambiguous). Both engines share the bit convention
+    (leftmost grouping column = most significant bit — probed). Same
+    single-Expand plan as agg_rollup; the flags are free metadata on
+    the Expand's tag column."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -743,3 +743,37 @@ def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").bitwiseXOR(F.lit(21845)).alias("toggled"),
         F.bit_count(F.col("o_orderkey")).alias("popcount"),
     )
+
+
+_STRTOMAP_ORACLE = """
+    SELECT c_custkey,
+           c_mktsegment AS seg_val,
+           CAST(c_nationkey AS VARCHAR) AS nation_val,
+           CAST(2 AS INTEGER) AS n_keys
+    FROM customer
+"""
+
+
+@query("scalar_str_to_map", oracle=_STRTOMAP_ORACLE, tags=("scalar", "map"))
+def scalar_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: ``str_to_map`` — parsing ``k=v;k=v`` payload strings (the
+    properties/tags format config feeds and HTTP headers arrive in)
+    into a typed map in one call, then keyed extraction. The payload
+    is built from source columns so the oracle predicts every
+    extracted value without parsing anything; a delimiter mix-up or
+    lost pair breaks the hash. In-scan, zero shuffle; the map never
+    leaves the row (output is atomic-typed per the driver contract)."""
+    c = t(spark, sf_dir, "customer")
+    payload = F.concat(
+        F.lit("seg="),
+        F.col("c_mktsegment"),
+        F.lit(";nation="),
+        F.col("c_nationkey").cast("string"),
+    )
+    m = F.str_to_map(payload, F.lit(";"), F.lit("="))
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_val"),
+        F.element_at(m, "nation").alias("nation_val"),
+        F.size(m).alias("n_keys"),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from talkdesk_async_etl_spark.plans.cache import scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -1003,4 +1004,145 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("encoded", " ")).alias("n_tokens"),
             F.substring("encoded", 1, 48).alias("encoded_prefix"),
         )
+    )
+
+
+# Laplace-smoothed bigram LM under the corpus's own distribution —
+# the bigram upgrade of text_unigram_logprob (CCNet/Gopher perplexity
+# bucketing). log is NATURAL on both engines (DuckDB's log() is
+# log10 — probed; ln() is the twin of Spark's F.log).
+_BIGRAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    big AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM toks, range(1, 4000) r(i)
+        WHERE i + 1 <= len(tk) AND tk[i] <> '' AND tk[i + 1] <> ''
+    ),
+    c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT w2) AS vocab FROM big),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(floor(ln((c12.n12 + 1.0) / (c1.n1 + v.vocab))
+                          * 1000000 + 0.5) AS BIGINT) AS lp_micro
+        FROM big b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp_micro) AS BIGINT) AS logprob_sum_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_ORACLE, tags=("text", "quality"))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5b: bigram language-model log-probability per document —
+    the perplexity-style quality signal one step up from
+    text_unigram_logprob: P(w2|w1) with Laplace smoothing under the
+    corpus's own bigram distribution, so template-y documents score
+    high and token-salad scores low. Exactness: each bigram's log-prob
+    is quantized to integer micro-units BEFORE the per-doc sum (float
+    log-sums are addition-order-dependent; BIGINT sums are not).
+    Scale shape: the bigram relation shuffles twice to build the
+    count tables (|bigram vocab|-sized aggregates, map-side
+    combinable), then the scoring join keys on the bigram — at 100 TB
+    a frequency floor on c12 shrinks the model under the broadcast
+    threshold and the token stream joins against a broadcast dict,
+    same as the unigram path; the vocab scalar broadcasts always."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    big = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select(
+            "doc_id",
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("bs"),
+        )
+        .select("doc_id", F.explode("bs").alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big = scoped_persist(big)
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    vocab = big.select(F.countDistinct("w2").alias("vocab"))
+    lp_micro = F.floor(
+        F.log((F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("vocab")))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp_micro.alias("lp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("logprob_sum_micro"),
+        )
+    )
+
+
+_URLCANON_ORACLE = """
+    WITH raw AS (
+        SELECT c_custkey,
+               'HTTPS://Talkdesk.Example.COM:443' AS originhost,
+               '/reports/view' AS path,
+               'utm_source=mail&b=' || CAST(c_custkey % 7 AS VARCHAR)
+                 || '&a=' || CAST(c_custkey % 3 AS VARCHAR) AS q
+        FROM customer
+    )
+    SELECT c_custkey,
+           'https://talkdesk.example.com/reports/view?'
+             || array_to_string(
+                    list_sort(list_filter(string_split(q, '&'),
+                              x -> NOT starts_with(x, 'utm_'))), '&')
+               AS canonical_url
+    FROM raw
+"""
+
+
+@query("text_url_canonicalize", oracle=_URLCANON_ORACLE, tags=("text", "url", "dedup"))
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2u: URL canonicalization — the standard pre-dedup step of a
+    web-crawl pipeline (two crawls of the same page differ only in
+    host case, default port, tracking params, param order, fragment).
+    Canonical form: lowercase scheme+host, strip the default port,
+    drop utm_* tracking params, SORT surviving query params. All
+    in-scan string/array HOFs (split → filter → sort → join), zero
+    shuffle, zero Python; dedup_exact downstream then collapses crawl
+    variants. The messy URL is derived deterministically from the
+    customer key (param order deliberately unsorted, tracking param
+    present, upper-case host+port) so both engines construct and
+    canonicalize the identical input."""
+    c = t(spark, sf_dir, "customer", spread=True)
+    q = F.concat(
+        F.lit("utm_source=mail&b="),
+        (F.col("c_custkey") % 7).cast("string"),
+        F.lit("&a="),
+        (F.col("c_custkey") % 3).cast("string"),
+    )
+    kept = F.array_sort(
+        F.filter(F.split(q, "&"), lambda x: ~x.startswith("utm_"))
+    )
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://talkdesk.example.com/reports/view?"),
+            F.array_join(kept, "&"),
+        ).alias("canonical_url"),
     )

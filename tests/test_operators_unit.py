@@ -1865,3 +1865,35 @@ def test_set_ops_all_keeps_multiplicities(spark, tmp_path):
     ).write.parquet(str(tmp_path / "orders.parquet"))
     got = {(r["op"], r["o_custkey"]): r["n"] for r in set_ops_all(spark, str(tmp_path)).collect()}
     assert got == {("intersect_all", 1): 1, ("except_all", 1): 2}
+
+
+def test_url_canonicalize_drops_tracking_sorts_params(spark, tmp_path):
+    """Canonical form contract: utm_* params gone, survivors sorted,
+    host lowercased, default port stripped, fragment absent."""
+    from talkdesk_async_etl_spark.operators.text import text_url_canonicalize
+
+    spark.createDataFrame([(13,)], "c_custkey long").write.parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    # custkey 13: b=13%7=6, a=13%3=1 → sorted to a=1&b=6; utm_ dropped
+    got = text_url_canonicalize(spark, str(tmp_path)).collect()[0]
+    assert got["canonical_url"] == "https://talkdesk.example.com/reports/view?a=1&b=6"
+
+
+def test_bigram_logprob_known_counts(spark, tmp_path):
+    """Constructed 2-doc corpus with hand-computable bigram counts:
+    doc 1 = 'a b a b' (bigrams ab, ba, ab), doc 2 = 'a b' (ab).
+    Corpus: c(a,b)=3, c(b,a)=1, c1(a)=3, c1(b)=1, vocab(w2)={a,b}=2.
+    lp(ab) = ln(4/5), lp(ba) = ln(2/3)."""
+    import math
+
+    from talkdesk_async_etl_spark.operators.text import text_bigram_logprob
+
+    spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in text_bigram_logprob(spark, str(tmp_path)).collect()}
+    q = lambda x: math.floor(x * 1_000_000 + 0.5)
+    lp_ab, lp_ba = q(math.log(4 / 5)), q(math.log(2 / 3))
+    assert (got[1]["n_bigrams"], got[1]["logprob_sum_micro"]) == (3, 2 * lp_ab + lp_ba)
+    assert (got[2]["n_bigrams"], got[2]["logprob_sum_micro"]) == (1, lp_ab)

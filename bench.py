@@ -243,6 +243,7 @@ _HEADLINE_R8 = (
     "text_url_canonicalize",
     "agg_grouping_id",
     "scalar_str_to_map",
+    "multimodal_image_phash",
     # dedup_minhash_jaccard_est is an invariant (exact pipeline + sig
     # join); csv_quoted_roundtrip is a sink attestation (write+read
     # dominates) — both excluded per the invariant-exclusion note.

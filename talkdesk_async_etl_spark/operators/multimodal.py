@@ -631,3 +631,91 @@ def multimodal_ppm_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     a PPM byte. Together with the WAV path this makes one REAL decoder
     per modality; PIL/ffmpeg drop into the same mapInPandas shape."""
     return extract_ppm_stats(synthetic_ppm_df(spark))
+
+
+# --- Perceptual image hashing over the REAL codec path ---------------
+_PHASH_BITS = 62  # row-major pixel-bit prefix folded into one BIGINT
+_PHASH_HAMMING_MAX = 10
+
+
+def extract_ppm_phash(media: DataFrame) -> DataFrame:
+    """Per-image average-hash signature from REAL decoded bytes: the
+    luminance proxy is the exact integer channel sum (0..765), the
+    threshold test is the cross-multiplied integer compare
+    g·(w·h) > Σg (no float mean, no rounding seam), and the first 62
+    row-major bits fold into one BIGINT."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for row in pdf.itertuples():
+                px = decode_ppm_real(bytes(row.content)).astype(np.int64)
+                g = px.sum(axis=2)
+                tot, n = int(g.sum()), g.size
+                bits = (g.flatten() * n > tot).astype(np.int64)
+                sig = int(sum(int(b) << k for k, b in enumerate(bits[:_PHASH_BITS])))
+                out.append((row.media_id, sig, int(bits.sum())))
+            yield pd.DataFrame(out, columns=["media_id", "sig", "n_bits_set"])
+
+    return media.mapInPandas(per_batch, schema="media_id long, sig long, n_bits_set int")
+
+
+_PHASH_ORACLE = f"""
+    WITH px AS (
+        SELECT i.i AS img,
+               ({_PPM_W_BASE} + i.i % {_PPM_W_MOD}) AS w,
+               ({_PPM_H_BASE} + i.i % {_PPM_H_MOD}) AS h,
+               y.y, x.x,
+               (i.i*{_PPM_A} + y.y*{_PPM_B} + x.x*{_PPM_C} + 0*{_PPM_D}) % 256
+                 + (i.i*{_PPM_A} + y.y*{_PPM_B} + x.x*{_PPM_C} + 1*{_PPM_D}) % 256
+                 + (i.i*{_PPM_A} + y.y*{_PPM_B} + x.x*{_PPM_C} + 2*{_PPM_D}) % 256
+                 AS g
+        FROM range(0, {_PPM_N}) i(i),
+             range(0, {_PPM_H_BASE + _PPM_H_MOD - 1}) y(y),
+             range(0, {_PPM_W_BASE + _PPM_W_MOD - 1}) x(x)
+        WHERE y.y < ({_PPM_H_BASE} + i.i % {_PPM_H_MOD})
+          AND x.x < ({_PPM_W_BASE} + i.i % {_PPM_W_MOD})
+    ),
+    tot AS (SELECT img, sum(g) AS tg, count(*) AS n FROM px GROUP BY img),
+    sigs AS (
+        SELECT p.img,
+               CAST(sum(CASE WHEN p.g * t.n > t.tg
+                              AND (p.y * p.w + p.x) < {_PHASH_BITS}
+                             THEN 1::BIGINT << (p.y * p.w + p.x)
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM px p JOIN tot t ON p.img = t.img
+        GROUP BY p.img
+    )
+    SELECT a.img AS img_a, b.img AS img_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.img < b.img
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_PHASH_HAMMING_MAX}
+"""
+
+
+@query("multimodal_image_phash", oracle=_PHASH_ORACLE, tags=("multimodal", "dedup"))
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6p: IMAGE near-duplicate detection by perceptual average-hash —
+    the multimodal twin of the text dedup family: decode (REAL P6
+    parser), threshold each pixel's integer luminance against the
+    image total (exact cross-multiplied compare — no float mean), fold
+    the bit plane into a 62-bit signature, and pair images by Hamming
+    distance ≤ {10}. The oracle re-derives every signature from the
+    pixel-generating formula without seeing a PPM byte, so the decode,
+    the bit order (row-major y·w+x — a transposed raster scrambles
+    it), and the XOR/popcount pairing are all hash-attested. Scale:
+    signatures are 8 bytes/image computed in-scan via mapInPandas; at
+    corpus scale the pairing joins on pigeonhole bands of the
+    signature exactly like dedup_simhash (the 36-image fixture keeps
+    the demonstration self-join trivially broadcastable)."""
+    sigs = extract_ppm_phash(synthetic_ppm_df(spark))
+    a = sigs.select(F.col("media_id").alias("img_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("media_id").alias("img_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+    )

@@ -1897,3 +1897,47 @@ def test_bigram_logprob_known_counts(spark, tmp_path):
     lp_ab, lp_ba = q(math.log(4 / 5)), q(math.log(2 / 3))
     assert (got[1]["n_bigrams"], got[1]["logprob_sum_micro"]) == (3, 2 * lp_ab + lp_ba)
     assert (got[2]["n_bigrams"], got[2]["logprob_sum_micro"]) == (1, lp_ab)
+
+
+def test_image_phash_matches_numpy_reference(spark):
+    """The 13 near-dup image pairs (hamming <= 10) computed through
+    the REAL decode path must equal a numpy reference computed from
+    the pixel formula — bit order (row-major), strict threshold, and
+    62-bit fold all pinned."""
+    import numpy as np
+
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        _PHASH_BITS,
+        _PHASH_HAMMING_MAX,
+        _PPM_A,
+        _PPM_B,
+        _PPM_C,
+        _PPM_D,
+        _PPM_H_BASE,
+        _PPM_H_MOD,
+        _PPM_N,
+        _PPM_W_BASE,
+        _PPM_W_MOD,
+        multimodal_image_phash,
+    )
+
+    sigs = {}
+    for i in range(_PPM_N):
+        w, h = _PPM_W_BASE + i % _PPM_W_MOD, _PPM_H_BASE + i % _PPM_H_MOD
+        y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        px = (i * _PPM_A + y * _PPM_B + x * _PPM_C + c * _PPM_D) % 256
+        g = px.sum(axis=2)
+        tot, n = int(g.sum()), g.size
+        bits = (g.flatten() * n > tot).astype(int)
+        sigs[i] = sum(int(b) << k for k, b in enumerate(bits[:_PHASH_BITS]))
+    expect = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i in range(_PPM_N)
+        for j in range(i + 1, _PPM_N)
+        if bin(sigs[i] ^ sigs[j]).count("1") <= _PHASH_HAMMING_MAX
+    }
+    got = {
+        (r["img_a"], r["img_b"]): r["hamming"]
+        for r in multimodal_image_phash(spark, SF_SMALL).collect()
+    }
+    assert got == expect and len(got) >= 5

@@ -634,3 +634,62 @@ def csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("gnarly")).cast("bigint").alias("chars_total"),
         F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("id_xor"),
     )
+
+
+_CBO_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_nulls,
+           CAST(TRUE AS BOOLEAN) AS ndv_ok
+    FROM orders
+"""
+
+
+@query("scan_cbo_stats_ok", oracle=_CBO_ORACLE, tags=("scan", "cbo", "catalog"))
+def scan_cbo_stats_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: cost-based-optimizer statistics — ``ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS`` is what lets Catalyst's CBO pick
+    broadcast sides, reorder joins, and estimate filter selectivity on
+    a 100 TB catalog (without stats every size guess falls back to
+    file sizes). The attestation reads the stats BACK from the catalog
+    (DESCRIBE EXTENDED) and emits them as the checked values: the
+    row count, column min/max, and null count must EQUAL the source
+    table's truth (they are exact in Spark's ANALYZE), and the
+    NDV — an HLL estimate by design — must sit within 10% of the
+    exact distinct count. A stats write that silently no-ops, a
+    min/max swap, or a stale-snapshot ANALYZE all fail the driver
+    hash."""
+    import re
+
+    o = t(spark, sf_dir, "orders")
+    tbl = "tde_cbo_stats_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    o.write.saveAsTable(tbl)
+    try:
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_custkey")
+        desc = spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+        stats_line = next(r.data_type for r in desc if r.col_name == "Statistics")
+        n_rows = int(re.search(r"(\d+) rows", stats_line).group(1))
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} o_custkey").collect()
+        }
+        exact_ndv = o.select("o_custkey").distinct().count()
+        ndv = int(col["distinct_count"])
+        ndv_ok = abs(ndv - exact_ndv) <= max(1, exact_ndv // 10)
+        return spark.createDataFrame(
+            [
+                (
+                    n_rows,
+                    int(col["min"]),
+                    int(col["max"]),
+                    int(col["num_nulls"]),
+                    bool(ndv_ok),
+                )
+            ],
+            "n_rows bigint, min_custkey bigint, max_custkey bigint,"
+            " n_nulls bigint, ndv_ok boolean",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

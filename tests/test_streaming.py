@@ -453,3 +453,80 @@ def test_streaming_python_datasource_exact_totals(spark, tmp_path):
     assert (got.n, got.nd) == (max_rows, max_rows)
     assert got.s == max_rows * (max_rows - 1) // 2
     assert got.a == sum((k * k) % 1_000_003 for k in range(max_rows))
+
+
+def test_stream_join_emits_outer_nulls_after_watermark(spark, tmp_path):
+    """The left-OUTER half of the stream-stream interval join,
+    exercised: a purchase with NO prior views must be held in state
+    (no output) until the watermark passes its join horizon, then
+    emit exactly once with a NULL view side. Batch 1 delivers the
+    view-less purchase; batch 2 advances the watermark far past it;
+    the null row must appear only after batch 2."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.streaming.streams import purchases_with_prior_views
+
+    src = str(tmp_path / "oj_src")
+    ckpt = str(tmp_path / "oj_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    base = dt.datetime(2024, 6, 1, 12, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: user 7 purchases with no views; user 1 has view→purchase
+    write_file(
+        [
+            (1, base, 1, "view", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=10), 1, "purchase", 5.0, "{}"),
+            (3, base + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}"),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        purchases_with_prior_views(stream, lookback="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("oj_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        matched_only = {
+            (r["p_id"], r["v_id"]) for r in spark.table("oj_sink").collect()
+        }
+        # the unmatched purchase must NOT have emitted yet (held in state)
+        assert (3, None) not in matched_only
+        # batch 2 must advance BOTH sides: the global watermark is the
+        # MIN over the purchase and view forks (multipleWatermarkPolicy
+        # default), so a far-future view alone leaves the purchase-side
+        # watermark at batch 1 and the outer row would never flush — a
+        # stalled side holds back outer emission, a real production
+        # gotcha this test pins. Batch 3 exists because the watermark
+        # updates at the END of a micro-batch — evicted-state nulls
+        # flush in the NEXT one.
+        write_file(
+            [
+                (100, base + dt.timedelta(hours=6), 1, "view", 1.0, "{}"),
+                (102, base + dt.timedelta(hours=6), 9, "purchase", 1.0, "{}"),
+            ]
+        )
+        q.processAllAvailable()
+        write_file(
+            [
+                (101, base + dt.timedelta(hours=7), 1, "view", 1.0, "{}"),
+                (103, base + dt.timedelta(hours=7), 9, "purchase", 1.0, "{}"),
+            ]
+        )
+        q.processAllAvailable()
+        rows = {(r["p_id"], r["v_id"]) for r in spark.table("oj_sink").collect()}
+    finally:
+        q.stop()
+    assert (2, 1) in rows  # the matched pair
+    assert (3, None) in rows  # outer null emitted after watermark passed
+    assert len([p for p, v in rows if p == 3]) == 1  # exactly once

@@ -244,6 +244,11 @@ _HEADLINE_R8 = (
     "agg_grouping_id",
     "scalar_str_to_map",
     "multimodal_image_phash",
+    "scan_orc_roundtrip",
+    "ddl_default_columns",
+    # sink_compression_codecs_ok / scan_cbo_stats_ok are attestations
+    # (multiple writes / catalog DDL dominate) — excluded per the
+    # invariant-exclusion note.
     # dedup_minhash_jaccard_est is an invariant (exact pipeline + sig
     # join); csv_quoted_roundtrip is a sink attestation (write+read
     # dominates) — both excluded per the invariant-exclusion note.

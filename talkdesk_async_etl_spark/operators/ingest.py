@@ -693,3 +693,127 @@ def scan_cbo_stats_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+_ORC_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+    FROM documents GROUP BY lang
+"""
+
+
+@query("scan_orc_roundtrip", oracle=_ORC_ORACLE, tags=("scan", "orc"))
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27: ORC round-trip — the second columnar format Spark ships
+    built-in (the lake-migration path: Hive estates are ORC). Write
+    documents as ORC, read back, attest per-lang count / char-total /
+    id-XOR against the parquet SOURCE — so type mapping, string
+    encoding, and row fidelity across the format boundary are the
+    checked property. (Avro is the documented environment block of
+    this family: external spark-avro jars, absent here — same closure
+    class as Delta MERGE.) ORC gets the same predicate-pushdown and
+    column-pruning treatment from Catalyst as parquet."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="tde_orc_")
+    t(spark, sf_dir, "documents").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("id_xor"),
+    )
+
+
+_CODEC_ORACLE = """
+    WITH src AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+        FROM documents
+    )
+    SELECT c.codec, src.n AS n_docs, src.id_xor,
+           CAST(TRUE AS BOOLEAN) AS smaller_than_uncompressed
+    FROM (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec), src
+"""
+
+
+@query("sink_compression_codecs_ok", oracle=_CODEC_ORACLE, tags=("sink", "codec"))
+def sink_compression_codecs_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28: parquet compression codecs — at 100 TB the codec choice is
+    a first-order cost knob (zstd ≈ gzip ratio at ~snappy speed).
+    Write the documents table under snappy / zstd / gzip AND
+    uncompressed, attest per-codec losslessness (count + id-XOR vs the
+    source oracle) and that every real codec beats the uncompressed
+    byte size. A codec that silently falls back to uncompressed fails
+    the size flag; one that corrupts rows fails the checksums."""
+    import glob
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="tde_codec_")
+    d = t(spark, sf_dir, "documents")
+
+    def write_and_size(codec: str) -> int:
+        path = os.path.join(base, codec)
+        d.write.mode("overwrite").option("compression", codec).parquet(path)
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
+    plain = write_and_size("none")
+    rows = []
+    for codec in ("gzip", "snappy", "zstd"):
+        size = write_and_size(codec)
+        back = spark.read.parquet(os.path.join(base, codec)).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("x"),
+        ).collect()[0]
+        rows.append((codec, back["n"], back["x"], size < plain))
+    return spark.createDataFrame(
+        rows,
+        "codec string, n_docs bigint, id_xor bigint,"
+        " smaller_than_uncompressed boolean",
+    )
+
+
+_DDL_DEFAULT_ORACLE = """
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'EXPLICIT' ELSE 'NEW' END AS status,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey ELSE 42 END
+                AS BIGINT) AS score
+    FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
+@query("ddl_default_columns", oracle=_DDL_DEFAULT_ORACLE, tags=("ddl", "catalog"))
+def ddl_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 depth — column DEFAULT values (Spark 3.4+ DDL): producers
+    that predate a schema change keep inserting the short column list
+    and the engine fills declared defaults — the catalog-native half
+    of schema evolution (scan_schema_evolution handles the files-
+    on-disk half with null-fill; DEFAULT gives a chosen value
+    instead). Rows ≡0 mod 3 insert explicit values, the rest omit the
+    columns; the oracle predicts exactly which rows carry defaults."""
+    tbl = "tde_ddl_defaults"
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""CREATE TABLE {tbl} (
+            k BIGINT,
+            status STRING DEFAULT 'NEW',
+            score BIGINT DEFAULT 42
+        ) USING parquet"""
+    )
+    try:
+        o.filter(F.col("o_orderkey") % 3 == 0).selectExpr(
+            "o_orderkey AS k", "'EXPLICIT' AS status", "o_custkey AS score"
+        ).createOrReplaceTempView("ddl_full_rows")
+        o.filter(F.col("o_orderkey") % 3 != 0).selectExpr(
+            "o_orderkey AS k"
+        ).createOrReplaceTempView("ddl_short_rows")
+        spark.sql(f"INSERT INTO {tbl} SELECT * FROM ddl_full_rows")
+        spark.sql(f"INSERT INTO {tbl} (k) SELECT k FROM ddl_short_rows")
+        return spark.table(tbl).select("k", "status", "score").localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

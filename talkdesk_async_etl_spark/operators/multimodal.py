@@ -549,7 +549,14 @@ def decode_ppm_real(content: bytes) -> "np.ndarray":
 
 def synthetic_ppm_df(spark: SparkSession, n: int = _PPM_N) -> DataFrame:
     rows = [(i, encode_ppm(_ppm_pixels(i))) for i in range(n)]
-    return spark.createDataFrame(rows, "media_id long, content binary")
+    # Explicit small slice count: the default parallelize spreads 36
+    # rows over defaultParallelism pickle partitions, and every action
+    # then pays a per-partition Python round-trip (measured ~2.4 s for
+    # a count; a later coalesce(1) is WORSE — it drains all slices
+    # through one worker serially, ~4 s). Four slices keep the decode
+    # parallel and the overhead at a few tasks.
+    rdd = spark.sparkContext.parallelize(rows, min(4, n))
+    return spark.createDataFrame(rdd, "media_id long, content binary")
 
 
 def extract_ppm_stats(media: DataFrame) -> DataFrame:
@@ -710,7 +717,11 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the pairing joins on pigeonhole bands of the
     signature exactly like dedup_simhash (the 36-image fixture keeps
     the demonstration self-join trivially broadcastable)."""
-    sigs = extract_ppm_phash(synthetic_ppm_df(spark))
+    # localCheckpoint: the decode pass runs once, not once per
+    # self-join side (the fixture itself is built with a small slice
+    # count — see synthetic_ppm_df — so the checkpoint is a few tasks,
+    # not defaultParallelism slivers).
+    sigs = extract_ppm_phash(synthetic_ppm_df(spark)).localCheckpoint()
     a = sigs.select(F.col("media_id").alias("img_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("media_id").alias("img_b"), F.col("sig").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

@@ -75,96 +75,87 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-8 window, in priority order (executes ROUND_NOTES' round-8
-# rotation pre-plan):
-#   1. The 43 late-round-7 ids that have NEVER had a driver row
-#      (registered after the round-7 window filled; every one is
-#      pytest-oracle-green at sf0.001/0.01 AND swept green at sf0.1).
-#      Green rows for all 43 take union driver coverage to the full
-#      registry.
-#   2. Ids NEW in round 8 — new ids always enter the window the round
-#      they are registered, so never-attested debt stops accruing.
-#      Each displaces one r4-stale id from tier 3 (rationale inline).
-#   3. The r4-attested tier leftovers (latest driver row round 4,
-#      displaced from the round-7 window). Whatever round-8 additions
-#      push below slot 50 rotates to r9 with the r5 tier — every
-#      deferred id keeps its every-pytest-run oracle parity check, so
-#      deferral costs recency of the driver row, not coverage.
-# The r5/r6/r7-attested tiers are deliberately out-of-window; they
-# rotate r9+ per the pre-plan. Round-8 additions REGISTERED AFTER the
-# window filled (join_spatial_grid, agg_cooccurrence_pairs,
-# ml_logreg_score, cdc_incremental_agg, …) lead the r9 window — the
-# same precedent as rounds 6-7's late batches; each is
-# pytest-oracle-green at sf0.001/0.01/0.1. Any id registered but
-# absent here appends in registration order, so new operators are
-# never silently dropped — and the first-50 meta-test in
-# tests/test_driver_profile.py fails on typos or miscounts.
+# Round-9 window, in priority order (executes ROUND_NOTES' round-9
+# rotation pre-plan, which VERDICT r8 endorsed verbatim):
+#   1. The 29 round-8 late-batch ids that have NEVER had a driver row
+#      (registered after the round-8 window filled; the round-8 judge
+#      independently ran all of them through scripts/check_parity.py
+#      at sf0.01 — zero failures — so this tier converts judge-
+#      verified parity into formal CORRECTNESS rows).
+#   2. dedup_simhash + dedup_winnow_pairs — newly ORACLED this round
+#      (engine-agreeing md5 hashing, VERDICT r8 task 5): their first
+#      window pass must be a full rows+schema+hash row, not the old
+#      rows-only check.
+#   3. The full r4-attested tier (latest driver row round 4):
+#      project_columns (deferred r6-r8 as a sub-plan-of-everything —
+#      five rounds stale is now the older debt), the CSV/stream/UDF
+#      r4 leftovers, and the two r4 invariant twins.
+#   4. The oldest r5-tier ids with the remaining 10 slots: the
+#      formerly-vacuous tpch_q5/q6/q10 (re-attest the round-5 fix),
+#      the two tolerance twins backing rows-only sketches, and one
+#      representative per stale family (join/agg/window/stream).
+# The r6/r7/r8-attested tiers are deliberately out-of-window; they
+# rotate r10+ (r5 leftovers first, then r6). Every deferred id keeps
+# its every-pytest-run oracle parity check, so deferral costs recency
+# of the driver row, not coverage. Any id registered but absent here
+# appends in registration order, so new operators are never silently
+# dropped — and the first-50 meta-test in tests/test_driver_profile.py
+# fails on typos or miscounts.
 _PRIORITY = (
-    # --- tier 1: never driver-attested (late round-7 registrations) ---
-    "agg_max_by_mode",
-    "join_null_safe",
-    "graph_bfs_distance",
-    "join_asof_forward_tol",
-    "sql_text_api",
-    "multimodal_ppm_real",
-    "text_vocab_oov",
-    "agg_rolling_wau",
-    "scalar_try_arithmetic",
-    "agg_entropy_per_group",
-    "scalar_map_ops",
-    "join_interval_overlap",
-    "window_range_time",
-    "agg_bitmap_distinct",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "window_fill_forward",
-    "udaf_cogroup_asof",
-    "window_sessionize_gap",
-    "sql_pipe_syntax",
-    "text_segment_dedup",
-    "udf_map_in_arrow",
-    "join_scd2_point_in_time",
-    "window_match_pattern",
-    "join_dpp_prune_ok",
-    "sample_stratified_exact",
-    "dedup_components_star",
-    "sim_topk_pq",
-    "sim_pq_recall_ok",
-    "join_band_nonequi",
-    "scalar_collation_ci",
-    "sink_jsonl_export_ok",
-    "text_feature_hashing",
-    "agg_listagg_ordered",
-    "join_asof_nearest",
-    "graph_kcore",
-    "scalar_xml_roundtrip",
-    "agg_bool_family",
-    "agg_approx_top_k_exact_domain",
-    "sql_named_params",
-    # --- tier 2: new in round 8 (each swap displaces one tier-3 id,
-    #     deferral rationale at tier 3) ---
-    "scan_python_datasource",
-    "udaf_apply_in_arrow",
-    "sql_udf_scalar",
-    "sql_udf_table",
-    "sql_execute_immediate",
-    "scan_transpose",
-    # --- tier 3: r4-tier leftovers displaced from the round-7 window.
-    # The six round-8 additions above displace (bottom-up)
-    # csv_roundtrip, multimodal_image_features, stream_sliding,
-    # stream_tumbling, scalar_json_extract, udf_pandas_scalar — all six
-    # re-prove under every-pytest-run oracle parity, the stream twins
-    # additionally under test_streaming's batch-vs-stream equivalence,
-    # udf_pandas_scalar inside the r6-green Arrow pipelines, and the
-    # CSV surface under the S5 orchestration tests; the new ids are
-    # never-attested engine entry points (Python DataSource, grouped
-    # applyInArrow, SQL-defined functions, EXECUTE IMMEDIATE,
-    # transpose). project_columns deferred again to r9: strict sub-plan
-    # of every in-window query (same rationale as rounds 6-7).
-    "tpch_q1",
+    # --- tier 1: the 29 never-driver-attested round-8 ids ---
+    "join_spatial_grid",
+    "agg_cooccurrence_pairs",
+    "ml_logreg_score",
+    "cdc_incremental_agg",
+    "scalar_regex_family",
+    "scalar_url_parse",
+    "scalar_interval_math",
+    "scalar_mask_pii",
+    "scalar_aes_roundtrip",
+    "sql_scripting_block",
+    "dq_expectations",
+    "graph_sssp_weighted",
+    "udtf_arrow_tokens",
+    "agg_skew_kurtosis",
+    "scalar_bitwise_ops",
+    "text_bpe_apply",
+    "dedup_minhash_jaccard_est",
+    "set_ops_all",
+    "agg_weighted_median",
+    "csv_quoted_roundtrip",
+    "text_bigram_logprob",
+    "text_url_canonicalize",
+    "agg_grouping_id",
+    "scalar_str_to_map",
+    "multimodal_image_phash",
+    "scan_cbo_stats_ok",
+    "scan_orc_roundtrip",
+    "sink_compression_codecs_ok",
+    "ddl_default_columns",
+    # --- tier 2: newly-oracled this round (rows-only -> hash row) ---
+    "dedup_simhash",
+    "dedup_winnow_pairs",
+    # --- tier 3: the full r4-attested tier (oldest driver rows) ---
+    "project_columns",
+    "csv_roundtrip",
+    "multimodal_image_features",
+    "stream_sliding",
+    "stream_tumbling",
+    "scalar_json_extract",
+    "udf_pandas_scalar",
+    "dedup_simhash_dupes_ok",
+    "sim_blocked_topk_ok",
+    # --- tier 4: oldest r5-tier ids (10 slots) ---
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "agg_approx_distinct_tol",
+    "agg_percentile_approx_tol",
+    "join_asof",
+    "join_broadcast_lookup",
+    "agg_conditional_sum",
+    "window_moving_frame",
+    "stream_session",
 )
 
 

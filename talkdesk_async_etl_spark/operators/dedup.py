@@ -55,6 +55,34 @@ _MERSENNE31 = (1 << 31) - 1
 _HOT_KEY_CAP = 256
 
 
+def _hex15_col(c):
+    """Engine-agreeing 60-bit hash: the first 15 hex chars of md5,
+    parsed as an integer. Spark (conv) and DuckDB (positional hex-digit
+    fold — see ``_duck_hex15``) compute the IDENTICAL value, which is
+    what converts the simhash/winnow queries from rows-only driver
+    checks into full value-hash rows (VERDICT r8 task 5): every
+    signature-derived output becomes recomputable by the oracle.
+    xxhash64 stays the throughput leaf for the 100 TB path (md5 is
+    ~5-10x slower per byte but still JVM-side codegen); both leaves
+    share the entire pipeline above the hash."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _duck_hex15(mh: str) -> str:
+    """DuckDB twin of ``_hex15_col`` over an md5-hex column ``mh``:
+    h = Σ_i hexdigit(mh[i]) << 4*(15-i), i = 1..15 (60 bits, always
+    non-negative, so ``>>`` agrees between engines)."""
+    return (
+        "("
+        + " + ".join(
+            f"((strpos('0123456789abcdef', substr({mh}, {i}, 1)) - 1)::BIGINT"
+            f" << {4 * (15 - i)})"
+            for i in range(1, 16)
+        )
+        + ")"
+    )
+
+
 def _cap_hot_keys(df: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame:
     """Drop rows whose ``key`` value occurs in more than ``cap`` rows —
     the standard skew guard before a key-equality self-join.
@@ -414,7 +442,7 @@ def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(removed), "doc_id", "left_anti")
 
 
-def _winnow_buckets(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
+def _winnow_buckets(docs: DataFrame, cap: int = _HOT_KEY_CAP, fingerprints=None) -> DataFrame:
     """Per-fingerprint doc-id buckets (``fp``, sorted ``ds``) with
     corpus-hot fingerprints removed (bucket size > cap) — the shared
     input of the pair generation AND the containment invariant's
@@ -427,7 +455,8 @@ def _winnow_buckets(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
     sf0.1 — the separate projection pushes the huge generated method
     over a codegen/JIT threshold and parts of the pipeline fall back to
     interpreted evaluation."""
-    ex = docs.select("doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp"))
+    fp_fn = fingerprints or winnow_fingerprints
+    ex = docs.select("doc_id", F.explode(fp_fn(F.col("text"))).alias("fp"))
     return _bucket_lists(ex, "fp", cap)
 
 
@@ -444,7 +473,9 @@ def winnow_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
     )
 
 
-def winnow_pairs_for(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
+def winnow_pairs_for(
+    docs: DataFrame, cap: int = _HOT_KEY_CAP, fingerprints=None
+) -> DataFrame:
     """Winnow-pair core over any ``(doc_id, text)`` DataFrame: document
     pairs sharing >= 2 winnowing fingerprints. Factored out of the
     registered query so the driver-attestable containment invariant
@@ -456,10 +487,42 @@ def winnow_pairs_for(docs: DataFrame, cap: int = _HOT_KEY_CAP) -> DataFrame:
     in hundreds of documents is boilerplate, not reuse signal). The
     cap is enforced as a free bucket-size filter inside the one
     groupBy (_bucket_lists), not a separate count pass."""
-    return winnow_pairs_from_buckets(_winnow_buckets(docs, cap))
+    return winnow_pairs_from_buckets(_winnow_buckets(docs, cap, fingerprints))
 
 
-@query("dedup_winnow_pairs", oracle=None, tags=("dedup", "winnow"))
+# DuckDB recomputes the full winnowing pipeline: positional k-gram
+# md5-60-bit hashes (the engine-agreeing leaf — the gram STRING is
+# hashed, not an xxhash64 token-fold), the minimum of every 4-hash
+# window, per-doc distinct fingerprints, the 256-doc hot-fingerprint
+# cap, and pairs sharing >= 2 surviving fingerprints. The 2000-row
+# range mirrors _JACCARD_CTES (docs are far shorter).
+_WINNOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    gh AS (
+        SELECT doc_id, i, {_duck_hex15("mh")} AS h
+        FROM (SELECT doc_id, i, md5(array_to_string(tk[i:i+2], ' ')) AS mh
+              FROM toks, range(1, 2000) r(i) WHERE i + 2 <= len(tk))
+    ),
+    seqs AS (SELECT doc_id, list(h ORDER BY i) AS seq FROM gh GROUP BY doc_id),
+    fps AS (
+        SELECT doc_id, unnest(CASE
+            WHEN len(seq) >= 4 THEN list_distinct(list_transform(
+                range(1, len(seq) - 2), i -> list_min(seq[i:i+3])))
+            ELSE [list_min(seq)] END) AS fp
+        FROM seqs
+    ),
+    hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 256)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fps
+    FROM fps a JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id AND fp NOT IN (SELECT fp FROM hot)
+    GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+@query("dedup_winnow_pairs", oracle=_WINNOW_ORACLE, tags=("dedup", "winnow"))
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 substring-reuse detector: document pairs sharing >= 2
     winnowing fingerprints (Schleimer et al. — the MOSS algorithm;
@@ -469,13 +532,20 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph copied into an otherwise-different document, which
     Jaccard at 0.6 cannot.
 
-    Hash-seeded signatures (xxhash64) → rows-only driver check; the
-    deterministic-inclusion guarantee (exact duplicates always pair)
-    is driver-attested by ``dedup_winnow_containment``. Scale shape
+    Runs the engine-agreeing md5-gram hash leaf
+    (``winnow_fingerprints_md5``) so the DuckDB oracle recomputes the
+    identical fingerprint sets — a full rows+schema+hash driver row
+    instead of the previous rows-only check (VERDICT r8 task 5). The
+    xxhash64 rolling-fold leaf (``winnow_fingerprints`` — the 100 TB
+    throughput choice) shares every structural stage and keeps its own
+    driver attestation via ``dedup_winnow_containment``. Scale shape
     mirrors dedup_near_jaccard: in-scan array expressions, explode,
-    8-byte-key self-join — but on the ~1/window-sized fingerprint set,
-    with hot fingerprints capped (``_HOT_KEY_CAP``)."""
-    return winnow_pairs_for(t(spark, sf_dir, "documents", spread=True).select("doc_id", "text"))
+    8-byte-key bucket groupBy — on the ~1/window-sized fingerprint
+    set, with hot fingerprints capped (``_HOT_KEY_CAP``)."""
+    return winnow_pairs_for(
+        t(spark, sf_dir, "documents", spread=True).select("doc_id", "text"),
+        fingerprints=winnow_fingerprints_md5,
+    )
 
 
 def _minhash_sig_expr():
@@ -612,12 +682,19 @@ def dedup_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         return collect_release(lsh.join(exact, ["doc_a", "doc_b"], "left_anti"))
 
 
-def simhash_pairs_for(docs: DataFrame) -> DataFrame:
+def simhash_pairs_for(docs: DataFrame, token_hash=F.xxhash64) -> DataFrame:
     """SimHash-pair core over any ``(doc_id, text)`` DataFrame: 64-bit
     SimHash near-dup pairs at hamming ≤ 3. Factored out of the
     registered query so the driver-attestable duplicate invariant
     (``dedup_simhash_dupes_ok``) can run it over a corpus augmented
     with constructed duplicates.
+
+    ``token_hash`` is the per-token hash leaf: xxhash64 (default — the
+    throughput choice; the completeness invariant runs it) or
+    ``_hex15_col`` (engine-agreeing md5-60-bit — what the registered
+    ``dedup_simhash`` runs so the DuckDB oracle can recompute every
+    signature and hamming value). Everything above the leaf — voting,
+    banding, verification — is shared.
 
     The 4×16-bit pigeonhole chunk join is deliberately UNCAPPED: the
     hamming ≤ 3 completeness guarantee (any such pair shares at least
@@ -626,7 +703,7 @@ def simhash_pairs_for(docs: DataFrame) -> DataFrame:
     signature distribution itself — near-uniform for non-boilerplate
     text; boilerplate-heavy corpora should dedup exact/LSH first."""
     hashed = docs.select(
-        "doc_id", F.transform(F.split("text", " "), lambda tok: F.xxhash64(tok)).alias("hs")
+        "doc_id", F.transform(F.split("text", " "), lambda tok: token_hash(tok)).alias("hs")
     )
 
     # Bit b of the signature is the sign of Σ_tokens (±1) votes: set
@@ -671,20 +748,60 @@ def simhash_pairs_for(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+# DuckDB recomputes the ENTIRE simhash pipeline from scratch — the
+# engine-agreeing md5-60-bit token hash (bits 60-63 always 0, so the
+# effective signature is 60 bits and `>>` agrees between engines), the
+# per-bit majority vote, and brute-force hamming ≤ 3 pairing (the
+# Spark side's pigeonhole banding is candidate generation only; at
+# 4 chunks × 16 bits it is complete for hamming ≤ 3, so brute force is
+# the semantic twin). Signatures fold to two 30-bit halves so the pair
+# scan is two xor+bit_count ops, not a 60-element list walk.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+        SELECT doc_id, {_duck_hex15("mh")} AS h
+        FROM (SELECT doc_id, md5(tok) AS mh FROM toks)
+    ),
+    hlists AS (SELECT doc_id, list(h) AS hs FROM th GROUP BY doc_id),
+    sigs AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 30), b ->
+                   CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+                        THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+               CAST(list_sum(list_transform(range(30, 60), b ->
+                   CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+                        THEN (1::BIGINT << (b - 30)) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+        FROM hlists
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 (cheapest signal): SimHash near-dup pairs at hamming ≤ 3 over
     the documents table (see ``simhash_pairs_for`` for the algorithm).
-    Hash-seeded → rows-only check; the hamming-0 completeness
-    guarantee is driver-attested by ``dedup_simhash_dupes_ok``.
+
+    Runs the engine-agreeing md5-60-bit token-hash leaf (``_hex15_col``)
+    so every signature and hamming value is recomputable by the DuckDB
+    oracle — a full rows+schema+hash driver row instead of the previous
+    rows-only check (VERDICT r8 task 5). The xxhash64 throughput leaf
+    shares the whole pipeline above the hash and keeps its own driver
+    attestation via ``dedup_simhash_dupes_ok``.
 
     Scale shape: the signature is 64 array-filter expressions over the
     per-doc token-hash array — all inside the scan task, zero shuffle
     (the naive formulation explodes tokens×64 bit rows through two
     aggregations). First shuffle is the 4-chunk candidate join."""
     return simhash_pairs_for(
-        t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
-    )
+        t(spark, sf_dir, "documents", spread=True).select("doc_id", "text"),
+        token_hash=_hex15_col,
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # Constructed-duplicate invariants: the driver testdata has ZERO exact
@@ -921,6 +1038,36 @@ def winnow_fingerprints(text_col, k: int = 3, window: int = 4):
         raw = F.zip_with(raw, F.slice(th, off + 1, win), lambda x, y: F.xxhash64(x, y))
     # Guard BEFORE taking size: when() short-circuits per row, so the
     # negative-length slices of a <k-token doc are never evaluated.
+    seq = F.when(n >= k, raw).otherwise(F.array().cast("array<bigint>"))
+    m = F.size(seq)
+    fps = F.transform(
+        F.sequence(F.lit(0), m - window),
+        lambda i: F.array_min(F.slice(seq, i + 1, window)),
+    )
+    return (
+        F.when(m >= window, F.array_distinct(fps))
+        .when(m >= 1, F.array(F.array_min(seq)))  # short doc: one fp
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def winnow_fingerprints_md5(text_col, k: int = 3, window: int = 4):
+    """Engine-agreeing winnowing leaf: the positional k-gram hash is
+    md5-60-bit over the gram STRING (``_hex15_col``) instead of the
+    xxhash64 token-fold, so the DuckDB oracle recomputes the identical
+    fingerprint sets (see ``_WINNOW_ORACLE``). Window-min selection,
+    the short-doc rule, and distinct-ing are byte-for-byte the
+    ``winnow_fingerprints`` logic — only the hash leaf differs.
+    Materializing gram strings costs ~2x the rolling fold; use the
+    xxhash64 leaf on the 100 TB path."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    raw = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: _hex15_col(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    # Same when()-guard placement as winnow_fingerprints: negative
+    # slices of a <k-token doc are never evaluated.
     seq = F.when(n >= k, raw).otherwise(F.array().cast("array<bigint>"))
     m = F.size(seq)
     fps = F.transform(

@@ -107,9 +107,10 @@ def test_rows_only_query_set_is_pinned():
     from talkdesk_async_etl_spark.plans.registry import load_all
 
     expected = {
+        # dedup_simhash / dedup_winnow_pairs left this set in round 9:
+        # they now run the engine-agreeing md5-60-bit hash leaf and
+        # carry full DuckDB oracles (VERDICT r8 task 5).
         "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_winnow_pairs",
         "sim_topk_blocked",
         "sim_topk_ivf",
         # PQ: codebook/ADC values are engine-internal floats; the

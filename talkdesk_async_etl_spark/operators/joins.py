@@ -1,0 +1,642 @@
+"""Join operators (SURVEY.md §2.3): the equi/semi/anti/star family
+plus the shuffle-avoidance and non-equi patterns (bucketed co-located
+join, skew salting, lateral top-n, bloom prefilter, null-safe
+equality, dynamic partition pruning, band non-equi).
+
+Split out of relational.py in round 9 (VERDICT r8 task 6) — same
+query ids, same plans; scale notes stay inline per operator.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_using",
+    oracle="""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("join",),
+)
+def join_inner_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: single-key equi inner join, USING-style deduplicated key
+    (the reference's ``report_df.join(endpoint_df, 'endpoint_type')``,
+    DIST:53). Both sides tiny → AQE broadcasts automatically."""
+    nation = t(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "regionkey")
+    region = t(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "regionkey")
+    return nation.join(region, "regionkey").select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "join_broadcast_lookup",
+    oracle="""
+        SELECT c_custkey, c_acctbal, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 2 AND c_mktsegment = 'MACHINERY'
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: dimension-lookup join with an explicit broadcast hint —
+    replaces the reference's driver-side pandas row loop (DB:536-541):
+    never loop rows on the driver; ship the small side to every
+    executor and stream the fact table through it (no shuffle of the
+    big side). The hint is a CONTRACT that the build side is bounded:
+    nation has a FIXED 25 rows at every scale factor (it stands in for
+    the reference's 8-row endpoint_config lookup, DB:537-541), so the
+    hint is safe at 100 TB. The scaling ``customer`` side is never
+    hinted — for a side that grows with the data, leave the choice to
+    AQE (see join_star). tests/test_plans.py locks the build side to
+    the nation scan."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    dim = t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        cust.join(F.broadcast(dim), cust.c_nationkey == dim.n_nationkey)
+        .select("c_custkey", "c_acctbal", "n_name")
+    )
+
+
+@query(
+    "join_fk_monitoring",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(count(l_orderkey) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderstatus
+    """,
+    tags=("join", "agg"),
+)
+def join_fk_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+A2: FK join + per-key counts — the reference's per-job report
+    counts (``SELECT COUNT(*) FROM reports WHERE job_id=?`` ×3,
+    local/monitoring_db.py:71-90) collapsed into ONE shuffle: a single
+    groupBy computes all conditional counts per key instead of three
+    correlated scans."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left outer join preserving zero-match rows (the reference's
+    zero-report job case, local/monitoring_db.py:99-100)."""
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5a: left-semi join (EXISTS) — customers with a finished order.
+    Semi join never duplicates the left side, unlike inner+distinct."""
+    cust = t(spark, sf_dir, "customer")
+    fin = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cust.join(fin, cust.c_custkey == fin.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS
+            (SELECT 1 FROM orders
+             WHERE o_orderpriority = '1-URGENT' AND o_custkey = c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5b: left-anti join (NOT EXISTS) — customers with no urgent
+    orders. The build side is filtered (every fixture customer has SOME
+    order, which made the unfiltered formulation vacuously empty); the
+    priority predicate pushes into the orders scan before the anti
+    join."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_star",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    tags=("join", "agg"),
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: multi-way star join (TPC-H shape). Scale strategy: the two
+    SF-scaling joins (lineitem ⋈ orders, ⋈ customer) are left to AQE —
+    it broadcasts customer while it fits and switches to sort-merge
+    with skew splitting when it doesn't (customer GROWS with the data;
+    a hard broadcast hint on it would OOM the build side at 100 TB).
+    Only the fixed-cardinality dimensions (nation 25 rows, region 5)
+    get explicit broadcast hints, so the fact stream never reshuffles
+    after the customer hop."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            # revenue is a 4-decimal-logical product (2dp × 2dp):
+            # decimal(18,4) accumulation is exact and order-free, so the
+            # parallel partial-agg term order can't flip cents.
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_noshuffle_ok",
+    # Invariant + value check: noshuffle_ok pins the plan property (a
+    # SortMergeJoin with ZERO Exchange operators — co-located bucketed
+    # reads); the per-segment counts are real oracle values computed by
+    # DuckDB on the SOURCE tables, so a bucketed write that drops or
+    # mis-hashes rows breaks the hash even though Spark joined its own
+    # round-tripped copies.
+    oracle="""
+        SELECT CAST(1 AS BOOLEAN) AS noshuffle_ok, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "bucketed", "invariant"),
+)
+def join_bucketed_noshuffle_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-depth: bucketed co-located join — write orders and customer
+    bucketed (and sorted) on the join key into catalog tables, join
+    them, and attest from the physical plan that NO shuffle happened:
+    both sides' buckets line up, so the SortMergeJoin reads bucket i of
+    each table in the same task. This is THE repeated-join optimization
+    at 100 TB — the shuffle is paid once at write time and amortized
+    over every subsequent join/aggregation on the bucket key, and it's
+    the one co-location strategy that works when BOTH sides are too big
+    to broadcast.
+
+    The ``merge`` hint forces SortMergeJoin (at test scale the
+    dimension fits the broadcast threshold, which would bypass the
+    bucketed path being attested; at production scale SMJ is what AQE
+    picks anyway). Bucket metadata requires catalog tables —
+    ``bucketBy`` + ``saveAsTable`` with an explicit path; a plain
+    path-based parquet write has no bucket spec."""
+    import contextlib
+    import io as _io
+
+    out = os.path.join(tempfile.gettempdir(), "tde_bucketed")
+    for tbl, name, key in (
+        ("tde_orders_b", "orders", "o_custkey"),
+        ("tde_customer_b", "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            t(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(out, name))
+            .bucketBy(_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    ob, cb = spark.table("tde_orders_b"), spark.table("tde_customer_b")
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    noshuffle = "SortMergeJoin" in plan and "Exchange" not in plan
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+        .select(F.lit(bool(noshuffle)).alias("noshuffle_ok"), "c_mktsegment", "n_orders")
+    )
+
+
+_SALTS = 16
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-depth: skew-salted equi-join — the manual remedy when one join
+    key holds a disproportionate share of the fact rows and a plain
+    shuffle join serializes that key's partition onto one task (AQE's
+    skew-join split handles moderate skew; extreme single-key skew
+    still wants salting). The fact side gets a deterministic salt
+    (event_id mod 16 — reproducible, unlike rand()); the dimension side
+    is EXPLODED 16× so every (key, salt) pair exists; the join key
+    becomes (key, salt), spreading each hot key over 16 tasks. The
+    result is provably identical to the unsalted join — the oracle IS
+    the plain join — because each fact row matches exactly one
+    replicated dim row.
+
+    Scale shape: dim replication costs salts × |dim| rows, which for a
+    broadcast-sized dim is free and for a larger dim trades 16× dim
+    shuffle volume for 16× hot-key parallelism — the right trade
+    exactly when skew, not volume, is the bottleneck. Decimal
+    accumulation for the money sum, as everywhere."""
+    ev = t(spark, sf_dir, "events", spread=True).withColumn(
+        "salt", F.pmod("event_id", F.lit(_SALTS))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1))))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "join_lateral_topn",
+    # DuckDB runs the genuine correlated LATERAL; both sides order by
+    # (acctbal DESC, custkey) so ties cannot flip membership or order.
+    oracle="""
+        SELECT n.n_name AS nation, c.c_custkey AS custkey,
+               c.c_acctbal AS acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) c
+    """,
+    tags=("join", "lateral"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-depth: correlated LATERAL join — for every nation, the top-2
+    customers by account balance, expressed as a per-row correlated
+    subquery via Spark 4's ``DataFrame.lateralJoin`` (the DataFrame
+    face of SQL ``LATERAL``). The window formulation (W4
+    window_topk_per_group) covers the uniform-top-N case; LATERAL is
+    the general tool when the inner query differs per outer row
+    (per-row limits, per-row predicates, table functions).
+
+    Plan note: Catalyst decorrelates this into a join + per-key limit
+    (WindowGroupLimit-style) rather than executing one subquery per
+    outer row — the declarative form keeps the 100 TB path open: a
+    naive per-row re-scan of customer would be O(|nation| · |customer|);
+    the decorrelated plan is one shuffle of each side."""
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    inner = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return n.lateralJoin(inner).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+# --- Round 7: bloom-filter semi-join reduction (runtime-filter shape).
+_BLOOM_BITS = 1024  # 16 longs
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3
+_BLOOM_NATIONS = (0, 1, 2, 3, 4)
+
+
+def _bloom_pos_sql(key_sql: str, k: int) -> str:
+    """SQL for bit position k of a key — xxhash64 with the probe index
+    as a second hashed column, identical on build and probe sides."""
+    return f"pmod(xxhash64({key_sql}, {k}), {_BLOOM_BITS})"
+
+
+@query(
+    "join_bloom_prefilter_ok",
+    # n_exact is a REAL oracle value (the semi-join count DuckDB
+    # recomputes); the flags pin the bloom guarantees: membership has
+    # NO false negatives (structural), and the filter actually prunes.
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(1 AS BOOLEAN) AS no_false_negatives,
+               CAST(1 AS BOOLEAN) AS prune_effective
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            WHERE s_nationkey IN {_BLOOM_NATIONS})
+    """,
+    tags=("join", "runtime-filter", "invariant"),
+)
+def join_bloom_prefilter_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter / bloom semi-join reduction: build a 1024-bit
+    3-hash bloom filter over the build side's join keys (suppliers in
+    a 5-nation set), ship it to the probe side as a LITERAL word array
+    (the broadcast-variable shape), and pre-filter the lineitem scan
+    with a pure codegen expression — the technique that turns a
+    shuffle-everything semi join into a scan-local row drop at 100 TB
+    (what Spark's own runtime row-level filtering and Dynamic
+    Partition Pruning do under the hood).
+
+    The build side aggregates to ≤16 longs via explode(K positions) →
+    bit_or of single-bit masks — then a driver fetch bounded by the
+    filter's BIT WIDTH (16 rows), never by data. The probe predicate
+    is zero-join, zero-shuffle: element_at on the literal word array +
+    bitwiseAND, inside the scan's codegen stage. Attested in ONE
+    distributed pass (a left join against the key set supplies the
+    exact-membership flag — no driver-side key list, the key set
+    scales with SF): the bloom loses NO true member and actually
+    prunes; the exact member count is the hash-checked real value."""
+    keys = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(list(_BLOOM_NATIONS)))
+        .select(F.col("s_suppkey").alias("key"))
+    )
+    words_df = (
+        keys.select(
+            F.explode(
+                F.array(*[F.expr(_bloom_pos_sql("key", k)) for k in range(_BLOOM_K)])
+            ).alias("p")
+        )
+        .selectExpr(
+            "CAST(p / 64 AS INT) AS w",
+            "shiftleft(1L, CAST(p % 64 AS INT)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    # Bounded driver fetch: ≤ _BLOOM_WORDS rows by construction.
+    words = [0] * _BLOOM_WORDS
+    for r in words_df.collect():
+        words[r["w"]] = r["bits"]
+    arr_sql = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    bit_checks = []
+    for k in range(_BLOOM_K):
+        p = _bloom_pos_sql("l_suppkey", k)
+        bit_checks.append(
+            f"(element_at({arr_sql}, CAST(({p}) / 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(({p}) % 64 AS INT))) != 0"
+        )
+    hit = F.expr(" AND ".join(bit_checks))
+
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey")
+    flagged = li.join(
+        keys.withColumn("is_member", F.lit(True)),
+        li.l_suppkey == F.col("key"),
+        "left",
+    ).select(hit.alias("hit"), F.coalesce("is_member", F.lit(False)).alias("exact"))
+    agg = flagged.agg(
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.sum((F.col("exact") & ~F.col("hit")).cast("long")).alias("n_missed"),
+        F.sum(F.col("hit").cast("long")).alias("n_candidates"),
+        F.count("*").alias("n_total"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_missed") == 0).alias("no_false_negatives"),
+        (F.col("n_candidates") < F.col("n_total")).alias("prune_effective"),
+    )
+
+
+_NULLSAFE_MOD = 7
+
+_NULLSAFE_ORACLE = f"""
+    WITH n AS (
+        SELECT CASE WHEN o_custkey % {_NULLSAFE_MOD} = 0 THEN NULL
+                    ELSE o_custkey END AS k,
+               o_orderstatus
+        FROM orders
+    ),
+    a AS (SELECT k, count(*) AS n_f FROM n WHERE o_orderstatus = 'F' GROUP BY k),
+    b AS (SELECT k, count(*) AS n_o FROM n WHERE o_orderstatus = 'O' GROUP BY k)
+    SELECT CAST(a.k AS BIGINT) AS k,
+           CAST(a.n_f AS BIGINT) AS n_f,
+           CAST(b.n_o AS BIGINT) AS n_o
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@query("join_null_safe", oracle=_NULLSAFE_ORACLE, tags=("join",))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family depth: NULL-safe equality join (``eqNullSafe`` /
+    ``<=>`` — SQL's IS NOT DISTINCT FROM). A plain equi-join silently
+    drops every NULL-keyed row (NULL = NULL is NULL), which is exactly
+    wrong when NULL is a real category ("no customer id"); the
+    null-safe comparator treats NULL as a joinable value. Here a
+    deterministic NULL-injection (custkey ≡ 0 mod 7 → NULL) builds two
+    per-key aggregates and joins them null-safely, so the NULL group's
+    row survives — the oracle joins with IS NOT DISTINCT FROM and
+    would lose that row (hash mismatch) if the comparator degraded to
+    plain equality. Catalyst plans <=> as a hash join key (it's still
+    an equality predicate on a normalized key), not a nested loop —
+    same shuffle shape as any equi-join at 100 TB."""
+    o = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % _NULLSAFE_MOD == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_orderstatus",
+    )
+    a = o.filter(F.col("o_orderstatus") == "F").groupBy("k").agg(F.count("*").alias("n_f"))
+    b = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("k").alias("kb"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(F.col("kb")))
+        .select("k", "n_f", "n_o")
+    )
+
+
+@query(
+    "join_dpp_prune_ok",
+    # Invariant + value check (same contract as the bucketed/static
+    # prune attestations): dpp_ok pins the runtime-pruning plan
+    # property; the day/event counts are real oracle values from the
+    # SOURCE events table, so a partitioned write that drops rows or
+    # mis-dates partitions breaks the hash.
+    oracle="""
+        SELECT CAST(1 AS BOOLEAN) AS dpp_ok,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE day(CAST(ts AS DATE)) = 1
+    """,
+    tags=("join", "prune", "invariant"),
+)
+def join_dpp_prune_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 depth: DYNAMIC partition pruning — the runtime complement
+    to the static prune attestation. The static case pushes a literal
+    partition predicate; here the selective predicate lives on a
+    JOINED dimension (a derived day-dim filtered to first-of-month
+    days), so the prunable partition set is only known at run time.
+    Spark plans a dynamicpruning subquery into the fact scan's
+    PartitionFilters (reusing the dim's broadcast), and the fact side
+    reads ONLY the surviving day directories — at 100 TB this is the
+    difference between scanning 1/30th of a date-partitioned fact
+    table and scanning all of it, for a query whose date filter never
+    mentions the fact table. Attested from the physical plan
+    ("dynamicpruning" inside the scan's PartitionFilters) and
+    value-checked: day and event counts for the selected days must
+    match the source table exactly."""
+    import contextlib
+    import io as _io
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    out = os.path.join(tempfile.gettempdir(), "tde_dpp_partitioned")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    facts = spark.read.parquet(out)
+    day_dim = (
+        t(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") == 1)
+    )
+    joined = facts.join(day_dim, facts.event_date == day_dim.d)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    dpp_ok = "dynamicpruning" in plan
+    agg = joined.agg(
+        F.countDistinct("event_date").alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(bool(dpp_ok), agg["n_days"], agg["n_events"])],
+        "dpp_ok boolean, n_days bigint, n_events bigint",
+    )
+
+
+_BANDS = (
+    ("micro", 0, 50_000),
+    ("small", 50_000, 150_000),
+    ("mid", 150_000, 300_000),
+    ("large", 300_000, 450_000),
+    ("jumbo", 450_000, 1_000_000_000),
+)
+
+_BAND_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+_BAND_ORACLE = f"""
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_value
+    FROM orders
+    JOIN (VALUES {_BAND_VALUES}) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+"""
+
+
+@query("join_band_nonequi", oracle=_BAND_ORACLE, tags=("join", "nonequi"))
+def join_band_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: pure non-equi (band) join — classify every order into a
+    price band by joining against a half-open interval dimension with
+    NO equality key at all. This is the one join shape where a
+    nested-loop is the RIGHT plan: the band dim is tiny and broadcast,
+    so the fact stream never shuffles and each row probes five
+    in-memory intervals inside the scan stage (BroadcastNestedLoopJoin
+    — cheap here, catastrophic if the build side scaled; the bounded
+    literal dim is the contract). The range join (join_range) carries
+    an equality key that bounds the explosion; this op covers the
+    keyless case a banding/bucketing migration actually hits. Bands
+    are half-open and exhaustive over the fixture's price domain, so
+    the join is lossless (count cross-checks total orders via the
+    oracle). Money sums accumulate in DECIMAL."""
+    bands = spark.createDataFrame(
+        list(_BANDS), "band string, lo long, hi long"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("band_value"),
+        )
+    )
+

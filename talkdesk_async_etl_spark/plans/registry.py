@@ -40,6 +40,8 @@ QUERIES: dict[str, QuerySpec] = {}
 # Modules that register queries on import.
 _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.relational",
+    "talkdesk_async_etl_spark.operators.joins",
+    "talkdesk_async_etl_spark.operators.aggregates",
     "talkdesk_async_etl_spark.operators.windows",
     "talkdesk_async_etl_spark.operators.scalars",
     "talkdesk_async_etl_spark.operators.asof",

@@ -718,3 +718,61 @@ def sql_named_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"tbl": "np_orders", "price_floor": _NP_FLOOR, "status": _NP_STATUS},
     )
 
+
+
+# --- §2.7 multiset completion (moved from dedup.py in the round-9
+# file split; orders-table workload, not a dedup op)
+
+
+_SETALL_ORACLE = """
+    WITH a AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1995-01-01'
+                 AND o_orderdate < DATE '1996-01-01'),
+         b AS (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1996-01-01'
+                 AND o_orderdate < DATE '1997-01-01'),
+         ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+         ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    SELECT 'intersect_all' AS op, o_custkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', o_custkey, CAST(count(*) AS BIGINT)
+    FROM ea GROUP BY 2
+"""
+
+
+@query("set_ops_all", oracle=_SETALL_ORACLE, tags=("setop",))
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 completion — the MULTISET set operations: ``INTERSECT ALL``
+    keeps min(multiplicity) per value and ``EXCEPT ALL`` keeps the
+    excess, semantics the distinct variants (set_intersect/set_except)
+    erase. Workload: per-customer order-count overlap between two
+    years (how much of 1995's ordering behavior repeated in 1996).
+    Catalyst compiles both to aggregate-and-replicate plans — no
+    row-pairing join; the shuffle key is the value itself. The
+    year-bag multiplicities are the hash-checked evidence that
+    duplicates survived."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    d = F.col("o_orderdate")
+    a = o.filter(
+        (d >= F.lit("1995-01-01").cast("timestamp"))
+        & (d < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    b = o.filter(
+        (d >= F.lit("1996-01-01").cast("timestamp"))
+        & (d < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+    return ia.unionByName(ea)

@@ -1,0 +1,448 @@
+"""Text quality gates and language-model scoring (SURVEY.md §2.10
+D5): quality filtering, PII scrubbing, Gopher-style repetition
+scores, benchmark decontamination, unigram/bigram log-probability
+scoring, and tokenizer-vocabulary OOV rates.
+
+Split out of text.py in round 9 (VERDICT r8 task 6) — same query ids,
+same plans; shared lexicons stay in text.py and are imported here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.operators.text import _STOPWORDS
+from talkdesk_async_etl_spark.plans.cache import scoped_persist
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               round(len(list_filter(string_split(text, ' '),
+                         x -> list_contains(['the','a','of','and','scan','batch'], x))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio
+        FROM documents
+        WHERE n_chars BETWEEN 60 AND 400
+          AND len(string_split(text, ' ')) >= 15
+          AND lang IN ('en', 'de')
+    """,
+    tags=("text", "filter"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: quality gates — length bounds, minimum token count, language
+    allow-list — plus a stopword-ratio quality score (the
+    length/punct/stopword family of pretraining filters)."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return (
+        d.withColumn("n_tokens", F.size(toks))
+        .withColumn("stopword_ratio", F.round(n_stop * F.lit(1.0) / F.col("n_tokens"), 6))
+        .filter(
+            F.col("n_chars").between(60, 400)
+            & (F.col("n_tokens") >= 15)
+            & F.col("lang").isin("en", "de")
+        )
+        .select("doc_id", "lang", "n_chars", "n_tokens", "stopword_ratio")
+    )
+
+
+# Conservative, engine-portable patterns (Java regex ∩ RE2): emails and
+# long digit runs. Real pipelines extend the pattern set; the operator
+# shape (regexp_replace chain + match counts, all JVM-side) is the point.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUMBER = r"[0-9]{7,}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_NUMBER}', '<NUM>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_NUMBER}')) AS INT) AS n_numbers
+        FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 companion: PII redaction pass — replace emails and long
+    digit runs with typed placeholders and count what was hit (the
+    counts feed the quality-gate stage). Pure ``regexp_replace`` /
+    ``regexp_count`` expressions: one scan, zero shuffle, trivially
+    100 TB-safe."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_NUMBER, "<NUM>"
+        ).alias("scrubbed"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_NUMBER)).cast("int").alias("n_numbers"),
+    )
+
+
+# Repetition thresholds follow the Gopher/MassiveText quality rules
+# (Rae et al. 2021, table A1 shape): a document whose n-gram stream is
+# dominated by repeats is boilerplate/spam, not prose.
+_REP_TRIGRAM_FLAG = 0.01
+
+_REPETITION_ORACLE = f"""
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_uniq_words AS INTEGER) AS n_uniq_words,
+           CAST(n_uniq_bigrams AS INTEGER) AS n_uniq_bigrams,
+           CAST(n_uniq_trigrams AS INTEGER) AS n_uniq_trigrams,
+           round((n_words - n_uniq_words) * 1.0 / n_words, 6) AS dup_word_frac,
+           round((greatest(n_words - 1, 1) - n_uniq_bigrams) * 1.0
+                 / greatest(n_words - 1, 1), 6) AS dup_bigram_frac,
+           round((greatest(n_words - 2, 1) - n_uniq_trigrams) * 1.0
+                 / greatest(n_words - 2, 1), 6) AS dup_trigram_frac,
+           (greatest(n_words - 2, 1) - n_uniq_trigrams) * 1.0
+               / greatest(n_words - 2, 1) > {_REP_TRIGRAM_FLAG} AS flagged
+    FROM (
+        SELECT doc_id,
+               len(words) AS n_words,
+               len(list_distinct(words)) AS n_uniq_words,
+               len(list_distinct(list_transform(range(1, len(words)),
+                   i -> array_to_string(words[i:i+1], ' ')))) AS n_uniq_bigrams,
+               len(list_distinct(list_transform(range(1, len(words) - 1),
+                   i -> array_to_string(words[i:i+2], ' ')))) AS n_uniq_trigrams
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) >= 3
+    )
+"""
+
+
+@query("text_repetition_score", oracle=_REPETITION_ORACLE, tags=("text", "quality"))
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star D5: intra-document repetition signals — the
+    Gopher-style "fraction of duplicate n-grams" family of pretraining
+    quality scores. Per document: unique-word / unique-bigram /
+    unique-trigram counts, the corresponding duplicate fractions, and a
+    boilerplate flag when >1% of trigrams are repeats.
+
+    Everything is array-native inside the scan (``split`` →
+    ``transform``/``slice`` n-grams → ``array_distinct`` → ``size``):
+    one scan, ZERO shuffle, no explode — the n-gram streams never leave
+    their row, so at 100 TB this costs exactly one pass over the text
+    column. The duplicate fractions are integer-count ratios rounded at
+    6dp, so both engines round the identical double."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    words = F.split("text", " ")
+    n = F.size(words)
+
+    def uniq_ngrams(width: int):
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (width - 1)),
+            lambda i: F.array_join(F.slice(words, i, width), " "),
+        )
+        return F.size(F.array_distinct(grams))
+
+    d = (
+        d.filter(n >= 3)
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_uniq_words"),
+            uniq_ngrams(2).alias("n_uniq_bigrams"),
+            uniq_ngrams(3).alias("n_uniq_trigrams"),
+        )
+    )
+    nb = F.greatest(F.col("n_words") - 1, F.lit(1))
+    ntr = F.greatest(F.col("n_words") - 2, F.lit(1))
+    tri_frac = (ntr - F.col("n_uniq_trigrams")) * 1.0 / ntr
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_uniq_words",
+        "n_uniq_bigrams",
+        "n_uniq_trigrams",
+        F.round((F.col("n_words") - F.col("n_uniq_words")) * 1.0 / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round((nb - F.col("n_uniq_bigrams")) * 1.0 / nb, 6).alias("dup_bigram_frac"),
+        F.round(tri_frac, 6).alias("dup_trigram_frac"),
+        (tri_frac > _REP_TRIGRAM_FLAG).alias("flagged"),
+    )
+
+
+# Benchmark decontamination: word 4-grams, eval set = doc_id % 11 == 0
+# (a deterministic stand-in for "the benchmark suite"). 4-grams at this
+# corpus' doc length give a non-vacuous overlap at every test SF
+# (probed: 53 contaminated docs at sf0.001, 71 at sf0.01).
+_DECON_N = 4
+_DECON_MOD = 11
+
+_DECON_ORACLE = f"""
+    WITH g AS (
+        SELECT doc_id, unnest(grams) AS gram FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(words) - {_DECON_N - 2}),
+                       i -> array_to_string(words[i:i+{_DECON_N - 1}], ' '))) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        )
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+    FROM g t
+    JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} = 0) e USING (gram)
+    WHERE t.doc_id % {_DECON_MOD} != 0
+    GROUP BY t.doc_id
+"""
+
+
+@query("text_decontaminate", oracle=_DECON_ORACLE, tags=("text", "dedup"))
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star D5: benchmark decontamination — flag training
+    documents that share any word 4-gram with the eval set, with the
+    count of distinct matched 4-grams (the PaLM/GPT-3-style
+    contamination check run before every pretraining job). Eval set
+    here is the deterministic ``doc_id % 11 == 0`` slice.
+
+    Scale shape: the eval side is SMALL by construction (benchmarks are
+    thousands of docs, the corpus is billions), so its distinct
+    4-gram set broadcasts and the corpus side never shuffles to
+    match — each scan task joins its rows against the broadcast set
+    in place. Per-doc grams are ``array_distinct``-ed inside the scan
+    BEFORE the explode, so the post-join groupBy counts distinct
+    matches with a plain count(*) — no second distinct shuffle. The
+    only shuffle is the final per-doc count of MATCHED rows
+    (contaminated grams only, a vanishing fraction of the corpus). At
+    100 TB the broadcast set becomes a bloom-filter pre-pass with the
+    same join as the exact confirmation on survivors.
+
+    The gram expression is INLINED into each ``explode`` rather than
+    materialized as an array column in a prior projection — the
+    project-then-explode form trips the codegen/JIT cliff on this huge
+    generated expression (measured 3.05 s vs 1.20 s min-of-3 at sf0.1;
+    same gotcha as the winnow/minhash generators)."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= _DECON_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_N - 1)),
+            lambda i: F.array_join(F.slice(words, i, _DECON_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram = F.explode(F.array_distinct(grams)).alias("gram")
+    eval_grams = d.filter(F.col("doc_id") % _DECON_MOD == 0).select(gram).distinct()
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0).select("doc_id", gram)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+_LOGPROB_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS tf_global FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           round(avg(ln(tf_global / CAST(n_total AS DOUBLE))), 6) AS avg_logprob
+    FROM toks JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+@query("text_unigram_logprob", oracle=_LOGPROB_ORACLE, tags=("text", "quality"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 depth: perplexity-style quality score without an external LM —
+    per-document mean log-probability under the corpus's own unigram
+    distribution. Low scores mark gibberish/rare-token documents, high
+    scores mark boilerplate; pretraining curation pipelines (CCNet,
+    Gopher) bucket on exactly this signal before the expensive
+    KenLM/neural pass.
+
+    Plan: one explode feeding two keyed aggregations — term frequency
+    over the vocabulary (map-side partials make the shuffle
+    vocabulary-sized, not token-sized), corpus token total as a
+    broadcast single row (the scalar-subquery idiom, same as TF-IDF's
+    n_docs) — then the vocabulary relation joins back to the token
+    stream and a per-doc aggregate averages the log-probs. The
+    vocabulary join is the one real shuffle; at 100 TB the vocabulary
+    still fits the broadcast threshold after a mild frequency floor, so
+    the production variant broadcasts it and the token stream never
+    exchanges. Both engines round the mean to 6 dp so float summation
+    order cannot flip the hash."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf_global"))
+    tot = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.log(F.col("tf_global") / F.col("n_total").cast("double"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+_VOCAB_SIZE = 20
+
+_VOCAB_OOV_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT term, count(*) AS c FROM nz GROUP BY term),
+    vocab AS (SELECT term FROM tf ORDER BY c DESC, term ASC LIMIT {_VOCAB_SIZE})
+    SELECT nz.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS oov_rate
+    FROM nz LEFT JOIN vocab v ON nz.term = v.term
+    GROUP BY nz.doc_id
+"""
+
+
+@query("text_vocab_oov", oracle=_VOCAB_OOV_ORACLE, tags=("text",))
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D5 depth: vocabulary coverage — build the top-V (V=20)
+    corpus vocabulary (frequency-ranked, term tie-break so the cut is
+    deterministic on both engines) and score every document's
+    out-of-vocabulary token rate, the coverage metric that decides
+    tokenizer vocab sizing and flags corpora whose token distribution
+    a fixed vocab would shred.
+
+    Scale shape: the token explode never leaves its scan stage — the
+    term-frequency aggregate partial-combines map-side (shuffle
+    carries distinct terms, not token instances), the vocabulary is a
+    TakeOrdered of that (top-V rows → broadcast), and the per-doc
+    scoring pass re-explodes in-scan, left-joins the broadcast vocab,
+    and partial-combines to one row per doc before its exchange. Two
+    passes over the text is the honest cost (the vocab is a global
+    statistic); at 100 TB the vocab build amortizes across every
+    downstream scoring run — persist it as a table and the metric
+    becomes one pass."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(_VOCAB_SIZE)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("in_vocab").isNull().cast("double")) / F.count("*"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# Laplace-smoothed bigram LM under the corpus's own distribution —
+# the bigram upgrade of text_unigram_logprob (CCNet/Gopher perplexity
+# bucketing). log is NATURAL on both engines (DuckDB's log() is
+# log10 — probed; ln() is the twin of Spark's F.log).
+_BIGRAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    big AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM toks, range(1, 4000) r(i)
+        WHERE i + 1 <= len(tk) AND tk[i] <> '' AND tk[i + 1] <> ''
+    ),
+    c1 AS (SELECT w1, count(*) AS n1 FROM big GROUP BY w1),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT w2) AS vocab FROM big),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(floor(ln((c12.n12 + 1.0) / (c1.n1 + v.vocab))
+                          * 1000000 + 0.5) AS BIGINT) AS lp_micro
+        FROM big b
+        JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp_micro) AS BIGINT) AS logprob_sum_micro
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_ORACLE, tags=("text", "quality"))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5b: bigram language-model log-probability per document —
+    the perplexity-style quality signal one step up from
+    text_unigram_logprob: P(w2|w1) with Laplace smoothing under the
+    corpus's own bigram distribution, so template-y documents score
+    high and token-salad scores low. Exactness: each bigram's log-prob
+    is quantized to integer micro-units BEFORE the per-doc sum (float
+    log-sums are addition-order-dependent; BIGINT sums are not).
+    Scale shape: the bigram relation shuffles twice to build the
+    count tables (|bigram vocab|-sized aggregates, map-side
+    combinable), then the scoring join keys on the bigram — at 100 TB
+    a frequency floor on c12 shrinks the model under the broadcast
+    threshold and the token stream joins against a broadcast dict,
+    same as the unigram path; the vocab scalar broadcasts always."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    big = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select(
+            "doc_id",
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("bs"),
+        )
+        .select("doc_id", F.explode("bs").alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    big = scoped_persist(big)
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    vocab = big.select(F.countDistinct("w2").alias("vocab"))
+    lp_micro = F.floor(
+        F.log((F.col("n12") + F.lit(1.0)) / (F.col("n1") + F.col("vocab")))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp_micro.alias("lp_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").alias("logprob_sum_micro"),
+        )
+    )
+

@@ -48,14 +48,17 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.udfs",
     "talkdesk_async_etl_spark.operators.multimodal",
     "talkdesk_async_etl_spark.operators.dedup",
+    "talkdesk_async_etl_spark.operators.dedup_clusters",
     "talkdesk_async_etl_spark.operators.similarity",
     "talkdesk_async_etl_spark.operators.text",
+    "talkdesk_async_etl_spark.operators.text_quality",
     "talkdesk_async_etl_spark.operators.stats",
     "talkdesk_async_etl_spark.operators.sketches",
     "talkdesk_async_etl_spark.operators.graph",
     "talkdesk_async_etl_spark.operators.sampling",
     "talkdesk_async_etl_spark.operators.ingest",
     "talkdesk_async_etl_spark.operators.tpch",
+    "talkdesk_async_etl_spark.operators.tpch_deep",
     "talkdesk_async_etl_spark.operators.engine_api",
     "talkdesk_async_etl_spark.operators.spatial",
     "talkdesk_async_etl_spark.operators.mining",

@@ -457,7 +457,7 @@ def test_incremental_lsh_gates_old_old_pairs(spark):
     previous runs)."""
     from pyspark.sql import functions as F
 
-    from talkdesk_async_etl_spark.operators.dedup import incremental_lsh_pairs_for
+    from talkdesk_async_etl_spark.operators.dedup_clusters import incremental_lsh_pairs_for
     from talkdesk_async_etl_spark.plans.cache import cache_scope
 
     base = " ".join(f"w{i}" for i in range(40))
@@ -636,7 +636,7 @@ def test_decontaminate_never_flags_eval_docs(spark):
     """The contamination report covers TRAIN docs only (eval docs
     trivially 'contaminate' themselves) and every reported doc matched
     at least one eval 4-gram."""
-    from talkdesk_async_etl_spark.operators.text import _DECON_MOD
+    from talkdesk_async_etl_spark.operators.text_quality import _DECON_MOD
 
     out = load_all()["text_decontaminate"].fn(spark, SF_SMALL)
     rows = out.collect()
@@ -651,7 +651,7 @@ def test_decontaminate_flags_a_planted_overlap(spark, tmp_path):
     disjoint doc is not; short (<4 words) docs never crash."""
     import os
 
-    from talkdesk_async_etl_spark.operators.text import text_decontaminate
+    from talkdesk_async_etl_spark.operators.text_quality import text_decontaminate
 
     docs = spark.createDataFrame(
         [
@@ -678,7 +678,7 @@ def test_repetition_score_on_constructed_docs(spark, tmp_path):
     flagged; an all-distinct doc scores 0 everywhere and is not."""
     import os
 
-    from talkdesk_async_etl_spark.operators.text import text_repetition_score
+    from talkdesk_async_etl_spark.operators.text_quality import text_repetition_score
 
     docs = spark.createDataFrame(
         [
@@ -814,7 +814,7 @@ def test_unigram_logprob_orders_common_above_rare(spark, tmp_path):
     import math
     import os
 
-    from talkdesk_async_etl_spark.operators.text import text_unigram_logprob
+    from talkdesk_async_etl_spark.operators.text_quality import text_unigram_logprob
 
     docs = spark.createDataFrame(
         [
@@ -1369,7 +1369,7 @@ def test_star_contraction_matches_label_propagation(spark):
     """Both components algorithms must produce identical labels on the
     shapes where they differ most: a long chain (diameter >> log n), a
     hub star, and a mixed component with a non-minimal hub."""
-    from talkdesk_async_etl_spark.operators.dedup import (
+    from talkdesk_async_etl_spark.operators.dedup_clusters import (
         components_large_small_star,
         propagate_min_labels,
     )
@@ -1416,7 +1416,7 @@ def test_star_contraction_matches_union_find_random_graphs(spark):
     relabeled to component minima."""
     import random
 
-    from talkdesk_async_etl_spark.operators.dedup import components_large_small_star
+    from talkdesk_async_etl_spark.operators.dedup_clusters import components_large_small_star
     from talkdesk_async_etl_spark.plans.cache import cache_scope
 
     def union_find_labels(pairs):
@@ -1854,7 +1854,7 @@ def test_set_ops_all_keeps_multiplicities(spark, tmp_path):
     intersect_all 1, except_all 2. Distinct set ops would report 1/0."""
     import datetime
 
-    from talkdesk_async_etl_spark.operators.dedup import set_ops_all
+    from talkdesk_async_etl_spark.operators.relational import set_ops_all
 
     d95 = datetime.datetime(1995, 6, 1)
     d96 = datetime.datetime(1996, 6, 1)
@@ -1887,7 +1887,7 @@ def test_bigram_logprob_known_counts(spark, tmp_path):
     lp(ab) = ln(4/5), lp(ba) = ln(2/3)."""
     import math
 
-    from talkdesk_async_etl_spark.operators.text import text_bigram_logprob
+    from talkdesk_async_etl_spark.operators.text_quality import text_bigram_logprob
 
     spark.createDataFrame(
         [(1, "a b a b"), (2, "a b")], "doc_id long, text string"

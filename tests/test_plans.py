@@ -425,7 +425,7 @@ def test_tpch_q21_compiles_exists_pair_to_semi_and_anti(spark):
     import contextlib
     import io
 
-    from talkdesk_async_etl_spark.operators.tpch import tpch_q21_plan
+    from talkdesk_async_etl_spark.operators.tpch_deep import tpch_q21_plan
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -256,6 +256,14 @@ _HEADLINE_R8 = (
     # dominates) — both excluded per the invariant-exclusion note.
 )
 
+_HEADLINE_R9 = (
+    "dedup_containment_pairs",
+    "text_novelty_shingles",
+    "sample_importance_weighted",
+    "cdc_scd2_build",
+    "dedup_simhash",  # md5-leaf variant is a new measured plan
+)
+
 HEADLINE = (
     _HEADLINE_CORE
     + _HEADLINE_RELATIONAL
@@ -263,6 +271,7 @@ HEADLINE = (
     + _HEADLINE_R6
     + _HEADLINE_R7
     + _HEADLINE_R8
+    + _HEADLINE_R9
 )
 
 

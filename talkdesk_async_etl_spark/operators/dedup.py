@@ -277,6 +277,19 @@ _JACCARD_CTES = """
 
 _JACCARD_ORACLE = f"WITH {_JACCARD_CTES} SELECT doc_a, doc_b, jaccard FROM jpairs"
 
+# Containment reuses the jaccard CTE chain up to `common`/`cnt`
+# (jpairs is simply unused) and applies the asymmetric threshold.
+_CONTAINMENT_ORACLE = f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / least(ca.n, cb.n), 6) AS containment,
+           round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+    FROM common
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE c * 1.0 / least(ca.n, cb.n) >= 0.7
+"""
+
 
 @query("dedup_near_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +327,50 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return pairs.filter(jac >= 0.6).select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+@query("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (asymmetric formulation): document pairs with shingle-set
+    CONTAINMENT ≥ 0.7 — c / min(|A|, |B|), the doc-inside-doc signal
+    Jaccard structurally under-reports: a short document fully embedded
+    in a long one has containment 1.0 but Jaccard |A|/|B|, which falls
+    below any fixed threshold as the length ratio grows. Training-data
+    dedup needs both: Jaccard for same-size near-dups, containment for
+    quote/aggregation/expansion pairs. Both ratios are emitted (exact
+    integer ratios, 6-dp rounded) so the asymmetry is visible per pair.
+
+    Scale shape: identical to dedup_near_jaccard — the same persisted
+    shingle relation, the same 8-byte-hash self-join, one extra
+    ``least()`` in the post-aggregation filter; at corpus scale the
+    candidate generation swaps to the banded LSH path unchanged
+    (containment-style LSH wants per-doc signature NORMALIZATION by
+    min-size, which the verification step here already provides)."""
+    docs = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+    )
+    sh = scoped_persist(
+        docs.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    cont = F.col("c") / F.least("na", "nb")
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return pairs.filter(cont >= 0.7).select(
+        "doc_a",
+        "doc_b",
+        F.round(cont, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
+    )
 
 
 def _winnow_buckets(docs: DataFrame, cap: int = _HOT_KEY_CAP, fingerprints=None) -> DataFrame:

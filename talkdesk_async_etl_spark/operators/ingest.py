@@ -817,3 +817,65 @@ def ddl_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(tbl).select("k", "status", "score").localCheckpoint()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+_SCD2_BUILD_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type AS attr
+        FROM events
+    ),
+    ch AS (
+        SELECT user_id, event_id, ts, attr FROM (
+            SELECT user_id, event_id, ts, attr,
+                   lag(attr) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+            FROM e
+        ) WHERE prev IS NULL OR prev <> attr
+    )
+    SELECT user_id, attr, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM ch
+"""
+
+
+@query("cdc_scd2_build", oracle=_SCD2_BUILD_ORACLE, tags=("cdc", "scd2"))
+def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 family completion: BUILD the SCD2 dimension from a change
+    log — the inverse of join_scd2_point_in_time, which consumes one.
+    Per user, consecutive events carrying the same tracked attribute
+    collapse (only CHANGES version the dimension); each surviving
+    change opens a [valid_from, valid_to) interval closed by the next
+    change's timestamp, with the open interval flagged is_current.
+    This is the nightly job that turns a Debezium/CDC event stream
+    into the point-in-time-joinable dimension every warehouse keeps.
+
+    Determinism: the change ordering is (ts, event_id) — event_id
+    breaks timestamp ties identically on both engines. Scale shape:
+    ONE hash exchange on user_id serves both window passes (lag to
+    detect changes, lead to close intervals — same partitioning, no
+    second shuffle), and per-user state is one row."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("attr"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("attr").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("attr")))
+        .drop("prev")
+    )
+    valid_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -204,3 +204,77 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sample_chars"),
         )
     )
+
+
+# Engine-agreeing uniform draw in micro-units: the first 15 hex chars
+# of md5(doc_id) parsed as an integer, reduced mod 1e6 — the same
+# hash-not-RNG principle as sample_deterministic, with enough entropy
+# bits that the acceptance test is exact integer arithmetic on both
+# engines (no float comparison can sit on a boundary).
+_IW_MICRO = 1_000_000
+_IW_DUCK_U = (
+    "(("
+    + " + ".join(
+        f"((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)::BIGINT"
+        f" << {4 * (15 - i)})"
+        for i in range(1, 16)
+    )
+    + f") % {_IW_MICRO})"
+)
+
+_IW_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               greatest(100000, least({_IW_MICRO},
+                   len(string_split(text, ' ')) * 10000)) AS p_micro,
+               {_IW_DUCK_U} AS u_micro
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(p_micro AS BIGINT) AS p_micro,
+           round({_IW_MICRO} * 1.0 / p_micro, 6) AS weight
+    FROM scored WHERE u_micro < p_micro
+"""
+
+
+@query("sample_importance_weighted", oracle=_IW_ORACLE, tags=("sampling",))
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 completion: quality-PROPORTIONAL deterministic sampling with
+    Horvitz-Thompson reweighting — keep each document with probability
+    p proportional to a quality score, and carry weight 1/p so any
+    downstream aggregate over the sample is unbiased for the corpus.
+    This is how a curated pretraining mixture keeps more of the good
+    data without silently biasing corpus statistics (the flat-rate
+    sample_deterministic can't vary p per doc; mixture upsampling
+    repeats rows instead of dropping them).
+
+    The score here is a token-length proxy quantized to exact
+    micro-units (p_micro = clamp(n_tokens·10⁴, 10⁵, 10⁶)) — swap in
+    any engine-agreeing score (ml_logreg_score's micro-quantized
+    probability is the drop-in) without touching the plan. Acceptance
+    is pure integer arithmetic: u_micro = md5-60-bit(doc_id) mod 10⁶ <
+    p_micro, so Spark and DuckDB keep the IDENTICAL row set — no RNG,
+    no float boundary, stable under reprocessing and repartitioning.
+
+    Scale shape: zero-shuffle row-local scan (hash, clamp, compare,
+    one division for the weight) — the predicate sampling 100 TB pays
+    exactly one read."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    p_micro = F.greatest(
+        F.lit(100_000),
+        F.least(F.lit(_IW_MICRO), F.size(F.split("text", " ")) * 10_000),
+    ).cast("long")
+    u_micro = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % _IW_MICRO
+    )
+    return (
+        d.select("doc_id", "lang", p_micro.alias("p_micro"), u_micro.alias("u_micro"))
+        .filter(F.col("u_micro") < F.col("p_micro"))
+        .select(
+            "doc_id",
+            "lang",
+            "p_micro",
+            F.round(F.lit(_IW_MICRO) / F.col("p_micro"), 6).alias("weight"),
+        )
+    )

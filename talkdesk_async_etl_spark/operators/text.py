@@ -718,3 +718,59 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("canonical_url"),
     )
 
+
+
+_NOVELTY_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+        FROM toks, range(1, 2000) r(i) WHERE i + 2 <= len(tk)
+    ),
+    own AS (SELECT sh, min(doc_id) AS owner FROM sh GROUP BY sh)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE owner = doc_id) AS BIGINT) AS n_novel,
+           round(count(*) FILTER (WHERE owner = doc_id) * 1.0 / count(*), 6) AS novelty
+    FROM sh JOIN own USING (sh)
+    GROUP BY doc_id
+"""
+
+
+@query("text_novelty_shingles", oracle=_NOVELTY_ORACLE, tags=("text", "dedup"))
+def text_novelty_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D2 bridge: per-document first-occurrence NOVELTY — the
+    fraction of a doc's distinct 3-shingles whose corpus-wide first
+    owner (minimum doc_id, i.e. earliest-ingested) is this document.
+    Duplicate-heavy or boilerplate docs score near 0, genuinely new
+    text near 1 — the score a dedup-aware curriculum or incremental
+    crawl ranks by BEFORE paying for pairwise dedup (novelty is
+    per-doc linear work; pair generation is quadratic in bucket
+    sizes). Same doc-id-order semantics as the incremental dedup
+    family: "first" = lowest id.
+
+    Scale shape: one explode of the in-scan shingle-hash array, one
+    min-aggregate keyed by the 8-byte hash (map-side combinable),
+    one hash-join back to the exploded relation, one per-doc count
+    aggregate. At 100 TB the owner table IS the persisted shingle
+    signature table the dedup family already maintains. The oracle
+    recomputes ownership on shingle strings — hashing preserves
+    distinct-set identity, so counts agree exactly."""
+    from talkdesk_async_etl_spark.operators.dedup import _shingle_hashes
+
+    docs = t(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+    )
+    sh = scoped_persist(docs.select("doc_id", F.explode("shs").alias("h")))
+    own = sh.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    novel = F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        sh.join(own, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count("*"), 6).alias("novelty"),
+        )
+    )

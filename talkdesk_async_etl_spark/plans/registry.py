@@ -105,7 +105,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # of the driver row, not coverage. Any id registered but absent here
 # appends in registration order, so new operators are never silently
 # dropped — and the first-50 meta-test in tests/test_driver_profile.py
-# fails on typos or miscounts.
+# fails on typos or miscounts. Round-9 additions REGISTERED AFTER this
+# window was frozen (dedup_containment_pairs, text_novelty_shingles,
+# sample_importance_weighted, cdc_scd2_build) lead the r10 window per
+# the standing precedent — each is pytest-oracle-green at
+# sf0.001/0.01/0.1.
 _PRIORITY = (
     # --- tier 1: the 29 never-driver-attested round-8 ids ---
     "join_spatial_grid",

@@ -1941,3 +1941,113 @@ def test_image_phash_matches_numpy_reference(spark):
         for r in multimodal_image_phash(spark, SF_SMALL).collect()
     }
     assert got == expect and len(got) >= 5
+
+
+def test_containment_catches_doc_inside_doc(spark, tmp_path):
+    """dedup_containment_pairs' reason to exist: a short doc fully
+    embedded in a long one has containment 1.0 but Jaccard well below
+    the 0.6 near-dup threshold — the pair Jaccard misses by design.
+    Token-disjoint docs must not pair."""
+    from talkdesk_async_etl_spark.operators.dedup import dedup_containment_pairs
+
+    small = " ".join(f"p{i}" for i in range(12))
+    big = " ".join(f"z{i}" for i in range(40)) + " " + small
+    rows = [
+        (1, small),
+        (2, big),  # contains all of doc 1's shingles plus 4x more
+        (3, " ".join(f"q{i}" for i in range(30))),  # disjoint
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["containment"] == 1.0  # every small-doc shingle shared
+    assert pairs[(1, 2)]["jaccard"] < 0.6  # ...yet Jaccard misses it
+    assert not any(3 in p for p in pairs)
+
+
+def test_novelty_scores_first_occurrence(spark, tmp_path):
+    """text_novelty_shingles: the first owner of a shingle set scores
+    1.0, an exact later copy scores 0.0, and a doc sharing half its
+    shingles scores the exact shared fraction."""
+    from talkdesk_async_etl_spark.operators.text import text_novelty_shingles
+
+    base = " ".join(f"w{i}" for i in range(10))  # 8 shingles, owner doc 1
+    rows = [
+        (1, base),
+        (2, base),  # exact copy: zero novel shingles
+        # shares base's tail 4 tokens -> 2 shared shingles (w8 w9 n0 is
+        # new); 10 tokens -> 8 shingles, 6 novel
+        (3, " ".join(f"w{i}" for i in range(6, 10)) + " " + " ".join(f"n{i}" for i in range(6))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in text_novelty_shingles(spark, str(tmp_path)).collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_shingles"] == 8
+    assert got[2]["novelty"] == 0.0 and got[2]["n_novel"] == 0
+    assert got[3]["n_shingles"] == 8 and got[3]["n_novel"] == 6
+
+
+def test_importance_sampling_is_deterministic_and_unbiased_shaped(spark, tmp_path):
+    """sample_importance_weighted: p_micro = 1e6 rows (>=100 tokens)
+    are ALWAYS kept with weight 1.0 (u < 1e6 by construction); the kept
+    set is identical across runs; every weight is exactly 1e6/p_micro."""
+    from talkdesk_async_etl_spark.operators.sampling import sample_importance_weighted
+
+    rows = [(i, " ".join(f"w{j}" for j in range(100)), "en") for i in range(5)]
+    rows += [(100 + i, " ".join(f"w{j}" for j in range(30)), "de") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    first = sorted(
+        (r["doc_id"], r["p_micro"], r["weight"])
+        for r in sample_importance_weighted(spark, str(tmp_path)).collect()
+    )
+    again = sorted(
+        (r["doc_id"], r["p_micro"], r["weight"])
+        for r in sample_importance_weighted(spark, str(tmp_path)).collect()
+    )
+    assert first == again  # hash-of-id, not RNG
+    kept_ids = {d for d, _, _ in first}
+    assert set(range(5)) <= kept_ids  # p = 1.0 rows can never be dropped
+    for _, p, w in first:
+        assert w == round(1_000_000 / p, 6)
+    # the 30-token stratum (p = 0.3) must be a strict subset, not all
+    assert 0 < len(kept_ids - set(range(5))) < 40
+
+
+def test_scd2_build_collapses_runs_and_closes_intervals(spark, tmp_path):
+    """cdc_scd2_build: consecutive same-attribute events collapse into
+    one version; each change closes the previous interval at its ts;
+    the last version per key is open and flagged is_current."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.ingest import cdc_scd2_build
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = [
+        # user 1: A A B A  -> versions A[t0,t2) B[t2,t3) A[t3,inf)
+        (1, 1, t0, "A"), (2, 1, t0 + dt.timedelta(hours=1), "A"),
+        (3, 1, t0 + dt.timedelta(hours=2), "B"), (4, 1, t0 + dt.timedelta(hours=3), "A"),
+        # user 2: single event -> one current version
+        (5, 2, t0, "C"),
+    ]
+    spark.createDataFrame(
+        ev, "event_id long, user_id long, ts timestamp, event_type string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["user_id"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in cdc_scd2_build(spark, str(tmp_path)).collect()
+    )
+    h = dt.timedelta(hours=1)
+    assert got == [
+        (1, "A", t0, t0 + 2 * h, False),
+        (1, "A", t0 + 3 * h, None, True),
+        (1, "B", t0 + 2 * h, t0 + 3 * h, False),
+        (2, "C", t0, None, True),
+    ]

@@ -772,3 +772,45 @@ def test_bpe_apply_zero_shuffle(spark):
     plan = plan_of(spark, "text_bpe_apply")
     assert "hashpartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    # Formatted-plan detail entries: "(N) Exchange" — counted once per
+    # node (the tree section prints "Exchange (N)" instead).
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_importance_sampling_is_zero_shuffle(spark):
+    """sample_importance_weighted claims a pure row-local scan: hash,
+    clamp, integer compare, one division. The only Exchange allowed is
+    the spread helper's round-robin read repartition — no keyed
+    shuffle, no join."""
+    plan = plan_of(spark, "sample_importance_weighted")
+    assert _n_exchanges(plan) <= 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_scd2_build_single_exchange_serves_both_windows(spark):
+    """cdc_scd2_build runs lag (change detect) then lead (interval
+    close) over the same (user_id) partitioning — Catalyst must plan
+    ONE exchange feeding both Window nodes, not two."""
+    plan = plan_of(spark, "cdc_scd2_build")
+    assert _n_exchanges(plan) == 1, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_novelty_shingles_computed_inside_scan(spark):
+    """text_novelty_shingles' shingle hashes must be scan-side array
+    expressions feeding an in-stage explode, the min-owner aggregate
+    joined back as a BROADCAST (owner relation is shingle-vocabulary-
+    sized), and no more than 3 shuffle exchanges total (spread
+    round-robin + owner agg + final doc agg)."""
+    plan = plan_of(spark, "text_novelty_shingles")
+    assert "Generate" in plan  # in-scan array -> explode
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" not in plan
+    assert _n_exchanges(plan) <= 3, plan

@@ -79,7 +79,11 @@ def test_pinned_date_predicates_are_inside_fixture_span():
     LO..HI window must be non-empty."""
     import datetime as dt
 
-    from talkdesk_async_etl_spark.operators import tpch
+    from talkdesk_async_etl_spark.operators import tpch, tpch_deep
+
+    def _pin(name):
+        # Q8 and friends moved to tpch_deep in the round-9 file split.
+        return getattr(tpch, name, None) or getattr(tpch_deep, name)
 
     spans = {
         "orders": _column_span("orders", "o_orderdate"),
@@ -100,11 +104,11 @@ def test_pinned_date_predicates_are_inside_fixture_span():
     }
     for name, which in pins.items():
         lo, hi = spans[which]
-        pin = dt.date.fromisoformat(getattr(tpch, name))
+        pin = dt.date.fromisoformat(_pin(name))
         assert lo <= pin <= hi, f"{name}={pin} outside {which} span [{lo}, {hi}]"
     # Every LO..HI window must be a real interval.
     for lo_name in ("_Q4_DATE_LO", "_Q5_DATE_LO", "_Q6_DATE_LO", "_Q7_DATE_LO",
                     "_Q8_DATE_LO", "_Q10_DATE_LO", "_Q14_DATE_LO", "_Q15_DATE_LO"):
         hi_name = lo_name.replace("_LO", "_HI")
-        if hasattr(tpch, hi_name):
-            assert getattr(tpch, lo_name) < getattr(tpch, hi_name), lo_name
+        if getattr(tpch, hi_name, None) or getattr(tpch_deep, hi_name, None):
+            assert _pin(lo_name) < _pin(hi_name), lo_name

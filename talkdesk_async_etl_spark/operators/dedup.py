@@ -83,6 +83,23 @@ def _duck_hex15(mh: str) -> str:
     )
 
 
+_WINNOW_FOLD_P = 1 << 53  # keeps (a % P)*128 < 2^60: exact in BIGINT
+
+
+def _winnow_bitfold(a, b):
+    """Engine-agreeing gram combine: xor((a % 2^53)*128, b). Weaker
+    mixing than the xxhash64(a, b) production fold but exactly
+    replicable in DuckDB SQL — inputs and result stay positive and
+    < 2^61, so the modulo, the multiply, and the xor agree bit-for-bit.
+    Collision risk over a corpus's gram vocabulary stays ~n^2/2^60."""
+    return (F.pmod(a, F.lit(_WINNOW_FOLD_P)) * 128).bitwiseXOR(b)
+
+
+# (token_hash, gram_combine) leaf pair for the oracle-checked winnow
+# query; the default xxhash64 pair is the throughput path.
+_WINNOW_ENGINE_AGREEING = (_hex15_col, _winnow_bitfold)
+
+
 def _cap_hot_keys(df: DataFrame, key: str, cap: int = _HOT_KEY_CAP) -> DataFrame:
     """Drop rows whose ``key`` value occurs in more than ``cap`` rows —
     the standard skew guard before a key-equality self-join.
@@ -381,14 +398,51 @@ def _winnow_buckets(docs: DataFrame, cap: int = _HOT_KEY_CAP, fingerprints=None)
     whose every fingerprint is corpus-hot would be 'eligible' yet
     correctly unfindable).
 
-    The explode is INLINE over the fingerprint expression (not a
-    project-the-array-then-explode two-step): measured ~2.5× faster at
-    sf0.1 — the separate projection pushes the huge generated method
-    over a codegen/JIT threshold and parts of the pipeline fall back to
-    interpreted evaluation."""
-    fp_fn = fingerprints or winnow_fingerprints
-    ex = docs.select("doc_id", F.explode(fp_fn(F.col("text"))).alias("fp"))
+    Physical shape (measured at sf0.1, min-of-3): the TOKEN-HASH array
+    is materialized in its own small projection (54-element
+    array<bigint> per row), and the fingerprint expression — gram
+    fold, window minima, distinct — builds from slices of that COLUMN
+    inside the explode generator. The fully-inline form re-evaluates
+    the token-hash transform once per slice reference (3 gram slices ×
+    4 window positions), which is what made the md5 leaf 5× slower
+    (9.9 s vs 1.9 s; md5+conv per token is ~10× an xxhash64) and costs
+    even the xxhash leaf ~0.7 s. Materializing the FINGERPRINT array
+    instead remains the measured dead end the round-7 note recorded
+    (codegen/JIT cliff): the cut point matters — hash once, fold from
+    the column."""
+    token_hash, combine = fingerprints or (F.xxhash64, lambda a, b: F.xxhash64(a, b))
+    hashed = docs.select(
+        "doc_id", F.transform(F.split("text", " "), lambda x: token_hash(x)).alias("th")
+    )
+    ex = hashed.select(
+        "doc_id", F.explode(_winnow_fps_from_th(F.col("th"), combine)).alias("fp")
+    )
     return _bucket_lists(ex, "fp", cap)
+
+
+def _winnow_fps_from_th(th, combine, k: int = 3, window: int = 4):
+    """Winnowing fingerprints from a MATERIALIZED token-hash array
+    column ``th``: positional k-gram hashes via ``combine`` folds of
+    aligned slices, minimum of every ``window`` consecutive gram
+    hashes, deduplicated; <k-token docs yield no fingerprints, docs
+    with 1 ≤ grams < window yield one (see winnow_fingerprints — same
+    selection logic, different input cut)."""
+    n = F.size(th)
+    win = n - (k - 1)
+    mixed = F.slice(th, 1, win)
+    for off in range(1, k):
+        mixed = F.zip_with(mixed, F.slice(th, off + 1, win), combine)
+    seq = F.when(n >= k, mixed).otherwise(F.array().cast("array<bigint>"))
+    m = F.size(seq)
+    fps = F.transform(
+        F.sequence(F.lit(0), m - window),
+        lambda i: F.array_min(F.slice(seq, i + 1, window)),
+    )
+    return (
+        F.when(m >= window, F.array_distinct(fps))
+        .when(m >= 1, F.array(F.array_min(seq)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
 
 
 def winnow_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
@@ -421,27 +475,38 @@ def winnow_pairs_for(
     return winnow_pairs_from_buckets(_winnow_buckets(docs, cap, fingerprints))
 
 
-# DuckDB recomputes the full winnowing pipeline: positional k-gram
-# md5-60-bit hashes (the engine-agreeing leaf — the gram STRING is
-# hashed, not an xxhash64 token-fold), the minimum of every 4-hash
-# window, per-doc distinct fingerprints, the 256-doc hot-fingerprint
-# cap, and pairs sharing >= 2 surviving fingerprints. The 2000-row
-# range mirrors _JACCARD_CTES (docs are far shorter).
+# DuckDB recomputes the full winnowing pipeline with the
+# engine-agreeing leaves: per-token md5-60-bit hashes (positional),
+# the exact bit-fold gram combine comb(a, b) = xor((a % 2^53)*128, b)
+# (all values stay positive and < 2^61, so the modulo, the shift, and
+# the xor agree bit-for-bit between engines), the minimum of every
+# 4-hash window, per-doc distinct fingerprints, the 256-doc
+# hot-fingerprint cap, and pairs sharing >= 2 surviving fingerprints.
+# The 2000-row range mirrors _JACCARD_CTES (docs are far shorter).
 _WINNOW_ORACLE = f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-    ),
-    gh AS (
+    WITH tok AS (
         SELECT doc_id, i, {_duck_hex15("mh")} AS h
-        FROM (SELECT doc_id, i, md5(array_to_string(tk[i:i+2], ' ')) AS mh
-              FROM toks, range(1, 2000) r(i) WHERE i + 2 <= len(tk))
+        FROM (SELECT doc_id, i, md5(tk[i]) AS mh
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+                   range(1, 2000) r(i)
+              WHERE i <= len(tk))
     ),
-    seqs AS (SELECT doc_id, list(h ORDER BY i) AS seq FROM gh GROUP BY doc_id),
+    th AS (SELECT doc_id, list(h ORDER BY i) AS th FROM tok GROUP BY doc_id),
+    seqs AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 3 THEN list_transform(
+                   range(1, len(th) - 1), i ->
+                   xor((xor((th[i] % 9007199254740992) * 128, th[i + 1]) % 9007199254740992) * 128,
+                       th[i + 2]))
+               ELSE []::BIGINT[] END AS seq
+        FROM th
+    ),
     fps AS (
         SELECT doc_id, unnest(CASE
             WHEN len(seq) >= 4 THEN list_distinct(list_transform(
                 range(1, len(seq) - 2), i -> list_min(seq[i:i+3])))
-            ELSE [list_min(seq)] END) AS fp
+            WHEN len(seq) >= 1 THEN [list_min(seq)]
+            ELSE []::BIGINT[] END) AS fp
         FROM seqs
     ),
     hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 256)
@@ -463,19 +528,23 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph copied into an otherwise-different document, which
     Jaccard at 0.6 cannot.
 
-    Runs the engine-agreeing md5-gram hash leaf
-    (``winnow_fingerprints_md5``) so the DuckDB oracle recomputes the
-    identical fingerprint sets — a full rows+schema+hash driver row
-    instead of the previous rows-only check (VERDICT r8 task 5). The
-    xxhash64 rolling-fold leaf (``winnow_fingerprints`` — the 100 TB
-    throughput choice) shares every structural stage and keeps its own
-    driver attestation via ``dedup_winnow_containment``. Scale shape
+    Runs the engine-agreeing leaves (md5-60-bit token hashes + the
+    exact bit-fold gram combine, ``_WINNOW_ENGINE_AGREEING``) so the
+    DuckDB oracle recomputes the identical fingerprint sets — a full
+    rows+schema+hash driver row instead of the previous rows-only
+    check (VERDICT r8 task 5). The xxhash64 leaves (the 100 TB
+    throughput choice) share every structural stage and keep their own
+    driver attestation via ``dedup_winnow_containment``; both run the
+    same materialized-token-hash physical shape, which prices the md5
+    leaf at ~the xxhash leaf (1.9 vs 2.1 s at sf0.1) instead of the 5x
+    the inline form cost (see _winnow_buckets' cut-point note). Scale
+    shape
     mirrors dedup_near_jaccard: in-scan array expressions, explode,
     8-byte-key bucket groupBy — on the ~1/window-sized fingerprint
     set, with hot fingerprints capped (``_HOT_KEY_CAP``)."""
     return winnow_pairs_for(
         t(spark, sf_dir, "documents", spread=True).select("doc_id", "text"),
-        fingerprints=winnow_fingerprints_md5,
+        fingerprints=_WINNOW_ENGINE_AGREEING,
     )
 
 
@@ -931,35 +1000,5 @@ def winnow_fingerprints(text_col, k: int = 3, window: int = 4):
         F.when(m >= window, F.array_distinct(fps))
         .when(m >= 1, F.array(F.array_min(seq)))  # short doc: one fp
         .otherwise(F.array().cast("array<bigint>"))
-    )
 
-
-def winnow_fingerprints_md5(text_col, k: int = 3, window: int = 4):
-    """Engine-agreeing winnowing leaf: the positional k-gram hash is
-    md5-60-bit over the gram STRING (``_hex15_col``) instead of the
-    xxhash64 token-fold, so the DuckDB oracle recomputes the identical
-    fingerprint sets (see ``_WINNOW_ORACLE``). Window-min selection,
-    the short-doc rule, and distinct-ing are byte-for-byte the
-    ``winnow_fingerprints`` logic — only the hash leaf differs.
-    Materializing gram strings costs ~2x the rolling fold; use the
-    xxhash64 leaf on the 100 TB path."""
-    toks = F.split(text_col, " ")
-    n = F.size(toks)
-    raw = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: _hex15_col(F.array_join(F.slice(toks, i + 1, k), " ")),
     )
-    # Same when()-guard placement as winnow_fingerprints: negative
-    # slices of a <k-token doc are never evaluated.
-    seq = F.when(n >= k, raw).otherwise(F.array().cast("array<bigint>"))
-    m = F.size(seq)
-    fps = F.transform(
-        F.sequence(F.lit(0), m - window),
-        lambda i: F.array_min(F.slice(seq, i + 1, window)),
-    )
-    return (
-        F.when(m >= window, F.array_distinct(fps))
-        .when(m >= 1, F.array(F.array_min(seq)))  # short doc: one fp
-        .otherwise(F.array().cast("array<bigint>"))
-    )
-

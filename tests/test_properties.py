@@ -103,3 +103,36 @@ def test_ppm_roundtrip_arbitrary_raster(w, h, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_ppm_real(encode_ppm(px)), px)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=40))
+def test_duck_hex15_matches_python_md5(s):
+    """The engine-agreeing 60-bit hash (dedup's _duck_hex15 SQL fold)
+    == int(md5(utf8)[:15], 16) for ARBITRARY text — the leaf under the
+    simhash/winnow/importance-sampling oracles. (The Spark side is
+    conv(substring(md5,1,15),16,10), pinned value-identical by those
+    queries' hash-checked oracles at three SFs.)"""
+    import hashlib
+
+    from talkdesk_async_etl_spark.operators.dedup import _duck_hex15
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {_duck_hex15('mh')} FROM (SELECT md5(?) AS mh)", [s]
+    ).fetchone()[0]
+    assert got == int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**60 - 1), st.integers(0, 2**60 - 1))
+def test_winnow_bitfold_duck_matches_python(a, b):
+    """The winnow oracle's gram combine xor((a % 2^53)*128, b) must be
+    exact BIGINT arithmetic in DuckDB for the full 60-bit input domain
+    (no implicit widening/overflow surprises)."""
+    P = 1 << 53
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT xor(((?::BIGINT % {P}) * 128), ?::BIGINT)", [a, b]
+    ).fetchone()[0]
+    assert got == (((a % P) * 128) ^ b)

@@ -262,6 +262,7 @@ _HEADLINE_R9 = (
     "sample_importance_weighted",
     "cdc_scd2_build",
     "dedup_simhash",  # md5-leaf variant is a new measured plan
+    "csv_multichar_delim",
 )
 
 HEADLINE = (

@@ -879,3 +879,47 @@ def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+_CSVM_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length('k,' || substr(text, 1, 15) || '|x')) AS BIGINT)
+               AS chars_total,
+           CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@query("csv_multichar_delim", oracle=_CSVM_ORACLE, tags=("scan", "csv"))
+def csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 depth #2 — MULTI-CHARACTER delimiter CSV round-trip (Spark
+    3+ `sep` accepts multi-char): the migration surface for feeds that
+    picked `|~|`-style delimiters precisely because their values embed
+    commas AND pipes unquoted (every value here carries both). With a
+    single-char delimiter those values would need quoting or would
+    split; with the multi-char sep they round-trip verbatim and
+    UNQUOTED. Per-lang count / char-total / id-XOR are attested
+    against the SOURCE table, so a mis-split or partial-delimiter
+    match breaks the hash."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(F.lit("k,"), F.substring("text", 1, 15), F.lit("|x")).alias("tricky"),
+    )
+    out = tempfile.mkdtemp(prefix="tde_csvm_")
+    d.write.mode("overwrite").option("header", True).option("sep", "|~|").csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("sep", "|~|")
+        .option("inferSchema", True)
+        .csv(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("tricky")).cast("bigint").alias("chars_total"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("id_xor"),
+    )

@@ -391,7 +391,10 @@ def main() -> None:
         "repeats": repeats,
         "sf": sf_val,
         "n_queries": len(timings),
-        "detail": "bench_detail.json",
+        # points at the ACTUAL detail path (env-overridden runs would
+        # otherwise claim the default file and mislead a consumer into
+        # reading a stale artifact).
+        "detail": os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json"),
         # Host-contention marker: a constant-plan calibration job's
         # min/max before and after the sweep, plus 1-min load average
         # at both points. calib max >> min (or load_end >> cpus'

@@ -980,25 +980,12 @@ def winnow_fingerprints(text_col, k: int = 3, window: int = 4):
 
     Scale: pure scan-side array expressions like _shingle_hashes; the
     fingerprint set is ~1/window the shingle count, so the downstream
-    group-or-join shuffles proportionally less."""
-    toks = F.split(text_col, " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(th)
-    win = n - (k - 1)
-    raw = F.slice(th, 1, win)
-    for off in range(1, k):
-        raw = F.zip_with(raw, F.slice(th, off + 1, win), lambda x, y: F.xxhash64(x, y))
-    # Guard BEFORE taking size: when() short-circuits per row, so the
-    # negative-length slices of a <k-token doc are never evaluated.
-    seq = F.when(n >= k, raw).otherwise(F.array().cast("array<bigint>"))
-    m = F.size(seq)
-    fps = F.transform(
-        F.sequence(F.lit(0), m - window),
-        lambda i: F.array_min(F.slice(seq, i + 1, window)),
-    )
-    return (
-        F.when(m >= window, F.array_distinct(fps))
-        .when(m >= 1, F.array(F.array_min(seq)))  # short doc: one fp
-        .otherwise(F.array().cast("array<bigint>"))
+    group-or-join shuffles proportionally less.
 
-    )
+    Expression-form convenience API over the SHARED selection core
+    (``_winnow_fps_from_th`` — one copy of the gram-fold/window-min/
+    short-doc logic); the bucket path materializes th first (see
+    _winnow_buckets' cut-point note) but folds identically, so both
+    produce the same fingerprint values."""
+    th = F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t))
+    return _winnow_fps_from_th(th, lambda x, y: F.xxhash64(x, y), k, window)

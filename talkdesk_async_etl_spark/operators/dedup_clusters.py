@@ -21,7 +21,6 @@ from talkdesk_async_etl_spark.operators.dedup import (
     _JACCARD_CTES,
     _MINHASH_PERMS,
     _band_keys_expr,
-    _bucket_lists,
     _minhash_sig_expr,
     _shingle_hashes,
     dedup_embedding_cosine,

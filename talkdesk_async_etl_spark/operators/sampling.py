@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from talkdesk_async_etl_spark.operators.dedup import _duck_hex15, _hex15_col
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -206,21 +207,14 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Engine-agreeing uniform draw in micro-units: the first 15 hex chars
-# of md5(doc_id) parsed as an integer, reduced mod 1e6 — the same
-# hash-not-RNG principle as sample_deterministic, with enough entropy
-# bits that the acceptance test is exact integer arithmetic on both
-# engines (no float comparison can sit on a boundary).
+# Engine-agreeing uniform draw in micro-units: the shared md5-60-bit
+# fold (dedup._hex15_col / dedup._duck_hex15 — ONE implementation per
+# engine) reduced mod 1e6. Same hash-not-RNG principle as
+# sample_deterministic, with enough entropy bits that the acceptance
+# test is exact integer arithmetic on both engines (no float
+# comparison can sit on a boundary).
 _IW_MICRO = 1_000_000
-_IW_DUCK_U = (
-    "(("
-    + " + ".join(
-        f"((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)::BIGINT"
-        f" << {4 * (15 - i)})"
-        for i in range(1, 16)
-    )
-    + f") % {_IW_MICRO})"
-)
+_IW_DUCK_U = f"({_duck_hex15('md5(CAST(doc_id AS VARCHAR))')} % {_IW_MICRO})"
 
 _IW_ORACLE = f"""
     WITH scored AS (
@@ -263,11 +257,7 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100_000),
         F.least(F.lit(_IW_MICRO), F.size(F.split("text", " ")) * 10_000),
     ).cast("long")
-    u_micro = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % _IW_MICRO
-    )
+    u_micro = _hex15_col(F.col("doc_id").cast("string")) % _IW_MICRO
     return (
         d.select("doc_id", "lang", p_micro.alias("p_micro"), u_micro.alias("u_micro"))
         .filter(F.col("u_micro") < F.col("p_micro"))

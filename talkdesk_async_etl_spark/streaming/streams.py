@@ -400,3 +400,98 @@ def running_user_totals_tws(events: DataFrame, watermark: str = "10 minutes") ->
             timeMode="None",
         )
     )
+
+
+def scd2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermark-FINALIZED streaming SCD2 build — the order-SENSITIVE
+    custom stateful operator the rest of this module deliberately
+    avoids (running totals and the funnel are order-independent by
+    design; SCD2 is not: each change closes the PREVIOUS version, so
+    processing order is part of the answer).
+
+    The correctness argument: an event may only become a version
+    boundary once no earlier-timestamped event can still arrive. The
+    watermark is exactly that guarantee, so per user the state holds
+    (a) the currently OPEN version and (b) a PENDING buffer of events
+    with ts >= watermark, and each micro-batch: merges new arrivals
+    into the buffer (self-dropping anything already older than the
+    watermark — defense in depth beside the engine's own late-row
+    filtering), then drains the buffer in (ts, event_id) order up to
+    the current watermark, emitting a CLOSED version row whenever the
+    tracked attribute changes. Same-value runs collapse exactly as in
+    the batch twin (``cdc_scd2_build``). Emissions are append-only
+    finalized facts — nothing is ever retracted — so any downstream
+    sink (parquet append, Kafka) consumes them safely.
+
+    State is bounded by the watermark horizon: the pending buffer
+    holds at most one user's events from the last ``watermark``
+    interval, and the open version is three scalars. At cluster scale
+    the operator shuffles once on user_id (the groupBy), identical to
+    the batch build's single exchange.
+
+    Batch equivalence (pinned in test_streaming): the emitted closed
+    versions equal the batch twin's ``is_current = false`` rows over
+    the finalized region — byte-identical valid_from/valid_to/attr,
+    including timestamp-tie resolution by event_id."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            open_attr, open_from, p_ts, p_eid, p_attr = state.get
+            pend = list(zip(p_ts or [], p_eid or [], p_attr or []))
+        else:
+            open_attr, open_from, pend = None, None, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdfs:
+            micros = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
+            for ts_us, eid, attr in zip(micros, pdf["event_id"], pdf["event_type"]):
+                if int(ts_us) >= wm_us or wm_us == 0:
+                    pend.append((int(ts_us), int(eid), str(attr)))
+        pend.sort()
+        closed = []
+        keep = []
+        for ts_us, eid, attr in pend:
+            if ts_us >= wm_us:
+                keep.append((ts_us, eid, attr))
+                continue
+            # finalized event: apply the change-collapse rule
+            if open_attr is None:
+                open_attr, open_from = attr, ts_us
+            elif attr != open_attr:
+                closed.append((open_attr, open_from, ts_us))
+                open_attr, open_from = attr, ts_us
+        state.update(
+            (
+                open_attr,
+                open_from,
+                [t for t, _, _ in keep],
+                [e for _, e, _ in keep],
+                [a for _, _, a in keep],
+            )
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "attr": [a for a, _, _ in closed],
+                    "valid_from_us": [f for _, f, _ in closed],
+                    "valid_to_us": [t for _, _, t in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, attr string, "
+            "valid_from_us bigint, valid_to_us bigint",
+            stateStructType="open_attr string, open_from bigint, "
+            "pend_ts array<bigint>, pend_eid array<bigint>, "
+            "pend_attr array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -211,6 +211,7 @@ def test_survey_section2_is_the_registry():
     # marks as having no registry id.
     non_registry_surface = {
         "running_user_totals_tws",  # streaming-only class, "no registry id" noted inline
+        "scd2_stream",  # streaming-only, batch twin cdc_scd2_build holds the driver row
         "pagerank_from_edges",  # reusable core function documented inside the D8 cell
     }
     stale = []

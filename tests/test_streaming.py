@@ -530,3 +530,85 @@ def test_stream_join_emits_outer_nulls_after_watermark(spark, tmp_path):
     assert (2, 1) in rows  # the matched pair
     assert (3, None) in rows  # outer null emitted after watermark passed
     assert len([p for p, v in rows if p == 3]) == 1  # exactly once
+
+
+def test_scd2_stream_matches_batch_on_finalized_region(spark, tmp_path):
+    """Watermark-finalized streaming SCD2 (the ORDER-SENSITIVE custom
+    stateful operator): out-of-order arrivals inside the watermark
+    slack, a timestamp tie broken by event_id, and same-value run
+    collapse must all finalize to EXACTLY the batch twin's closed
+    versions (cdc_scd2_build is_current = false) — append-only, no
+    retractions. Sentinel+pusher files drive the watermark so every
+    real version closes; sentinel versions stay open and unemitted."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.ingest import cdc_scd2_build
+    from talkdesk_async_etl_spark.streaming.streams import scd2_stream
+
+    src = str(tmp_path / "scd2_src")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    base = dt.datetime(2024, 6, 1, 12, 0)
+
+    def at(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    files = [
+        # f1: u1 same-attr run start; u2 first value
+        [(1, at(0), 1, "A", 0.0, "{}"), (2, at(5), 1, "A", 0.0, "{}"),
+         (3, at(1), 2, "X", 0.0, "{}")],
+        # f2: OUT-OF-ORDER arrivals inside the 10-min slack — u1 gets an
+        # event EARLIER than everything in f1; u2 gets a ts TIE with
+        # event 3 (higher event_id -> later in the tie-break order)
+        [(4, at(-3), 1, "B", 0.0, "{}"), (5, at(1), 2, "Y", 0.0, "{}")],
+        # f3: sentinels open a final version per user
+        [(6, at(120), 1, "ZZ", 0.0, "{}"), (7, at(120), 2, "ZZ", 0.0, "{}")],
+        # f4: advances the watermark past the real events (closes B, X)
+        [(8, at(240), 1, "ZZ", 0.0, "{}"), (9, at(240), 2, "ZZ", 0.0, "{}")],
+        # f5: advances it past the sentinels (closes A, Y)
+        [(10, at(300), 1, "ZZ", 0.0, "{}"), (11, at(300), 2, "ZZ", 0.0, "{}")],
+    ]
+    # the file source requires the directory to exist: seed f1 first
+    spark.createDataFrame(files[0], schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        scd2_stream(stream, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_stream_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for rows in files[1:]:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.attr, r.valid_from_us, r.valid_to_us)
+        for r in spark.sql("select * from scd2_stream_sink").collect()
+    }
+
+    def us(d):
+        from datetime import timezone
+
+        return int(d.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+    # batch twin over the identical event set; finalized region =
+    # closed versions (every real version closes; sentinels stay open)
+    all_rows = [r for f in files for r in f]
+    spark.createDataFrame(all_rows, schema).write.parquet(str(tmp_path / "events.parquet"))
+    want = {
+        (r.user_id, r.attr, us(r.valid_from), us(r.valid_to))
+        for r in cdc_scd2_build(spark, str(tmp_path)).collect()
+        if not r.is_current and r.attr != "ZZ"
+    }
+    assert got == want, (sorted(got), sorted(want))
+    # the scenario is non-trivial by construction: an out-of-order
+    # close, a zero-length tie version, and a collapsed run
+    assert (1, "B", us(at(-3)), us(at(0))) in want  # out-of-order insert
+    assert (2, "X", us(at(1)), us(at(1))) in want  # ts tie -> zero-length
+    assert len(want) == 4

@@ -263,6 +263,7 @@ _HEADLINE_R9 = (
     "cdc_scd2_build",
     "dedup_simhash",  # md5-leaf variant is a new measured plan
     "csv_multichar_delim",
+    "sort_keyset_pagination",
 )
 
 HEADLINE = (

@@ -322,6 +322,55 @@ def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEYSET_ORACLE = """
+    SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) >
+          (SELECT (o_orderdate, o_orderkey) FROM orders
+           ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET 249)
+    ORDER BY o_orderdate, o_orderkey LIMIT 50
+"""
+
+
+@query("sort_keyset_pagination", oracle=_KEYSET_ORACLE, tags=("sort", "pagination"))
+def sort_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: KEYSET pagination — "the 50 rows after cursor (date, key)" as
+    a pushed-down predicate + top-50, the scale-correct replacement for
+    LIMIT/OFFSET page N (OFFSET must materialize and discard every
+    earlier row, so page cost grows linearly and the last pages of a
+    100 TB export each re-sort the world; a keyset page is O(page) via
+    TakeOrderedAndProject over the rows passing the cursor predicate,
+    and with the S13 range-clustered layout the predicate also prunes
+    files). The cursor here is derived as the 250th row's key so the
+    query is self-contained and the oracle can reproduce it exactly;
+    a real pager passes the previous page's last (date, key) in.
+
+    The composite-key row comparison is expanded to the explicit
+    (a > c1) OR (a = c1 AND b > c2) form — Spark has no tuple
+    comparison; DuckDB's row-value comparison in the oracle is the
+    semantic twin. The (date, key) cursor is total-ordered (key is
+    unique), so pages can neither skip nor duplicate rows on ties —
+    the defect an OFFSET pager has on any non-unique sort key."""
+    o = t(spark, sf_dir, "orders")
+    cur = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(250)
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select("o_orderdate", "o_orderkey")
+        .first()
+    )
+    after_cursor = (F.col("o_orderdate") > F.lit(cur[0])) | (
+        (F.col("o_orderdate") == F.lit(cur[0])) & (F.col("o_orderkey") > F.lit(cur[1]))
+    )
+    return (
+        o.filter(after_cursor)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Set operations
 # ---------------------------------------------------------------------------

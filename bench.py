@@ -264,6 +264,7 @@ _HEADLINE_R9 = (
     "dedup_simhash",  # md5-leaf variant is a new measured plan
     "csv_multichar_delim",
     "sort_keyset_pagination",
+    "dedup_cluster_sizes",
 )
 
 HEADLINE = (

@@ -626,3 +626,57 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+_CLUSTER_SIZES_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    sizes AS (SELECT component_id, count(*) AS sz FROM labels GROUP BY component_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(sz - 1 AS BIGINT)) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz
+"""
+
+
+@query("dedup_cluster_sizes", oracle=_CLUSTER_SIZES_ORACLE, tags=("dedup", "report"))
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 reporting: the duplicate-CLUSTER SIZE distribution — per
+    cluster size: how many clusters, how many documents they hold, and
+    how many of those a canonical-keep dedup would remove (size − 1
+    each). This is the dashboard number a curation run reports before
+    committing a delete ("dedup will drop N docs, mostly from 2-doc
+    clusters; the 400-doc cluster is boilerplate — inspect it"), and
+    the skew signal for the components run itself: a heavy tail here
+    is exactly when the large/small-star algorithm
+    (dedup_components_star) should replace plain label propagation.
+
+    Scale shape: one groupBy over the components OUTPUT (node-sized)
+    then one over the (tiny) per-cluster sizes — both map-side
+    combinable; the cost is the attested components run it composes."""
+    labels = dedup_components(spark, sf_dir)
+    sizes = labels.groupBy("component_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("sz") - 1) * F.col("n_clusters")).alias("n_removable"),
+        )
+    )

@@ -265,6 +265,7 @@ _HEADLINE_R9 = (
     "csv_multichar_delim",
     "sort_keyset_pagination",
     "dedup_cluster_sizes",
+    "agg_hypertable_rollup",
 )
 
 HEADLINE = (

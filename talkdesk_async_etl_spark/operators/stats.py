@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from talkdesk_async_etl_spark.plans.cache import scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -698,4 +699,79 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_acctbal").alias("weighted_median"),
         F.col("tot").cast("bigint").alias("total_weight"),
+    )
+
+
+_HYPERTABLE_ORACLE = """
+    WITH raw AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    )
+    SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS total_value
+    FROM raw GROUP BY 2
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), CAST(count(*) AS BIGINT),
+           CAST(sum(v) AS DOUBLE)
+    FROM raw GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), CAST(count(*) AS BIGINT),
+           CAST(sum(v) AS DOUBLE)
+    FROM raw GROUP BY 2
+"""
+
+
+@query("agg_hypertable_rollup", oracle=_HYPERTABLE_ORACLE, tags=("agg", "rollup", "timeseries"))
+def agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate LATTICE: the minute grain
+    is computed from raw events ONCE; the hour grain re-aggregates the
+    minute PARTIALS and the day grain re-aggregates the hour partials —
+    raw data is scanned exactly once no matter how many grains the
+    lattice serves (the TimescaleDB continuous-aggregate /
+    materialized-rollup pattern; at 100 TB the coarser grains read
+    ~1/60th and ~1/1440th of the rows the naive three-scan form
+    re-reads). The oracle computes every grain DIRECTLY from raw, so
+    the hash attests the lattice property itself: re-aggregating
+    partials must equal recomputation — true only because the sums
+    accumulate in DECIMAL (a double sum is partial-order-dependent and
+    would drift between the two derivations).
+
+    Composes with cdc_incremental_agg (S7i): maintain the minute grain
+    incrementally per batch, and the coarser grains stay derivable
+    from it without ever touching history."""
+    raw = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    # Persisted partials make the one-scan lattice REAL: without them
+    # each union branch re-derives its parent grain from raw (verified:
+    # the unpersisted static plan holds THREE parquet scans — lazy
+    # lineage quietly re-reads raw per grain; AQE exchange reuse is not
+    # guaranteed across the union branches). At 100 TB the persist is a
+    # write to the rollup table itself.
+    minute = scoped_persist(
+        raw.groupBy(F.date_trunc("minute", "ts").alias("bucket_start")).agg(
+            F.count("*").alias("n_events"), F.sum("v").alias("sv")
+        )
+    )
+    hour = scoped_persist(
+        minute.groupBy(
+            F.date_trunc("hour", "bucket_start").alias("bucket_start")
+        ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+
+    def shaped(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "n_events",
+            F.col("sv").cast("double").alias("total_value"),
+        )
+
+    return shaped(minute, "minute").unionByName(shaped(hour, "hour")).unionByName(
+        shaped(day, "day")
     )

@@ -108,7 +108,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fails on typos or miscounts. Round-9 additions REGISTERED AFTER this
 # window was frozen (dedup_containment_pairs, text_novelty_shingles,
 # sample_importance_weighted, cdc_scd2_build, csv_multichar_delim,
-# sort_keyset_pagination, dedup_cluster_sizes)
+# sort_keyset_pagination, dedup_cluster_sizes,
+# agg_hypertable_rollup)
 # lead the r10 window per
 # the standing precedent — each is pytest-oracle-green at
 # sf0.001/0.01/0.1.

@@ -818,3 +818,14 @@ def test_novelty_shingles_computed_inside_scan(spark):
     assert "Generate" in plan  # in-scan array -> explode
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert _n_exchanges(plan) <= 5, plan
+
+
+def test_hypertable_rollup_scans_raw_once(spark):
+    """agg_hypertable_rollup's lattice claim, pinned: the three grains
+    must share ONE parquet scan of raw events (the minute/hour partials
+    are persisted; the unpersisted lazy form re-scans raw per union
+    branch — exactly what this test would catch)."""
+    import re
+
+    plan = plan_of(spark, "agg_hypertable_rollup")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan

@@ -80,94 +80,78 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-9 window, in priority order (executes ROUND_NOTES' round-9
-# rotation pre-plan, which VERDICT r8 endorsed verbatim):
-#   1. The 29 round-8 late-batch ids that have NEVER had a driver row
-#      (registered after the round-8 window filled; the round-8 judge
-#      independently ran all of them through scripts/check_parity.py
-#      at sf0.01 — zero failures — so this tier converts judge-
-#      verified parity into formal CORRECTNESS rows).
-#   2. dedup_simhash + dedup_winnow_pairs — newly ORACLED this round
-#      (engine-agreeing md5 hashing, VERDICT r8 task 5): their first
-#      window pass must be a full rows+schema+hash row, not the old
-#      rows-only check.
-#   3. The full r4-attested tier (latest driver row round 4):
-#      project_columns (deferred r6-r8 as a sub-plan-of-everything —
-#      five rounds stale is now the older debt), the CSV/stream/UDF
-#      r4 leftovers, and the two r4 invariant twins.
-#   4. The oldest r5-tier ids with the remaining 10 slots: the
-#      formerly-vacuous tpch_q5/q6/q10 (re-attest the round-5 fix),
-#      the two tolerance twins backing rows-only sketches, and one
-#      representative per stale family (join/agg/window/stream).
-# The r6/r7/r8-attested tiers are deliberately out-of-window; they
-# rotate r10+ (r5 leftovers first, then r6). Every deferred id keeps
-# its every-pytest-run oracle parity check, so deferral costs recency
-# of the driver row, not coverage. Any id registered but absent here
-# appends in registration order, so new operators are never silently
-# dropped — and the first-50 meta-test in tests/test_driver_profile.py
-# fails on typos or miscounts. Round-9 additions REGISTERED AFTER this
-# window was frozen (dedup_containment_pairs, text_novelty_shingles,
-# sample_importance_weighted, cdc_scd2_build, csv_multichar_delim,
-# sort_keyset_pagination, dedup_cluster_sizes,
-# agg_hypertable_rollup)
-# lead the r10 window per
-# the standing precedent — each is pytest-oracle-green at
-# sf0.001/0.01/0.1.
+# Round-10 window, in priority order (executes ROUND_NOTES' round-9
+# rotation pre-plan verbatim, which VERDICT r9 task 1 endorsed):
+#   1. The 8 round-9 additions that registered AFTER the r9 window
+#      froze (parity-verified by the r9 judge's own check_parity run
+#      but still without a formal driver CORRECTNESS row) — the only
+#      ids in the repo not yet driver-hash-attested.
+#   2. The full remaining r5-attested tier (37 ids — latest driver
+#      row round 5): after this window the whole r5 tier is cleared.
+#   3. The 5 oldest r6-tier ids with the remaining slots
+#      (sink/cdc/join/agg representatives).
+# The rest of the r6/r7/r8/r9-attested tiers rotate r11+ (r6 first).
+# Every deferred id keeps its every-pytest-run oracle parity check,
+# so deferral costs recency of the driver row, not coverage. Any id
+# registered but absent here appends in registration order, so new
+# operators are never silently dropped — and the first-50 meta-test
+# in tests/test_driver_profile.py fails on typos or miscounts.
+# Round-10 additions registered after THIS window freezes lead the
+# r11 window per the standing precedent.
 _PRIORITY = (
-    # --- tier 1: the 29 never-driver-attested round-8 ids ---
-    "join_spatial_grid",
-    "agg_cooccurrence_pairs",
-    "ml_logreg_score",
-    "cdc_incremental_agg",
-    "scalar_regex_family",
-    "scalar_url_parse",
-    "scalar_interval_math",
-    "scalar_mask_pii",
-    "scalar_aes_roundtrip",
-    "sql_scripting_block",
-    "dq_expectations",
-    "graph_sssp_weighted",
-    "udtf_arrow_tokens",
-    "agg_skew_kurtosis",
-    "scalar_bitwise_ops",
-    "text_bpe_apply",
-    "dedup_minhash_jaccard_est",
-    "set_ops_all",
-    "agg_weighted_median",
-    "csv_quoted_roundtrip",
-    "text_bigram_logprob",
-    "text_url_canonicalize",
-    "agg_grouping_id",
-    "scalar_str_to_map",
-    "multimodal_image_phash",
-    "scan_cbo_stats_ok",
-    "scan_orc_roundtrip",
-    "sink_compression_codecs_ok",
-    "ddl_default_columns",
-    # --- tier 2: newly-oracled this round (rows-only -> hash row) ---
-    "dedup_simhash",
-    "dedup_winnow_pairs",
-    # --- tier 3: the full r4-attested tier (oldest driver rows) ---
-    "project_columns",
-    "csv_roundtrip",
-    "multimodal_image_features",
-    "stream_sliding",
-    "stream_tumbling",
-    "scalar_json_extract",
-    "udf_pandas_scalar",
-    "dedup_simhash_dupes_ok",
-    "sim_blocked_topk_ok",
-    # --- tier 4: oldest r5-tier ids (10 slots) ---
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "agg_approx_distinct_tol",
-    "agg_percentile_approx_tol",
-    "join_asof",
-    "join_broadcast_lookup",
-    "agg_conditional_sum",
-    "window_moving_frame",
-    "stream_session",
+    # --- tier 1: the 8 round-9 ids without a formal driver row ---
+    "dedup_containment_pairs",
+    "text_novelty_shingles",
+    "sample_importance_weighted",
+    "cdc_scd2_build",
+    "csv_multichar_delim",
+    "sort_keyset_pagination",
+    "dedup_cluster_sizes",
+    "agg_hypertable_rollup",
+    # --- tier 2: the full remaining r5-attested tier (37 ids) ---
+    "filter_limit1",
+    "filter_null_handling",
+    "filter_in_like",
+    "sort_multi_key",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "join_fk_monitoring",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_star",
+    "agg_count_per_key",
+    "agg_group_counts",
+    "agg_sum_two_keys",
+    "agg_status_rollup",
+    "agg_rollup",
+    "agg_cube",
+    "window_lag",
+    "scalar_date_arith",
+    "scalar_date_format",
+    "scalar_string_concat",
+    "scalar_string_replace",
+    "scalar_math",
+    "scalar_array_ops",
+    "scalar_string_toolkit",
+    "udaf_grouped_apply",
+    "multimodal_features_ok",
+    "multimodal_frame_sample",
+    "dedup_lsh_containment",
+    "dedup_winnow_containment",
+    "dedup_embedding_cosine",
+    "dedup_semantic_components",
+    "sim_centroid_assign",
+    "text_token_stats",
+    "text_chunk",
+    "text_pii_scrub",
+    # --- tier 3: the 5 oldest r6-tier ids ---
+    "sink_partition_prune_ok",
+    "cdc_latest_wins",
+    "join_bucketed_noshuffle_ok",
+    "join_skew_salted",
+    "agg_grouping_sets",
 )
 
 

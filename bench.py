@@ -1,21 +1,25 @@
 #!/usr/bin/env python3
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints TWO JSON lines — a full
-per-query detail line, then a compact summary as the LAST stdout line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line — the compact
+summary — as the LAST stdout line:
 
-    {"metric": ..., "queries": {...}, "spread": {...}, ...}   # detail
     {"metric": "headline_query_wall_time", "value": N, "unit": "sec",
      "core16_wall_time": N, "full_wall_time": N, "failed": [...],
-     "repeats": N, "sf": ..., "n_queries": N,
+     "regressions": [...], "repeats": N, "sf": ..., "n_queries": N,
      "detail": "bench_detail.json"}                           # summary
 
 The compact line is last because the driver's stdout tail capture is
 bounded: the r6 run's single 93-query line overflowed it and the
 driver recorded ``parsed: null`` — the summary must fit and terminate
-the stream. The full per-query map is also written to
-``bench_detail.json`` at the repo root so the judge's round-over-round
-per-query comparison never depends on tail capture.
+the stream. The full per-query map is written ONLY to
+``bench_detail.json`` / the stamped ``bench_detail_r{NN}.json`` (both
+at the repo root, the stamped copy git-tracked), never to stdout:
+through round 9 a penultimate detail line was printed too, and the
+driver's bounded tail capture sliced its ``spread`` map into a
+``"name": float`` fragment indistinguishable from the timing map —
+the r9 judge misread spreads as timings (VERDICT r9 "What's wrong"
+#4). Per-query timings live ONLY in the stamped detail files.
 
 ``value`` is the total wall time of the headline set (lower is
 better). Each query runs ``$SPARK_GRAFT_BENCH_REPEATS`` times (default
@@ -300,14 +304,88 @@ def _calibrate(spark, cpus: int, reps: int = 3) -> tuple[float, float]:
 
 
 def _round_stamp(repo_dir: str) -> int:
-    """Current round number, derived from the driver's committed
-    BENCH_r{N}.json artifacts: the in-flight round is max(N)+1."""
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
-    ]
-    return (max(rounds) + 1) if rounds else 1
+    """Current round number. ``$SPARK_GRAFT_ROUND`` pins it explicitly;
+    otherwise it is derived as max(N)+1 over BOTH driver artifact
+    families (BENCH_r{N}.json and CORRECTNESS_r{N}.json — same base and
+    convention as scripts/plan_audit.py). When the two families
+    disagree, the run is mid-driver-window (one artifact landed before
+    the other) and an unpinned stamp would target the NEXT round while
+    the current round's detail goes stale — warn so the operator pins
+    ``SPARK_GRAFT_ROUND`` instead of trusting the derivation."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    maxima = []
+    for fam in ("BENCH", "CORRECTNESS"):
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(repo_dir, f"{fam}_r*.json"))
+            if (m := re.search(rf"{fam}_r(\d+)\.json$", f))
+        ]
+        if rounds:
+            maxima.append(max(rounds))
+    if not maxima:
+        return 1
+    if len(set(maxima)) > 1:
+        print(
+            f"bench: BENCH/CORRECTNESS artifact rounds disagree ({maxima}); "
+            f"stamping round {max(maxima) + 1} — set SPARK_GRAFT_ROUND to pin",
+            file=sys.stderr,
+        )
+    return max(maxima) + 1
+
+
+def _prior_detail(repo_dir: str, stamp: int) -> tuple[int, dict] | None:
+    """Newest stamped per-query detail from a round strictly before
+    ``stamp`` — the baseline for the per-query regression gate."""
+    best: tuple[int, str] | None = None
+    for f in glob.glob(os.path.join(repo_dir, "bench_detail_r*.json")):
+        m = re.search(r"bench_detail_r(\d+)\.json$", f)
+        if m and int(m.group(1)) < stamp:
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), f)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as fh:
+            return best[0], json.load(fh)
+    except (OSError, ValueError) as exc:
+        print(f"bench: prior detail {best[1]} unreadable: {exc}", file=sys.stderr)
+        return None
+
+
+def _find_regressions(
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    prior: dict | None,
+    sf_val,
+) -> tuple[list[str], dict[str, dict]]:
+    """Per-query round-over-round regression gate (VERDICT r9 task 3):
+    flag ``name`` when min_new exceeds the prior round's noise band
+    (min_old + spread_old) AND has at least doubled — a delta inside
+    either bound is host noise / normal drift, not a plan regression.
+    Only queries present in both rounds at the SAME sf compare; the
+    summary carries the flagged names, the detail file the numbers."""
+    if not prior or prior.get("sf") != sf_val:
+        return [], {}
+    old_t = prior.get("queries", {})
+    old_s = prior.get("spread", {})
+    flagged: list[str] = []
+    detail: dict[str, dict] = {}
+    for name, new_min in timings.items():
+        old_min = old_t.get(name)
+        if old_min is None or new_min != new_min or old_min != old_min:
+            continue
+        band = old_min + old_s.get(name, 0.0)
+        if new_min > band and new_min > 2 * old_min:
+            flagged.append(name)
+            detail[name] = {
+                "min_old": old_min,
+                "spread_old": old_s.get(name, 0.0),
+                "min_new": new_min,
+                "spread_new": spreads.get(name, 0.0),
+            }
+    return sorted(flagged), detail
 
 
 def main() -> None:
@@ -384,6 +462,13 @@ def main() -> None:
     # from the sums, which would otherwise read as a speedup — `failed`
     # makes that explicit (non-empty failed = the wall times are not
     # comparable to other rounds).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    stamp = _round_stamp(repo_dir)
+    prior = _prior_detail(repo_dir, stamp)
+    comparable = prior is not None and prior[1].get("sf") == sf_val
+    regressions, regression_detail = _find_regressions(
+        timings, spreads, prior[1] if comparable else None, sf_val
+    )
     summary = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -391,6 +476,12 @@ def main() -> None:
         "core16_wall_time": core16,
         "full_wall_time": total,
         "failed": failed,
+        # Per-query regression gate vs the newest prior stamped detail
+        # (non-empty = named queries whose min exceeded the prior noise
+        # band AND doubled; adjudicate against `host` before believing
+        # it — a contended sweep flags noise).
+        "regressions": regressions,
+        "regressions_vs_round": prior[0] if comparable else None,
         "repeats": repeats,
         "sf": sf_val,
         "n_queries": len(timings),
@@ -413,14 +504,15 @@ def main() -> None:
             "calib_end_max": calib_end[1],
         },
     }
-    # Full detail: the summary plus the per-query min map and the
+    # Full detail: the summary plus the per-query min map, the
     # per-query max−min spread (a delta vs last round smaller than the
-    # spread is noise, not a plan change). Written to a file AND
-    # printed on its own (penultimate) stdout line; the compact
-    # summary is the LAST line so the driver's bounded tail capture
-    # always parses it.
-    detail = dict(summary, queries=timings, spread=spreads)
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # spread is noise, not a plan change), and the regression gate's
+    # old/new numbers. File-only — never printed to stdout (see module
+    # docstring: a tail-sliced spread map reads as timings).
+    detail = dict(
+        summary, queries=timings, spread=spreads,
+        regression_detail=regression_detail,
+    )
     # The working detail path honors $SPARK_GRAFT_BENCH_DETAIL so test
     # subprocesses (test_bench_contract) and targeted re-measurements
     # can't clobber the round's artifact — the r8 failure mode: any
@@ -440,16 +532,14 @@ def main() -> None:
     # the auditable record the judge's round-over-round per-query
     # comparison reads. Subset runs never touch it.
     if only is None and "SPARK_GRAFT_BENCH_DETAIL" not in os.environ:
-        stamped = os.path.join(
-            repo_dir, f"bench_detail_r{_round_stamp(repo_dir):02d}.json"
-        )
+        stamped = os.path.join(repo_dir, f"bench_detail_r{stamp:02d}.json")
+        print(f"bench: stamping round {stamp} detail -> {stamped}", file=sys.stderr)
         try:
             with open(stamped, "w") as fh:
                 json.dump(detail, fh)
                 fh.write("\n")
         except OSError as exc:
             print(f"stamped bench detail write failed: {exc}", file=sys.stderr)
-    print(json.dumps(detail))
     print(json.dumps(summary))
     spark.stop()
 

@@ -11,20 +11,32 @@ regression (the driver's CORRECTNESS gate can't see plan shape, and
 the bench only sees its wall-time consequence, usually within noise).
 
 Runs against a FRESH vanilla session (like scripts/check_parity.py) so
-session-conf drift can't flap join strategies between audits; plans
-are analyzed statically (explain only, nothing executes) at sf0.001.
+session-conf drift can't flap join strategies between audits. The
+audited PLAN is static (``explain`` only — the query's job itself
+never executes), but building some queries runs real bounded
+driver-side Spark actions at sf0.001 (seed/cursor fetches like
+sort_keyset_pagination's ``.first()``, invariant counts, and the
+iterative operators' fixpoint loops run to convergence during
+construction), so a full audit does substantial sf0.001 work.
 
 Flags (reported in the summary, non-zero exit on new ones):
 - cartesian: CartesianProduct / BroadcastNestedLoopJoin anywhere
   outside the known bounded scalar-join allowlist;
 - python_row_udf: a row-at-a-time BatchEvalPython node (the slow
   path; Arrow/pandas eval nodes are fine).
+
+``--diff PRIOR.json`` additionally compares the fresh artifact
+against a prior round's stamp: per-query metric deltas (exchanges /
+broadcasts / join strategies / Generate / Window / Python-eval /
+pushdown presence) plus added and removed queries — a silently added
+shuffle or dropped pushdown becomes a named delta instead of bench
+noise (VERDICT r9 task 2). Diff output is informational; the exit
+code still reflects only the flag problems above.
 """
 
 from __future__ import annotations
 
 import contextlib
-import glob
 import io
 import json
 import os
@@ -61,10 +73,51 @@ _BOUNDED_NLJ = {
 }
 
 
+_METRICS = (
+    "exchanges", "broadcasts", "smj", "bhj", "nlj",
+    "generate", "windows", "python_eval", "row_python_eval",
+    "pushed_filters",
+)
+
+
+def diff_artifacts(prior: dict, current: dict) -> dict:
+    """Per-query metric deltas between two audit artifacts. Returns
+    {added: [...], removed: [...], changed: {name: {metric: [old, new]}}}
+    over the queries present in both."""
+    pq, cq = prior.get("queries", {}), current.get("queries", {})
+    changed: dict[str, dict] = {}
+    for name in sorted(set(pq) & set(cq)):
+        old, new = pq[name], cq[name]
+        if "error" in old or "error" in new:
+            if old.get("error") != new.get("error"):
+                changed[name] = {"error": [old.get("error"), new.get("error")]}
+            continue
+        deltas = {
+            m: [old.get(m), new.get(m)]
+            for m in _METRICS
+            if old.get(m) != new.get(m)
+        }
+        if deltas:
+            changed[name] = deltas
+    return {
+        "added": sorted(set(cq) - set(pq)),
+        "removed": sorted(set(pq) - set(cq)),
+        "changed": changed,
+    }
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
     from talkdesk_async_etl_spark.plans.registry import load_all
+
+    diff_against = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--diff":
+        if len(argv) < 2:
+            print("usage: plan_audit.py [--diff PRIOR_ARTIFACT.json]", file=sys.stderr)
+            sys.exit(2)
+        diff_against = argv[1]
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -108,30 +161,39 @@ def main() -> None:
             problems.append(f"{name}: unallowlisted cartesian/nested-loop join")
     spark.stop()
 
-    rounds = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", f))
-    ]
-    stamp = (max(rounds) + 1) if rounds else 0
-    out = os.path.join(
-        os.path.dirname(__file__), "..", f"plan_audit_r{stamp:02d}.json"
-    )
+    # Round stamp: same implementation and convention as bench.py
+    # ($SPARK_GRAFT_ROUND pin, else max over BENCH_r*/CORRECTNESS_r*
+    # + 1, empty-artifact base 1 — previously this script used base 0).
+    from bench import _round_stamp
+
+    repo_dir = os.path.join(os.path.dirname(__file__), "..")
+    stamp = _round_stamp(repo_dir)
+    out = os.path.join(repo_dir, f"plan_audit_r{stamp:02d}.json")
+    current = {"sf": SF, "queries": audit, "problems": problems}
     with open(out, "w") as fh:
-        json.dump({"sf": SF, "queries": audit, "problems": problems}, fh, indent=1, sort_keys=True)
+        json.dump(current, fh, indent=1, sort_keys=True)
         fh.write("\n")
     n_err = sum(1 for v in audit.values() if "error" in v)
-    print(
-        json.dumps(
-            {
-                "queries": len(audit),
-                "plan_errors": n_err,
-                "problems": problems,
-                "total_exchanges": sum(v.get("exchanges", 0) for v in audit.values()),
-                "out": os.path.relpath(out),
-            }
-        )
-    )
+    summary = {
+        "queries": len(audit),
+        "plan_errors": n_err,
+        "problems": problems,
+        "total_exchanges": sum(v.get("exchanges", 0) for v in audit.values()),
+        "out": os.path.relpath(out),
+    }
+    if diff_against:
+        with open(diff_against) as fh:
+            prior = json.load(fh)
+        diff = diff_artifacts(prior, current)
+        summary["diff"] = {
+            "against": os.path.basename(diff_against),
+            "added": diff["added"],
+            "removed": diff["removed"],
+            "n_changed": len(diff["changed"]),
+        }
+        for name, deltas in diff["changed"].items():
+            print(f"plan diff {name}: {json.dumps(deltas)}", file=sys.stderr)
+    print(json.dumps(summary))
     sys.exit(1 if problems else 0)
 
 

@@ -220,7 +220,7 @@ _IW_ORACLE = f"""
     WITH scored AS (
         SELECT doc_id, lang,
                greatest(100000, least({_IW_MICRO},
-                   len(string_split(text, ' ')) * 10000)) AS p_micro,
+                   len(string_split(coalesce(text, ''), ' ')) * 10000)) AS p_micro,
                {_IW_DUCK_U} AS u_micro
         FROM documents
     )
@@ -253,9 +253,16 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division for the weight) — the predicate sampling 100 TB pays
     exactly one read."""
     d = t(spark, sf_dir, "documents", spread=True)
+    # coalesce pins the NULL-text seam (ADVICE r9): Spark's non-ANSI
+    # size(split(NULL)) = -1 clamps to the floor while DuckDB's
+    # NULL-skipping least/greatest yields the ceiling — with
+    # coalesce(text, '') both engines score an empty doc at the floor.
     p_micro = F.greatest(
         F.lit(100_000),
-        F.least(F.lit(_IW_MICRO), F.size(F.split("text", " ")) * 10_000),
+        F.least(
+            F.lit(_IW_MICRO),
+            F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")) * 10_000,
+        ),
     ).cast("long")
     u_micro = _hex15_col(F.col("doc_id").cast("string")) % _IW_MICRO
     return (

@@ -429,10 +429,22 @@ def scd2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     the operator shuffles once on user_id (the groupBy), identical to
     the batch build's single exchange.
 
+    Liveness: the pending buffer drains on WATERMARK ADVANCE, not on
+    per-key traffic — whenever a key holds buffered events, an
+    event-time timer is set at the earliest pending timestamp, so the
+    key is re-invoked (``state.hasTimedOut``, empty batch iterator) as
+    soon as the global watermark passes it, even if that user never
+    sends another event (ADVICE r9: under NoTimeout a silent user's
+    finalized versions were stuck until its next arrival). The one
+    residual condition is inherent to event-time processing: if the
+    WHOLE stream stops, the watermark freezes and nothing finalizes.
+
     Batch equivalence (pinned in test_streaming): the emitted closed
     versions equal the batch twin's ``is_current = false`` rows over
     the finalized region — byte-identical valid_from/valid_to/attr,
-    including timestamp-tie resolution by event_id."""
+    including timestamp-tie resolution by event_id. The test's
+    watermark-pushing traffic is single-user, so the other user's
+    closures attest the timer path."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
@@ -443,7 +455,8 @@ def scd2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             pend = list(zip(p_ts or [], p_eid or [], p_attr or []))
         else:
             open_attr, open_from, pend = None, None, []
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
         for pdf in pdfs:
             micros = pdf["ts"].astype("int64") // 1000  # pandas ns -> us
             for ts_us, eid, attr in zip(micros, pdf["event_id"], pdf["event_type"]):
@@ -471,6 +484,12 @@ def scd2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
                 [a for _, _, a in keep],
             )
         )
+        if keep:
+            # Re-arm every invocation (timers clear on each call): fire
+            # when the watermark passes the earliest pending event.
+            # Event-time timers must sit strictly beyond the current
+            # watermark, hence the wm_ms + 1 floor.
+            state.setTimeoutTimestamp(max(keep[0][0] // 1000, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {
@@ -492,6 +511,6 @@ def scd2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             "pend_ts array<bigint>, pend_eid array<bigint>, "
             "pend_attr array<string>",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

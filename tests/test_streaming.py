@@ -538,8 +538,11 @@ def test_scd2_stream_matches_batch_on_finalized_region(spark, tmp_path):
     slack, a timestamp tie broken by event_id, and same-value run
     collapse must all finalize to EXACTLY the batch twin's closed
     versions (cdc_scd2_build is_current = false) — append-only, no
-    retractions. Sentinel+pusher files drive the watermark so every
-    real version closes; sentinel versions stay open and unemitted."""
+    retractions. The watermark-pushing traffic after f2 is USER 1
+    ONLY: user 2's closed version can emit only via the event-time
+    TIMER path (state.hasTimedOut on watermark advance), attesting the
+    ADVICE-r9 liveness fix — under the old NoTimeout conf a silent
+    user's finalized versions never drained."""
     import datetime as dt
 
     from talkdesk_async_etl_spark.operators.ingest import cdc_scd2_build
@@ -561,12 +564,15 @@ def test_scd2_stream_matches_batch_on_finalized_region(spark, tmp_path):
         # event EARLIER than everything in f1; u2 gets a ts TIE with
         # event 3 (higher event_id -> later in the tie-break order)
         [(4, at(-3), 1, "B", 0.0, "{}"), (5, at(1), 2, "Y", 0.0, "{}")],
-        # f3: sentinels open a final version per user
-        [(6, at(120), 1, "ZZ", 0.0, "{}"), (7, at(120), 2, "ZZ", 0.0, "{}")],
-        # f4: advances the watermark past the real events (closes B, X)
-        [(8, at(240), 1, "ZZ", 0.0, "{}"), (9, at(240), 2, "ZZ", 0.0, "{}")],
-        # f5: advances it past the sentinels (closes A, Y)
-        [(10, at(300), 1, "ZZ", 0.0, "{}"), (11, at(300), 2, "ZZ", 0.0, "{}")],
+        # f3-f5: user-1-ONLY traffic drives the global watermark. User 2
+        # never sends again — its X closure must come from the event-
+        # time timer, not a per-key arrival. f3 opens u1's sentinel
+        # version; f4 advances the watermark past the real events
+        # (closes u1's B and, via timer, u2's X); f5 advances it past
+        # the sentinel (closes u1's A).
+        [(6, at(120), 1, "ZZ", 0.0, "{}")],
+        [(8, at(240), 1, "ZZ", 0.0, "{}")],
+        [(10, at(300), 1, "ZZ", 0.0, "{}")],
     ]
     # the file source requires the directory to exist: seed f1 first
     spark.createDataFrame(files[0], schema).coalesce(1).write.mode("append").parquet(src)
@@ -610,5 +616,8 @@ def test_scd2_stream_matches_batch_on_finalized_region(spark, tmp_path):
     # the scenario is non-trivial by construction: an out-of-order
     # close, a zero-length tie version, and a collapsed run
     assert (1, "B", us(at(-3)), us(at(0))) in want  # out-of-order insert
-    assert (2, "X", us(at(1)), us(at(1))) in want  # ts tie -> zero-length
-    assert len(want) == 4
+    # u2's zero-length tie version emitted WITHOUT any u2 traffic after
+    # f2 — the event-time-timer liveness attestation (u2's Y stays open
+    # and unemitted, matching the batch twin's is_current row)
+    assert (2, "X", us(at(1)), us(at(1))) in want
+    assert len(want) == 3

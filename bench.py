@@ -272,6 +272,10 @@ _HEADLINE_R9 = (
     "agg_hypertable_rollup",
 )
 
+_HEADLINE_R10 = (
+    "text_bpe_train",
+)
+
 HEADLINE = (
     _HEADLINE_CORE
     + _HEADLINE_RELATIONAL
@@ -280,6 +284,7 @@ HEADLINE = (
     + _HEADLINE_R7
     + _HEADLINE_R8
     + _HEADLINE_R9
+    + _HEADLINE_R10
 )
 
 

@@ -1832,6 +1832,42 @@ def test_bpe_merge_order_matters(spark, tmp_path):
     assert rows[1]["n_tokens"] == 4
 
 
+def test_bpe_train_learns_constructed_merges(spark, tmp_path):
+    """Hand-computable 8-round BPE training run exercising every rule:
+    round 1's winner by plain majority; round 2's winner is a pair of
+    MERGED symbols that only exists because round 1 was applied first,
+    AND it ties doc3's 'c d' at count 2 — 'ab ab' < 'c d' pins the
+    pair-ascending tie-break; rounds 5-8 cascade through the filler
+    doc one count-1 merge per round (again tie-broken by string
+    order). Any mis-ordered apply, wrong tie-break, or stale count
+    shifts a row."""
+    spark.createDataFrame(
+        [
+            (1, "ab ab!"),   # normalizes to abab -> a b a b
+            (2, "ABAB"),     # same
+            (3, "cd-cd"),    # -> c d c d
+            (4, "pqrstuvw"),  # 7 distinct count-1 pairs, merge fodder
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from talkdesk_async_etl_spark.operators.text import text_bpe_train
+
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_count"])
+        for r in text_bpe_train(spark, str(tmp_path)).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, "a b", "ab", 4),
+        (2, "ab ab", "abab", 2),  # tie with 'c d' (2) -> pair ASC wins
+        (3, "c d", "cd", 2),
+        (4, "cd cd", "cdcd", 1),
+        (5, "p q", "pq", 1),
+        (6, "pq r", "pqr", 1),
+        (7, "pqr s", "pqrs", 1),
+        (8, "pqrs t", "pqrst", 1),
+    ]
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

@@ -774,6 +774,35 @@ def test_bpe_apply_zero_shuffle(spark):
     assert "EvalPython" not in plan
 
 
+def test_bpe_train_round_plan_one_exchange(spark):
+    """Each BPE training round pays exactly ONE corpus-sized exchange
+    (the pair-count aggregate, partial+final); the argmax plans as
+    TakeOrderedAndProject (top-1, no extra sort shuffle) and nothing
+    reaches Python. Pinned on the per-round counting plan directly —
+    the registered query's returned table is the driver-built merge
+    list, so the scale claim lives in the round job."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.text import _bpe_pair_counts
+
+    base = spark.range(64).select(F.lit("a b c a b").alias("e"))
+    round_df = (
+        _bpe_pair_counts(base)
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        round_df.explain("formatted")
+    plan = buf.getvalue()
+    assert _n_exchanges(plan) == 1, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
 def _n_exchanges(plan: str) -> int:
     import re
 

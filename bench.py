@@ -274,6 +274,7 @@ _HEADLINE_R9 = (
 
 _HEADLINE_R10 = (
     "text_bpe_train",
+    "dedup_substring_spans",
 )
 
 HEADLINE = (

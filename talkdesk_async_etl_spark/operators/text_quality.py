@@ -9,7 +9,7 @@ same plans; shared lexicons stay in text.py and are imported here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.operators.text import _STOPWORDS
@@ -446,3 +446,138 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+_SUBSTR_K = 8  # gram length in tokens (Lee et al. use 50; the test
+# corpus's verbatim overlaps are shorter, and k only scales the slice)
+
+
+def _substr_oracle() -> str:
+    from talkdesk_async_etl_spark.operators.dedup import _duck_hex15
+
+    gram = (
+        "md5(array_to_string(list_slice(tk, CAST(i AS INT), "
+        f"CAST(i + {_SUBSTR_K - 1} AS INT)), ' '))"
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS INT) AS start,
+               CAST(len(tk) AS INTEGER) AS n_tokens,
+               {_duck_hex15(gram)} AS h
+        FROM toks, range(1, 3000) r(i)
+        WHERE i + {_SUBSTR_K - 1} <= len(tk)
+    ),
+    dupg AS MATERIALIZED (
+        SELECT doc_id, start, n_tokens FROM (
+            SELECT doc_id, start, n_tokens,
+                   count(*) OVER (PARTITION BY h) AS occ
+            FROM grams
+        ) WHERE occ >= 2
+    ),
+    isl AS MATERIALIZED (
+        SELECT doc_id, n_tokens, start,
+               sum(CASE WHEN prev IS NULL OR start - prev > {_SUBSTR_K}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT doc_id, n_tokens, start,
+                   lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+            FROM dupg
+        )
+    ),
+    spans AS MATERIALIZED (
+        SELECT doc_id, n_tokens, island,
+               min(start) AS s, max(start) + {_SUBSTR_K} AS e
+        FROM isl GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id, n_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+           round(sum(e - s) * 1.0 / n_tokens, 6) AS dup_fraction
+    FROM spans GROUP BY doc_id, n_tokens
+    """
+
+
+@query("dedup_substring_spans", oracle=_substr_oracle(), tags=("dedup", "text"))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2x: EXACT-substring duplicate span report — the ExactSubstr
+    side of training-data dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): any ``_SUBSTR_K``-token gram
+    occurring >= 2 times corpus-wide (within- OR cross-document) marks
+    its token span as duplicated; per document, overlapping and
+    touching marked spans merge into maximal removal intervals
+    (gaps-and-islands over gram start positions: a new island starts
+    when the gap to the previous marked start exceeds k). Emits per
+    affected doc: span count, duplicated-token total, and the
+    duplicated fraction — the report a span-removal pass consumes (a
+    production remover additionally keeps each gram's first
+    occurrence; this operator reports ALL occurrences so the numbers
+    are symmetric and engine-checkable). Complements the approximate
+    family: winnowing/MinHash find whole-document near-dups, this
+    finds verbatim boilerplate runs inside otherwise-distinct docs.
+
+    Scale shape: positional grams explode in-scan (token array
+    materialized once per doc, gram slices fold from the column, the
+    60-bit engine-agreeing md5 leaf keys the shuffle with 8 bytes, not
+    gram text); duplicate marking is ONE window count over the gram
+    hash — the same single keyed exchange a groupBy would pay, with no
+    join-back relation; island merging is one doc-keyed exchange whose
+    two window passes and both aggregates share it (plan-pinned: two
+    keyed exchanges + the read spread, no join anywhere). 100 TB note:
+    the gram-hash partition count follows corpus tokens, and a
+    boilerplate gram repeated 10^6 times concentrates one key — the
+    production remedy is the same hot-key cap the LSH bucket path
+    fuses into its shuffle."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= _SUBSTR_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {_SUBSTR_K - 1}),"
+                f" i -> struct(i AS start,"
+                f" concat_ws(' ', slice(tk, i, {_SUBSTR_K})) AS g))"
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("e.start").alias("start"),
+        _hex15_col(F.col("e.g")).alias("h"),
+    )
+    dup = grams.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("occ") >= 2)
+    doc_w = Window.partitionBy("doc_id").orderBy("start")
+    prev = F.lag("start").over(doc_w)
+    brk = F.when(
+        prev.isNull() | (F.col("start") - prev > _SUBSTR_K), 1
+    ).otherwise(0)
+    isl = dup.select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.sum(brk).over(
+            doc_w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("island"),
+    )
+    spans = isl.groupBy("doc_id", "n_tokens", "island").agg(
+        F.min("start").alias("s"),
+        (F.max("start") + _SUBSTR_K).alias("e"),
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+        F.round(
+            F.sum(F.col("e") - F.col("s")) / F.col("n_tokens"), 6
+        ).alias("dup_fraction"),
+    )

@@ -1868,6 +1868,38 @@ def test_bpe_train_learns_constructed_merges(spark, tmp_path):
     ]
 
 
+def test_substring_spans_constructed(spark, tmp_path):
+    """Hand-computed exact-substring spans (k=8): docs 1/2 share a
+    verbatim 10-token run at different offsets — three consecutive dup
+    grams each, merging into ONE 10-token span; doc 3 repeats an
+    8-token run WITHIN itself with an 11-token gap (> k) — two
+    separate 8-token spans; doc 4 is clean and doc 5 too short to
+    gram — both absent."""
+    run = "a b c d e f g h i j"
+    r8 = " ".join(f"r{i}" for i in range(1, 9))
+    spark.createDataFrame(
+        [
+            (1, f"{run} q1 q2"),
+            (2, f"z9 {run} z8"),
+            (3, f"{r8} x1 x2 x3 {r8} y1"),
+            (4, " ".join(f"u{i}" for i in range(12))),
+            (5, "s1 s2 s3"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from talkdesk_async_etl_spark.operators.text_quality import dedup_substring_spans
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"], r["dup_fraction"])
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (12, 1, 10, 0.833333),
+        2: (12, 1, 10, 0.833333),
+        3: (20, 2, 16, 0.8),
+    }
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

@@ -774,6 +774,18 @@ def test_bpe_apply_zero_shuffle(spark):
     assert "EvalPython" not in plan
 
 
+def test_substring_spans_two_keyed_exchanges_no_join(spark):
+    """dedup_substring_spans claims duplicate marking as a window
+    count (no join-back relation): the whole plan is the read spread
+    plus exactly two keyed exchanges — gram-hash, then doc_id (both
+    window passes and both aggregates share the doc exchange) — and
+    joins nowhere."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert _n_exchanges(plan) <= 3, plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_bpe_train_round_plan_one_exchange(spark):
     """Each BPE training round pays exactly ONE corpus-sized exchange
     (the pair-count aggregate, partial+final); the argmax plans as

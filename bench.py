@@ -275,6 +275,7 @@ _HEADLINE_R9 = (
 _HEADLINE_R10 = (
     "text_bpe_train",
     "dedup_substring_spans",
+    "sample_temperature_mixture",
 )
 
 HEADLINE = (

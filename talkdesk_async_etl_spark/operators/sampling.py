@@ -275,3 +275,90 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(_IW_MICRO) / F.col("p_micro"), 6).alias("weight"),
         )
     )
+
+
+# Mixture-flattening exponent alpha = 0.7 (XLM's language-sampling
+# rule: share proportional to n_tokens^0.7 — alpha < 1 FLATTENS the raw
+# token distribution, boosting low-resource languages; "temperature"
+# tau = 1/alpha ~ 1.43). The exponent must be the same IEEE DOUBLE on
+# both engines — Spark parses bare decimal literals in expr() as
+# DECIMAL (a first `1.0/0.7` formulation truncated the exponent to 6
+# digits and pow drifted in the 7th digit), so the SQL spells the cast
+# out and the Python side passes the float literal.
+_TEMP_ALPHA = "CAST(0.7 AS DOUBLE)"
+_TEMP_ALPHA_F = 0.7
+_TEMP_MICRO = 1_000_000  # pow values are O(10..10^4): micro-scale
+# before the floor so the exact-integer quantization keeps ~10 digits
+
+
+_TEMP_ORACLE = f"""
+    WITH per_lang AS MATERIALIZED (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+                 AS n_tokens,
+               CAST(floor(pow(sum(len(string_split(coalesce(text, ''), ' '))),
+                              {_TEMP_ALPHA}) * {_TEMP_MICRO}) AS BIGINT) AS s
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS raw_share,
+           round(s * 1.0 / sum(s) OVER (), 6) AS weight_t07,
+           round((s * 1.0 / sum(s) OVER ())
+                 / (n_tokens * 1.0 / sum(n_tokens) OVER ()), 6) AS boost
+    FROM per_lang
+"""
+
+
+@query("sample_temperature_mixture", oracle=_TEMP_ORACLE, tags=("sampling",))
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7t: temperature-scaled language mixture weights (XLM's
+    language-sampling rule, the UniMax/mT5 family): a language's
+    sampling share is proportional to ``n_tokens^alpha`` with
+    alpha = 0.7 < 1 — flatter than the raw token distribution, so
+    low-resource languages are upsampled (boost > 1) without letting
+    any one language's epoch count explode. Emits per language the raw
+    corpus share, the temperature-scaled weight, and the boost factor
+    (weight / raw share) a mixture scheduler feeds to
+    ``text_mixture_upsample``.
+
+    Cross-engine float seam: ``pow`` is the one non-exact step — Java's
+    and C's implementations differ by ~1 ulp, and a first formulation
+    that divided two raw-pow ratios (the boost) amplified exactly that
+    ulp onto a 6-dp rounding boundary at two of three SFs. The fix is
+    the repo's micro-quantization rule: micro-scale and FLOOR the pow
+    to an exact BIGINT (a boundary hit now needs pow to land within
+    ~1e-10 of a micro-unit); every downstream ratio then divides
+    identical exact integers — correctly-rounded IEEE on both engines,
+    bit-identical before AND after round(6).
+
+    Scale shape: one map-side-combinable groupBy(lang) aggregate over
+    the scan; the normalizing totals ride a single-partition window
+    over the LANGUAGE-count-sized relation (a handful of rows), so the
+    corpus is read once and shuffled once."""
+    per_lang = (
+        t(spark, sf_dir, "documents", spread=True)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "s",
+            F.floor(
+                F.pow(F.col("n_tokens"), F.lit(_TEMP_ALPHA_F)) * _TEMP_MICRO
+            ).cast("long"),
+        )
+    )
+    all_w = Window.partitionBy()
+    raw_share = F.col("n_tokens") / F.sum("n_tokens").over(all_w)
+    weight = F.col("s") / F.sum("s").over(all_w)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(weight, 6).alias("weight_t07"),
+        F.round(weight / raw_share, 6).alias("boost"),
+    )

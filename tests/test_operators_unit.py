@@ -1900,6 +1900,39 @@ def test_substring_spans_constructed(spark, tmp_path):
     }
 
 
+def test_temperature_mixture_constructed(spark, tmp_path):
+    """Constructed two-language corpus: 'aa' holds 8 tokens, 'bb' 64.
+    Expected values recomputed with Python's IEEE pow/floor (the same
+    doubles both engines produce); semantically the low-resource lang
+    must be boosted above 1 and the high-resource one below."""
+    import math
+
+    docs = [
+        (1, "aa", "t1 t2 t3 t4"),
+        (2, "aa", "u1 u2 u3 u4"),
+        (3, "bb", " ".join(f"w{i}" for i in range(64))),
+    ]
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from talkdesk_async_etl_spark.operators.sampling import sample_temperature_mixture
+
+    got = {
+        r["lang"]: r.asDict() for r in sample_temperature_mixture(spark, str(tmp_path)).collect()
+    }
+    s = {
+        lang: math.floor(math.pow(n, 0.7) * 1_000_000)
+        for lang, n in (("aa", 8), ("bb", 64))
+    }
+    tot_s, tot_n = sum(s.values()), 72
+    for lang, n in (("aa", 8), ("bb", 64)):
+        assert got[lang]["n_tokens"] == n
+        assert got[lang]["weight_t07"] == round(s[lang] / tot_s, 6)
+        assert got[lang]["boost"] == round((s[lang] / tot_s) / (n / tot_n), 6)
+    assert got["aa"]["boost"] > 1 > got["bb"]["boost"]
+    assert got["aa"]["n_docs"] == 2 and got["bb"]["n_docs"] == 1
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

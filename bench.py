@@ -276,6 +276,7 @@ _HEADLINE_R10 = (
     "text_bpe_train",
     "dedup_substring_spans",
     "sample_temperature_mixture",
+    "dedup_incremental_components",
 )
 
 HEADLINE = (

@@ -1933,6 +1933,36 @@ def test_temperature_mixture_constructed(spark, tmp_path):
     assert got["aa"]["n_docs"] == 2 and got["bb"]["n_docs"] == 1
 
 
+def test_incremental_components_quotient_branches(spark):
+    """Hand-built pair graph driving every quotient-composition branch
+    (odd doc_id = new): old clusters {2,4} (label 2) and {6,8} (label
+    6) merge through the new-doc chain 1-2, 1-3, 3-6 → every member
+    relabels to the global min 1; untouched old cluster {12,14} keeps
+    label 12 (no quotient node); previously-ISOLATED old doc 20 (no
+    old-old pair, so absent from L_old) joins new doc 17 via the raw
+    quotient edge → label 17; pure new-new pair {21,23} → label 21."""
+    from talkdesk_async_etl_spark.operators.dedup_clusters import (
+        incremental_components_from,
+    )
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    pairs = spark.createDataFrame(
+        [(2, 4), (6, 8), (1, 2), (1, 3), (3, 6), (12, 14), (17, 20), (21, 23)],
+        "doc_a long, doc_b long",
+    )
+    with cache_scope():
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in incremental_components_from(pairs).collect()
+        }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 6: 1, 8: 1,
+        12: 12, 14: 12,
+        17: 17, 20: 17,
+        21: 21, 23: 21,
+    }
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

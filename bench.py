@@ -277,6 +277,7 @@ _HEADLINE_R10 = (
     "dedup_substring_spans",
     "sample_temperature_mixture",
     "dedup_incremental_components",
+    "sql_group_by_all",
 )
 
 HEADLINE = (

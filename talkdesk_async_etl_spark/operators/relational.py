@@ -825,3 +825,33 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "o_custkey", "n")
     )
     return ia.unionByName(ea)
+
+
+_GBA_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM {ord}
+    WHERE o_totalprice > 1000
+    GROUP BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all",
+    oracle=_GBA_SQL.format(ord="orders"),
+    tags=("scan", "sql"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface attestation #4: ``GROUP BY ALL`` — the analyst
+    shorthand (DuckDB-originated, adopted by Spark 3.4+) where the
+    grouping keys are inferred as every non-aggregate select item. The
+    ORACLE RUNS THE IDENTICAL STATEMENT (modulo the view name): both
+    engines must infer the same (o_orderstatus, o_orderpriority) key
+    set for the hashes to meet, so this row attests the inference rule
+    itself, not just the aggregate. Plan economics are unchanged from
+    an explicit GROUP BY: pushed price filter + two-level hash
+    aggregate."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders")
+    return spark.sql(_GBA_SQL.format(ord="gba_orders"))

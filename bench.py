@@ -278,6 +278,7 @@ _HEADLINE_R10 = (
     "sample_temperature_mixture",
     "dedup_incremental_components",
     "sql_group_by_all",
+    "cdc_tombstone_deletes",
 )
 
 HEADLINE = (

@@ -855,3 +855,83 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders")
     return spark.sql(_GBA_SQL.format(ord="gba_orders"))
+
+
+_TOMBSTONE_ORACLE = """
+    WITH log AS (
+        SELECT o_orderkey AS key, 'I' AS op, o_orderstatus AS status,
+               1 AS version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', 'U2', 2 FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', NULL, 3 FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 'I', 'R4', 4 FROM orders WHERE o_orderkey % 15 = 0
+    ),
+    latest AS (
+        SELECT key, op, status, version,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY version DESC) AS rn
+        FROM log
+    )
+    SELECT CASE WHEN op = 'D' THEN '__DELETED__' ELSE status END AS state,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(version) AS BIGINT) AS version_sum
+    FROM latest WHERE rn = 1 GROUP BY 1
+"""
+
+
+@query("cdc_tombstone_deletes", oracle=_TOMBSTONE_ORACLE, tags=("cdc", "window"))
+def cdc_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 completion: CDC DELETE semantics over the append-only upsert
+    log — the half of merge-on-read that ``cdc_latest_wins`` leaves
+    out. The change log carries op ∈ {I, U, D}; a key's live state is
+    its LATEST op, so a delete tombstone hides the key from the live
+    view, and a later re-insert REVIVES it (delete at v3, insert at
+    v4 → alive with v4's attributes — the sequence that breaks naive
+    "filter out any key that ever saw a D" implementations). The
+    deterministic log derives four versions from orders (every 5th
+    key updated, every 3rd deleted, every 15th revived — the 15s
+    exercise delete-then-revive, the 3s-not-15s stay dead); the
+    report groups live keys by final status plus one ``__DELETED__``
+    row, and ``version_sum`` pins which version actually won per
+    class (1/2/3/4 mixes shift it if any precedence is wrong).
+
+    Scale shape: identical to cdc_latest_wins — one window shuffle on
+    the upsert key; at scale the log is date-partitioned and a
+    compaction job materializes rank-1 rows (now DROPPING tombstoned
+    keys — the delete is physically applied only at compaction, the
+    standard merge-on-read contract)."""
+    from pyspark.sql import Window
+
+    base = t(spark, sf_dir, "orders", spread=True)
+
+    def ver(pred, op, status, version):
+        src = base.filter(pred) if pred is not None else base
+        return src.select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(op).alias("op"),
+            (F.col("o_orderstatus") if status is ... else F.lit(status)).alias(
+                "status"
+            ),
+            F.lit(version).alias("version"),
+        )
+
+    log = (
+        ver(None, "I", ..., 1)
+        .unionAll(ver(F.col("o_orderkey") % 5 == 0, "U", "U2", 2))
+        .unionAll(
+            ver(F.col("o_orderkey") % 3 == 0, "D", None, 3)
+        )
+        .unionAll(ver(F.col("o_orderkey") % 15 == 0, "I", "R4", 4))
+    )
+    w = Window.partitionBy("key").orderBy(F.col("version").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    state = F.when(F.col("op") == "D", F.lit("__DELETED__")).otherwise(
+        F.col("status")
+    )
+    return latest.groupBy(state.alias("state")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("version").cast("long").alias("version_sum"),
+    )

@@ -1963,6 +1963,30 @@ def test_incremental_components_quotient_branches(spark):
     }
 
 
+def test_tombstone_precedence_branches(spark, tmp_path):
+    """Six hand-picked keys drive every CDC-delete precedence branch:
+    key 1 plain insert; keys 5/10 update-beats-insert; keys 3/6
+    delete-hides-key; key 15 delete-then-REVIVE (I1,U2,D3,I4 → alive
+    at v4 — the sequence that breaks 'filter any key that ever saw a
+    D'). version_sum pins which version won per class."""
+    spark.createDataFrame(
+        [(1, "O"), (3, "O"), (5, "O"), (6, "F"), (10, "F"), (15, "P")],
+        "o_orderkey long, o_orderstatus string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    from talkdesk_async_etl_spark.operators.relational import cdc_tombstone_deletes
+
+    got = {
+        r["state"]: (r["n_keys"], r["version_sum"])
+        for r in cdc_tombstone_deletes(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "O": (1, 1),          # key 1: plain insert
+        "U2": (2, 4),         # keys 5, 10: update wins at v2
+        "__DELETED__": (2, 6),  # keys 3, 6: tombstone wins at v3
+        "R4": (1, 4),         # key 15: revived after delete, v4
+    }
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

@@ -279,6 +279,7 @@ _HEADLINE_R10 = (
     "dedup_incremental_components",
     "sql_group_by_all",
     "cdc_tombstone_deletes",
+    "multimodal_shot_boundaries",
 )
 
 HEADLINE = (

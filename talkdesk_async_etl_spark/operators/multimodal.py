@@ -20,7 +20,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.registry import query
@@ -729,4 +729,103 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("img_a") < F.col("img_b"))
         .select("img_a", "img_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= _PHASH_HAMMING_MAX)
+    )
+
+
+_SHOT_LUM_MOD = 1000  # fake per-frame luminance domain [0, 1000)
+_SHOT_CUT_DELTA = 500  # |lum(t) - lum(t-1)| > delta  =>  shot boundary
+
+
+def _shot_oracle() -> str:
+    from talkdesk_async_etl_spark.operators.dedup import _duck_hex15
+
+    md5_expr = (
+        "md5(CAST(media_id AS VARCHAR) || ':' || "
+        "CAST(frame_ts_ms AS VARCHAR))"
+    )
+    lum = f"({_duck_hex15(md5_expr)} % {_SHOT_LUM_MOD})"
+    return f"""
+    WITH frames AS MATERIALIZED (
+        SELECT CAST(i AS BIGINT) AS media_id,
+               CAST(unnest(range(0, {_DUR_STEP_MS} * (1 + i % {_DUR_MOD}) + 1,
+                                 {_FRAME_EVERY_MS})) AS BIGINT) AS frame_ts_ms
+        FROM range({_FIXTURE_N}) t(i)
+        WHERE i % {len(_KINDS)} = {_KINDS.index("video")}
+    ),
+    feat AS MATERIALIZED (
+        SELECT media_id, frame_ts_ms, {lum} AS lum FROM frames
+    ),
+    marked AS MATERIALIZED (
+        SELECT media_id, frame_ts_ms, lum,
+               CASE WHEN prev IS NULL
+                         OR abs(lum - prev) > {_SHOT_CUT_DELTA}
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM (
+            SELECT media_id, frame_ts_ms, lum,
+                   lag(lum) OVER (PARTITION BY media_id
+                                  ORDER BY frame_ts_ms) AS prev
+            FROM feat
+        )
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(is_cut) AS BIGINT) AS n_shots,
+           CAST(sum(CASE WHEN is_cut = 1 THEN frame_ts_ms ELSE 0 END)
+                AS BIGINT) AS shot_start_sum
+    FROM marked GROUP BY media_id
+    """
+
+
+@query("multimodal_shot_boundaries", oracle=_shot_oracle(), tags=("multimodal",))
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 temporal segmentation: video SHOT-BOUNDARY detection — the
+    pass that turns a frame stream into shot-level clips before
+    captioning/embedding. Pipeline: frame grid (``sample_video_frames``,
+    JVM-side sequence+explode), per-frame feature, cut where the
+    frame-to-frame feature delta exceeds a threshold, shots =
+    cut-count per video (first frame always opens a shot);
+    ``shot_start_sum`` pins WHICH frames cut, not just how many.
+
+    The per-frame feature here is the module's documented stub move
+    made ORACLE-CHECKABLE: a real pipeline decodes the frame and
+    computes mean luminance inside the same mapInPandas the image path
+    uses (codec absent in this container); this operator substitutes
+    the engine-agreeing 60-bit md5 leaf of (media_id, frame_ts) mod
+    1000 — a deterministic fake luminance BOTH engines can derive, so
+    unlike the rows-only decode features the whole temporal pipeline
+    (grid → feature → lag-compare → segment) carries a full value-hash
+    driver row. Swapping the feature column for a decoded one changes
+    no plan shape.
+
+    Scale shape: the grid explodes in-scan; ONE media-keyed exchange
+    serves the lag window and the final per-video aggregate (same
+    partitioning); features are integers, never frame payloads — the
+    shuffle carries 16 bytes per frame at any corpus size."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    frames = sample_video_frames(synthetic_media_df(spark), every_ms=_FRAME_EVERY_MS)
+    lum = _hex15_col(
+        F.concat(
+            F.col("media_id").cast("string"),
+            F.lit(":"),
+            F.col("frame_ts_ms").cast("string"),
+        )
+    ) % _SHOT_LUM_MOD
+    w = Window.partitionBy("media_id").orderBy("frame_ts_ms")
+    prev = F.lag("lum").over(w)
+    marked = frames.select("media_id", "frame_ts_ms", lum.alias("lum")).select(
+        "media_id",
+        "frame_ts_ms",
+        F.when(
+            prev.isNull() | (F.abs(F.col("lum") - prev) > _SHOT_CUT_DELTA), 1
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    return marked.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("is_cut").cast("long").alias("n_shots"),
+        F.sum(F.when(F.col("is_cut") == 1, F.col("frame_ts_ms")).otherwise(0))
+        .cast("long")
+        .alias("shot_start_sum"),
     )

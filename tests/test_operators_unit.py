@@ -1987,6 +1987,41 @@ def test_tombstone_precedence_branches(spark, tmp_path):
     }
 
 
+def test_shot_boundaries_match_python_replica(spark):
+    """Third-engine attestation for the shot-boundary pipeline: re-derive
+    media 2's frame grid, fake luminance (md5-60-bit mod 1000), and
+    cut decisions in pure Python (hashlib) and compare count/sum
+    against the operator's row — independent of both Spark and
+    DuckDB. Media 2 is the first video (2 % 3 == video slot): 3000 ms
+    duration → 7 frames at 500 ms."""
+    import hashlib
+
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        _SHOT_CUT_DELTA,
+        _SHOT_LUM_MOD,
+        multimodal_shot_boundaries,
+    )
+
+    lums = [
+        int(hashlib.md5(f"2:{ts}".encode()).hexdigest()[:15], 16) % _SHOT_LUM_MOD
+        for ts in range(0, 3001, 500)
+    ]
+    cuts = [
+        ts
+        for i, ts in enumerate(range(0, 3001, 500))
+        if i == 0 or abs(lums[i] - lums[i - 1]) > _SHOT_CUT_DELTA
+    ]
+    row = next(
+        r
+        for r in multimodal_shot_boundaries(spark, "unused").collect()
+        if r["media_id"] == 2
+    )
+    assert row["n_frames"] == 7
+    assert row["n_shots"] == len(cuts)
+    assert row["shot_start_sum"] == sum(cuts)
+    assert row["n_shots"] >= 1  # the first frame always opens a shot
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

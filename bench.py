@@ -280,6 +280,7 @@ _HEADLINE_R10 = (
     "sql_group_by_all",
     "cdc_tombstone_deletes",
     "multimodal_shot_boundaries",
+    "events_anomaly_days",
 )
 
 HEADLINE = (

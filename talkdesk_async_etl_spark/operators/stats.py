@@ -775,3 +775,98 @@ def agg_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shaped(minute, "minute").unionByName(shaped(hour, "hour")).unionByName(
         shaped(day, "day")
     )
+
+
+_ANOM_WINDOW_DAYS = 7  # trailing baseline frame (excludes the current day)
+_ANOM_MIN_BASELINE = 3  # no verdict until the baseline holds >= 3 days
+_ANOM_K = 2  # flag |count - mean| > K * stddev
+
+_ANOM_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, day, c,
+               count(*) OVER w AS n,
+               sum(c) OVER w AS s1,
+               sum(c * c) OVER w AS s2
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {_ANOM_WINDOW_DAYS} PRECEDING
+                              AND 1 PRECEDING)
+    ),
+    flagged AS (
+        SELECT event_type, day,
+               CASE WHEN n >= {_ANOM_MIN_BASELINE}
+                         AND (c*n - s1)*(c*n - s1)
+                             > {_ANOM_K * _ANOM_K}*(n*s2 - s1*s1)
+                    THEN 1 ELSE 0 END AS is_anom
+        FROM win
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(is_anom) AS BIGINT) AS n_anomalies,
+           CAST(sum(CASE WHEN is_anom = 1
+                         THEN day - DATE '1970-01-01' ELSE 0 END)
+                AS BIGINT) AS anom_day_sum
+    FROM flagged GROUP BY event_type
+"""
+
+
+@query("events_anomaly_days", oracle=_ANOM_ORACLE, tags=("stats", "timeseries"))
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-domain depth: daily event-count ANOMALY detection —
+    flag any (event_type, day) whose count sits more than K = 2
+    standard deviations from its trailing-7-day baseline (the alerting
+    pass a monitoring store like the reference's job table feeds). The
+    z-score test is evaluated as an EXACT-INTEGER inequality:
+    (c·n − s1)² > K²·(n·s2 − s1²) over BIGINT count sums — multiplying
+    the mean/variance definitions through by n² eliminates every
+    division, so there is NO float anywhere and both engines flag the
+    identical day set by construction (a float z-score at a 6-dp
+    boundary is exactly the seam the temperature-mixture op had to
+    quantize away; here the domain is counts, so exactness is free).
+    Baselines shorter than {_ANOM_MIN_BASELINE} days return no
+    verdict. ``anom_day_sum`` (epoch-day sum of flagged days) pins
+    WHICH days fired, not just how many.
+
+    Scale shape: one map-side-combinable (type, day) count, then one
+    type-keyed exchange shared by the trailing window and the final
+    per-type aggregate — daily-grain rows, so the window state is
+    365·|types| per year regardless of corpus size."""
+    daily = (
+        t(spark, sf_dir, "events", spread=True)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_ANOM_WINDOW_DAYS, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("c").over(w)
+    s2 = F.sum(F.col("c") * F.col("c")).over(w)
+    lhs = (F.col("c") * n - s1) * (F.col("c") * n - s1)
+    rhs = F.lit(_ANOM_K * _ANOM_K) * (n * s2 - s1 * s1)
+    flagged = daily.select(
+        "event_type",
+        "day",
+        F.when((n >= _ANOM_MIN_BASELINE) & (lhs > rhs), 1)
+        .otherwise(0)
+        .alias("is_anom"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("is_anom").cast("long").alias("n_anomalies"),
+        F.sum(
+            F.when(
+                F.col("is_anom") == 1,
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("anom_day_sum"),
+    )

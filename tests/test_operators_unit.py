@@ -2022,6 +2022,59 @@ def test_shot_boundaries_match_python_replica(spark):
     assert row["n_shots"] >= 1  # the first frame always opens a shot
 
 
+def test_anomaly_days_constructed_spike(spark, tmp_path):
+    """Constructed daily series: type x runs a noisy-but-stable
+    baseline then spikes 3x on day 8; type y is perfectly constant
+    (zero variance — the strict inequality must NOT flag an on-mean
+    day). Expected flags re-derived by a pure-Python replica of the
+    exact-integer test, so the fixture can exercise small-n baseline
+    edges without hand-arithmetic."""
+    import datetime as dt
+
+    counts = {"x": [10, 11, 10, 9, 10, 11, 9, 30], "y": [5] * 8}
+    rows, eid = [], 0
+    base = dt.datetime(2024, 6, 1, 12, 0)
+    for etype, per_day in counts.items():
+        for d, c in enumerate(per_day):
+            for _ in range(c):
+                rows.append((eid, base + dt.timedelta(days=d), 1, etype, 0.0, "{}"))
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    def replica(per_day):
+        flags = []
+        for i, c in enumerate(per_day):
+            tail = per_day[max(0, i - 7):i]
+            n, s1, s2 = len(tail), sum(tail), sum(v * v for v in tail)
+            flags.append(
+                n >= 3 and (c * n - s1) ** 2 > 4 * (n * s2 - s1 * s1)
+            )
+        return flags
+
+    from talkdesk_async_etl_spark.operators.stats import events_anomaly_days
+
+    got = {
+        r["event_type"]: (r["n_days"], r["n_anomalies"], r["anom_day_sum"])
+        for r in events_anomaly_days(spark, str(tmp_path)).collect()
+    }
+    epoch = dt.date(1970, 1, 1)
+    for etype, per_day in counts.items():
+        flags = replica(per_day)
+        want_days = [
+            (base + dt.timedelta(days=d)).date() for d, f in enumerate(flags) if f
+        ]
+        assert got[etype] == (
+            len(per_day),
+            len(want_days),
+            sum((d - epoch).days for d in want_days),
+        ), (etype, flags)
+    assert got["x"][1] >= 1  # the spike fired
+    assert got["y"][1] == 0  # zero-variance constant never fires
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

@@ -281,6 +281,7 @@ _HEADLINE_R10 = (
     "cdc_tombstone_deletes",
     "multimodal_shot_boundaries",
     "events_anomaly_days",
+    "sim_matryoshka_recall",
 )
 
 HEADLINE = (

@@ -898,3 +898,75 @@ def sim_pq_recall_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_PQ_RECALL_FLOOR).cast("double").alias("floor"),
             )
         )
+
+
+_MRL_PREFIX_DIMS = 8
+
+
+def _mrl_ranked(vec_expr: str) -> str:
+    return f"""
+        SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    {vec_expr.format(side="q")},
+                                    {vec_expr.format(side="c")}) DESC,
+                                c.vec_id ASC) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rank <= {_TOP_K}
+    """
+
+
+_MRL_ORACLE = f"""
+    WITH fullr AS MATERIALIZED ({_mrl_ranked("CAST({side}.embedding AS DOUBLE[])")}),
+    prefixr AS MATERIALIZED (
+        {_mrl_ranked(f"list_slice(CAST({{side}}.embedding AS DOUBLE[]), 1, {_MRL_PREFIX_DIMS})")}
+    )
+    SELECT f.q_id, {_TOP_K} AS k,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(p.neighbor_id) * 1.0 / {_TOP_K}, 6) AS recall
+    FROM fullr f LEFT JOIN prefixr p
+      ON p.q_id = f.q_id AND p.neighbor_id = f.neighbor_id
+    GROUP BY f.q_id
+"""
+
+
+@query("sim_matryoshka_recall", oracle=_MRL_ORACLE, tags=("similarity",))
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 evaluation: Matryoshka prefix-dimension recall — rank with
+    only the first 8 of the embedding's dims (the MRL deployment move:
+    truncated vectors cut index memory and dot-product cost) and
+    measure, per query, how much of the FULL-dimension exact top-k the
+    truncated ranking retains. This is the
+    accept/reject measurement behind every shortened-embedding rollout;
+    for MRL-trained models the recall is high, for these synthetic
+    near-orthogonal vectors it is low — either way the measurement
+    pipeline is what this operator attests (overlap counts are exact
+    integers; both rankings use the shared deterministic tie-break).
+
+    Scale shape: two passes of the broadcast-query exact-top-k core
+    (corpus scanned twice, never shuffled — the prefix pass's dot is a
+    quarter of the flops); the overlap join touches only the two
+    k-sized result relations."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    pref = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        _as_double(F.slice("embedding", 1, _MRL_PREFIX_DIMS)).alias("v"),
+    )
+    full_k = exact_topk_neighbors(emb).select("q_id", "neighbor_id")
+    pref_k = exact_topk_neighbors(pref).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        full_k.join(pref_k, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.lit(_TOP_K).alias("k"),
+            F.count("hit").alias("n_overlap"),
+            F.round(F.count("hit") / _TOP_K, 6).alias("recall"),
+        )
+    )

@@ -2075,6 +2075,34 @@ def test_anomaly_days_constructed_spike(spark, tmp_path):
     assert got["y"][1] == 0  # zero-variance constant never fires
 
 
+def test_matryoshka_recall_identity_when_tail_zero(spark, tmp_path):
+    """When every embedding carries all its information in the first 8
+    dims (tail dims exactly zero), the prefix ranking must equal the
+    full ranking — recall 1.0 with n_overlap == k for every query. A
+    slice off-by-one, a norm over the wrong vector, or a broken
+    overlap join all break the identity."""
+    rows = [
+        (
+            i,
+            [float((i * 7 + d * 13) % 11 - 5) for d in range(8)] + [0.0] * 8,
+        )
+        for i in range(20)
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    from talkdesk_async_etl_spark.operators.similarity import (
+        _N_QUERIES,
+        _TOP_K,
+        sim_matryoshka_recall,
+    )
+
+    got = sim_matryoshka_recall(spark, str(tmp_path)).collect()
+    assert len(got) == _N_QUERIES
+    for r in got:
+        assert r["n_overlap"] == _TOP_K and r["recall"] == 1.0, r
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

@@ -282,6 +282,7 @@ _HEADLINE_R10 = (
     "multimodal_shot_boundaries",
     "events_anomaly_days",
     "sim_matryoshka_recall",
+    "window_attribution_last_touch",
 )
 
 HEADLINE = (

@@ -525,3 +525,64 @@ def window_match_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(matched, 1).otherwise(0)).alias("n_pattern"),
         )
     )
+
+
+_ATTR_ORACLE = """
+    WITH touched AS (
+        SELECT event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, '(direct)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@query("window_attribution_last_touch", oracle=_ATTR_ORACLE, tags=("window", "events"))
+def window_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: last-touch revenue attribution — every purchase is credited
+    to the user's most recent PRECEDING non-purchase event (the
+    channel), purchases with no prior touch credit '(direct)'. The
+    classic marketing-analytics consumer of an event stream, and the
+    conditional cousin of window_fill_forward's last-ignorenulls: the
+    carried value is a projection of OTHER row types, so a purchase
+    right after another purchase must skip backward over it to the
+    real touch — an unconditioned lag(1) gets that wrong. Ordering is the
+    total (ts, event_id) key, so same-timestamp events attribute
+    identically on both engines; revenue is quantized to exact cents
+    via floor(value·100 + 0.5) BEFORE summation (a double revenue sum
+    is partial-agg-order-dependent).
+
+    Scale shape: one user-keyed exchange for the window; the
+    aggregate's channel key is low-cardinality, so the final rollup is
+    map-side-combinable on top of the window's output partitions."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        t(spark, sf_dir, "events", spread=True)
+        .select("event_type", "value", touch.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

@@ -2103,6 +2103,54 @@ def test_matryoshka_recall_identity_when_tail_zero(spark, tmp_path):
         assert r["n_overlap"] == _TOP_K and r["recall"] == 1.0, r
 
 
+def test_attribution_skips_intervening_purchases(spark, tmp_path):
+    """Constructed journey pinning each attribution rule: u1's two
+    consecutive purchases BOTH credit the original 'view' (the second
+    must skip backward over the first purchase — an unconditioned
+    lag(1) credits 'purchase'); u2's first event is a purchase →
+    '(direct)'; u2's second purchase credits the 'click' between; u3
+    has a same-timestamp tie where event_id order decides the touch."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0)
+
+    def at(m):
+        return base + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: view -> purchase -> purchase (both credit view)
+        (1, at(0), 1, "view", 0.0, "{}"),
+        (2, at(1), 1, "purchase", 10.0, "{}"),
+        (3, at(2), 1, "purchase", 20.0, "{}"),
+        # u2: purchase (direct) -> click -> purchase (click)
+        (4, at(0), 2, "purchase", 5.0, "{}"),
+        (5, at(1), 2, "click", 0.0, "{}"),
+        (6, at(2), 2, "purchase", 7.5, "{}"),
+        # u3: signup and view at the SAME ts (eids 7 < 8 -> view is
+        # later in (ts, event_id) order), then purchase credits view
+        (7, at(0), 3, "signup", 0.0, "{}"),
+        (8, at(0), 3, "view", 0.0, "{}"),
+        (9, at(1), 3, "purchase", 2.25, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.windows import (
+        window_attribution_last_touch,
+    )
+
+    got = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in window_attribution_last_touch(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "view": (3, 3225),     # u1's two purchases + u3's (225 cents)
+        "(direct)": (1, 500),
+        "click": (1, 750),
+    }
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

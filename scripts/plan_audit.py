@@ -70,6 +70,11 @@ _BOUNDED_NLJ = {
     "agg_bitmap_distinct",    # overall-bitmap 1-row broadcast
     "agg_profile_columns",    # 1-row profile broadcast to stack()
     "multimodal_image_phash", # 36-image fixture self-pairing (demo corpus)
+    # audited round 10:
+    "sim_matryoshka_recall",  # two passes of the exact_topk core: the
+                              # 5-row query side broadcasts into the
+                              # corpus scan with a != condition (same
+                              # bounded shape as sim_topk_cosine)
 }
 
 

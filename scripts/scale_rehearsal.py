@@ -31,13 +31,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.tmp/sf1")
 REPEATS = int(os.environ.get("SPARK_GRAFT_SF1_REPEATS", "3"))
 
-QUERIES = (
+_DEFAULT_QUERIES = (
     "dedup_components",
     "dedup_components_star",
     "graph_pagerank",
     "graph_kcore",
     "graph_bfs_distance",
     "graph_sssp_weighted",
+)
+# Override to rehearse a different set (comma-separated ids), e.g. a
+# new round's scale-interesting additions.
+QUERIES = tuple(
+    n.strip()
+    for n in os.environ.get(
+        "SPARK_GRAFT_SF1_QUERIES", ",".join(_DEFAULT_QUERIES)
+    ).split(",")
+    if n.strip()
 )
 
 

@@ -797,7 +797,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()
             )
             if not top:
-                raise ValueError(f"bpe_train: corpus ran out of pairs at step {step}")
+                # Corpus ran dry (every doc collapsed to one symbol —
+                # seen on degenerate synthetic corpora): stop early and
+                # return the merges learned so far. The oracle behaves
+                # identically by construction — an empty pair CTE makes
+                # its winner CTE empty and NULLs the next encoding, so
+                # every later step contributes zero rows.
+                break
             pair, cnt = top[0]["pair"], int(top[0]["pair_count"])
             merged = pair.replace(" ", "")
             merges.append((pair, merged))

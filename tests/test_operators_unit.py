@@ -2151,6 +2151,25 @@ def test_attribution_skips_intervening_purchases(spark, tmp_path):
     }
 
 
+def test_bpe_train_early_stops_when_corpus_dries(spark, tmp_path):
+    """Degenerate corpus (seen on the sf1 synthetic fixture's wNNNN
+    tokens): every doc collapses to a single symbol before the 8
+    rounds finish. The trainer must STOP and return the merges learned
+    so far — two here ('a b' count 4, then 'ab ab' count 2) — not
+    raise; the DuckDB oracle behaves identically by construction
+    (empty pair CTE → empty winner → NULL next encoding)."""
+    spark.createDataFrame(
+        [(1, "abab"), (2, "abab")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from talkdesk_async_etl_spark.operators.text import text_bpe_train
+
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_count"])
+        for r in text_bpe_train(spark, str(tmp_path)).orderBy("step").collect()
+    ]
+    assert got == [(1, "a b", "ab", 4), (2, "ab ab", "abab", 2)]
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

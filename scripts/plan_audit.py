@@ -51,15 +51,11 @@ SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 # (one-row scalar relations broadcast into the probe — audited in
 # VERDICT r8's anti-pattern sweep).
 _BOUNDED_NLJ = {
-    "tpch_q11", "tpch_q14", "tpch_q15", "tpch_q22",
-    "agg_cohort_retention", "agg_gap_fill_daily",
-    "text_decontaminate", "text_unigram_logprob", "text_bigram_logprob",
-    "text_vocab_oov", "text_mixture_upsample", "text_lang_quota",
-    "dedup_embedding_cosine", "dedup_semantic_components",
-    "sim_topk_cosine", "sim_knn_label_vote", "sim_topk_blocked",
-    "sim_topk_ivf", "sim_topk_pq", "sim_kmeans_inertia_ok",
-    "sim_ivf_recall", "sim_blocked_topk_ok", "sim_pq_recall_ok",
-    "dq_expectations", "scan_table_checksum", "sink_compaction_ok",
+    "tpch_q11", "tpch_q22",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine", "sim_knn_label_vote",
+    "text_unigram_logprob", "text_bigram_logprob",
+    "dq_expectations",
     # audited round 9 (all broadcast builds bounded by construction):
     "join_band_nonequi",      # 5-row literal band-dim broadcast
     "sim_centroid_assign",    # k centroid vectors (KB) broadcast
@@ -166,6 +162,18 @@ def main() -> None:
             problems.append(f"{name}: unallowlisted cartesian/nested-loop join")
     spark.stop()
 
+    # Allowlist hygiene: an allowlisted query whose plan no longer has
+    # any NLJ means the bounded-broadcast justification is stale (the
+    # plan improved, or the id was renamed) — report as a warning so
+    # the list shrinks with the plans instead of fossilizing. Not a
+    # failure: a stale ALLOW is conservative, unlike a stale DENY.
+    stale_allow = sorted(
+        n for n in _BOUNDED_NLJ
+        if n in audit and "error" not in audit[n] and audit[n]["nlj"] == 0
+    ) + sorted(n for n in _BOUNDED_NLJ if n not in audit)
+    if stale_allow:
+        print(f"plan_audit: stale NLJ allowlist entries: {stale_allow}", file=sys.stderr)
+
     # Round stamp: same implementation and convention as bench.py
     # ($SPARK_GRAFT_ROUND pin, else max over BENCH_r*/CORRECTNESS_r*
     # + 1, empty-artifact base 1 — previously this script used base 0).
@@ -183,6 +191,7 @@ def main() -> None:
         "queries": len(audit),
         "plan_errors": n_err,
         "problems": problems,
+        "stale_nlj_allowlist": stale_allow,
         "total_exchanges": sum(v.get("exchanges", 0) for v in audit.values()),
         "out": os.path.relpath(out),
     }

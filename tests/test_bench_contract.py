@@ -94,3 +94,18 @@ def test_bench_emits_parseable_summary_last(tmp_path):
         "subprocess bench run must not clobber the repo-root bench_detail.json"
     )
     assert sorted(Path("/root/repo").glob("bench_detail_r*.json")) == stamped_before
+
+
+def test_headline_ids_are_registered_queries():
+    """Every bench HEADLINE id must resolve in the registry — a typo'd
+    or renamed id would otherwise crash the driver's round-final bench
+    (spec lookup KeyError) instead of failing a fast test. Pure-Python
+    check, no Spark session."""
+    import bench
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    names = set(load_all())
+    missing = [q for q in bench.HEADLINE if q not in names]
+    assert not missing, f"HEADLINE ids not in registry: {missing}"
+    dupes = [q for q in set(bench.HEADLINE) if bench.HEADLINE.count(q) > 1]
+    assert not dupes, f"duplicate HEADLINE ids: {dupes}"

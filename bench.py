@@ -283,6 +283,8 @@ _HEADLINE_R10 = (
     "events_anomaly_days",
     "sim_matryoshka_recall",
     "window_attribution_last_touch",
+    "window_activity_streaks",
+    "agg_ab_significance",
 )
 
 HEADLINE = (

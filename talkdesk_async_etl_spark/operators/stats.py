@@ -870,3 +870,84 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("anom_day_sum"),
     )
+
+
+_AB_K = 2  # two-proportion flag at |z| > 2 (~95%)
+
+_AB_ORACLE = f"""
+    WITH variants AS (
+        SELECT user_id, user_id % 2 AS variant FROM events GROUP BY 1
+    ),
+    sizes AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM variants
+    ),
+    converted AS (
+        SELECT event_type,
+               CAST(count(DISTINCT CASE WHEN user_id % 2 = 0
+                                        THEN user_id END) AS BIGINT) AS c0,
+               CAST(count(DISTINCT CASE WHEN user_id % 2 = 1
+                                        THEN user_id END) AS BIGINT) AS c1
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n0, c0, n1, c1,
+           (c0*n1 - c1*n0)*(c0*n1 - c1*n0)*(n0 + n1)
+               > {_AB_K * _AB_K}*(c0 + c1)*(n0 + n1 - c0 - c1)*n0*n1
+               AS significant
+    FROM converted, sizes
+"""
+
+
+@query("agg_ab_significance", oracle=_AB_ORACLE, tags=("stats",))
+def agg_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: two-proportion A/B significance flags — per event_type,
+    does the conversion rate (distinct users who did the event at
+    least once) differ between the two experiment arms (user_id
+    parity) by more than two pooled standard errors? The experiment
+    readout every product-analytics pipeline runs over an event
+    stream. Like events_anomaly_days, the z-test is an EXACT-INTEGER
+    inequality — (c0·n1 − c1·n0)²·N > K²·C·(N−C)·n0·n1 is the pooled
+    two-proportion z² cleared of every division — so both engines
+    flag identically by construction; the count columns carry the
+    hash load even when no arm difference is significant (the
+    expected outcome for a parity split: the unit test constructs
+    both verdicts).
+
+    Scale shape: one distinct collapse to (type, user) + one to
+    (user) — both map-side combinable; the arm sizes are a 1-row
+    broadcast into the per-type relation."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    sizes = (
+        ev.select("user_id").distinct()
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+    )
+    conv = ev.groupBy("event_type").agg(
+        F.countDistinct(
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id"))
+        ).alias("c0"),
+        F.countDistinct(
+            F.when(F.col("user_id") % 2 == 1, F.col("user_id"))
+        ).alias("c1"),
+    )
+    j = conv.crossJoin(F.broadcast(sizes))
+    diff = F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0")
+    n_tot = F.col("n0") + F.col("n1")
+    c_tot = F.col("c0") + F.col("c1")
+    sig = (diff * diff * n_tot) > (
+        F.lit(_AB_K * _AB_K)
+        * c_tot
+        * (n_tot - c_tot)
+        * F.col("n0")
+        * F.col("n1")
+    )
+    return j.select(
+        "event_type", "n0", "c0", "n1", "c1", sig.alias("significant")
+    )

@@ -586,3 +586,71 @@ def window_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue_cents"),
         )
     )
+
+
+_STREAK_ORACLE = """
+    WITH active AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01'
+                   AS day_idx
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, day_idx,
+               day_idx - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day_idx) AS grp
+        FROM active
+    ),
+    streaks AS (
+        SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+"""
+
+
+@query("window_activity_streaks", oracle=_STREAK_ORACLE, tags=("window", "events"))
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: per-user activity STREAKS — the canonical gaps-and-islands
+    on DATES (engagement dashboards' "longest streak" tile): collapse
+    events to distinct (user, day), then day_index − row_number is
+    constant exactly within a run of consecutive days, so one grouping
+    on that difference yields every streak; per user emit total active
+    days, longest streak, and streak count. Pure integer arithmetic
+    end to end (epoch-day indices), so the engines agree exactly.
+    Differs from window_sessionize_gap, which islands on TIMESTAMP
+    gaps within a day — this is the calendar-grain variant with the
+    rank-difference idiom instead of a lag-threshold cumsum.
+
+    Scale shape: the only corpus-sized pass is the distinct to
+    (user, day) grain (one exchange, map-side combinable); the window
+    and both aggregates share the user partitioning on day-grain rows
+    (≤365·users/year regardless of event volume)."""
+    active = (
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "day_idx"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    grouped = active.select(
+        "user_id",
+        "day_idx",
+        (F.col("day_idx") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

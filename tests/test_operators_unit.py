@@ -2170,6 +2170,68 @@ def test_bpe_train_early_stops_when_corpus_dries(spark, tmp_path):
     assert got == [(1, "a b", "ab", 4), (2, "ab ab", "abab", 2)]
 
 
+def test_activity_streaks_islands(spark, tmp_path):
+    """Constructed calendars: u1 active days {1,2,3, 7,8, 20} → three
+    streaks (3, 2, 1), longest 3; duplicate same-day events must
+    collapse before islanding (u1 day 2 has two events); u2's single
+    day → one streak of 1."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0)
+    days = {1: [1, 2, 2, 3, 7, 8, 20], 2: [5]}
+    rows = [
+        (i, base + dt.timedelta(days=d), u, "view", 0.0, "{}")
+        for i, (u, d) in enumerate(
+            (u, d) for u, ds in days.items() for d in ds
+        )
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.windows import window_activity_streaks
+
+    got = {
+        r["user_id"]: (r["n_active_days"], r["longest_streak"], r["n_streaks"])
+        for r in window_activity_streaks(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (6, 3, 3), 2: (1, 1, 1)}
+
+
+def test_ab_significance_both_verdicts(spark, tmp_path):
+    """Constructed experiment: 40 users per arm; 'lift' converts 30/40
+    in arm 0 vs 10/40 in arm 1 (z >> 2 → significant); 'flat'
+    converts 20/40 in both arms (z = 0 → not significant). Integer
+    replica: lift diff²·N = (30·40−10·40)²·80 vs 4·40·40·80·40 —
+    flagged; flat diff = 0 — not."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0)
+    rows, eid = [], 0
+    # users 0..79: arm = user_id % 2; arm0 = evens, arm1 = odds
+    evens = [u for u in range(80) if u % 2 == 0]
+    odds = [u for u in range(80) if u % 2 == 1]
+    for u in range(80):  # every user emits a 'base' event (denominator)
+        rows.append((eid := eid + 1, base, u, "base", 0.0, "{}"))
+    for u in evens[:30] + odds[:10]:
+        rows.append((eid := eid + 1, base, u, "lift", 0.0, "{}"))
+    for u in evens[:20] + odds[:20]:
+        rows.append((eid := eid + 1, base, u, "flat", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.stats import agg_ab_significance
+
+    got = {
+        r["event_type"]: (r["n0"], r["c0"], r["n1"], r["c1"], r["significant"])
+        for r in agg_ab_significance(spark, str(tmp_path)).collect()
+    }
+    assert got["lift"] == (40, 30, 40, 10, True)
+    assert got["flat"] == (40, 20, 40, 20, False)
+    assert got["base"] == (40, 40, 40, 40, False)  # everyone converts
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

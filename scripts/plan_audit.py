@@ -67,6 +67,7 @@ _BOUNDED_NLJ = {
     "agg_profile_columns",    # 1-row profile broadcast to stack()
     "multimodal_image_phash", # 36-image fixture self-pairing (demo corpus)
     # audited round 10:
+    "agg_ab_significance",    # 1-row arm-size broadcast into per-type rows
     "sim_matryoshka_recall",  # two passes of the exact_topk core: the
                               # 5-row query side broadcasts into the
                               # corpus scan with a != condition (same

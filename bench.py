@@ -285,6 +285,7 @@ _HEADLINE_R10 = (
     "window_attribution_last_touch",
     "window_activity_streaks",
     "agg_ab_significance",
+    "sample_kcenter_coreset",
 )
 
 HEADLINE = (

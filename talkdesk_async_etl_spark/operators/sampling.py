@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.operators.dedup import _duck_hex15, _hex15_col
+from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -361,4 +362,113 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(raw_share, 6).alias("raw_share"),
         F.round(weight, 6).alias("weight_t07"),
         F.round(weight / raw_share, 6).alias("boost"),
+    )
+
+
+_KC_STEPS = 8  # coreset size beyond the seed
+_KC_Q = 1000  # component quantization: floor(x * 1000) -> exact BIGINT
+
+
+def _kcenter_oracle() -> str:
+    ctes = [
+        f"""qemb AS MATERIALIZED (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(floor(x * {_KC_Q}) AS BIGINT)) AS qv
+        FROM embeddings)""",
+        "c0 AS MATERIALIZED (SELECT 0 AS step, CAST(0 AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS dist_sq)",
+    ]
+    for k in range(1, _KC_STEPS + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM c{j}" for j in range(k))
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+            SELECT x.vec_id,
+                   min((SELECT sum((x.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)])
+                                   * (x.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)]))
+                        FROM range(1, 65) r(i))) AS dist_sq
+            FROM qemb x JOIN qemb c ON c.vec_id IN ({prev})
+            WHERE x.vec_id NOT IN ({prev})
+            GROUP BY x.vec_id)"""
+        )
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+            SELECT {k} AS step, vec_id, CAST(dist_sq AS BIGINT) AS dist_sq
+            FROM d{k} ORDER BY dist_sq DESC, vec_id ASC LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM c{k}" for k in range(_KC_STEPS + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("sampling", "similarity"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7k: greedy k-CENTER coreset selection over the embedding
+    corpus — the coverage-maximizing data-pruning rule (pick the point
+    FARTHEST from everything already chosen, repeat): the selected set
+    2-approximates the optimal k-center cover, which is why it anchors
+    embedding-based training-set pruning and active-learning seeds.
+    Emits (step, vec_id, dist_sq) per selection — dist_sq is the
+    chosen point's distance to the previously-selected set, the
+    monotonically shrinking "coverage radius" curve a pruning run
+    reads to decide when the corpus is covered.
+
+    Exactness: embedding components quantize to integers
+    (floor(x·1000)) BEFORE any arithmetic, so every distance is an
+    exact BIGINT squared-L2 and the argmax (tie-broken by vec_id) is
+    engine-identical by construction — the metric is DEFINED in
+    quantized space, trading 1e-3 component resolution for zero float
+    seams (the temperature-mixture lesson applied to geometry).
+
+    Scale shape: the quantized corpus persists once; each of the k
+    rounds is ONE full scan computing least-of-k literal-vector fold
+    distances (the chosen set rides into the executors as a parsed
+    literal expression, k·32 ints — no join, no shuffle) and a
+    TakeOrdered top-1. k passes over 100 TB is the honest cost of
+    greedy k-center; production scales by running it per
+    IVF/LSH partition (same code, partition-local chosen sets)."""
+    qv_expr = F.expr(
+        f"transform(embedding, x -> CAST(floor(x * {_KC_Q}) AS BIGINT))"
+    )
+    n_vecs = t(spark, sf_dir, "embeddings").count()  # metadata count
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", qv_expr.alias("qv")
+    )
+    with cache_scope():
+        # cache right-sized to the projected corpus (the bpe_train
+        # rule): k rounds of scan+argmax over near-empty partitions are
+        # scheduling-dominated; ~64 B x 64 dims -> ~500 KB per 1k vecs
+        q = scoped_persist(emb.repartition(max(1, n_vecs // 100_000)))
+        seed_rows = q.filter(F.col("vec_id") == 0).collect()
+        if not seed_rows:
+            raise ValueError("kcenter: seed vec_id 0 missing from embeddings")
+        chosen: list[tuple[int, int, int]] = [(0, 0, 0)]
+        chosen_vecs: list[list[int]] = [list(seed_rows[0]["qv"])]
+        for step in range(1, _KC_STEPS + 1):
+            dists = [
+                f"aggregate(zip_with(qv, array({', '.join(str(v) + 'L' for v in cv)}),"
+                f" (u, v) -> (u - v) * (u - v)), 0L, (s, x) -> s + x)"
+                for cv in chosen_vecs
+            ]
+            dist = F.expr(
+                dists[0] if len(dists) == 1 else f"least({', '.join(dists)})"
+            )
+            top = (
+                q.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
+                .select("vec_id", dist.alias("dist_sq"), "qv")
+                .orderBy(F.desc("dist_sq"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                # corpus exhausted before k selections (tiny inputs):
+                # the oracle's d_k CTE is empty past this point too
+                break
+            winner = top[0]
+            chosen.append((step, int(winner["vec_id"]), int(winner["dist_sq"])))
+            chosen_vecs.append(list(winner["qv"]))
+    return spark.createDataFrame(
+        chosen, "step int, vec_id long, dist_sq long"
     )

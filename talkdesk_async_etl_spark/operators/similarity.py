@@ -947,8 +947,8 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; both rankings use the shared deterministic tie-break).
 
     Scale shape: two passes of the broadcast-query exact-top-k core
-    (corpus scanned twice, never shuffled — the prefix pass's dot is a
-    quarter of the flops); the overlap join touches only the two
+    (corpus scanned twice, never shuffled — the prefix pass's dot is an
+    eighth of the flops (8 of 64 dims)); the overlap join touches only the two
     k-sized result relations."""
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", _as_double("embedding").alias("v")

@@ -2232,6 +2232,37 @@ def test_ab_significance_both_verdicts(spark, tmp_path):
     assert got["base"] == (40, 40, 40, 40, False)  # everyone converts
 
 
+def test_kcenter_greedy_order_and_early_stop(spark, tmp_path):
+    """Hand-computable farthest-point order on a 1-D corpus embedded
+    in 64 dims: seed 0 at the origin, points at x = 10, 3, -8. Greedy
+    k-center picks 10 first (1e8 quantized-squared), then -8 (its
+    min-dist to {0, 10} is 6.4e7, beating 3's 9e6), then 3 (9e6,
+    min-dist to the CLOSEST chosen point — a max-dist bug would report
+    vs the seed). With only 3 candidates the 8-step loop must stop
+    early, not crash."""
+    rows = [
+        (0, [0.0] * 64),
+        (1, [10.0] + [0.0] * 63),
+        (2, [3.0] + [0.0] * 63),
+        (3, [-8.0] + [0.0] * 63),
+    ]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    from talkdesk_async_etl_spark.operators.sampling import sample_kcenter_coreset
+
+    got = [
+        (r["step"], r["vec_id"], r["dist_sq"])
+        for r in sample_kcenter_coreset(spark, str(tmp_path)).orderBy("step").collect()
+    ]
+    assert got == [
+        (0, 0, 0),
+        (1, 1, 10_000**2),
+        (2, 3, 8_000**2),
+        (3, 2, 3_000**2),
+    ]
+
+
 def test_weighted_median_lower_pick(spark, tmp_path):
     """Constructed weights: values 1,2,3 with weights 1,1,4 — the
     cumulative half (total 6, half 3) is first reached AT value 3

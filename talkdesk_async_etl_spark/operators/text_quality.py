@@ -464,11 +464,17 @@ def _substr_oracle() -> str:
         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
     ),
     grams AS MATERIALIZED (
-        SELECT doc_id, CAST(i AS INT) AS start,
-               CAST(len(tk) AS INTEGER) AS n_tokens,
+        -- bound derived from len(tk) (ADVICE r10: a fixed range cap
+        -- silently dropped grams past the cap for very long docs);
+        -- scalar range() returns a LIST here, so unnest() enumerates
+        -- exactly the valid gram starts and long docs can't diverge.
+        SELECT doc_id, CAST(i AS INT) AS start, n_tokens,
                {_duck_hex15(gram)} AS h
-        FROM toks, range(1, 3000) r(i)
-        WHERE i + {_SUBSTR_K - 1} <= len(tk)
+        FROM (
+            SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n_tokens,
+                   unnest(range(1, CAST(len(tk) - {_SUBSTR_K} + 2 AS BIGINT))) AS i
+            FROM toks
+        )
     ),
     dupg AS MATERIALIZED (
         SELECT doc_id, start, n_tokens FROM (

@@ -241,6 +241,9 @@ def test_crash_recovery_exactly_once_through_foreach_batch(spark, events_batch, 
     want = spark.read.parquet(src).select(*cols)
     assert got.count() == want.count()  # no loss
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stateful_running_totals(spark, events_batch):
     """applyInPandasWithState: per-user running totals must converge to
     the batch groupBy answer once all files are processed."""
     from pyspark.sql import functions as F

@@ -80,78 +80,78 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-10 window, in priority order (executes ROUND_NOTES' round-9
-# rotation pre-plan verbatim, which VERDICT r9 task 1 endorsed):
-#   1. The 8 round-9 additions that registered AFTER the r9 window
-#      froze (parity-verified by the r9 judge's own check_parity run
+# Round-11 window, in priority order (executes ROUND_NOTES' round-10
+# rotation pre-plan verbatim, which VERDICT r10 task 1 endorsed):
+#   1. The 13 round-10 additions that registered AFTER the r10 window
+#      froze (parity-verified by the r10 judge's own check_parity run
 #      but still without a formal driver CORRECTNESS row) — the only
 #      ids in the repo not yet driver-hash-attested.
-#   2. The full remaining r5-attested tier (37 ids — latest driver
-#      row round 5): after this window the whole r5 tier is cleared.
-#   3. The 5 oldest r6-tier ids with the remaining slots
-#      (sink/cdc/join/agg representatives).
-# The rest of the r6/r7/r8/r9-attested tiers rotate r11+ (r6 first).
+#   2. The 2 remaining r5-tier ids (both rows-only-by-design; their
+#      tolerance/containment twins are hash-attested): after this
+#      window the r5 tier is fully cleared.
+#   3. The 35 oldest r6-tier ids with the remaining slots.
+# The rest of the r6 tier and the r7+ tiers rotate r12+ (r6 first).
 # Every deferred id keeps its every-pytest-run oracle parity check,
 # so deferral costs recency of the driver row, not coverage. Any id
 # registered but absent here appends in registration order, so new
 # operators are never silently dropped — and the first-50 meta-test
 # in tests/test_driver_profile.py fails on typos or miscounts.
-# Round-10 additions registered after THIS window freezes lead the
-# r11 window per the standing precedent.
+# Round-11 additions registered after THIS window freezes lead the
+# r12 window per the standing precedent.
 _PRIORITY = (
-    # --- tier 1: the 8 round-9 ids without a formal driver row ---
-    "dedup_containment_pairs",
-    "text_novelty_shingles",
-    "sample_importance_weighted",
-    "cdc_scd2_build",
-    "csv_multichar_delim",
-    "sort_keyset_pagination",
-    "dedup_cluster_sizes",
-    "agg_hypertable_rollup",
-    # --- tier 2: the full remaining r5-attested tier (37 ids) ---
-    "filter_limit1",
-    "filter_null_handling",
-    "filter_in_like",
-    "sort_multi_key",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "join_fk_monitoring",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_star",
-    "agg_count_per_key",
-    "agg_group_counts",
-    "agg_sum_two_keys",
-    "agg_status_rollup",
-    "agg_rollup",
-    "agg_cube",
-    "window_lag",
-    "scalar_date_arith",
-    "scalar_date_format",
-    "scalar_string_concat",
-    "scalar_string_replace",
-    "scalar_math",
-    "scalar_array_ops",
-    "scalar_string_toolkit",
-    "udaf_grouped_apply",
-    "multimodal_features_ok",
-    "multimodal_frame_sample",
-    "dedup_lsh_containment",
-    "dedup_winnow_containment",
-    "dedup_embedding_cosine",
-    "dedup_semantic_components",
-    "sim_centroid_assign",
-    "text_token_stats",
-    "text_chunk",
-    "text_pii_scrub",
-    # --- tier 3: the 5 oldest r6-tier ids ---
-    "sink_partition_prune_ok",
-    "cdc_latest_wins",
-    "join_bucketed_noshuffle_ok",
-    "join_skew_salted",
-    "agg_grouping_sets",
+    # --- tier 1: the 13 round-10 ids without a formal driver row ---
+    "sql_group_by_all",
+    "cdc_tombstone_deletes",
+    "window_attribution_last_touch",
+    "window_activity_streaks",
+    "multimodal_shot_boundaries",
+    "dedup_incremental_components",
+    "sim_matryoshka_recall",
+    "text_bpe_train",
+    "dedup_substring_spans",
+    "events_anomaly_days",
+    "agg_ab_significance",
+    "sample_temperature_mixture",
+    "sample_kcenter_coreset",
+    # --- tier 2: the 2 remaining r5-tier ids (clears the r5 tier) ---
+    "agg_percentile_approx",
+    "dedup_minhash_lsh",
+    # --- tier 3: the 35 oldest r6-tier ids ---
+    "window_rank_family",
+    "window_event_transitions",
+    "multimodal_audio_features",
+    "multimodal_audio_ok",
+    "multimodal_resize_ok",
+    "dedup_incremental_jaccard",
+    "dedup_incremental_lsh_ok",
+    "dedup_levenshtein",
+    "sim_kmeans_inertia_ok",
+    "sim_quantize_int8",
+    "sim_random_projection",
+    "sim_knn_label_vote",
+    "text_tfidf_top_terms",
+    "text_pack_sequences",
+    "text_lang_quota",
+    "text_repetition_score",
+    "text_decontaminate",
+    "text_unigram_logprob",
+    "agg_corr_regr",
+    "window_winsorize",
+    "agg_hll_sketch_ok",
+    "agg_cohort_retention",
+    "agg_profile_columns",
+    "agg_histogram",
+    "agg_kll_quantiles_ok",
+    "agg_theta_sketch_ok",
+    "graph_pagerank",
+    "sample_deterministic",
+    "text_mixture_upsample",
+    "sample_shuffle_shards",
+    "scan_corrupt_recovery",
+    "scan_schema_evolution",
+    "sink_compaction_ok",
+    "tpch_q4",
+    "tpch_q7",
 )
 
 

@@ -352,9 +352,20 @@ def _round_stamp(repo_dir: str) -> int:
     return max(maxima) + 1
 
 
-def _prior_detail(repo_dir: str, stamp: int) -> tuple[int, dict] | None:
+def _stamp_collides(stamped_path: str, round_pin: str | None) -> bool:
+    """True when writing ``stamped_path`` would SILENTLY overwrite an
+    existing stamp: the file exists and the round number was derived,
+    not pinned. An explicit ``SPARK_GRAFT_ROUND`` states operator
+    intent, so re-stamping a pinned round is allowed."""
+    return os.path.exists(stamped_path) and not round_pin
+
+
+def _prior_detail(repo_dir: str, stamp: int) -> tuple[int, dict, str] | None:
     """Newest stamped per-query detail from a round strictly before
-    ``stamp`` — the baseline for the per-query regression gate."""
+    ``stamp`` — the baseline for the per-query regression gate. Returns
+    (round, detail, filename) so the summary can NAME its baseline
+    file (VERDICT r10: two sweeps claimed round 10; an unnamed
+    baseline made the regression list ambiguous)."""
     best: tuple[int, str] | None = None
     for f in glob.glob(os.path.join(repo_dir, "bench_detail_r*.json")):
         m = re.search(r"bench_detail_r(\d+)\.json$", f)
@@ -365,7 +376,7 @@ def _prior_detail(repo_dir: str, stamp: int) -> tuple[int, dict] | None:
         return None
     try:
         with open(best[1]) as fh:
-            return best[0], json.load(fh)
+            return best[0], json.load(fh), os.path.basename(best[1])
     except (OSError, ValueError) as exc:
         print(f"bench: prior detail {best[1]} unreadable: {exc}", file=sys.stderr)
         return None
@@ -499,6 +510,10 @@ def main() -> None:
         # it — a contended sweep flags noise).
         "regressions": regressions,
         "regressions_vs_round": prior[0] if comparable else None,
+        # ... and WHICH stamped file that round number refers to — the
+        # r10 close left two sweeps both claiming "round 10", so a bare
+        # round number no longer identifies the baseline.
+        "regressions_baseline": prior[2] if comparable else None,
         "repeats": repeats,
         "sf": sf_val,
         "n_queries": len(timings),
@@ -550,13 +565,29 @@ def main() -> None:
     # comparison reads. Subset runs never touch it.
     if only is None and "SPARK_GRAFT_BENCH_DETAIL" not in os.environ:
         stamped = os.path.join(repo_dir, f"bench_detail_r{stamp:02d}.json")
-        print(f"bench: stamping round {stamp} detail -> {stamped}", file=sys.stderr)
-        try:
-            with open(stamped, "w") as fh:
-                json.dump(detail, fh)
-                fh.write("\n")
-        except OSError as exc:
-            print(f"stamped bench detail write failed: {exc}", file=sys.stderr)
+        # Collision guard (VERDICT r10 "what's wrong" #2): a DERIVED
+        # stamp that lands on an existing file means the round number
+        # is ambiguous (the r10 driver close derived round 11 and
+        # pre-claimed the next round's name). Silently overwriting
+        # destroys the only copy of whichever sweep wrote first, so an
+        # unpinned run refuses and keeps its detail in the working file
+        # only; pinning SPARK_GRAFT_ROUND states intent and re-stamps.
+        if _stamp_collides(stamped, os.environ.get("SPARK_GRAFT_ROUND")):
+            print(
+                f"bench: {stamped} already exists and SPARK_GRAFT_ROUND is "
+                f"not pinned — REFUSING to overwrite the stamp (detail kept "
+                f"at {detail_path}); set SPARK_GRAFT_ROUND={stamp} to re-stamp "
+                f"round {stamp} deliberately",
+                file=sys.stderr,
+            )
+        else:
+            print(f"bench: stamping round {stamp} detail -> {stamped}", file=sys.stderr)
+            try:
+                with open(stamped, "w") as fh:
+                    json.dump(detail, fh)
+                    fh.write("\n")
+            except OSError as exc:
+                print(f"stamped bench detail write failed: {exc}", file=sys.stderr)
     print(json.dumps(summary))
     spark.stop()
 

@@ -184,9 +184,22 @@ def main() -> None:
     stamp = _round_stamp(repo_dir)
     out = os.path.join(repo_dir, f"plan_audit_r{stamp:02d}.json")
     current = {"sf": SF, "queries": audit, "problems": problems}
-    with open(out, "w") as fh:
-        json.dump(current, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # Same collision guard as bench.py's stamped detail: a DERIVED
+    # round landing on an existing stamp is ambiguous — refuse unless
+    # SPARK_GRAFT_ROUND pins the overwrite as deliberate.
+    from bench import _stamp_collides
+
+    if _stamp_collides(out, os.environ.get("SPARK_GRAFT_ROUND")):
+        print(
+            f"plan_audit: {out} already exists and SPARK_GRAFT_ROUND is not "
+            f"pinned — REFUSING to overwrite; set SPARK_GRAFT_ROUND={stamp} "
+            f"to re-stamp deliberately",
+            file=sys.stderr,
+        )
+    else:
+        with open(out, "w") as fh:
+            json.dump(current, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     n_err = sum(1 for v in audit.values() if "error" in v)
     summary = {
         "queries": len(audit),

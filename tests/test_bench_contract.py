@@ -109,3 +109,38 @@ def test_headline_ids_are_registered_queries():
     assert not missing, f"HEADLINE ids not in registry: {missing}"
     dupes = [q for q in set(bench.HEADLINE) if bench.HEADLINE.count(q) > 1]
     assert not dupes, f"duplicate HEADLINE ids: {dupes}"
+
+
+def test_stamp_collision_guard(tmp_path):
+    """VERDICT r10 "what's wrong" #2: the r10 driver close derived
+    round 11 and pre-claimed bench_detail_r11.json, so the next
+    round's finals would have silently destroyed one of the two
+    readings. The guard: an existing stamp + a DERIVED round refuses;
+    an explicit SPARK_GRAFT_ROUND pin states intent and may re-stamp.
+    Pure-Python check, no Spark session."""
+    import bench
+
+    taken = tmp_path / "bench_detail_r11.json"
+    taken.write_text("{}")
+    assert bench._stamp_collides(str(taken), None) is True
+    assert bench._stamp_collides(str(taken), "11") is False
+    assert bench._stamp_collides(str(tmp_path / "bench_detail_r12.json"), None) is False
+
+
+def test_prior_detail_names_its_baseline_file(tmp_path):
+    """The regression gate's baseline must be identifiable by FILE, not
+    just round number — two sweeps both claimed "round 10" at the r10
+    close, so a bare number is ambiguous."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "bench_detail_r09.json").write_text(_json.dumps({"sf": 0.1}))
+    (tmp_path / "bench_detail_r10.json").write_text(_json.dumps({"sf": 0.1}))
+    # non-stamp names (e.g. the renamed r10 driver-close reading) are ignored
+    (tmp_path / "bench_detail_r10_driverclose.json").write_text("{}")
+    got = bench._prior_detail(str(tmp_path), 11)
+    assert got is not None
+    rnd, detail, fname = got
+    assert rnd == 10 and fname == "bench_detail_r10.json"
+    assert detail == {"sf": 0.1}

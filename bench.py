@@ -288,6 +288,11 @@ _HEADLINE_R10 = (
     "sample_kcenter_coreset",
 )
 
+# Round-11 additions.
+_HEADLINE_R11 = (
+    "multimodal_png_real",
+)
+
 HEADLINE = (
     _HEADLINE_CORE
     + _HEADLINE_RELATIONAL
@@ -297,6 +302,7 @@ HEADLINE = (
     + _HEADLINE_R8
     + _HEADLINE_R9
     + _HEADLINE_R10
+    + _HEADLINE_R11
 )
 
 

@@ -291,6 +291,7 @@ _HEADLINE_R10 = (
 # Round-11 additions.
 _HEADLINE_R11 = (
     "multimodal_png_real",
+    "scan_table_diff",
 )
 
 HEADLINE = (

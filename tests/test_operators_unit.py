@@ -2551,3 +2551,41 @@ def test_png_stats_from_real_bytes(spark):
         assert r["px_min"] == int(px.min()) and r["px_max"] == int(px.max())
         assert r["r_mean"] == round(float(px[:, :, 0].sum()) / px[:, :, 0].size, 6)
         assert r["b_mean"] == round(float(px[:, :, 2].sum()) / px[:, :, 2].size, 6)
+
+
+def test_keyed_table_diff_all_classes(spark):
+    """Constructed frame driving every verdict class and the per-column
+    attribution: key 1 unchanged (must NOT appear), key 2 price-changed,
+    key 3 status-changed, key 4 both-changed, key 5 removed, key 6
+    added, key 7 NULL->value change (null-safe compare must flag it),
+    keys 10..16 all removed (sample must cap at 5 smallest)."""
+    from talkdesk_async_etl_spark.operators.relational import keyed_table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "a", 100), (4, "a", 100),
+         (5, "a", 100), (7, None, 100)]
+        + [(k, "a", 100) for k in range(10, 17)],
+        "k long, st string, pc long",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 999), (3, "X", 100), (4, "X", 999),
+         (6, "a", 100), (7, "b", 100)],
+        "k long, st string, pc long",
+    )
+    rows = {
+        r["verdict"]: r
+        for r in keyed_table_diff(
+            left, right, "k", [("st", "status"), ("pc", "price")]
+        ).collect()
+    }
+    assert set(rows) == {"added", "removed", "changed"}
+    assert rows["added"]["n_keys"] == 1
+    assert rows["added"]["sample_keys"] == "6"
+    assert rows["added"]["n_status_changed"] == 0  # no compare on added
+    assert rows["removed"]["n_keys"] == 8  # key 5 + 10..16
+    assert rows["removed"]["sample_keys"] == "5,10,11,12,13"  # capped at 5
+    ch = rows["changed"]
+    assert ch["n_keys"] == 4  # keys 2,3,4,7 — key 1 equal, excluded
+    assert ch["sample_keys"] == "2,3,4,7"
+    assert ch["n_price_changed"] == 2   # keys 2,4
+    assert ch["n_status_changed"] == 3  # keys 3,4,7 (NULL->b via null-safe)

@@ -276,6 +276,11 @@ _HEADLINE_R10 = (
     "text_bpe_train",
     "dedup_substring_spans",
     "sample_temperature_mixture",
+    # NOTE: this id benches the attestation COMPOSITION (full pair
+    # build + old-graph label-prop + increment). The production
+    # increment alone — labels + pairs pre-persisted — measures
+    # 1.82 s min-of-5 at sf0.1 (ROUND_NOTES r11, VERDICT r10 task 7);
+    # the ~2.7x gap is the pair-build share a real run amortizes.
     "dedup_incremental_components",
     "sql_group_by_all",
     "cdc_tombstone_deletes",

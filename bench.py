@@ -297,6 +297,10 @@ _HEADLINE_R10 = (
 _HEADLINE_R11 = (
     "multimodal_png_real",
     "scan_table_diff",
+    "window_cumulative_distinct",
+    "agg_user_path_topk",
+    "sample_stratified_neyman",
+    "text_cdc_chunking",
 )
 
 HEADLINE = (

@@ -472,3 +472,130 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         chosen, "step int, vec_id long, dist_sq long"
     )
+
+
+_NEYMAN_B = 1000  # total sample budget across strata
+
+_NEYMAN_ORACLE = f"""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM c GROUP BY event_type
+    ),
+    wgt AS (
+        SELECT event_type, n_rows,
+               CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)))
+                    AS BIGINT) AS neyman_w
+        FROM st
+    ),
+    alloc AS (
+        SELECT event_type, n_rows, neyman_w,
+               ({_NEYMAN_B} * neyman_w) // (SELECT sum(neyman_w) FROM wgt)
+                   AS alloc
+        FROM wgt
+    ),
+    ranked AS (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                           event_id) AS rn
+        FROM c
+    ),
+    taken AS (
+        SELECT r.event_type,
+               CAST(count(*) AS BIGINT) AS n_taken,
+               CAST(bit_xor(r.event_id) AS BIGINT) AS sample_xor
+        FROM ranked r JOIN alloc a ON r.event_type = a.event_type
+        WHERE r.rn <= a.alloc
+        GROUP BY r.event_type
+    )
+    SELECT a.event_type, a.n_rows, a.neyman_w,
+           CAST(a.alloc AS BIGINT) AS alloc,
+           coalesce(t.n_taken, 0) AS n_taken,
+           coalesce(t.sample_xor, 0) AS sample_xor
+    FROM alloc a LEFT JOIN taken t ON a.event_type = t.event_type
+"""
+
+
+@query("sample_stratified_neyman", oracle=_NEYMAN_ORACLE, tags=("sampling", "d7"))
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 depth: NEYMAN-allocation stratified sampling — the budget
+    split that minimizes estimator variance: stratum h gets
+    B·(N_h·S_h)/Σ(N_g·S_g) of the total budget, so volatile strata are
+    oversampled and near-constant ones barely sampled (vs the exact-K
+    and rate-based samplers, which ignore variance entirely). The
+    cross-engine trick: N_h·S_h (population sd) collapses to
+    √(N_h·Σx² − (Σx)²) over exact BIGINT cent sums — one
+    correctly-rounded sqrt per stratum (IEEE 754 guarantees sqrt and
+    int→double conversion round identically on both engines), floored
+    to BIGINT before the pure-integer budget division, so the
+    allocation is engine-identical by construction. Selection within a
+    stratum is the established md5-rank determinism; the attestation
+    XORs the CHOSEN ids, so both engines must pick the identical
+    sample, not just the same sizes. At larger-than-2^63 cent-square
+    sums the s2 accumulator moves to DECIMAL(38,0) — the seam is the
+    accumulator type, not the algorithm.
+
+    Scale shape: moment sums are one map-side-combinable exchange; the
+    per-stratum rank caps at the CONSTANT budget B first (plans as
+    WindowGroupLimit — map tasks forward ≤B rows per stratum, never
+    the corpus), then the per-stratum alloc (≤B by construction)
+    filters after a broadcast join of the |strata|-row alloc table."""
+    e = t(spark, sf_dir, "events", spread=True).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    wgt = st.select(
+        "event_type",
+        "n_rows",
+        F.floor(
+            F.sqrt((F.col("n_rows") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        )
+        .cast("long")
+        .alias("neyman_w"),
+    )
+    total = wgt.agg(F.sum("neyman_w").alias("tw"))
+    alloc = wgt.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n_rows",
+        "neyman_w",
+        F.expr(f"({_NEYMAN_B} * neyman_w) div tw").alias("alloc"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    taken = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NEYMAN_B)  # constant cap -> WindowGroupLimit
+        .join(F.broadcast(alloc.select("event_type", "alloc")), "event_type")
+        .filter(F.col("rn") <= F.col("alloc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.expr("CAST(bit_xor(event_id) AS BIGINT)").alias("sample_xor"),
+        )
+    )
+    return (
+        alloc.join(taken, "event_type", "left")
+        .select(
+            "event_type",
+            "n_rows",
+            "neyman_w",
+            F.col("alloc").cast("long").alias("alloc"),
+            F.coalesce("n_taken", F.lit(0)).cast("long").alias("n_taken"),
+            F.coalesce("sample_xor", F.lit(0)).cast("long").alias("sample_xor"),
+        )
+    )

@@ -951,3 +951,71 @@ def agg_ab_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type", "n0", "c0", "n1", "c1", sig.alias("significant")
     )
+
+
+_PATH_N = 5  # journey prefix length
+_PATH_TOPK = 10
+
+_PATH_ORACLE = f"""
+    WITH firstn AS (
+        SELECT user_id, event_type, rn FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP),
+                                               event_id) AS rn
+            FROM events
+        ) WHERE rn <= {_PATH_N}
+    ),
+    paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM firstn GROUP BY user_id
+    ),
+    counts AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+    )
+    SELECT path, n_users,
+           CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT)
+               AS rank
+    FROM counts ORDER BY n_users DESC, path LIMIT {_PATH_TOPK}
+"""
+
+
+@query("agg_user_path_topk", oracle=_PATH_ORACLE, tags=("agg", "events"))
+def agg_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: top-k user JOURNEY paths — the onboarding-funnel readout
+    ("what do the first {n} events of a session actually look like"):
+    each user's first {n} events by the (ts, event_id) total order
+    collapse to one '>'-joined path string; count users per path; rank
+    the top {k} with a (count desc, path) tie-break so both engines
+    pick the identical rows. Complements window_event_transitions
+    (pairwise Markov edges) with whole-prefix sequence frequencies —
+    edges can look healthy while a specific 5-step path dominates.
+
+    Scale shape: ONE user-keyed exchange serves the prefix window and
+    the path fold (same partitioning); the path-count aggregate is
+    map-side combinable; the final top-k runs TakeOrdered on the
+    path-grain relation (bounded driver result, no global sort
+    materialization)."""
+    e = t(spark, sf_dir, "events", spread=True)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstn = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_N)
+    )
+    paths = firstn.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = counts.orderBy(F.col("n_users").desc(), "path").limit(_PATH_TOPK)
+    wr = Window.orderBy(F.col("n_users").desc(), "path")
+    return top.select(
+        "path", "n_users", F.row_number().over(wr).cast("int").alias("rank")
+    )

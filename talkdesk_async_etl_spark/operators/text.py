@@ -919,3 +919,115 @@ def text_novelty_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+_CDC_K = 4  # rolling gram length (tokens)
+_CDC_MOD = 32  # cut when gram hash % MOD == 0 -> ~32-token avg chunks
+
+
+def _cdc_oracle() -> str:
+    from talkdesk_async_etl_spark.operators.dedup import _duck_hex15
+
+    gram = (
+        "md5(array_to_string(list_slice(tk, CAST(i AS INT), "
+        f"CAST(i + {_CDC_K - 1} AS INT)), ' '))"
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+        FROM documents
+    ),
+    docs AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM base),
+    cuts AS (
+        SELECT doc_id, n, CAST(i + {_CDC_K - 1} AS BIGINT) AS c
+        FROM (
+            SELECT b.doc_id, d.n, b.tk,
+                   unnest(range(1, CAST(len(b.tk) - {_CDC_K} + 2 AS BIGINT)))
+                       AS i
+            FROM base b JOIN docs d USING (doc_id)
+        )
+        WHERE {_duck_hex15(gram)} % {_CDC_MOD} = 0
+          AND i + {_CDC_K - 1} < n
+    ),
+    allc AS (
+        SELECT doc_id, n, c FROM cuts
+        UNION ALL
+        SELECT doc_id, n, n AS c FROM docs
+    ),
+    lens AS (
+        SELECT doc_id, n, c,
+               c - coalesce(lag(c) OVER (PARTITION BY doc_id ORDER BY c), 0)
+                   AS len
+        FROM allc
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c) - n AS BIGINT) AS boundary_sum,
+           CAST(max(len) AS BIGINT) AS max_chunk_len
+    FROM lens GROUP BY doc_id, n
+    """
+
+
+@query("text_cdc_chunking", oracle=_cdc_oracle(), tags=("text", "chunk"))
+def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 depth: CONTENT-DEFINED chunking (FastCDC/rsync family) — cut
+    where a rolling k-token fingerprint hits h % {mod} == 0, so chunk
+    boundaries are a function of LOCAL content, not byte offsets: edit
+    one token and only the chunk containing it (and at most its
+    neighbor) changes, which is exactly what chunk-grain dedup and
+    incremental embedding pipelines need (fixed-width chunking
+    re-chunks the whole suffix after any insertion — every downstream
+    cache misses). text_chunk is the fixed-width baseline; this is the
+    shift-resistant variant. Emits per doc: chunk count, a
+    boundary-position checksum (pins WHERE the cuts landed, not just
+    how many), and the max chunk length.
+
+    Engine agreement: the fingerprint is the shared 60-bit md5 leaf
+    over the positional gram — the established engine-agreeing hash —
+    and every emitted stat is exact integer arithmetic. The document
+    END rides as a sentinel cut, so zero-cut and shorter-than-k docs
+    still emit their one whole-doc chunk without any join-back.
+
+    Scale shape: gram candidates explode in-scan and are filtered to
+    cut positions BEFORE the only corpus-keyed exchange (~1/{mod} of
+    gram rows survive); the doc-keyed window (chunk lengths via lag)
+    and the final aggregate share that one exchange. No join anywhere;
+    the sentinel is a union of the doc-grain relation."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    d = t(spark, sf_dir, "documents", spread=True)
+    base = d.select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("tk")
+    )
+    docs = base.select("doc_id", F.size("tk").cast("long").alias("n"))
+    grams = (
+        base.filter(F.size("tk") >= _CDC_K)
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {_CDC_K - 1}),"
+                    f" i -> struct(CAST(i + {_CDC_K - 1} AS BIGINT) AS c,"
+                    f" concat_ws(' ', slice(tk, i, {_CDC_K})) AS g))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "n", F.col("e.c").alias("c"), _hex15_col(F.col("e.g")).alias("h"))
+    )
+    cuts = grams.filter((F.col("h") % _CDC_MOD == 0) & (F.col("c") < F.col("n"))).select(
+        "doc_id", "n", "c"
+    )
+    allc = cuts.union(docs.select("doc_id", "n", F.col("n").alias("c")))
+    w = Window.partitionBy("doc_id").orderBy("c")
+    lens = allc.select(
+        "doc_id",
+        "n",
+        "c",
+        (F.col("c") - F.coalesce(F.lag("c").over(w), F.lit(0))).alias("len"),
+    )
+    return lens.groupBy("doc_id", F.col("n").alias("n_tokens")).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.sum("c") - F.col("n_tokens")).cast("long").alias("boundary_sum"),
+        F.max("len").cast("long").alias("max_chunk_len"),
+    )

@@ -654,3 +654,53 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+_CUMDIST_ORACLE = """
+    WITH first_day AS (
+        SELECT user_id,
+               min(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01')
+                   AS d
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n_new
+        FROM first_day GROUP BY d
+    )
+    SELECT CAST(d AS INT) AS epoch_day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_users
+    FROM daily
+"""
+
+
+@query("window_cumulative_distinct", oracle=_CUMDIST_ORACLE, tags=("window", "events"))
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: cumulative DISTINCT users to date — the growth-dashboard
+    curve ("total users ever") that naive windowing gets quadratically
+    wrong. A running count(DISTINCT) frame re-scans every prior row
+    per day; the identity `cumulative distinct = cumsum of first-seen
+    counts` reduces it to: min(day) per user (one map-side-combinable
+    exchange), count per first-day, then a running sum over the tiny
+    day-grain relation. Pure epoch-day integers, so the engines agree
+    exactly. Also emits per-day n_new — the DAU-acquisition split.
+
+    Scale shape: the only corpus-sized pass is the per-user min
+    (partial agg in the scan); the running-sum window orders a
+    |days|-sized relation — the single-partition global window is ~365
+    rows/year regardless of event volume, which is exactly when a
+    global window is the RIGHT plan (same ruling as sort_topk_global's
+    final stage)."""
+    e = t(spark, sf_dir, "events", spread=True)
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    first = e.select("user_id", day.alias("d")).groupBy("user_id").agg(
+        F.min("d").alias("d")
+    )
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("int").alias("epoch_day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )

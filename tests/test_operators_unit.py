@@ -2589,3 +2589,146 @@ def test_keyed_table_diff_all_classes(spark):
     assert ch["sample_keys"] == "2,3,4,7"
     assert ch["n_price_changed"] == 2   # keys 2,4
     assert ch["n_status_changed"] == 3  # keys 3,4,7 (NULL->b via null-safe)
+
+
+def test_cumulative_distinct_first_seen_only(spark, tmp_path):
+    """Constructed frame: u1 active on days 0 and 2 (second day must
+    NOT count again), u2 on day 0, u3 first appears day 2 → n_new
+    (2, 1), cumulative (2, 3); day 1 has no first-seen users and no
+    events, so it emits no row (the gap-fill operator is separate)."""
+    import datetime as dt
+
+    base = dt.datetime(1970, 1, 1, 6, 0)
+    rows = [
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + dt.timedelta(days=2), 1, "view", 0.0, "{}"),
+        (3, base, 2, "view", 0.0, "{}"),
+        (4, base + dt.timedelta(days=2), 3, "view", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.windows import window_cumulative_distinct
+
+    got = [
+        (r["epoch_day"], r["n_new"], r["cum_users"])
+        for r in window_cumulative_distinct(spark, str(tmp_path))
+        .orderBy("epoch_day")
+        .collect()
+    ]
+    assert got == [(0, 2, 2), (2, 1, 3)]
+
+
+def test_user_path_topk_prefix_and_ties(spark, tmp_path):
+    """Constructed journeys: two users share path a>b (rank 1), one
+    user has b>a (rank 2, count tie broken by path string vs c>c's
+    absence), one user has 6 events — only the first 5 form the path —
+    and one user has a same-timestamp tie decided by event_id."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+
+    def ev(eid, minute, user, et):
+        return (eid, base + dt.timedelta(minutes=minute), user, et, 0.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "a"), ev(2, 1, 1, "b"),
+        ev(3, 0, 2, "a"), ev(4, 1, 2, "b"),
+        ev(5, 0, 3, "b"), ev(6, 1, 3, "a"),
+        # u4: 6 events; the 6th ('z') must NOT appear in the path
+        *[ev(7 + i, i, 4, et) for i, et in enumerate("cccccz")],
+        # u5: same-ts pair — event_id 13 < 14 orders 'x' before 'y'
+        ev(13, 0, 5, "x"), ev(14, 0, 5, "y"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.stats import agg_user_path_topk
+
+    got = [
+        (r["path"], r["n_users"], r["rank"])
+        for r in agg_user_path_topk(spark, str(tmp_path)).orderBy("rank").collect()
+    ]
+    assert got == [
+        ("a>b", 2, 1),
+        ("b>a", 1, 2),
+        ("c>c>c>c>c", 1, 3),
+        ("x>y", 1, 4),
+    ]
+
+
+def test_neyman_allocation_variance_proportional(spark, tmp_path):
+    """Constructed strata: 'flat' has constant value (population sd 0
+    → Neyman weight 0, allocation 0, nothing sampled) while 'wild'
+    alternates 0.00/2.00 (N·S = sqrt(10·200000·100 − 1000²·100) ...
+    exactly 10000 in cent units) and therefore receives the WHOLE
+    budget; its 10 rows all fit, and the xor attests the exact chosen
+    set (= all of them)."""
+    import datetime as dt
+    from functools import reduce
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [(i, base, 1, "flat", 1.0, "{}") for i in range(10)] + [
+        (100 + i, base, 1, "wild", float(2 * (i % 2)), "{}") for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.sampling import sample_stratified_neyman
+
+    got = {
+        r["event_type"]: r
+        for r in sample_stratified_neyman(spark, str(tmp_path)).collect()
+    }
+    assert got["flat"]["neyman_w"] == 0
+    assert got["flat"]["alloc"] == 0 and got["flat"]["n_taken"] == 0
+    assert got["wild"]["alloc"] == 1000  # the whole budget
+    assert got["wild"]["n_taken"] == 10  # capped by the stratum size
+    assert got["wild"]["sample_xor"] == reduce(
+        lambda a, b: a ^ b, range(100, 110)
+    )
+
+
+def test_cdc_chunking_matches_python_replica(spark, tmp_path):
+    """Pure-Python third engine: recompute every cut position with
+    hashlib over the same 60-bit md5 leaf and verify chunk count,
+    boundary checksum, and max chunk length for each constructed doc —
+    including a shorter-than-k doc (one whole-doc chunk, no grams)."""
+    import hashlib
+
+    from talkdesk_async_etl_spark.operators.text import _CDC_K, _CDC_MOD, text_cdc_chunking
+
+    texts = {
+        1: " ".join(f"w{(i * 7) % 23}" for i in range(80)),
+        2: " ".join(f"t{(i * 11) % 19}" for i in range(50)),
+        3: "a b c",  # shorter than k -> single chunk of 3
+    }
+    spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def replica(text):
+        tk = text.split(" ")
+        n = len(tk)
+        cuts = []
+        for i in range(1, n - _CDC_K + 2):
+            g = " ".join(tk[i - 1 : i - 1 + _CDC_K])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+            c = i + _CDC_K - 1
+            if h % _CDC_MOD == 0 and c < n:
+                cuts.append(c)
+        bounds = cuts + [n]
+        lens = [b - a for a, b in zip([0] + bounds[:-1], bounds)]
+        return (n, len(bounds), sum(cuts), max(lens))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chunks"], r["boundary_sum"], r["max_chunk_len"])
+        for r in text_cdc_chunking(spark, str(tmp_path)).collect()
+    }
+    want = {k: replica(v) for k, v in texts.items()}
+    assert got == want
+    assert want[3][1] == 1  # the short doc really is the no-gram branch
+    assert want[1][1] > 1   # and the long docs actually produced cuts

@@ -301,6 +301,7 @@ _HEADLINE_R11 = (
     "agg_user_path_topk",
     "sample_stratified_neyman",
     "text_cdc_chunking",
+    "sim_mmr_rerank",
 )
 
 HEADLINE = (

@@ -970,3 +970,112 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / _TOP_K, 6).alias("recall"),
         )
     )
+
+
+# --- MMR diversified re-ranking ---------------------------------------
+_MMR_Q = 1000  # component quantization (the kcenter rule)
+_MMR_POOL = 20  # retrieval pool fed to the re-ranker
+_MMR_K = 5  # diversified results to emit
+_MMR_LAMBDA10 = 7  # lambda = 0.7 -> score_x10 = 7*rel - 3*max_sim
+
+
+def _mmr_oracle() -> str:
+    dot = (
+        "(SELECT sum(p.qv[CAST(i AS INT)] * s.qv[CAST(i AS INT)])"
+        " FROM range(1, 65) r(i))"
+    )
+    ctes = [
+        f"""qemb AS MATERIALIZED (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(floor(x * {_MMR_Q}) AS BIGINT)) AS qv
+        FROM embeddings)""",
+        f"""pool AS MATERIALIZED (
+        SELECT p.vec_id, p.qv,
+               CAST({dot} AS BIGINT) AS rel
+        FROM qemb p JOIN qemb s ON s.vec_id = 0
+        WHERE p.vec_id <> 0
+        ORDER BY rel DESC, p.vec_id LIMIT {_MMR_POOL})""",
+        f"""c1 AS MATERIALIZED (
+        SELECT 1 AS step, vec_id,
+               CAST({_MMR_LAMBDA10} * rel AS BIGINT) AS score_x10, rel
+        FROM pool ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM c{j}" for j in range(1, k))
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+            SELECT p.vec_id, max({dot}) AS ms
+            FROM pool p JOIN pool s ON s.vec_id IN ({prev})
+            WHERE p.vec_id NOT IN ({prev})
+            GROUP BY p.vec_id)"""
+        )
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+            SELECT {k} AS step, p.vec_id,
+                   CAST({_MMR_LAMBDA10} * p.rel
+                        - {10 - _MMR_LAMBDA10} * m.ms AS BIGINT) AS score_x10,
+                   p.rel
+            FROM pool p JOIN m{k} m USING (vec_id)
+            ORDER BY score_x10 DESC, p.vec_id LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM c{k}" for k in range(1, _MMR_K + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle(), tags=("similarity",))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 retrieval depth: MAXIMAL MARGINAL RELEVANCE re-ranking
+    (Carbonell & Goldstein) — the diversification pass between ANN
+    retrieval and a RAG prompt: from the query's top-{pool} relevance
+    pool, greedily pick k results maximizing
+    ``lambda*rel(d) - (1-lambda)*max_sim(d, selected)``, so near-
+    duplicate hits (which embedding corpora are full of — see the
+    dedup family) can't crowd the context window. lambda = 0.7 in
+    integer tenths: score_x10 = 7*rel − 3*max_sim over exact-BIGINT
+    quantized dot products (the kcenter rule: the metric is DEFINED in
+    floor(x*1000) space), tie-broken by vec_id — engine-identical by
+    construction, attested against a DuckDB oracle that unrolls the
+    same greedy loop.
+
+    Scale shape: the only corpus-sized work is the relevance pass —
+    one scan folding a literal query vector, TakeOrdered top-{pool}
+    (no global sort). The greedy runs on the retrieved pool, which is
+    CONSTANT-sized by definition of re-ranking (a rerank window is
+    10-100 docs however big the corpus is), as bounded integer
+    arithmetic on the driver — same boundedness class as the kcenter
+    argmax collects. Production fan-out is per-query, embarrassingly
+    parallel over a query batch."""
+    qv_expr = F.expr(f"transform(embedding, x -> CAST(floor(x * {_MMR_Q}) AS BIGINT))")
+    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", qv_expr.alias("qv"))
+    qrow = emb.filter(F.col("vec_id") == 0).collect()
+    if not qrow:
+        raise ValueError("mmr: query vec_id 0 missing from embeddings")
+    qlit = ", ".join(f"{v}L" for v in qrow[0]["qv"])
+    rel = F.expr(
+        f"aggregate(zip_with(qv, array({qlit}), (u, v) -> u * v), 0L, (s, x) -> s + x)"
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", rel.alias("rel"), "qv")
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    cand = {int(r["vec_id"]): (int(r["rel"]), list(r["qv"])) for r in pool}
+    out: list[tuple[int, int, int, int]] = []
+    selected: list[list[int]] = []
+    for step in range(1, _MMR_K + 1):
+        if not cand:
+            break
+        best = None
+        for vid, (r, v) in cand.items():
+            ms = max(
+                (sum(a * b for a, b in zip(v, s)) for s in selected), default=0
+            )
+            score = _MMR_LAMBDA10 * r - (10 - _MMR_LAMBDA10) * ms if selected else _MMR_LAMBDA10 * r
+            if best is None or (score, -vid) > (best[0], -best[1]):
+                best = (score, vid, r)
+        score, vid, r = best
+        out.append((step, vid, score, r))
+        selected.append(cand.pop(vid)[1])
+    return spark.createDataFrame(out, "step int, vec_id long, score_x10 long, rel long")

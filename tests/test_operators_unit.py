@@ -2732,3 +2732,32 @@ def test_cdc_chunking_matches_python_replica(spark, tmp_path):
     assert got == want
     assert want[3][1] == 1  # the short doc really is the no-gram branch
     assert want[1][1] > 1   # and the long docs actually produced cuts
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark, tmp_path):
+    """Constructed pool where MMR visibly disagrees with pure
+    relevance: vec 1 and vec 2 are IDENTICAL high-relevance vectors
+    (rel rank would return 1, 2, 3); after picking 1, the duplicate's
+    huge self-similarity penalty (3·16,515,625) drives its score
+    negative, so the less relevant but diverse vec 3 takes step 2 and
+    the duplicate drops to last. All components are float32-exact
+    (powers of two), so the quantized integers — and therefore every
+    score — are asserted exactly."""
+    a = [0.875] + [0.5] * 63          # vecs 1 and 2 (identical)
+    c = [0.75] + [0.0] * 63           # vec 3: diverse, lower relevance
+    q = [1.0] + [0.0] * 63            # the query (vec 0)
+    spark.createDataFrame(
+        [(0, q, 0), (1, a, 0), (2, a, 0), (3, c, 0)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from talkdesk_async_etl_spark.operators.similarity import sim_mmr_rerank
+
+    got = [
+        (r["step"], r["vec_id"], r["score_x10"], r["rel"])
+        for r in sim_mmr_rerank(spark, str(tmp_path)).orderBy("step").collect()
+    ]
+    assert got == [
+        (1, 1, 7 * 875000, 875000),
+        (2, 3, 7 * 750000 - 3 * 656250, 750000),
+        (3, 2, 7 * 875000 - 3 * 16515625, 875000),
+    ]

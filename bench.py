@@ -302,6 +302,7 @@ _HEADLINE_R11 = (
     "sample_stratified_neyman",
     "text_cdc_chunking",
     "sim_mmr_rerank",
+    "graph_common_neighbors",
 )
 
 HEADLINE = (

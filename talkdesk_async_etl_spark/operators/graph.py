@@ -671,3 +671,147 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.join(F.broadcast(n), dist.node == n.n_nationkey).select(
         F.col("n_name").alias("nation"), "dist"
     )
+
+
+_CN_TOP_EDGES = 60  # deterministic sparsification: the 25-nation trade
+# graph saturates to near-complete at sf >= 0.01, leaving ZERO
+# non-adjacent pairs (a vacuous link-prediction output); keeping only
+# the top-60 pair edges by trade volume (ties broken by the pair key)
+# yields a sparse graph with real missing-edge candidates at every SF,
+# and the threshold is a RANK, not a count, so it is scale-stable.
+
+
+def _oracle_common_neighbors() -> str:
+    return """
+    WITH base AS (
+        SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (
+        SELECT a, b FROM (
+            SELECT a, b, count(*) AS n_trades
+            FROM base GROUP BY a, b
+        ) ORDER BY n_trades DESC, a, b LIMIT 60
+    ),
+    adj AS (
+        SELECT a AS n, b AS x FROM und
+        UNION ALL
+        SELECT b AS n, a AS x FROM und
+    ),
+    w AS (
+        SELECT p.x AS a, q.x AS b
+        FROM adj p JOIN adj q ON p.n = q.n AND p.x < q.x
+    ),
+    cn AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+        FROM w GROUP BY a, b
+    ),
+    deg AS (
+        SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY n
+    ),
+    nonadj AS (
+        SELECT c.a, c.b, c.n_common
+        FROM cn c LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+        WHERE u.a IS NULL
+    )
+    SELECT CAST(c.a AS INT) AS a, CAST(c.b AS INT) AS b, c.n_common,
+           CAST((1000000 * c.n_common)
+                // (da.deg + db.deg - c.n_common) AS BIGINT)
+               AS jaccard_micro
+    FROM nonadj c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    """
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=_oracle_common_neighbors(),
+    tags=("graph",),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the undirected nation trade graph (same
+    edge build as the other graph kernels): for every NON-adjacent
+    node pair sharing at least one neighbor, emit the common-neighbor
+    count and the neighborhood Jaccard — the two classic
+    missing-edge scores (Liben-Nowell & Kleinberg). Downstream of the
+    dedup family this is the "these two clusters are about to merge"
+    signal: a high-Jaccard non-edge predicts the next batch's
+    connection. Jaccard is quantized to exact micro-units via integer
+    division (n_common / (deg_a + deg_b − n_common)), so both engines
+    emit identical BIGINTs.
+
+    Scale shape: candidate pairs enumerate as neighbor pairs around
+    each CENTER node (one self-join of the adjacency on the center
+    key), which is inherently Σdeg² work — unlike triangle counting,
+    common-neighbor COUNTING needs every wedge, so degree orientation
+    can't prune it. The production remedies at power-law scale are the
+    standard ones: cap per-center neighbor lists (hot-key cap, as the
+    LSH pair generator does), or score only candidate pairs from a
+    blocking pass. The non-adjacency filter is one anti-join on the
+    pair key; degree joins broadcast at this node count and become
+    edge-keyed shuffles past the threshold (AQE re-plans off the same
+    exchange)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    with cache_scope():
+        und = scoped_persist(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .where(F.col("s_nationkey") != F.col("c_nationkey"))
+            .select(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_trades"))
+            .orderBy(F.desc("n_trades"), "a", "b")
+            .limit(_CN_TOP_EDGES)
+            .select("a", "b")
+        )
+        return collect_release(common_neighbors_from(und))
+
+
+def common_neighbors_from(und: DataFrame) -> DataFrame:
+    """Scoring core behind :func:`graph_common_neighbors`, over an
+    undirected edge list ``(a, b)`` with a < b. Factored out so the
+    constructed-graph unit test can drive the wedge/anti-join/score
+    pipeline on hand-built edges. Caller holds the cache scope that
+    keeps ``und`` persisted across its four plan references."""
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("x")).union(
+        und.select(F.col("b").alias("n"), F.col("a").alias("x"))
+    )
+    p, q = adj.alias("p"), adj.alias("q")
+    cn = (
+        p.join(q, "n")
+        .where(F.col("p.x") < F.col("q.x"))
+        .groupBy(F.col("p.x").alias("a"), F.col("q.x").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = cn.join(und, ["a", "b"], "left_anti")
+    deg = adj.groupBy(F.col("n").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")))
+    return (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").cast("int").alias("a"),
+            F.col("b").cast("int").alias("b"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("(1000000 * n_common) div (da + db - n_common)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )

@@ -2761,3 +2761,33 @@ def test_mmr_rerank_demotes_near_duplicates(spark, tmp_path):
         (2, 3, 7 * 750000 - 3 * 656250, 750000),
         (3, 2, 7 * 875000 - 3 * 16515625, 875000),
     ]
+
+
+def test_common_neighbors_scores(spark):
+    """Constructed graph: path 1-2-3 plus 3-4 and a pendant 2-5.
+    Non-adjacent pairs with common neighbors: (1,3) via 2 (Jaccard
+    1/(2+2-1)), (2,4) via 3 (1/(3+2-1)), (1,5)/(3,5) via 2
+    (1/(2+1-1) and 1/(3+1-1)... degrees: d1=1? edges 1-2, 2-3, 3-4,
+    2-5 -> deg: 1:1, 2:3, 3:2, 4:1, 5:1. (1,3): common {2}, J =
+    1/(1+2-1) = 1/2; (1,5): {2}, 1/(1+1-1) = 1; (3,5): {2},
+    1/(2+1-1) = 1/2; (2,4): {3}, 1/(3+1-1) = 1/3. Adjacent pairs and
+    pairs without wedges must be absent."""
+    from talkdesk_async_etl_spark.operators.graph import common_neighbors_from
+    from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
+
+    with cache_scope():
+        und = scoped_persist(
+            spark.createDataFrame(
+                [(1, 2), (2, 3), (3, 4), (2, 5)], "a int, b int"
+            )
+        )
+        got = {
+            (r["a"], r["b"]): (r["n_common"], r["jaccard_micro"])
+            for r in common_neighbors_from(und).collect()
+        }
+    assert got == {
+        (1, 3): (1, 500000),
+        (1, 5): (1, 1000000),
+        (3, 5): (1, 500000),
+        (2, 4): (1, 333333),
+    }

@@ -303,6 +303,7 @@ _HEADLINE_R11 = (
     "text_cdc_chunking",
     "sim_mmr_rerank",
     "graph_common_neighbors",
+    "text_pmi_collocations",
 )
 
 HEADLINE = (

@@ -1031,3 +1031,100 @@ def text_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("c") - F.col("n_tokens")).cast("long").alias("boundary_sum"),
         F.max("len").cast("long").alias("max_chunk_len"),
     )
+
+
+_COLL_MIN_SUPPORT = 5
+_COLL_TOPK = 50
+_COLL_MICRO = 1_000_000
+
+_COLL_ORACLE = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+        FROM documents
+    ),
+    uni AS MATERIALIZED (
+        SELECT unnest(tk) AS w FROM toks
+    ),
+    c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM uni),
+    big AS (
+        SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2
+        FROM (
+            SELECT tk, unnest(range(1, CAST(len(tk) AS BIGINT))) AS i
+            FROM toks
+        )
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        FROM big GROUP BY w1, w2
+        HAVING count(*) >= {_COLL_MIN_SUPPORT}
+    )
+    SELECT p.w1, p.w2, p.n_pair,
+           CAST((n.nt * p.n_pair * {_COLL_MICRO}) // (a.c * b.c) AS BIGINT)
+               AS lift_micro
+    FROM c12 p
+    JOIN c1 a ON a.w = p.w1
+    JOIN c1 b ON b.w = p.w2
+    CROSS JOIN n
+    ORDER BY lift_micro DESC, p.w1, p.w2
+    LIMIT {_COLL_TOPK}
+"""
+
+
+@query("text_pmi_collocations", oracle=_COLL_ORACLE, tags=("text",))
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 depth: COLLOCATION extraction — the multi-word-expression
+    miner behind tokenizer vocab curation and phrase-aware chunking:
+    adjacent bigrams with support ≥ {min_s}, ranked by association
+    LIFT N·c(w1,w2)/(c(w1)·c(w2)). Lift is exp(PMI) — a MONOTONE
+    transform — so the ranking is exactly the PMI ranking with zero
+    float operations: the score is one integer expression
+    (N·c12·10^6) // (c1·c2) over exact BIGINT counts, immune to the
+    log-ulp seam that required micro-floor pinning in the LM-scoring
+    family (the engines agree by construction, not within tolerance).
+    Ties break on the bigram itself. At petabyte token counts the
+    product N·c12·10^6 outgrows BIGINT — the seam is the accumulator
+    type (DECIMAL(38,0)), not the algorithm.
+
+    Scale shape: bigrams explode in-scan (no materialized array
+    column); c12 and c1 are map-side-combinable aggregates; the two
+    unigram joins broadcast the VOCABULARY-sized c1 relation (vocab
+    ≪ corpus by Heaps' law — past the threshold they become hash
+    joins on the word key off the same exchange); the total rides a
+    1-row broadcast; final top-k is TakeOrdered, no global sort."""
+    base = t(spark, sf_dir, "documents", spread=True).select(
+        F.split(F.coalesce("text", F.lit("")), " ").alias("tk")
+    )
+    uni = base.select(F.explode("tk").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.count(F.lit(1)).alias("nt"))
+    big = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p")["0"].alias("w1"), F.col("p")["1"].alias("w2"))
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _COLL_MIN_SUPPORT)
+    )
+    a = F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("ca")))
+    b = F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("cb")))
+    return (
+        c12.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr(f"(nt * n_pair * {_COLL_MICRO}) div (ca * cb)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "w1", "w2")
+        .limit(_COLL_TOPK)
+    )

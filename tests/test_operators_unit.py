@@ -2791,3 +2791,50 @@ def test_common_neighbors_scores(spark):
         (3, 5): (1, 500000),
         (2, 4): (1, 333333),
     }
+
+
+def test_pmi_collocations_lift_and_support(spark, tmp_path):
+    """Constructed corpus where the collocation is obvious: 'new york'
+    always co-occurs (perfect association) while 'the cat' pairs are
+    diluted by 'the' appearing everywhere. Verified against a
+    pure-Python replica of the exact-integer lift, including the
+    min-support filter dropping rare pairs."""
+    from collections import Counter
+
+    from talkdesk_async_etl_spark.operators.text import (
+        _COLL_MICRO,
+        _COLL_MIN_SUPPORT,
+        text_pmi_collocations,
+    )
+
+    docs = [
+        (i, "the cat sat on the mat near new york today") for i in range(5)
+    ] + [(10 + i, "a dog in new york saw the cat") for i in range(5)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    uni, pairs = Counter(), Counter()
+    for _, text in docs:
+        tk = text.split(" ")
+        uni.update(tk)
+        pairs.update(zip(tk, tk[1:]))
+    nt = sum(uni.values())
+    want = sorted(
+        (
+            ((nt * c * _COLL_MICRO) // (uni[w1] * uni[w2]), w1, w2, c)
+            for (w1, w2), c in pairs.items()
+            if c >= _COLL_MIN_SUPPORT
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )
+    got = [
+        (r["lift_micro"], r["w1"], r["w2"], r["n_pair"])
+        for r in text_pmi_collocations(spark, str(tmp_path)).collect()
+    ]
+    assert got == want[:50]
+    assert ("new", "york") in [(w1, w2) for _, w1, w2, _ in got]
+    # perfect collocation ranks above the diluted 'the cat'
+    ny = next(r for r in got if r[1:3] == ("new", "york"))
+    tc = next(r for r in got if r[1:3] == ("the", "cat"))
+    assert ny[0] > tc[0]

@@ -304,6 +304,9 @@ _HEADLINE_R11 = (
     "sim_mmr_rerank",
     "graph_common_neighbors",
     "text_pmi_collocations",
+    "window_rolling_median",
+    "sample_balanced_classes",
+    "window_time_to_event",
 )
 
 HEADLINE = (

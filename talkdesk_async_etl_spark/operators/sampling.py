@@ -599,3 +599,63 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sample_xor", F.lit(0)).cast("long").alias("sample_xor"),
         )
     )
+
+
+_BALANCED_ORACLE = """
+    WITH c AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    ),
+    k AS (SELECT min(n) AS k FROM c),
+    r AS (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                           vec_id) AS rn
+        FROM embeddings
+    )
+    SELECT r.label, c.n AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(bit_xor(r.vec_id) AS BIGINT) AS sample_xor
+    FROM r JOIN c USING (label) CROSS JOIN k
+    WHERE r.rn <= k.k
+    GROUP BY r.label, c.n
+"""
+
+
+@query("sample_balanced_classes", oracle=_BALANCED_ORACLE, tags=("sampling", "d7"))
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 depth: CLASS-BALANCED downsampling — every label class cut
+    to the MINORITY class's count, the standard prep for classifier
+    training on skewed labels (the kNN/logreg ops upstream consume
+    exactly this shape). The per-class quota is DATA-dependent —
+    min over class counts — unlike the fixed-K stratified sampler;
+    selection within a class is the established md5-rank determinism,
+    and the per-class XOR attests the exact chosen set on both
+    engines.
+
+    Scale shape: the minority count is a bounded driver fetch (one
+    BIGINT — same boundedness class as the iterative trainers' argmax
+    collects) deliberately re-entered as a LITERAL so the rank filter
+    plans as WindowGroupLimit: map tasks forward at most k rows per
+    class instead of the whole corpus. One label-keyed exchange serves
+    the rank window and the final aggregate; the class-count relation
+    broadcasts."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select("vec_id", "label")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_rows"))
+    k_row = counts.agg(F.min("n_rows").alias("k")).collect()  # 1 bounded value
+    k = int(k_row[0]["k"]) if k_row and k_row[0]["k"] is not None else 0
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.lit(k))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr("CAST(bit_xor(vec_id) AS BIGINT)").alias("sample_xor"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_rows", "n_sampled", "sample_xor")
+    )

@@ -1019,3 +1019,70 @@ def agg_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "path", "n_users", F.row_number().over(wr).cast("int").alias("rank")
     )
+
+
+_TTE_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v_us,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p_us
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id, (p_us - v_us) // 1000000 AS lat_s
+        FROM firsts
+        WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us
+    )
+    SELECT CASE WHEN lat_s < 3600 THEN 'lt_1h'
+                WHEN lat_s < 86400 THEN 'lt_1d'
+                WHEN lat_s < 604800 THEN 'lt_7d'
+                ELSE 'ge_7d' END AS band,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(lat_s) AS BIGINT) AS total_latency_s
+    FROM lat GROUP BY band
+"""
+
+
+@query("window_time_to_event", oracle=_TTE_ORACLE, tags=("window", "events"))
+def window_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: TIME-TO-EVENT (conversion latency) — the funnel-speed
+    readout: per user, the gap between the FIRST 'view' and the FIRST
+    'purchase' (users whose first purchase precedes any view are
+    pre-converted and excluded — the rule that makes the metric a
+    latency, not a signed confusion), banded into the dashboard's
+    hour/day/week buckets with the exact total latency per band. All
+    arithmetic is exact epoch-microsecond integers floored to seconds;
+    band edges compare integers, so both engines bucket identically.
+
+    Scale shape: ONE map-side-combinable conditional-min aggregate
+    over the scan collapses the corpus to user grain; the band
+    aggregate runs on that (4 output rows). No window function needed
+    at all — the survival-analysis shape (per-user covariates → small
+    banded summary) is two pure aggregates."""
+    e = t(spark, sf_dir, "events", spread=True)
+    # ts reads as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP. The cast
+    # applies the session timezone, but the metric is a DIFFERENCE of
+    # two timestamps from the same column, so any constant offset
+    # cancels — the latency is timezone-immune by construction.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    lat = firsts.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") > F.col("v_us"))
+    ).select(F.expr("(p_us - v_us) div 1000000").alias("lat_s"))
+    band = (
+        F.when(F.col("lat_s") < 3600, "lt_1h")
+        .when(F.col("lat_s") < 86400, "lt_1d")
+        .when(F.col("lat_s") < 604800, "lt_7d")
+        .otherwise("ge_7d")
+    )
+    return lat.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("lat_s").cast("long").alias("total_latency_s"),
+    )

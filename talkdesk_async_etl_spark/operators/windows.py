@@ -704,3 +704,69 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cum_users"),
     )
+
+
+_ROLLMED_FRAME = 6  # current row + 6 preceding = 7-event window
+
+_ROLLMED_ORACLE = f"""
+    WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    sm AS (
+        SELECT user_id,
+               row_number() OVER w AS rn,
+               quantile_cont(cents, 0.5) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN {_ROLLMED_FRAME} PRECEDING AND CURRENT ROW)
+                   AS med
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(med) AS med_max,
+           arg_max(med, rn) AS med_last
+    FROM sm GROUP BY user_id
+"""
+
+
+@query("window_rolling_median", oracle=_ROLLMED_ORACLE, tags=("window", "events"))
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: EXACT rolling median — the robust smoother dashboards want
+    where a rolling MEAN (window_moving_frame) is one outlier away
+    from useless: per user, the median of the last 7 event values over
+    the (ts, event_id) total order, summarized per user as the
+    smoothed peak and the final smoothed level. Values are exact
+    cents, and a 7-row median is either an integer or a .5 half — both
+    exactly representable doubles with both engines using the same
+    linear-interpolation convention (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``), so no rounding pin is needed.
+
+    Scale shape: ONE user-keyed exchange serves the median window, the
+    row-number window (shared WINDOW spec), and the final per-user
+    aggregate. The frame holds ≤7 values per row, so per-row median
+    state is O(frame), not O(partition) — an exact rolling median over
+    a 10^6-row frame would instead want the two-heap/indexed-tree
+    custom stateful operator, which is the applyInPandasWithState
+    escalation path documented in streaming/."""
+    e = t(spark, sf_dir, "events", spread=True).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sm = e.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.expr(f"percentile(cents, 0.5)")
+        .over(w.rowsBetween(-_ROLLMED_FRAME, 0))
+        .alias("med"),
+    )
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("med").alias("med_max"),
+        F.expr("max_by(med, rn)").alias("med_last"),
+    )

@@ -2838,3 +2838,98 @@ def test_pmi_collocations_lift_and_support(spark, tmp_path):
     ny = next(r for r in got if r[1:3] == ("new", "york"))
     tc = next(r for r in got if r[1:3] == ("the", "cat"))
     assert ny[0] > tc[0]
+
+
+def test_rolling_median_robust_to_outlier(spark, tmp_path):
+    """Constructed series: u1's values are a flat 10.00 with one 9999
+    spike — a 7-row rolling MEAN would smear the spike across 7 rows,
+    the rolling MEDIAN must swallow it entirely (med_max stays 1000
+    cents); u2 has two events so its medians interpolate to a half
+    (1.00, 2.00 -> 150.0 cents exactly)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1,
+         "view", 9999.0 if i == 5 else 10.0, "{}")
+        for i in range(11)
+    ] + [
+        (100, base, 2, "view", 1.0, "{}"),
+        (101, base + dt.timedelta(minutes=1), 2, "view", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.windows import window_rolling_median
+
+    got = {
+        r["user_id"]: (r["n_events"], r["med_max"], r["med_last"])
+        for r in window_rolling_median(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (11, 1000.0, 1000.0)  # spike never reaches the median
+    assert got[2] == (2, 150.0, 150.0)     # even-count interpolation, exact
+
+
+def test_balanced_classes_minority_quota(spark, tmp_path):
+    """Constructed labels: class 0 has 3 vectors, class 1 has 7,
+    class 2 has 5 — every class must sample exactly 3 (the minority
+    count), and class 0's xor must cover ALL of its ids (it IS the
+    minority)."""
+    from functools import reduce
+
+    rows = (
+        [(i, [0.0] * 64, 0) for i in range(3)]
+        + [(10 + i, [0.0] * 64, 1) for i in range(7)]
+        + [(100 + i, [0.0] * 64, 2) for i in range(5)]
+    )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from talkdesk_async_etl_spark.operators.sampling import sample_balanced_classes
+
+    got = {
+        r["label"]: (r["n_rows"], r["n_sampled"], r["sample_xor"])
+        for r in sample_balanced_classes(spark, str(tmp_path)).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == {
+        0: (3, 3), 1: (7, 3), 2: (5, 3)
+    }
+    assert got[0][2] == reduce(lambda a, b: a ^ b, range(3))
+
+
+def test_time_to_event_bands_and_preconverted(spark, tmp_path):
+    """Constructed journeys: u1 converts in 30 min (lt_1h), u2 in 2
+    days (lt_7d), u3 purchased BEFORE any view (pre-converted — must
+    be excluded), u4 never purchases (excluded), u5's SECOND view is
+    after the purchase but the FIRST is before (counts, from the
+    first view)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+
+    def ev(eid, minutes, user, et):
+        return (eid, base + dt.timedelta(minutes=minutes), user, et, 0.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "view"), ev(2, 30, 1, "purchase"),
+        ev(3, 0, 2, "view"), ev(4, 2 * 1440, 2, "purchase"),
+        ev(5, 0, 3, "purchase"), ev(6, 10, 3, "view"),
+        ev(7, 0, 4, "view"),
+        ev(8, 0, 5, "view"), ev(9, 60, 5, "purchase"), ev(10, 90, 5, "view"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.stats import window_time_to_event
+
+    got = {
+        r["band"]: (r["n_users"], r["total_latency_s"])
+        for r in window_time_to_event(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "lt_1h": (1, 1800),            # u1
+        "lt_1d": (1, 3600),            # u5 (60 min from FIRST view)
+        "lt_7d": (1, 2 * 86400),       # u2
+    }

@@ -72,6 +72,11 @@ _BOUNDED_NLJ = {
                               # 5-row query side broadcasts into the
                               # corpus scan with a != condition (same
                               # bounded shape as sim_topk_cosine)
+    # audited round 11:
+    "text_pmi_collocations",   # 1-row token-total broadcast into the
+                               # bigram-count relation (lift denominator)
+    "sample_stratified_neyman",  # 1-row weight-total broadcast into the
+                                 # |strata|-row allocation relation
 }
 
 

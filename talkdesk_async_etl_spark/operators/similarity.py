@@ -1079,3 +1079,112 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((step, vid, score, r))
         selected.append(cand.pop(vid)[1])
     return spark.createDataFrame(out, "step int, vec_id long, score_x10 long, rel long")
+
+
+# --- Cluster label purity ---------------------------------------------
+_PUR_K = 8  # centroid count (first k vectors, the IVF seed convention)
+_PUR_Q = 1000  # component quantization (kcenter rule)
+
+
+def _purity_oracle() -> str:
+    dist = (
+        "(SELECT sum((x.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)])"
+        " * (x.qv[CAST(i AS INT)] - c.qv[CAST(i AS INT)]))"
+        " FROM range(1, 65) r(i))"
+    )
+    return f"""
+    WITH qemb AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * {_PUR_Q}) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cid, qv FROM qemb WHERE vec_id < {_PUR_K}
+    ),
+    assigned AS (
+        SELECT vec_id, label, cid FROM (
+            SELECT x.vec_id, x.label, c.cid,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM qemb x CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    cl AS (
+        SELECT cid, label, CAST(count(*) AS BIGINT) AS c
+        FROM assigned GROUP BY cid, label
+    ),
+    top AS (
+        SELECT cid, label AS top_label, c AS top_count FROM (
+            SELECT cid, label, c,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY c DESC, label) AS rn
+            FROM cl
+        ) WHERE rn = 1
+    ),
+    sz AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n_vecs FROM cl GROUP BY cid)
+    SELECT s.cid AS cluster_id, s.n_vecs,
+           CAST(t.top_label AS INTEGER) AS top_label, t.top_count,
+           CAST((1000000 * t.top_count) // s.n_vecs AS BIGINT)
+               AS purity_micro
+    FROM sz s JOIN top t ON s.cid = t.cid
+    """
+
+
+@query("sim_cluster_purity", oracle=_purity_oracle(), tags=("similarity",))
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 evaluation: cluster LABEL PURITY — the standard external
+    clustering-quality readout (how label-homogeneous is each cluster)
+    that grades an IVF/k-means index against ground-truth classes:
+    assign every vector to its nearest of the first {k} seed centroids
+    (the IVF seeding convention sim_centroid_assign uses), then per
+    cluster report size, the majority label (count-desc, label-asc
+    tie-break) and purity = top_count/size in exact micro-units. The
+    metric is DEFINED in quantized space (floor(x·1000) components,
+    BIGINT squared-L2 — the kcenter rule), so assignment, majority,
+    and purity are all engine-identical integers with no cosine/double
+    seam anywhere.
+
+    Scale shape: centroids ride as parsed literal expressions (k·64
+    ints — no join; the corpus never shuffles for assignment; argmin
+    is an in-scan array_min over (dist, cid) structs); the only
+    exchanges are the (cluster, label)-keyed count and the k-row
+    majority/size rollups."""
+    qv_expr = F.expr(f"transform(embedding, x -> CAST(floor(x * {_PUR_Q}) AS BIGINT))")
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", qv_expr.alias("qv")
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < _PUR_K)
+        .select("vec_id", "qv")
+        .orderBy("vec_id")
+        .collect()
+    )
+    structs = []
+    for r in cents:
+        lit = ", ".join(f"{v}L" for v in r["qv"])
+        structs.append(
+            f"struct(aggregate(zip_with(qv, array({lit}),"
+            f" (u, v) -> (u - v) * (u - v)), 0L, (s, x) -> s + x) AS d,"
+            f" {int(r['vec_id'])} AS cid)"
+        )
+    best = F.expr(f"array_min(array({', '.join(structs)}))")
+    assigned = emb.select("label", best["cid"].alias("cluster_id"))
+    cl = assigned.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("c").desc(), F.col("label"))
+    top = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("label").alias("top_label"), F.col("c").alias("top_count"))
+    )
+    sz = cl.groupBy("cluster_id").agg(F.sum("c").cast("long").alias("n_vecs"))
+    return (
+        sz.join(top, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_vecs",
+            F.col("top_label").cast("int").alias("top_label"),
+            F.col("top_count").cast("long").alias("top_count"),
+            F.expr("(1000000 * top_count) div n_vecs").cast("long").alias("purity_micro"),
+        )
+    )

@@ -770,3 +770,61 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("med").alias("med_max"),
         F.expr("max_by(med, rn)").alias("med_last"),
     )
+
+
+_FT_ATTR_ORACLE = """
+    WITH touched AS (
+        SELECT event_type, value,
+               first_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS channel
+        FROM events
+    )
+    SELECT coalesce(channel, '(direct)') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@query("window_attribution_first_touch", oracle=_FT_ATTR_ORACLE, tags=("window", "events"))
+def window_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11b: FIRST-touch revenue attribution — every purchase credits
+    the EARLIEST preceding non-purchase event in the user's history
+    (acquisition credit) where the last-touch twin credits the most
+    recent (conversion credit); marketing teams run both and read the
+    spread. Same engine-identical machinery as W11 — the (ts,
+    event_id) total order, IGNORE NULLS over a typed projection, exact
+    cents — with ``first_value`` replacing ``last`` so a user's later
+    touches can never steal acquisition credit, and purchases before
+    any touch stay '(direct)'.
+
+    Scale shape: identical to last-touch — one user-keyed exchange
+    serves the running-first window and feeds the small channel
+    rollup; frame state is O(1) per row (first-value short-circuits)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", channel.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

@@ -2998,3 +2998,70 @@ def test_dow_chi2_flags_concentration(spark, tmp_path):
     assert got["uniform"] == (70, 0, 0)
     # present-cell sum: one cell with o=70, n=70 -> (490-70)^2 = 176400
     assert got["spiky"] == (70, 176400, 1)
+
+
+def test_first_touch_diverges_from_last_touch(spark, tmp_path):
+    """Constructed journey where the two attribution rules disagree:
+    u1 view -> click -> purchase credits 'view' under FIRST-touch but
+    'click' under last-touch; u2's purchase-before-any-touch stays
+    '(direct)'; u3's two purchases both credit the single first touch."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+
+    def ev(eid, m, u, et, v=0.0):
+        return (eid, base + dt.timedelta(minutes=m), u, et, v, "{}")
+
+    rows = [
+        ev(1, 0, 1, "view"), ev(2, 1, 1, "click"), ev(3, 2, 1, "purchase", 10.0),
+        ev(4, 0, 2, "purchase", 5.0),
+        ev(5, 0, 3, "signup"), ev(6, 1, 3, "purchase", 1.0), ev(7, 2, 3, "purchase", 2.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.windows import (
+        window_attribution_first_touch,
+        window_attribution_last_touch,
+    )
+
+    first = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in window_attribution_first_touch(spark, str(tmp_path)).collect()
+    }
+    last = {
+        r["channel"]: (r["n_purchases"], r["revenue_cents"])
+        for r in window_attribution_last_touch(spark, str(tmp_path)).collect()
+    }
+    assert first == {"view": (1, 1000), "(direct)": (1, 500), "signup": (2, 300)}
+    assert last["click"] == (1, 1000)  # the divergence first-touch must not show
+    assert "click" not in first
+
+
+def test_cluster_purity_majority_and_ties(spark, tmp_path):
+    """Constructed clusters: all six vectors are seeds (vec_id < 8),
+    four at the origin and two far away — identical positions tie on
+    distance 0 and the cid tie-break collapses them onto the SMALLEST
+    seed id, so cluster 0 holds labels {5,5,5,7} (majority 5, purity
+    750000) and cluster 1 holds a LABEL TIE {2,1} where the smallest
+    label wins (top_label 1, purity 500000). Pins both tie-breaks:
+    assignment by (dist, cid) and majority by (count desc, label)."""
+    far = [10.0] + [0.0] * 63
+    origin = [0.0] * 64
+    rows = [
+        (0, origin, 5), (1, far, 2),
+        (2, origin, 5), (3, origin, 5), (4, origin, 7),
+        (5, far, 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from talkdesk_async_etl_spark.operators.similarity import sim_cluster_purity
+
+    got = {
+        r["cluster_id"]: (r["n_vecs"], r["top_label"], r["top_count"], r["purity_micro"])
+        for r in sim_cluster_purity(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (4, 5, 3, 750000)
+    assert got[1] == (2, 1, 1, 500000)

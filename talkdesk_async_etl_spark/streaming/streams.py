@@ -514,3 +514,75 @@ def scd2_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def cdc_upsert_stream(
+    cdc_df: DataFrame, store_path: str, checkpoint: str, n_buckets: int = 16
+):
+    """Streaming CDC APPLY — the live side of the S7 merge-on-read
+    family (batch twins: ``cdc_latest_wins`` read semantics,
+    ``cdc_tombstone_deletes`` precedence): a stream of
+    ``(key, status, version, op)`` change rows maintains a keyed
+    parquet STORE via foreachBatch, latest version wins, tombstones
+    (op='D') kept in the store and hidden by :func:`read_cdc_store` so
+    a later re-insert revives the key — the reference's Delta
+    MERGE-on-write (DB:245-253) re-expressed without delta jars.
+
+    Bucketed-rewrite shape: the store partitions by ``key % n_buckets``
+    and each epoch rewrites ONLY the buckets its batch touches
+    (dynamic partition overwrite) — the merge-on-read compaction story
+    at any scale: epoch cost follows the batch's key spread, never the
+    store size. The rewrite is idempotent under epoch replay (the
+    at-least-once window foreachBatch leaves): re-merging rows that
+    already won changes nothing, so a crash between sink write and
+    commit re-produces byte-identical buckets on restart.
+
+    Single-JVM caveat, documented not hidden: the merged bucket
+    content is persisted and materialized BEFORE the overwrite job so
+    the write never scans the files it is replacing; a production
+    deployment writes each epoch to a fresh snapshot directory and
+    swaps a manifest pointer instead (the lineage under this persist
+    would re-read overwritten input if an executor died mid-write)."""
+    from pyspark.sql import Window
+
+    def apply_epoch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark = batch.sparkSession
+        b = batch.withColumn("bucket", F.col("key") % n_buckets)
+        try:
+            store = spark.read.parquet(store_path)
+            touched = [r["bucket"] for r in b.select("bucket").distinct().collect()]
+            merged = store.filter(F.col("bucket").isin(touched)).unionByName(b)
+        except Exception:  # first epoch: no store yet
+            merged = b
+        w = Window.partitionBy("key").orderBy(F.col("version").desc())
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .persist()
+        )
+        latest.count()  # materialize before overwriting the inputs
+        try:
+            (
+                latest.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(store_path)
+            )
+        finally:
+            latest.unpersist()
+
+    return (
+        cdc_df.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def read_cdc_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the live keys of a :func:`cdc_upsert_stream` store —
+    tombstones stay in the store (they must outrank older versions on
+    replay) and are filtered at read, the merge-on-read contract."""
+    return spark.read.parquet(store_path).filter(F.col("op") != "D")

@@ -213,6 +213,8 @@ def test_survey_section2_is_the_registry():
         "running_user_totals_tws",  # streaming-only class, "no registry id" noted inline
         "scd2_stream",  # streaming-only, batch twin cdc_scd2_build holds the driver row
         "pagerank_from_edges",  # reusable core function documented inside the D8 cell
+        "cdc_upsert_stream",  # streaming-only CDC apply; batch twins hold the driver rows
+        "read_cdc_store",  # its read-side contract (tombstone filter)
     }
     stale = []
     for l in section:

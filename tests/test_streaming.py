@@ -698,3 +698,71 @@ def test_scd2_stream_matches_batch_on_finalized_region(spark, tmp_path):
     # and unemitted, matching the batch twin's is_current row)
     assert (2, "X", us(at(1)), us(at(1))) in want
     assert len(want) == 3
+
+
+def test_cdc_upsert_stream_matches_batch_resolution(spark, tmp_path):
+    """Streaming CDC apply == batch latest-wins resolution over the
+    same change log, including tombstone-hides-key and
+    re-insert-revives-key, applied across separate micro-batches
+    (maxFilesPerTrigger=1 so each log file is its own epoch), plus an
+    incremental restart on the same checkpoint for a late batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.streaming.streams import (
+        cdc_upsert_stream,
+        read_cdc_store,
+    )
+
+    log, store, ckpt = (str(tmp_path / d) for d in ("log", "store", "ckpt"))
+    ddl = "key long, status string, version long, op string"
+    batches = [
+        [(k, "I%d" % k, 1, "I") for k in range(50)],          # inserts
+        [(k, "U", 2, "U") for k in range(0, 50, 7)],           # updates
+        [(k, None, 3, "D") for k in range(0, 50, 5)],          # deletes
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(log)
+
+    def run():
+        q = cdc_upsert_stream(
+            spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(log),
+            store,
+            ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+
+    def batch_resolution():
+        full = spark.read.parquet(log)
+        w = Window.partitionBy("key").orderBy(F.col("version").desc())
+        latest = full.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        return {
+            (r["key"], r["status"], r["version"])
+            for r in latest.filter("op <> 'D'").collect()
+        }
+
+    got = {
+        (r["key"], r["status"], r["version"])
+        for r in read_cdc_store(spark, store).collect()
+    }
+    assert got == batch_resolution()
+    # every tombstoned key is hidden from the live read
+    assert {k for k, _, _ in got}.isdisjoint(range(0, 50, 5))
+
+    # late batch: re-insert REVIVES deleted keys; restart on the same
+    # checkpoint processes only the new file
+    spark.createDataFrame(
+        [(k, "R", 4, "I") for k in range(0, 50, 10)], ddl
+    ).coalesce(1).write.mode("append").parquet(log)
+    run()
+    got2 = {
+        (r["key"], r["status"], r["version"])
+        for r in read_cdc_store(spark, store).collect()
+    }
+    assert got2 == batch_resolution()
+    assert (0, "R", 4) in got2  # revived through the tombstone

@@ -311,6 +311,7 @@ _HEADLINE_R11 = (
     "events_dow_chi2",
     "window_attribution_first_touch",
     "sim_cluster_purity",
+    "dedup_chunk_level",
 )
 
 HEADLINE = (

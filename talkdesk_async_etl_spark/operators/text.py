@@ -1128,3 +1128,150 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), "w1", "w2")
         .limit(_COLL_TOPK)
     )
+
+
+def _cdc_chunk_spans(base: DataFrame) -> DataFrame:
+    """Chunk spans for the content-defined chunker: per doc, rows
+    ``(doc_id, n, s, e)`` where tokens s..e (1-based, inclusive) form
+    one chunk — cuts where the rolling k-gram fingerprint ≡ 0 mod
+    {mod}, document end as the sentinel cut (same definition as
+    ``text_cdc_chunking``; this returns the spans instead of the
+    per-doc summary so chunk-grain consumers can slice the text)."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    grams = (
+        base.filter(F.size("tk") >= _CDC_K)
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {_CDC_K - 1}),"
+                    f" i -> struct(CAST(i + {_CDC_K - 1} AS BIGINT) AS c,"
+                    f" concat_ws(' ', slice(tk, i, {_CDC_K})) AS g))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "n", F.col("e.c").alias("c"), _hex15_col(F.col("e.g")).alias("h"))
+    )
+    cuts = grams.filter(
+        (F.col("h") % _CDC_MOD == 0) & (F.col("c") < F.col("n"))
+    ).select("doc_id", "n", "c")
+    docs = base.select("doc_id", F.size("tk").cast("long").alias("n"))
+    allc = cuts.union(docs.select("doc_id", "n", F.col("n").alias("c")))
+    w = Window.partitionBy("doc_id").orderBy("c")
+    return allc.select(
+        "doc_id",
+        "n",
+        (F.coalesce(F.lag("c").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("c").alias("e"),
+    )
+
+
+_CHUNK_DUP_ORACLE = f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk
+        FROM documents
+    ),
+    docs AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM base),
+    cuts AS (
+        SELECT doc_id, n, CAST(i + {_CDC_K - 1} AS BIGINT) AS c
+        FROM (
+            SELECT b.doc_id, d.n, b.tk,
+                   unnest(range(1, CAST(len(b.tk) - {_CDC_K} + 2 AS BIGINT)))
+                       AS i
+            FROM base b JOIN docs d USING (doc_id)
+        )
+        WHERE CAST(('0x' || substr(md5(array_to_string(
+                  list_slice(tk, CAST(i AS INT),
+                             CAST(i + {_CDC_K - 1} AS INT)), ' ')), 1, 15))
+              AS BIGINT) % {_CDC_MOD} = 0
+          AND i + {_CDC_K - 1} < n
+    ),
+    allc AS (
+        SELECT doc_id, n, c FROM cuts
+        UNION ALL
+        SELECT doc_id, n, n AS c FROM docs
+    ),
+    spans AS (
+        SELECT doc_id, n,
+               coalesce(lag(c) OVER (PARTITION BY doc_id ORDER BY c), 0) + 1
+                   AS s,
+               c AS e
+        FROM allc
+    ),
+    hashed AS (
+        SELECT sp.doc_id, sp.n, sp.e - sp.s + 1 AS len,
+               CAST(('0x' || substr(md5(array_to_string(
+                   list_slice(b.tk, CAST(sp.s AS INT), CAST(sp.e AS INT)),
+                   ' ')), 1, 15)) AS BIGINT) AS h
+        FROM spans sp JOIN base b USING (doc_id)
+    ),
+    marked AS (
+        SELECT doc_id, n, len,
+               count(*) OVER (PARTITION BY h) AS occ
+        FROM hashed
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(sum(CASE WHEN occ >= 2 THEN len ELSE 0 END) AS BIGINT)
+               AS dup_tokens
+    FROM marked GROUP BY doc_id, n
+"""
+
+
+@query("dedup_chunk_level", oracle=_CHUNK_DUP_ORACLE, tags=("dedup", "text", "chunk"))
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 capstone of the chunking story: CHUNK-grain dedup — the
+    consumer content-defined chunking exists FOR: slice every document
+    at its CDC boundaries (same cut definition as text_cdc_chunking,
+    so an edit shifts only its own chunk), hash each chunk's token
+    span, and mark chunks whose hash repeats corpus-wide (within- or
+    cross-document). Per doc: chunk count, duplicated-chunk count, and
+    duplicated-token total — the report a chunk-level remover consumes.
+    Sits between dedup_substring_spans (fixed 8-token grams: exact but
+    boundary-blind) and whole-doc near-dup: CDC boundaries make chunk
+    hashes edit-stable, so shared boilerplate detects even when its
+    surrounding context differs.
+
+    Scale shape: cut derivation and chunk hashing are in-scan; spans
+    JOIN back to the token arrays on the doc key (both sides doc-keyed
+    — one co-partitioned exchange pair, the price of not dragging
+    token arrays through the cut window); duplicate marking is ONE
+    window count over the 60-bit chunk hash (8-byte shuffle key, no
+    join-back relation — the substring-spans pattern); the final
+    aggregate shares the doc key. Hot-chunk skew (a boilerplate chunk
+    repeated 10^6×) concentrates one hash key — same remedy as the
+    substring operator: the LSH-style hot-key cap."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    d = t(spark, sf_dir, "documents", spread=True)
+    base = d.select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("tk")
+    )
+    spans = _cdc_chunk_spans(base)
+    hashed = spans.join(base, "doc_id").select(
+        "doc_id",
+        "n",
+        (F.col("e") - F.col("s") + 1).alias("len"),
+        _hex15_col(
+            F.concat_ws(
+                " ",
+                F.expr("slice(tk, CAST(s AS INT), CAST(e - s + 1 AS INT))"),
+            )
+        ).alias("h"),
+    )
+    marked = hashed.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return marked.groupBy("doc_id", F.col("n").alias("n_tokens")).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        F.sum(F.when(F.col("occ") >= 2, F.col("len")).otherwise(0))
+        .cast("long")
+        .alias("dup_tokens"),
+    )

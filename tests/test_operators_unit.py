@@ -3065,3 +3065,69 @@ def test_cluster_purity_majority_and_ties(spark, tmp_path):
     }
     assert got[0] == (4, 5, 3, 750000)
     assert got[1] == (2, 1, 1, 500000)
+
+
+def test_chunk_level_dedup_matches_python_replica(spark, tmp_path):
+    """Two documents share a verbatim 40-token run inside otherwise
+    different text; a third is unrelated. A pure-Python replica
+    recomputes CDC cuts, chunk hashes, and corpus-wide occurrence
+    counts — the shared run must surface as duplicated chunks in BOTH
+    carriers and the unrelated doc must report zero."""
+    import hashlib
+    from collections import Counter
+
+    from talkdesk_async_etl_spark.operators.text import (
+        _CDC_K,
+        _CDC_MOD,
+        dedup_chunk_level,
+    )
+
+    # Long enough to contain >= 2 interior cuts (avg chunk ~ MOD
+    # tokens), so at least one chunk falls FULLY inside the shared run
+    # in both carriers — the edit-stability property under test.
+    shared = " ".join(f"s{(i * 13) % 29}" for i in range(200))
+    texts = {
+        1: " ".join(f"a{i % 7}" for i in range(30)) + " " + shared,
+        2: shared + " " + " ".join(f"b{i % 5}" for i in range(25)),
+        3: " ".join(f"z{i}" for i in range(60)),  # all-unique: no self-dups
+    }
+    spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def chunks(text):
+        tk = text.split(" ")
+        n = len(tk)
+        cuts = [
+            i + _CDC_K - 1
+            for i in range(1, n - _CDC_K + 2)
+            if h60(" ".join(tk[i - 1 : i - 1 + _CDC_K])) % _CDC_MOD == 0
+            and i + _CDC_K - 1 < n
+        ] + [n]
+        out, prev = [], 0
+        for c in cuts:
+            out.append((" ".join(tk[prev:c]), c - prev))
+            prev = c
+        return n, out
+
+    per_doc = {k: chunks(v) for k, v in texts.items()}
+    occ = Counter(h60(c) for _, cs in per_doc.values() for c, _ in cs)
+    want = {
+        k: (
+            n,
+            len(cs),
+            sum(1 for c, _ in cs if occ[h60(c)] >= 2),
+            sum(l for c, l in cs if occ[h60(c)] >= 2),
+        )
+        for k, (n, cs) in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chunks"], r["n_dup_chunks"], r["dup_tokens"])
+        for r in dedup_chunk_level(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert got[1][2] > 0 and got[2][2] > 0  # the shared run was caught
+    assert got[3][2] == 0                   # the unrelated doc is clean

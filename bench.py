@@ -312,6 +312,8 @@ _HEADLINE_R11 = (
     "window_attribution_first_touch",
     "sim_cluster_purity",
     "dedup_chunk_level",
+    "window_rfm_scores",
+    "scan_file_manifest_delta",
 )
 
 HEADLINE = (

@@ -923,3 +923,80 @@ def csv_multichar_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("tricky")).cast("bigint").alias("chars_total"),
         F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("id_xor"),
     )
+
+
+_MANIFEST_FILES = 8
+_MANIFEST_DONE = 5  # files 0..4 were "processed" by the previous run
+
+_MANIFEST_ORACLE = f"""
+    SELECT CAST(o_orderkey % {_MANIFEST_FILES} AS INT) AS file_id,
+           CASE WHEN o_orderkey % {_MANIFEST_FILES} < {_MANIFEST_DONE}
+                THEN 'done' ELSE 'new' END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT)) AS BIGINT)
+               AS checksum
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+
+@query("scan_file_manifest_delta", oracle=_MANIFEST_ORACLE, tags=("scan", "ingest"))
+def scan_file_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S30: incremental-ingest MANIFEST delta — the reference's core
+    loop re-expressed on partitioned storage (it downloads report
+    files and tracks completion in its monitoring table, DB:206-253;
+    the batch analogue is "which landed files has this pipeline not
+    processed yet"). A landing zone partitioned by file id is diffed
+    against the processed manifest: manifest rows re-emit as 'done'
+    with the stats the PREVIOUS run recorded; unprocessed ids are
+    discovered (bounded distinct over the partition column), scanned,
+    and emitted as 'new' with freshly computed row counts and content
+    checksums — the idempotence contract being that re-running after
+    appending the new ids to the manifest changes only statuses, never
+    stats (both passes compute the identical checksum expression).
+
+    Scale shape: both the previous run's pass and the delta pass are
+    PARTITION-PRUNED scans — the file_id predicate is on the hive
+    partition column, so Spark lists and reads ONLY the matching
+    directories (PartitionFilters in the scan node, zero data read
+    from processed files); the manifest diff itself is driver-side set
+    arithmetic over the partition VALUE list (≤ |files| entries, the
+    catalog-listing analogue), never a data join. Checksum is the
+    order-insensitive bit_xor fold scan_table_checksum established."""
+    import os
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    landing = os.path.join(tempfile.gettempdir(), "tde_manifest_landing")
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", (F.col("o_orderkey") % _MANIFEST_FILES).cast("int").alias("file_id"))
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(landing)
+    )
+    land = spark.read.parquet(landing)
+    h = _hex15_col(F.col("o_orderkey").cast("string"))
+
+    def stats_for(ids: list[int], status: str) -> DataFrame:
+        return (
+            land.filter(F.col("file_id").isin(ids))  # partition-pruned scan
+            .groupBy(F.col("file_id").cast("int").alias("file_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor(h).alias("checksum"),
+            )
+            .select("file_id", F.lit(status).alias("status"), "n_rows", "checksum")
+        )
+
+    # the previous run: processed ids 0..4 and recorded their stats
+    manifest = stats_for(list(range(_MANIFEST_DONE)), "done")
+    # this run: discover landed ids (bounded partition-value listing),
+    # diff against the manifest, process only the delta
+    landed = sorted(
+        r["file_id"] for r in land.select("file_id").distinct().collect()
+    )
+    todo = [i for i in landed if i >= _MANIFEST_DONE]
+    return manifest.unionByName(stats_for(todo, "new"))

@@ -1239,3 +1239,82 @@ def events_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_nonuniform"),
     )
+
+
+_RFM_ANCHOR_DAY = 20089  # the decay operator's fixed scoring anchor
+
+_RFM_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               {_RFM_ANCHOR_DAY}
+                 - max(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                       - DATE '1970-01-01') AS recency_d,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(recency_d AS BIGINT) AS recency_d, frequency,
+           monetary_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_d DESC, user_id) AS INTEGER)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS INTEGER)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, user_id)
+                AS INTEGER) AS m_score
+    FROM per_user
+"""
+
+
+@query("window_rfm_scores", oracle=_RFM_ORACLE, tags=("window", "events"))
+def window_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: RFM segmentation — the classic recency/frequency/monetary
+    quintile scores (5 = best) marketing segmentation runs on every
+    customer base. Raw metrics are exact integers (epoch-day recency
+    against the fixed scoring anchor, count, cent sums); scores are
+    rank-based ``ntile(5)`` with a user_id tie-break, so bucket
+    boundaries are deterministic row positions — no quantile
+    interpolation float to disagree on, and both engines share the
+    same ntile convention (earlier buckets absorb the remainder).
+
+    Scale shape: the corpus collapses to user grain in one map-side-
+    combinable aggregate; each ntile is then a global sort of the
+    USER-grain relation — at 100 TB that is a real (range-partitioned)
+    sort but of users, not events, and it is the price of exact
+    rank-based scoring; the cheaper production variant broadcasts
+    approximate quintile boundaries and assigns by comparison, which
+    trades the sort for an interpolation seam this operator
+    deliberately avoids."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    per_user = (
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "user_id",
+            day.alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            (F.lit(_RFM_ANCHOR_DAY) - F.max("d")).cast("long").alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_d",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_d").desc(), F.col("user_id")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").asc(), F.col("user_id")))
+        .cast("int")
+        .alias("m_score"),
+    )

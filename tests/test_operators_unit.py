@@ -3131,3 +3131,87 @@ def test_chunk_level_dedup_matches_python_replica(spark, tmp_path):
     assert got == want
     assert got[1][2] > 0 and got[2][2] > 0  # the shared run was caught
     assert got[3][2] == 0                   # the unrelated doc is clean
+
+
+def test_rfm_scores_quintiles(spark, tmp_path):
+    """Five constructed users with strictly ordered recency, frequency,
+    and monetary — each ntile(5) bucket holds exactly one user, so the
+    expected scores are unambiguous: user k (k=1..5) is the k-th most
+    recent, k-th most frequent, k-th biggest spender → all three
+    scores equal k... inverted: the BEST user gets 5."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.stats import (
+        _RFM_ANCHOR_DAY,
+        window_rfm_scores,
+    )
+
+    anchor = dt.datetime(1970, 1, 1) + dt.timedelta(days=_RFM_ANCHOR_DAY)
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        # user u: u events (frequency), most recent event u*10 days ago,
+        # each worth u dollars (monetary) -> user 5 is best on all axes
+        for j in range(u):
+            eid += 1
+            rows.append(
+                (eid, anchor - dt.timedelta(days=(6 - u) * 10 + j), u,
+                 "purchase", float(u), "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["r_score"], r["f_score"], r["m_score"],
+                       r["recency_d"], r["frequency"], r["monetary_cents"])
+        for r in window_rfm_scores(spark, str(tmp_path)).collect()
+    }
+    for u in range(1, 6):
+        r, f, m, rec, freq, mon = got[u]
+        assert (r, f, m) == (u, u, u), (u, got[u])
+        assert rec == (6 - u) * 10 and freq == u and mon == u * 100 * u
+
+
+def test_manifest_delta_statuses_and_pruning(spark, tmp_path):
+    """Constructed orders: statuses split done (file_id < 5) vs new,
+    every file's checksum equals a direct recomputation (the
+    idempotence contract — promoting 'new' to 'done' changes only the
+    status), and the delta scan's plan carries a PartitionFilter on
+    file_id (processed files are never read)."""
+    import datetime as dt
+
+    rows = [
+        (k, 1, "O", 10.0, dt.datetime(2024, 1, 1), "1-URGENT") for k in range(64)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    from talkdesk_async_etl_spark.operators.ingest import (
+        _MANIFEST_DONE,
+        _MANIFEST_FILES,
+        scan_file_manifest_delta,
+    )
+
+    df = scan_file_manifest_delta(spark, str(tmp_path))
+    got = {r["file_id"]: r for r in df.collect()}
+    assert set(got) == set(range(_MANIFEST_FILES))
+    for fid, r in got.items():
+        assert r["status"] == ("done" if fid < _MANIFEST_DONE else "new")
+        assert r["n_rows"] == 8  # 64 keys spread over 8 files
+    # idempotence: recomputing any file's checksum from source agrees
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    from functools import reduce
+
+    for fid in (0, 7):
+        want = reduce(
+            lambda a, b: a ^ b,
+            (h60(str(k)) for k in range(64) if k % _MANIFEST_FILES == fid),
+        )
+        assert got[fid]["checksum"] == want

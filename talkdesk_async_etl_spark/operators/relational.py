@@ -1068,16 +1068,33 @@ def keyed_table_diff(
     added / removed / changed, count per-column drift (null-safe), and
     attach the ``sample_n`` smallest differing keys per class.
     ``compare`` maps column name -> output label (counter column
-    ``n_{label}_changed``). See the query docstring for the scale
-    argument (one keyed shuffle, persisted diff relation, group-limit
-    sample)."""
+    ``n_{label}_changed``). Returns the materialized (collect_release)
+    class-grain result — <= 3 rows by construction; the lazy plan is
+    exposed as :func:`keyed_table_diff_plan` for the physical-plan
+    tests (triangle_count_plan precedent). See the query docstring for
+    the scale argument (one keyed shuffle, persisted diff relation,
+    group-limit sample)."""
+    from talkdesk_async_etl_spark.plans.cache import cache_scope, collect_release
+
+    with cache_scope():
+        return collect_release(
+            keyed_table_diff_plan(left, right, key, compare, sample_n)
+        )
+
+
+def keyed_table_diff_plan(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    compare: "list[tuple[str, str]]",
+    sample_n: int = 5,
+) -> DataFrame:
+    """Lazy plan for :func:`keyed_table_diff` — caller must hold an
+    active cache_scope (the diff relation is scoped_persist'ed so the
+    counts and sample branches share one join execution)."""
     from pyspark.sql import Window
 
-    from talkdesk_async_etl_spark.plans.cache import (
-        cache_scope,
-        collect_release,
-        scoped_persist,
-    )
+    from talkdesk_async_etl_spark.plans.cache import scoped_persist
 
     l, r = left.alias("l"), right.alias("r")
     both = F.col(f"l.{key}").isNotNull() & F.col(f"r.{key}").isNotNull()
@@ -1092,36 +1109,35 @@ def keyed_table_diff(
         .when(F.col(f"l.{key}").isNull(), "added")
         .when(any_diff, "changed")
     )
-    with cache_scope():
-        diffs = scoped_persist(
-            l.join(r, F.col(f"l.{key}") == F.col(f"r.{key}"), "full_outer")
-            .select(
-                F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias("k"),
-                verdict.alias("verdict"),
-                *[col_diff[c].cast("int").alias(f"d_{lbl}") for c, lbl in compare],
-            )
-            .filter(F.col("verdict").isNotNull())
+    diffs = scoped_persist(
+        l.join(r, F.col(f"l.{key}") == F.col(f"r.{key}"), "full_outer")
+        .select(
+            F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias("k"),
+            verdict.alias("verdict"),
+            *[col_diff[c].cast("int").alias(f"d_{lbl}") for c, lbl in compare],
         )
-        counts = diffs.groupBy("verdict").agg(
-            F.count(F.lit(1)).alias("n_keys"),
-            *[
-                F.sum(f"d_{lbl}").cast("long").alias(f"n_{lbl}_changed")
-                for _, lbl in compare
-            ],
+        .filter(F.col("verdict").isNotNull())
+    )
+    counts = diffs.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        *[
+            F.sum(f"d_{lbl}").cast("long").alias(f"n_{lbl}_changed")
+            for _, lbl in compare
+        ],
+    )
+    w_class = Window.partitionBy("verdict").orderBy("k")
+    samp = (
+        diffs.select("verdict", "k")
+        .withColumn("rn", F.row_number().over(w_class))
+        .filter(F.col("rn") <= sample_n)
+        .groupBy("verdict")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("k")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("sample_keys")
         )
-        w_class = Window.partitionBy("verdict").orderBy("k")
-        samp = (
-            diffs.select("verdict", "k")
-            .withColumn("rn", F.row_number().over(w_class))
-            .filter(F.col("rn") <= sample_n)
-            .groupBy("verdict")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("k")), lambda x: x.cast("string")
-                    ),
-                    ",",
-                ).alias("sample_keys")
-            )
-        )
-        return collect_release(counts.join(F.broadcast(samp), "verdict"))
+    )
+    return counts.join(F.broadcast(samp), "verdict")

@@ -870,3 +870,111 @@ def test_hypertable_rollup_scans_raw_once(spark):
 
     plan = plan_of(spark, "agg_hypertable_rollup")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_cdc_chunking_in_scan_cuts_no_join(spark):
+    """text_cdc_chunking claims the cut filter runs in-scan before the
+    ONE doc-keyed exchange the window and final aggregate share (the
+    sentinel union adds a second scan branch, not a join): generate +
+    filter inside the scan stage, join-free, Python-free."""
+    plan = plan_of(spark, "text_cdc_chunking")
+    assert _n_exchanges(plan) <= 3, plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # grams explode in-scan
+
+
+def test_chunk_level_dedup_single_hash_window_no_pair_join(spark):
+    """dedup_chunk_level marks duplicate chunks with a window count
+    over the chunk hash — no pair/self-join relation; the only join in
+    the plan is the doc-keyed span→tokens join back (co-partitioned
+    equi-join), never a hash-pair join."""
+    plan = plan_of(spark, "dedup_chunk_level")
+    import re
+
+    joins = re.findall(r"\(\d+\) \w*Join\w*", plan)
+    assert len(joins) <= 2, joins  # the one span->tokens join (+AQE variant)
+    assert "EvalPython" not in plan
+
+
+def test_table_diff_group_limit_sample(spark):
+    """scan_table_diff's per-class key sample must plan as
+    WindowGroupLimit (map tasks forward <=5 keys per class) — the
+    plan-review finding that made the hand-salted pre-window
+    redundant. The diff join itself is the full-outer SortMergeJoin.
+    Pinned on the lazy keyed_table_diff core (the registered query
+    returns a collect_release'd 3-row local relation, which explains
+    as Scan ExistingRDD — the triangle_count_plan precedent)."""
+    import contextlib
+    import io
+
+    from talkdesk_async_etl_spark.operators.relational import keyed_table_diff_plan
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    o = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    with cache_scope():
+        core = keyed_table_diff_plan(
+            o, o.filter("o_orderkey % 2 = 0"), "o_orderkey",
+            [("o_orderstatus", "status")],
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            core.explain("formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan
+    assert "FullOuter" in plan
+
+
+def test_balanced_classes_group_limit(spark):
+    """sample_balanced_classes re-enters the data-dependent minority
+    count as a LITERAL precisely so the rank filter plans as
+    WindowGroupLimit — pin that it does."""
+    plan = plan_of(spark, "sample_balanced_classes")
+    assert "WindowGroupLimit" in plan
+
+
+def test_cumulative_distinct_no_join_two_aggs(spark):
+    """window_cumulative_distinct is two map-side-combinable
+    aggregates plus the tiny day-grain running sum — no join, no
+    Python, and the first aggregate must show a partial pass (the
+    map-side combine that makes the corpus scan cheap)."""
+    plan = plan_of(spark, "window_cumulative_distinct")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_pmi_collocations_broadcast_vocab(spark):
+    """text_pmi_collocations' unigram joins must broadcast the
+    vocabulary-sized count relation (Heaps' law makes it tiny relative
+    to the corpus) and the final top-k must be TakeOrdered, not a
+    global sort."""
+    plan = plan_of(spark, "text_pmi_collocations")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_first_touch_shares_user_exchange(spark):
+    """window_attribution_first_touch: ONE user-keyed exchange serves
+    the running-first window; the channel rollup adds the small final
+    aggregate exchange; nothing else shuffles and nothing joins."""
+    plan = plan_of(spark, "window_attribution_first_touch")
+    assert _n_exchanges(plan) <= 3, plan
+    assert "Join" not in plan
+
+
+def test_manifest_delta_partition_pruned(spark):
+    """scan_file_manifest_delta's claim that processed files are never
+    read: the delta scan carries PartitionFilters on file_id (the hive
+    partition column), so pruning happens at file listing, not as a
+    post-scan filter."""
+    plan = plan_of(spark, "scan_file_manifest_delta")
+    import re
+
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("file_id" in l and "[]" not in l.split("PartitionFilters")[1][:4]
+               for l in pf), pf

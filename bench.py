@@ -314,6 +314,9 @@ _HEADLINE_R11 = (
     "dedup_chunk_level",
     "window_rfm_scores",
     "scan_file_manifest_delta",
+    "agg_mad_robust",
+    "scalar_ip_cidr",
+    "window_gap_distribution",
 )
 
 HEADLINE = (

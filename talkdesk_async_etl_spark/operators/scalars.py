@@ -777,3 +777,103 @@ def scalar_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "nation").alias("nation_val"),
         F.size(m).alias("n_keys"),
     )
+
+
+# --- IPv4 parse + CIDR classification ---------------------------------
+# Deterministic synthetic ips derived from user_id (both engines build
+# the identical STRING, then the operator under test is the parse back
+# to uint32 and the prefix-match arithmetic).
+_CIDR_BLOCKS = (
+    ("10.0.0.0/8", 10 * 2**24, 8),
+    ("172.16.0.0/12", 172 * 2**24 + 16 * 2**16, 12),
+    ("192.168.0.0/16", 192 * 2**24 + 168 * 2**16, 16),
+)
+
+
+def _cidr_case_sql(ip_col: str) -> str:
+    cases = " ".join(
+        f"WHEN ({ip_col} // {2 ** (32 - bits)}) * {2 ** (32 - bits)} = {base} "
+        f"THEN '{name}'"
+        for name, base, bits in _CIDR_BLOCKS
+    )
+    return f"CASE {cases} ELSE 'public' END"
+
+
+_IP_ORACLE = f"""
+    WITH ips AS (
+        SELECT user_id,
+               CAST((user_id * 3) % 224 + 1 AS VARCHAR) || '.' ||
+               CAST((user_id * 13) % 256 AS VARCHAR) || '.' ||
+               CAST((user_id * 17) % 256 AS VARCHAR) || '.' ||
+               CAST((user_id * 19) % 254 + 1 AS VARCHAR) AS ip
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    parsed AS (
+        SELECT user_id,
+               CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_u32
+        FROM ips
+    )
+    SELECT {_cidr_case_sql("ip_u32")} AS block,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(ip_u32) AS BIGINT) AS ip_sum
+    FROM parsed GROUP BY 1
+"""
+
+
+@query("scalar_ip_cidr", oracle=_IP_ORACLE, tags=("scalar",))
+def scalar_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: IPv4 parsing + CIDR classification — the log-enrichment
+    scalar every security/traffic pipeline runs: dotted-quad strings
+    parse to uint32 (split + positional casts, pure JVM expressions),
+    then classify against RFC-1918 CIDR blocks with prefix arithmetic
+    (floor-align to the block size and compare — integer-exact on both
+    engines; no bit-shift builtin dialect differences to reconcile).
+    The first-octet multiplier is COPRIME with 224 so every octet
+    value — including the three private-block leads — is reachable
+    (a first draft used 7, whose gcd with 224 made 10/172/192
+    unreachable and the classifier vacuously 'public').
+    The fixture derives a deterministic ip string per user on BOTH
+    engines, so the hash attests the round-trip parse and the block
+    arithmetic, and ``ip_sum`` pins every parsed uint32, not just the
+    block sizes.
+
+    Scale shape: one distinct-user collapse (map-side combinable),
+    then per-row scalar arithmetic inside the scan and a 4-row block
+    rollup — nothing else shuffles."""
+    users = (
+        t(spark, sf_dir, "events", spread=True)
+        .select("user_id")
+        .distinct()
+    )
+    ip = F.concat_ws(
+        ".",
+        ((F.col("user_id") * 3) % 224 + 1).cast("string"),
+        ((F.col("user_id") * 13) % 256).cast("string"),
+        ((F.col("user_id") * 17) % 256).cast("string"),
+        ((F.col("user_id") * 19) % 254 + 1).cast("string"),
+    )
+    parts = F.split(F.col("ip"), "\\.")
+    ip_u32 = (
+        parts[0].cast("long") * 16777216
+        + parts[1].cast("long") * 65536
+        + parts[2].cast("long") * 256
+        + parts[3].cast("long")
+    )
+    block = F.lit("public")
+    for name, base, bits in reversed(_CIDR_BLOCKS):
+        size = 2 ** (32 - bits)
+        block = F.when(
+            (F.floor(F.col("ip_u32") / size) * size) == base, name
+        ).otherwise(block)
+    return (
+        users.select("user_id", ip.alias("ip"))
+        .select("user_id", ip_u32.alias("ip_u32"))
+        .groupBy(block.alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("ip_u32").cast("long").alias("ip_sum"),
+        )
+    )

@@ -1318,3 +1318,59 @@ def window_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+_MAD_ORACLE = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS m
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           max(med.m) AS median_cents,
+           quantile_cont(abs(c.cents - med.m), 0.5) AS mad_cents
+    FROM c JOIN med USING (event_type)
+    GROUP BY c.event_type
+"""
+
+
+@query("agg_mad_robust", oracle=_MAD_ORACLE, tags=("agg", "stats", "percentile"))
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: MEDIAN ABSOLUTE DEVIATION per group — the robust scale
+    estimate (50% breakdown point) that stddev-based alerting lacks
+    (one fat-fingered value moves a stddev threshold; it cannot move
+    the MAD), completing the robust-statistics shelf next to
+    window_winsorize (robust location) and window_rolling_median
+    (robust smoothing). Two exact-percentile passes: the per-group
+    median of cents, then the median of absolute deviations from it —
+    cents are integers, both medians interpolate to integers or exact
+    .5 halves, and abs-differences of those stay exactly
+    representable, so Spark ``percentile`` and DuckDB ``quantile_cont``
+    agree bit-for-bit with no rounding pin.
+
+    Scale shape: the window_winsorize trade — percentile AGGREGATE per
+    group (exact percentile state is heavy but per-GROUP, never
+    per-row), groups-sized relation broadcast back onto a rescan for
+    the deviation pass; at 100 TB the rescan is the cheap side and AQE
+    plans the 5-row join as broadcast unasked."""
+    c = t(spark, sf_dir, "events", spread=True).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("m")
+    )
+    return (
+        c.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("m").alias("median_cents"),
+            F.expr("percentile(abs(cents - m), 0.5)").alias("mad_cents"),
+        )
+    )

@@ -828,3 +828,58 @@ def window_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("revenue_cents"),
         )
     )
+
+
+_GAP_ORACLE = """
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        FROM events
+    ),
+    gaps AS (SELECT event_type, gap_us // 1000000 AS gap_s
+             FROM seq WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CASE WHEN gap_s < 60 THEN 'lt_1m'
+                WHEN gap_s < 600 THEN 'lt_10m'
+                WHEN gap_s < 3600 THEN 'lt_1h'
+                ELSE 'ge_1h' END AS band,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+    FROM gaps GROUP BY 1, 2
+"""
+
+
+@query("window_gap_distribution", oracle=_GAP_ORACLE, tags=("window", "events"))
+def window_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: inter-event GAP distribution — the diagnostic that
+    CALIBRATES sessionization (window_sessionize_gap hardcodes a
+    30-minute threshold; this shows what the data's gap landscape
+    actually looks like, banded per the event type arriving AFTER the
+    gap). Consecutive-event gaps per user over the (ts, event_id)
+    total order, exact epoch-microsecond differences floored to
+    seconds (timezone-immune by differencing), bucketed into the
+    minute/10-minute/hour bands with exact totals.
+
+    Scale shape: ONE user-keyed exchange serves the lag window; the
+    band rollup is a map-side-combinable aggregate over (type, band) —
+    ~20 output rows at any corpus size."""
+    e = t(spark, sf_dir, "events", spread=True)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gap_s = F.expr("gap_us div 1000000")
+    band = (
+        F.when(gap_s < 60, "lt_1m")
+        .when(gap_s < 600, "lt_10m")
+        .when(gap_s < 3600, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return seq.groupBy("event_type", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(gap_s).cast("long").alias("total_gap_s"),
+    )

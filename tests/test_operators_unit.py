@@ -3215,3 +3215,110 @@ def test_manifest_delta_statuses_and_pruning(spark, tmp_path):
             (h60(str(k)) for k in range(64) if k % _MANIFEST_FILES == fid),
         )
         assert got[fid]["checksum"] == want
+
+
+def test_mad_ignores_outlier(spark, tmp_path):
+    """Constructed frame: 'steady' holds [1,2,3,4,100] dollars — the
+    stddev is outlier-dominated but median=3.00 and MAD=1.00 exactly
+    (deviations [2,1,0,1,97] -> median 1); 'pairs' holds [1,3] whose
+    median interpolates to the exact half 2.00 and MAD to 1.00."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (i, base, 1, "steady", float(v), "{}")
+        for i, v in enumerate([1, 2, 3, 4, 100])
+    ] + [
+        (10, base, 1, "pairs", 1.0, "{}"),
+        (11, base, 1, "pairs", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.stats import agg_mad_robust
+
+    got = {
+        r["event_type"]: (r["n"], r["median_cents"], r["mad_cents"])
+        for r in agg_mad_robust(spark, str(tmp_path)).collect()
+    }
+    assert got["steady"] == (5, 300.0, 100.0)
+    assert got["pairs"] == (2, 200.0, 100.0)
+
+
+def test_ip_cidr_parse_and_blocks(spark, tmp_path):
+    """Constructed user ids chosen so the derived ips land in known
+    blocks: uid 147 -> (147*7)%224+1 = 133... pick uids by searching
+    the formula in-test so the expectation is self-derived, then
+    verify block assignment and the exact uint32 sum per block."""
+    import datetime as dt
+
+    def ip_u32(uid):
+        a = (uid * 3) % 224 + 1
+        b = (uid * 13) % 256
+        c = (uid * 17) % 256
+        d = (uid * 19) % 254 + 1
+        return (a << 24) + (b << 16) + (c << 8) + d
+
+    def block(u):
+        if (u >> 24) == 10:
+            return "10.0.0.0/8"
+        if (u >> 20) == (172 << 4) + 1:  # 172.16/12: top 12 bits
+            return "172.16.0.0/12"
+        if (u >> 16) == (192 << 8) + 168:
+            return "192.168.0.0/16"
+        return "public"
+
+    uids = [1, 2, 3] + [u for u in range(1, 3000) if block(ip_u32(u)) != "public"][:5]
+    base = dt.datetime(2024, 6, 1)
+    rows = [(i, base, u, "view", 0.0, "{}") for i, u in enumerate(uids)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for u in set(uids):
+        b = block(ip_u32(u))
+        want[b][0] += 1
+        want[b][1] += ip_u32(u)
+    from talkdesk_async_etl_spark.operators.scalars import scalar_ip_cidr
+
+    got = {
+        r["block"]: [r["n_users"], r["ip_sum"]]
+        for r in scalar_ip_cidr(spark, str(tmp_path)).collect()
+    }
+    assert got == dict(want)
+    assert any(b != "public" for b in got), got  # a private block was hit
+
+
+def test_gap_distribution_bands(spark, tmp_path):
+    """Constructed gaps: u1's events land 30 s, 5 min, and 2 h apart →
+    one gap in each of lt_1m / lt_10m / ge_1h attributed to the
+    FOLLOWING event's type; a user's first event produces no gap."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, base, 1, "a", 0.0, "{}"),
+        (2, base + dt.timedelta(seconds=30), 1, "b", 0.0, "{}"),
+        (3, base + dt.timedelta(seconds=30 + 300), 1, "c", 0.0, "{}"),
+        (4, base + dt.timedelta(seconds=30 + 300 + 7200), 1, "d", 0.0, "{}"),
+        (5, base, 2, "e", 0.0, "{}"),  # single event: no gap row
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from talkdesk_async_etl_spark.operators.windows import window_gap_distribution
+
+    got = {
+        (r["event_type"], r["band"]): (r["n_gaps"], r["total_gap_s"])
+        for r in window_gap_distribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("b", "lt_1m"): (1, 30),
+        ("c", "lt_10m"): (1, 300),
+        ("d", "ge_1h"): (1, 7200),
+    }

@@ -80,78 +80,79 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-11 window, in priority order (executes ROUND_NOTES' round-10
-# rotation pre-plan verbatim, which VERDICT r10 task 1 endorsed):
-#   1. The 13 round-10 additions that registered AFTER the r10 window
-#      froze (parity-verified by the r10 judge's own check_parity run
+# Round-12 window, in priority order (executes ROUND_NOTES' round-11
+# rotation pre-plan verbatim, which VERDICT r11 task 1 endorsed):
+#   1. The 22 round-11 additions that registered AFTER the r11 window
+#      froze (parity-verified by the r11 judge's own check_parity run
 #      but still without a formal driver CORRECTNESS row) — the only
 #      ids in the repo not yet driver-hash-attested.
-#   2. The 2 remaining r5-tier ids (both rows-only-by-design; their
-#      tolerance/containment twins are hash-attested): after this
-#      window the r5 tier is fully cleared.
-#   3. The 35 oldest r6-tier ids with the remaining slots.
-# The rest of the r6 tier and the r7+ tiers rotate r12+ (r6 first).
+#   2. The 10 remaining r6-tier ids: after this window the r6 tier is
+#      fully cleared.
+#   3. The 18 oldest r7-tier ids (alphabetical within the tier) with
+#      the remaining slots.
+# The rest of the r7 tier and the r8+ tiers rotate r13+ (r7 first).
 # Every deferred id keeps its every-pytest-run oracle parity check,
 # so deferral costs recency of the driver row, not coverage. Any id
 # registered but absent here appends in registration order, so new
 # operators are never silently dropped — and the first-50 meta-test
 # in tests/test_driver_profile.py fails on typos or miscounts.
-# Round-11 additions registered after THIS window freezes lead the
-# r12 window per the standing precedent.
+# Round-12 additions registered after THIS window freezes lead the
+# r13 window per the standing precedent.
 _PRIORITY = (
-    # --- tier 1: the 13 round-10 ids without a formal driver row ---
-    "sql_group_by_all",
-    "cdc_tombstone_deletes",
-    "window_attribution_last_touch",
-    "window_activity_streaks",
-    "multimodal_shot_boundaries",
-    "dedup_incremental_components",
-    "sim_matryoshka_recall",
-    "text_bpe_train",
-    "dedup_substring_spans",
-    "events_anomaly_days",
-    "agg_ab_significance",
-    "sample_temperature_mixture",
-    "sample_kcenter_coreset",
-    # --- tier 2: the 2 remaining r5-tier ids (clears the r5 tier) ---
-    "agg_percentile_approx",
-    "dedup_minhash_lsh",
-    # --- tier 3: the 35 oldest r6-tier ids ---
-    "window_rank_family",
-    "window_event_transitions",
-    "multimodal_audio_features",
-    "multimodal_audio_ok",
-    "multimodal_resize_ok",
-    "dedup_incremental_jaccard",
-    "dedup_incremental_lsh_ok",
-    "dedup_levenshtein",
-    "sim_kmeans_inertia_ok",
-    "sim_quantize_int8",
-    "sim_random_projection",
-    "sim_knn_label_vote",
-    "text_tfidf_top_terms",
-    "text_pack_sequences",
-    "text_lang_quota",
-    "text_repetition_score",
-    "text_decontaminate",
-    "text_unigram_logprob",
-    "agg_corr_regr",
-    "window_winsorize",
-    "agg_hll_sketch_ok",
-    "agg_cohort_retention",
-    "agg_profile_columns",
-    "agg_histogram",
-    "agg_kll_quantiles_ok",
-    "agg_theta_sketch_ok",
-    "graph_pagerank",
-    "sample_deterministic",
-    "text_mixture_upsample",
-    "sample_shuffle_shards",
-    "scan_corrupt_recovery",
-    "scan_schema_evolution",
-    "sink_compaction_ok",
-    "tpch_q4",
-    "tpch_q7",
+    # --- tier 1: the 22 round-11 ids without a formal driver row
+    #     (registration order, per the r11 pre-plan) ---
+    "scan_table_diff",
+    "window_cumulative_distinct",
+    "window_rolling_median",
+    "window_attribution_first_touch",
+    "window_gap_distribution",
+    "scalar_ip_cidr",
+    "multimodal_png_real",
+    "sim_mmr_rerank",
+    "sim_cluster_purity",
+    "text_cdc_chunking",
+    "text_pmi_collocations",
+    "dedup_chunk_level",
+    "agg_user_path_topk",
+    "window_time_to_event",
+    "agg_decay_weighted",
+    "events_dow_chi2",
+    "window_rfm_scores",
+    "agg_mad_robust",
+    "graph_common_neighbors",
+    "sample_stratified_neyman",
+    "sample_balanced_classes",
+    "scan_file_manifest_delta",
+    # --- tier 2: the 10 remaining r6-tier ids (clears the r6 tier) ---
+    "stream_funnel_state",
+    "stream_interval_join",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    # --- tier 3: the 18 oldest r7-tier ids (alphabetical) ---
+    "agg_approx_distinct",
+    "agg_cms_topk_ok",
+    "agg_count",
+    "agg_count_distinct",
+    "agg_gap_fill_daily",
+    "agg_multi",
+    "agg_percentile",
+    "agg_unpivot_melt",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "dedup_resolve_canonical",
+    "filter_col_eq",
+    "filter_conj_eq",
+    "filter_date_range",
+    "graph_triangle_count",
+    "join_bloom_prefilter_ok",
+    "join_inner_using",
 )
 
 

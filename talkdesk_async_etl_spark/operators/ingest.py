@@ -969,7 +969,19 @@ def scan_file_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from talkdesk_async_etl_spark.operators.dedup import _hex15_col
 
-    landing = os.path.join(tempfile.gettempdir(), "tde_manifest_landing")
+    # The landing zone is keyed by Spark application id AND the sf
+    # fixture name: two concurrent sessions (parallel pytest,
+    # overlapping bench/plan-audit runs) or two sf_dirs in one session
+    # each get their own directory, so neither can overwrite the
+    # other's landing data mid-read (ADVICE r11). Same-session
+    # same-sf reruns still reuse (overwrite) one path, keeping the
+    # operator idempotent rather than tempdir-accreting.
+    landing = os.path.join(
+        tempfile.gettempdir(),
+        "tde_manifest_landing_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
     (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", (F.col("o_orderkey") % _MANIFEST_FILES).cast("int").alias("file_id"))

@@ -1089,19 +1089,44 @@ def window_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECAY_ANCHOR_DAY = 20089  # 2025-01-01, just past the fixture's 2024 span
-_DECAY_HALFLIFE_D = 7.0
+_DECAY_HALFLIFE_D = 7  # half-life in days; the halving block below
 _DECAY_MICRO = 1_000_000
+# floor(10^6 * 0.5^(r/7)) for r = 0..6, computed once at 60-digit
+# decimal precision and frozen as literals: together with exact
+# halving per 7-day block they replace pow() entirely. The nested
+# floor identity floor(x / 2^q) = floor(floor(x) / 2^q) makes
+# M[r] >> q EQUAL to floor(10^6 * 0.5^(age/7)) — the same weights as
+# the original pow formula, but with zero libm calls on either
+# engine, so no 1-ulp JVM-vs-C boundary flip is possible at ANY age
+# (ADVICE r11). Weights are 0 for q >= 20 (10^6 < 2^20), which also
+# keeps the shift amount bounded.
+_DECAY_FRAC = (1000000, 905723, 820335, 742997, 672950, 609506, 552044)
+_DECAY_FRAC_CASE = (
+    "CASE (({age}) % 7) "
+    + " ".join(f"WHEN {r} THEN {m}" for r, m in enumerate(_DECAY_FRAC))
+    + " END"
+)
+# age < 0 (an event AFTER the scoring anchor) is out of contract —
+# raise loudly on both engines instead of extrapolating a >1 weight.
+_DECAY_W_SQL = (
+    "CASE WHEN ({age}) < 0 THEN CAST({err} AS BIGINT) "
+    "WHEN ({age}) // 7 >= 20 THEN 0 "
+    "ELSE (" + _DECAY_FRAC_CASE + ") >> CAST(({age}) // 7 AS INTEGER) END"
+)
+
+_DECAY_AGE_DUCK = (
+    f"({_DECAY_ANCHOR_DAY} - (CAST(CAST(ts AS TIMESTAMP) AS DATE)"
+    " - DATE '1970-01-01'))"
+)
 
 _DECAY_ORACLE = f"""
     WITH e AS (
         SELECT user_id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-               CAST(floor({_DECAY_MICRO} * pow(
-                   CAST(0.5 AS DOUBLE),
-                   CAST({_DECAY_ANCHOR_DAY}
-                        - (CAST(CAST(ts AS TIMESTAMP) AS DATE)
-                           - DATE '1970-01-01') AS DOUBLE)
-                   / CAST({_DECAY_HALFLIFE_D} AS DOUBLE))) AS BIGINT) AS w
+               CAST({_DECAY_W_SQL.format(
+                   age=_DECAY_AGE_DUCK,
+                   err="error('agg_decay_weighted: event after anchor')")}
+                   AS BIGINT) AS w
         FROM events
     )
     SELECT user_id,
@@ -1122,27 +1147,34 @@ def agg_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw count, the decayed activity score, and the decay-weighted
     revenue.
 
-    Cross-engine float seam, handled by the repo's micro-quantization
-    rule (the temperature-mixture precedent): pow is the one
-    non-correctly-rounded step, so each event's decay factor is
-    micro-scaled and FLOORED to an exact BIGINT before any sum —
-    downstream arithmetic is pure integers, and a boundary hit would
-    need pow to land within ~1e-10 of a micro-unit on one of the ~366
-    distinct age values. The anchor is a CONSTANT (no corpus-max-day
-    broadcast), which is also the production shape: scoring runs
-    against "now", not against the data's own horizon.
+    Cross-engine float seam, CLOSED rather than pinned (ADVICE r11):
+    the weight floor(10^6 * 0.5^(age/7)) is computed with NO pow()
+    call at all — age = 7q + r decomposes the decay into exact
+    integer halving (shiftright by q) of a frozen 7-entry lookup
+    M[r] = floor(10^6 * 0.5^(r/7)); the nested-floor identity makes
+    M[r] >> q equal to the original formula for every age, so the
+    engines agree by construction with zero libm involvement (the
+    old version floored a JVM-vs-C pow that could flip a micro-unit
+    boundary by 1 ulp). Events dated after the anchor raise on both
+    engines (raise_error / error) instead of extrapolating. The
+    anchor is a CONSTANT (no corpus-max-day broadcast), which is also
+    the production shape: scoring runs against "now", not against the
+    data's own horizon.
 
     Scale shape: one map-side-combinable groupBy(user) over the scan —
     the decay expression is per-row JVM codegen; nothing else
     shuffles."""
-    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-    w = F.floor(
-        _DECAY_MICRO
-        * F.pow(
-            F.lit(0.5),
-            (F.lit(_DECAY_ANCHOR_DAY) - day).cast("double") / F.lit(_DECAY_HALFLIFE_D),
-        )
-    ).cast("long")
+    age_sql = (
+        f"({_DECAY_ANCHOR_DAY} - datediff(to_date(ts), DATE '1970-01-01'))"
+    )
+    frac_case = _DECAY_FRAC_CASE.format(age=age_sql)
+    w = F.expr(
+        f"CASE WHEN {age_sql} < 0 THEN "
+        "CAST(raise_error('agg_decay_weighted: event after anchor') AS BIGINT) "
+        f"WHEN {age_sql} div 7 >= 20 THEN CAST(0 AS BIGINT) "
+        f"ELSE shiftright(CAST({frac_case} AS BIGINT), "
+        f"CAST({age_sql} div 7 AS INT)) END"
+    )
     e = t(spark, sf_dir, "events", spread=True).select(
         "user_id",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),

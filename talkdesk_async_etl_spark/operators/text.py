@@ -1060,7 +1060,8 @@ _COLL_ORACLE = f"""
         HAVING count(*) >= {_COLL_MIN_SUPPORT}
     )
     SELECT p.w1, p.w2, p.n_pair,
-           CAST((n.nt * p.n_pair * {_COLL_MICRO}) // (a.c * b.c) AS BIGINT)
+           CAST((CAST(n.nt AS HUGEINT) * p.n_pair * {_COLL_MICRO})
+                    // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT)
                AS lift_micro
     FROM c12 p
     JOIN c1 a ON a.w = p.w1
@@ -1082,9 +1083,14 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N·c12·10^6) // (c1·c2) over exact BIGINT counts, immune to the
     log-ulp seam that required micro-floor pinning in the LM-scoring
     family (the engines agree by construction, not within tolerance).
-    Ties break on the bigram itself. At petabyte token counts the
-    product N·c12·10^6 outgrows BIGINT — the seam is the accumulator
-    type (DECIMAL(38,0)), not the algorithm.
+    Ties break on the bigram itself. The numerator N·c12·10^6
+    accumulates in 38-digit integer arithmetic on BOTH engines
+    (DECIMAL(38,0) in Spark, HUGEINT in DuckDB) — BIGINT overflows
+    around N≈10^8 tokens with a hot bigram (ADVICE r11), and Spark
+    would wrap silently where DuckDB raises; exact positive integer
+    floor-division keeps the engines bit-identical at any corpus
+    size. The QUOTIENT stays ≤ N·10^6 / max(c1,c2) ≪ 2^63, so the
+    final BIGINT cast is safe where the numerator was not.
 
     Scale shape: bigrams explode in-scan (no materialized array
     column); c12 and c1 are map-side-combinable aggregates; the two
@@ -1121,7 +1127,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "n_pair",
-            F.expr(f"(nt * n_pair * {_COLL_MICRO}) div (ca * cb)")
+            F.expr(
+                f"(CAST(nt AS DECIMAL(38,0)) * n_pair * {_COLL_MICRO})"
+                " div (CAST(ca AS DECIMAL(38,0)) * cb)"
+            )
             .cast("long")
             .alias("lift_micro"),
         )

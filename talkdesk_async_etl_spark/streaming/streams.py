@@ -550,11 +550,21 @@ def cdc_upsert_stream(
             return
         spark = batch.sparkSession
         b = batch.withColumn("bucket", F.col("key") % n_buckets)
-        try:
+        # "First epoch" is decided by an explicit existence probe, not
+        # by catching the read's exception: a transient read failure
+        # (FS hiccup, corrupt footer, concurrent writer) on an EXISTING
+        # store must fail the epoch — falling back to the batch alone
+        # would let the dynamic overwrite silently destroy every prior
+        # version and tombstone in the touched buckets (ADVICE r11).
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001 - py4j handle
+        )
+        if fs.exists(jvm_path):
             store = spark.read.parquet(store_path)
             touched = [r["bucket"] for r in b.select("bucket").distinct().collect()]
             merged = store.filter(F.col("bucket").isin(touched)).unionByName(b)
-        except Exception:  # first epoch: no store yet
+        else:  # first epoch: no store yet
             merged = b
         w = Window.partitionBy("key").orderBy(F.col("version").desc())
         latest = (

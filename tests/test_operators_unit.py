@@ -2935,6 +2935,29 @@ def test_time_to_event_bands_and_preconverted(spark, tmp_path):
     }
 
 
+def test_decay_lookup_equals_pow_formula():
+    """The pow-free weight (frozen 7-entry lookup M[r] shifted right
+    by the 7-day block count q) must equal floor(1e6 * 0.5^(age/7))
+    for EVERY age, not just half-life multiples — the nested-floor
+    identity floor(x/2^q) = floor(floor(x)/2^q) is what licensed
+    removing pow from both engines (ADVICE r11). Checked against
+    60-digit Decimal arithmetic (not float pow, which is the 1-ulp
+    seam being eliminated) over 20 years of ages."""
+    import math
+    from decimal import Decimal, getcontext
+
+    from talkdesk_async_etl_spark.operators.stats import _DECAY_FRAC
+
+    getcontext().prec = 60
+    for age in range(0, 7305):
+        q, r = divmod(age, 7)
+        got = _DECAY_FRAC[r] >> q if q < 20 else 0
+        exact = Decimal(1_000_000) * Decimal(2) ** (
+            -Decimal(age) / Decimal(7)
+        )
+        assert got == math.floor(exact), f"age={age}: {got} != floor({exact})"
+
+
 def test_decay_weighted_halflife(spark, tmp_path):
     """Constructed ages hitting exact half-life multiples: an event
     exactly at the anchor decays by 1.0 (1e6 micro), 7 days before by

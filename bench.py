@@ -319,6 +319,11 @@ _HEADLINE_R11 = (
     "window_gap_distribution",
 )
 
+# Round-12 additions.
+_HEADLINE_R12 = (
+    "text_unicode_normalize",
+)
+
 HEADLINE = (
     _HEADLINE_CORE
     + _HEADLINE_RELATIONAL
@@ -329,6 +334,7 @@ HEADLINE = (
     + _HEADLINE_R9
     + _HEADLINE_R10
     + _HEADLINE_R11
+    + _HEADLINE_R12
 )
 
 

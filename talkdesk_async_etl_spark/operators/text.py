@@ -1284,3 +1284,146 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text canonicalization (D4/D5 north-star gap, VERDICT r11 task 3)
+# ---------------------------------------------------------------------------
+
+# Width-fold table — the NFKC compatibility subset this operator
+# supports EXPLICITLY (DuckDB has no NFKC, so the compatibility folds
+# are frozen literal translate() tables applied identically on both
+# engines; NFC — the canonical-composition half — is the part each
+# engine computes natively: unicodedata via an Arrow-batched pandas
+# UDF on Spark, nfc_normalize (utf8proc) in DuckDB):
+#   fullwidth ASCII U+FF01..U+FF5E  -> U+0021..U+007E
+#   ideographic space U+3000, NBSP U+00A0 -> space
+_UNI_WF_FROM = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　 "
+_UNI_WF_TO = "".join(chr(c) for c in range(0x21, 0x7F)) + "  "
+# Default-ignorable / zero-width codepoints stripped outright: ZWSP,
+# ZWNJ, ZWJ, BOM/ZWNBSP, soft hyphen. Literal characters in the regex
+# class so Java regex and RE2 read the identical pattern.
+_UNI_ZW_CLASS = "[​‌‍﻿­]"
+_UNI_WS_CLASS = r"[ \t\n\r]+"
+_UNI_HEAD = 48  # chars of each document embedded in the dirty fixture
+_UNI_FW_DIGITS = "".join(chr(0xFF10 + d) for d in range(10))
+
+from talkdesk_async_etl_spark.operators.dedup import _duck_hex15  # noqa: E402
+
+_UNI_ORACLE = f"""
+    WITH dirty AS MATERIALIZED (
+        SELECT doc_id,
+               'Ｄｏｃ' || chr(8205)
+               || translate(CAST(doc_id AS VARCHAR), '0123456789',
+                            '{_UNI_FW_DIGITS}')
+               || '：' || chr(160) || 'Cafe' || chr(769) || chr(173)
+               || chr(9) || chr(12288)
+               || upper(substr(coalesce(text, ''), 1, {_UNI_HEAD}))
+               || ' ' || chr(8203) || ' ' AS d
+        FROM documents
+    ),
+    norm AS MATERIALIZED (
+        SELECT doc_id, d,
+               lower(trim(regexp_replace(
+                   nfc_normalize(regexp_replace(
+                       translate(d, '{_UNI_WF_FROM}',
+                                 '{_UNI_WF_TO.replace("'", "''")}'),
+                       '{_UNI_ZW_CLASS}', '', 'g')),
+                   '{_UNI_WS_CLASS}', ' ', 'g'))) AS n
+        FROM dirty
+    )
+    SELECT doc_id,
+           CAST(len(d) AS BIGINT) AS dirty_len,
+           CAST(len(n) AS BIGINT) AS norm_len,
+           CAST(CASE WHEN d <> n THEN 1 ELSE 0 END AS INTEGER) AS changed,
+           substr(n, 1, 80) AS norm_head,
+           {_duck_hex15("md5(n)")} AS norm_h
+    FROM norm
+"""
+
+
+def _nfc_udf():
+    """Arrow-batched NFC projection (the one non-JVM step of the
+    normalizer — Spark SQL exposes no Unicode normalizer, so the
+    stdlib's unicodedata runs per Arrow batch, never per row)."""
+    import pandas as pd  # noqa: F401 - resolves the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(batch):
+        import unicodedata
+
+        return batch.map(
+            lambda s: None if s is None else unicodedata.normalize("NFC", s)
+        )
+
+    _nfc.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")
+
+
+@query("text_unicode_normalize", oracle=_UNI_ORACLE, tags=("text", "quality"))
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D5: Unicode text CANONICALIZATION — the pass every real
+    multilingual curation pipeline runs before tokenization and dedup
+    (VERDICT r11 "What's missing" #1): width-variant folding, zero-
+    width/default-ignorable stripping, NFC canonical composition,
+    whitespace collapsing, case folding. Without it, 'Ｃａｆｅ́' and
+    'café' and 'café' are three distinct strings to every hash
+    in the dedup family; after it they are one.
+
+    Engine contract (documented per the task): NFC is computed
+    NATIVELY on each engine — ``unicodedata.normalize("NFC", ...)``
+    in an Arrow-batched pandas UDF on Spark, ``nfc_normalize``
+    (utf8proc) in DuckDB — and the oracle hash-checks the full
+    normalized string, so the two implementations must agree byte-for-
+    byte on every document (exact string equality, NOT rows-only).
+    The NFKC compatibility folds DuckDB lacks are frozen literal
+    translate tables (fullwidth ASCII, ideographic space, NBSP)
+    applied identically on both engines. Fold order is part of the
+    contract: width-fold → strip ignorables → NFC → collapse
+    whitespace → trim → lowercase.
+
+    The documents fixture is pure ASCII (normalization-invariant), so
+    the registered query would be vacuously green on raw text; instead
+    each doc deterministically constructs a DIRTY twin — fullwidth
+    letters and digits (doc_id-dependent), a zero-width joiner, NBSP,
+    a combining acute that NFC must compose, a soft hyphen, an
+    ideographic space, and the upcased doc head — and the output
+    attests dirty length, normalized length, a changed flag (1 for
+    every row by construction — the non-vacuity witness), the
+    normalized head, and the 60-bit hash of the FULL normalized
+    string.
+
+    Scale shape: one scan, zero shuffles — translate/regexp/lower are
+    whole-stage codegen; the only Python is the NFC projection, one
+    Arrow batch exchange (the pandas-UDF slow path is unavoidable —
+    the JVM exposes no normalizer to Spark SQL — and is the exact
+    pattern a fastText/ICU plug-in would use at 100 TB: stateless,
+    per-batch, no shuffle)."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    nfc = _nfc_udf()
+    docs = t(spark, sf_dir, "documents", spread=True)
+    dirty = F.concat(
+        F.lit("Ｄｏｃ‍"),
+        F.translate(F.col("doc_id").cast("string"), "0123456789", _UNI_FW_DIGITS),
+        F.lit("\uff1a\u00a0Cafe\u0301\u00ad\t\u3000"),
+        F.upper(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, _UNI_HEAD)),
+        F.lit(" ​ "),
+    )
+    folded = F.regexp_replace(
+        F.translate(dirty, _UNI_WF_FROM, _UNI_WF_TO), _UNI_ZW_CLASS, ""
+    )
+    staged = docs.select(
+        "doc_id",
+        dirty.alias("d"),
+        nfc(folded).alias("nfc_s"),
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("nfc_s"), _UNI_WS_CLASS, " ")))
+    return staged.select(
+        "doc_id",
+        F.length("d").cast("long").alias("dirty_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (F.col("d") != norm).cast("int").alias("changed"),
+        F.substring(norm, 1, 80).alias("norm_head"),
+        _hex15_col(norm).alias("norm_h"),
+    )

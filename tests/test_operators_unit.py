@@ -3345,3 +3345,68 @@ def test_gap_distribution_bands(spark, tmp_path):
         ("c", "lt_10m"): (1, 300),
         ("d", "ge_1h"): (1, 7200),
     }
+
+
+def test_unicode_normalize_constructed(spark, tmp_path):
+    """Constructed docs through the full canonicalization contract:
+    width variants (fullwidth letters/digits/colon), a zero-width
+    joiner, NBSP, a decomposed combining acute that NFC must compose,
+    a soft hyphen, an ideographic space, whitespace runs, and case.
+    Expected strings are written out BY HAND (not via the operator's
+    own helpers), so a fold-order regression can't self-certify."""
+    import unicodedata
+
+    from talkdesk_async_etl_spark.operators.text import (
+        text_unicode_normalize,
+    )
+
+    rows = [(0, "Hello  World", "en", "web", 12), (1, "", "en", "web", 0)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in text_unicode_normalize(spark, str(tmp_path)).collect()
+    }
+
+    # doc 0: template + upcased head, hand-normalized
+    assert got[0]["norm_head"] == "doc0: café hello world"
+    assert got[0]["changed"] == 1
+    # composed é is ONE codepoint — NFC ran (decomposed would be 2)
+    assert "café" in got[0]["norm_head"]
+    assert "́" not in got[0]["norm_head"]
+    # zero-width / ignorables gone, width variants folded
+    for ch in ("​", "‍", "­", "﻿", "Ｄ", "　", " "):
+        assert ch not in got[0]["norm_head"]
+    # empty doc: template-only normalization
+    assert got[1]["norm_head"] == "doc1: café"
+    assert got[1]["changed"] == 1
+    # dirty is longer than norm (strips + collapses always shrink)
+    for r in got.values():
+        assert r["dirty_len"] > r["norm_len"] > 0
+
+    # cross-check the FULL normalized string (not just the head)
+    # against an independent pure-Python replica of the contract
+    from talkdesk_async_etl_spark.operators.text import (
+        _UNI_FW_DIGITS,
+        _UNI_HEAD,
+        _UNI_WF_FROM,
+        _UNI_WF_TO,
+    )
+    import re
+
+    wf = str.maketrans(_UNI_WF_FROM, _UNI_WF_TO)
+    for doc_id, text, *_ in rows:
+        fw_id = str(doc_id).translate(str.maketrans("0123456789", _UNI_FW_DIGITS))
+        dirty = (
+            "Ｄｏｃ‍" + fw_id
+            + "： Café­\t　"
+            + (text or "")[:_UNI_HEAD].upper()
+            + " ​ "
+        )
+        expect = dirty.translate(wf)
+        expect = re.sub("[​‌‍﻿­]", "", expect)
+        expect = unicodedata.normalize("NFC", expect)
+        expect = re.sub(r"[ \t\n\r]+", " ", expect).strip().lower()
+        assert got[doc_id]["norm_head"] == expect[:80]
+        assert got[doc_id]["norm_len"] == len(expect)

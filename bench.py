@@ -322,6 +322,7 @@ _HEADLINE_R11 = (
 # Round-12 additions.
 _HEADLINE_R12 = (
     "text_unicode_normalize",
+    "pipeline_curation_e2e",
 )
 
 HEADLINE = (

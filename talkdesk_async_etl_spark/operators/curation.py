@@ -1,0 +1,444 @@
+"""Composed end-to-end curation pipeline (VERDICT r11 task 4).
+
+The engine's answer to the reference's end-to-end identity (the
+reference's whole existence is a composed pipeline: fetch -> land ->
+monitor, DB:479-568): every curation stage this repo already ships as
+a tested core — quality gate, exact dedup, near dedup, benchmark
+decontamination, temperature mixture, sequence packing — chained as
+ONE registered relation that emits a per-stage audit row
+(docs_in, docs_out, docs_dropped, tokens_out). Each stage is
+deterministic, so the DuckDB oracle predicts every count by replaying
+the identical chain in CTEs: the audit itself is hash-attested, not
+just row-counted.
+
+Stage semantics (each mirrors its standalone registered operator —
+file:line cites in the docstring below):
+
+1. quality_filter    — n_chars in [60,400], >=15 tokens, lang en/de
+                       (text_quality.py text_quality_filter).
+2. exact_dedup       — keep min doc_id per identical text
+                       (dedup.py dedup_exact).
+3. near_dedup        — drop the LARGER id of any 3-shingle-Jaccard
+                       >= 0.6 pair (dedup.py dedup_near_jaccard's
+                       pair rule; single-pass pairwise drop, NOT the
+                       transitive closure — dedup_components owns
+                       closure semantics).
+4. decontaminate     — drop the eval slice (doc_id % 11 == 0) and any
+                       doc sharing a word 4-gram with it
+                       (text_quality.py text_decontaminate).
+5. temperature_mixture — per-language epoch counts from the alpha=0.7
+                       UniMax/XLM rule (sampling.py
+                       sample_temperature_mixture): epochs =
+                       max(1, floor(boost)), boost computed as a
+                       ratio of exact integers.
+6. pack_sequences    — greedy first-fit packing of the upsampled
+                       stream into 256-token budget sequences, 8
+                       deterministic shards (text.py
+                       text_pack_sequences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from talkdesk_async_etl_spark.plans.cache import collect_release, scoped_persist
+from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.sources.io import read_table as t
+
+# Stage constants are IMPORTED from the standalone operators, so the
+# composed pipeline can never drift from the attested cores.
+from talkdesk_async_etl_spark.operators.dedup import _shingle_hashes
+from talkdesk_async_etl_spark.operators.sampling import _TEMP_ALPHA, _TEMP_ALPHA_F, _TEMP_MICRO
+from talkdesk_async_etl_spark.operators.text import _PACK_BUDGET, _PACK_SHARDS
+from talkdesk_async_etl_spark.operators.text_quality import _DECON_MOD, _DECON_N
+
+_JACC_T = "0.6"  # near-dup Jaccard threshold (dedup_near_jaccard's)
+
+_CURATION_ORACLE = f"""
+    WITH RECURSIVE base AS MATERIALIZED (
+        SELECT doc_id, lang, n_chars, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    s1 AS MATERIALIZED (
+        SELECT * FROM base
+        WHERE n_chars BETWEEN 60 AND 400 AND n_tokens >= 15
+          AND lang IN ('en', 'de')
+    ),
+    s2 AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY text) AS m FROM s1
+        ) WHERE doc_id = m
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM s2),
+             range(1, 2000) r(i)
+        WHERE i + 2 <= len(tk)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    near_drop AS MATERIALIZED (
+        SELECT DISTINCT doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) p
+        JOIN cnt ca ON ca.doc_id = p.doc_a
+        JOIN cnt cb ON cb.doc_id = p.doc_b
+        WHERE c * 1.0 / (ca.n + cb.n - c) >= {_JACC_T}
+    ),
+    s3 AS MATERIALIZED (
+        SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_b FROM near_drop)
+    ),
+    eval_grams AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(w[i:i+{_DECON_N - 1}], ' ') AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM base
+              WHERE doc_id % {_DECON_MOD} = 0),
+             range(1, 2000) r(i)
+        WHERE i + {_DECON_N - 1} <= len(w)
+    ),
+    hit AS MATERIALIZED (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, array_to_string(w[i:i+{_DECON_N - 1}], ' ') AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s3),
+                 range(1, 2000) r(i)
+            WHERE i + {_DECON_N - 1} <= len(w)
+        ) g JOIN eval_grams USING (gram)
+    ),
+    s4 AS MATERIALIZED (
+        SELECT * FROM s3
+        WHERE doc_id % {_DECON_MOD} != 0
+          AND doc_id NOT IN (SELECT doc_id FROM hit)
+    ),
+    lang_stats AS MATERIALIZED (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tok,
+               CAST(floor(pow(CAST(sum(n_tokens) AS DOUBLE), {_TEMP_ALPHA})
+                          * {_TEMP_MICRO}) AS BIGINT) AS s
+        FROM s4 GROUP BY lang
+    ),
+    lang_epochs AS MATERIALIZED (
+        SELECT lang, n_docs, n_tok,
+               CAST(greatest(1,
+                   (CAST(s AS HUGEINT) * (SELECT sum(n_tok) FROM lang_stats)
+                    + CAST((SELECT sum(s) FROM lang_stats) AS HUGEINT)
+                      * n_tok - 1)
+                   // (CAST((SELECT sum(s) FROM lang_stats) AS HUGEINT)
+                       * n_tok)) AS BIGINT) AS epochs
+        FROM lang_stats
+    ),
+    d AS MATERIALIZED (
+        SELECT u.doc_id, u.k,
+               CAST(u.doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+               CAST(u.n_tokens AS INTEGER) AS n_tokens,
+               row_number() OVER (PARTITION BY u.doc_id % {_PACK_SHARDS}
+                                  ORDER BY u.doc_id, u.k) AS rn
+        FROM (
+            SELECT s4.doc_id, s4.n_tokens,
+                   unnest(range(1, le.epochs + 1)) AS k
+            FROM s4 JOIN lang_epochs le USING (lang)
+        ) u
+    ),
+    packed(shard, rn, pack_no, fill) AS (
+        SELECT shard, rn, CAST(0 AS BIGINT), n_tokens
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.pack_no ELSE p.pack_no + 1 END,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.fill + d.n_tokens ELSE d.n_tokens END
+        FROM packed p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1
+    ),
+    audit AS (
+        SELECT 1 AS stage, 'quality_filter' AS name,
+               (SELECT count(*) FROM base) AS docs_in,
+               (SELECT count(*) FROM s1) AS docs_out,
+               (SELECT coalesce(sum(n_tokens), 0) FROM s1) AS tokens_out
+        UNION ALL
+        SELECT 2, 'exact_dedup',
+               (SELECT count(*) FROM s1), (SELECT count(*) FROM s2),
+               (SELECT coalesce(sum(n_tokens), 0) FROM s2)
+        UNION ALL
+        SELECT 3, 'near_dedup',
+               (SELECT count(*) FROM s2), (SELECT count(*) FROM s3),
+               (SELECT coalesce(sum(n_tokens), 0) FROM s3)
+        UNION ALL
+        SELECT 4, 'decontaminate',
+               (SELECT count(*) FROM s3), (SELECT count(*) FROM s4),
+               (SELECT coalesce(sum(n_tokens), 0) FROM s4)
+        UNION ALL
+        SELECT 5, 'temperature_mixture',
+               (SELECT count(*) FROM s4),
+               (SELECT coalesce(sum(n_docs * epochs), 0) FROM lang_epochs),
+               (SELECT coalesce(sum(n_tok * epochs), 0) FROM lang_epochs)
+        UNION ALL
+        SELECT 6, 'pack_sequences',
+               (SELECT coalesce(sum(n_docs * epochs), 0) FROM lang_epochs),
+               (SELECT coalesce(sum(mx + 1), 0) FROM
+                   (SELECT shard, max(pack_no) AS mx FROM packed
+                    GROUP BY shard)),
+               (SELECT coalesce(sum(n_tok * epochs), 0) FROM lang_epochs)
+    )
+    SELECT CAST(stage AS INTEGER) AS stage, name,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           CAST(docs_in - docs_out AS BIGINT) AS docs_dropped,
+           CAST(tokens_out AS BIGINT) AS tokens_out
+    FROM audit
+"""
+
+
+def _audit_row(
+    stage: int, name: str, docs_in: DataFrame, docs_out_tokens: DataFrame
+) -> DataFrame:
+    """One audit row: docs_in is a 1-row (n) aggregate, docs_out_tokens
+    a 1-row (n, tok) aggregate; both read persisted stage relations."""
+    return (
+        docs_in.crossJoin(docs_out_tokens)
+        .select(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.col("n_in").cast("long").alias("docs_in"),
+            F.col("n_out").cast("long").alias("docs_out"),
+            (F.col("n_in") - F.col("n_out")).cast("long").alias("docs_dropped"),
+            F.col("tok").cast("long").alias("tokens_out"),
+        )
+    )
+
+
+def _count_in(df: DataFrame) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).alias("n_in"))
+
+
+def _count_out(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("tok"),
+    )
+
+
+def curation_audit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star demonstrator: the WHOLE curation pipeline as one
+    relation — quality filter -> exact dedup -> near dedup ->
+    decontaminate -> temperature mixture -> greedy packing — emitting
+    one audit row per stage with (docs_in, docs_out, docs_dropped,
+    tokens_out). Every stage reuses the exact semantics of its
+    standalone attested operator (constants imported, not copied), and
+    the oracle replays the chain in DuckDB CTEs, so the per-stage
+    counts are value-hash-checked end to end.
+
+    Audit conventions: ``docs_dropped = docs_in - docs_out`` uniformly
+    — NEGATIVE for the mixture stage (upsampling grows the stream; the
+    sign is the signal) and positive for packing (docs collapse into
+    packs; tokens_out shows packing conserved every token). On the
+    shipped fixtures the exact-dedup stage passes everything through
+    (no byte-identical texts survive the quality gate — true of the
+    data, not a bug); the constructed-fixture unit test drives every
+    stage, including exact dupes, so the stage logic is attested even
+    where the fixture is clean.
+
+    Scale/plan shape: the corpus parquet is scanned ONCE into a
+    persisted base projection (at 100 TB each scoped_persist below is
+    a staged table write between pipeline runs — the lineage is the
+    same); every later stage and every audit aggregate reads a
+    persisted parent, so no stage re-scans the corpus (pinned by the
+    plan test counting Scan parquet nodes). The expensive middle —
+    the shingle self-join — runs on the post-quality-filter,
+    post-exact-dedup SURVIVORS, which is the point of running the
+    cheap gates first. The mixture stage collapses to a
+    language-grain aggregate BEFORE any row is replicated (docs_out
+    is Σ n_docs·epochs, computed without materializing copies); only
+    the pack stage materializes the upsampled stream, shuffles it
+    once on the shard key, and walks each shard in a grouped pandas
+    UDF (the documented order-dependent-logic slow path, same as
+    text_pack_sequences). Output is 6 rows — collect_release frees
+    every stage cache on materialization."""
+    import pandas as pd
+
+    base = scoped_persist(
+        t(spark, sf_dir, "documents", spread=True).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "text",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+    # stage 1: quality gates (text_quality_filter semantics)
+    s1 = scoped_persist(
+        base.filter(
+            F.col("n_chars").between(60, 400)
+            & (F.col("n_tokens") >= 15)
+            & F.col("lang").isin("en", "de")
+        )
+    )
+
+    # stage 2: exact dedup — keep min doc_id per identical text
+    s2 = scoped_persist(
+        s1.withColumn("m", F.min("doc_id").over(Window.partitionBy("text")))
+        .filter(F.col("doc_id") == F.col("m"))
+        .drop("m")
+    )
+
+    # stage 3: near dedup — 3-shingle Jaccard >= 0.6, larger id drops
+    sh = scoped_persist(
+        s2.select(
+            "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+        ).select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    near_drop = pairs.filter(
+        F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= float(_JACC_T)
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    s3 = scoped_persist(s2.join(near_drop, "doc_id", "left_anti"))
+
+    # stage 4: decontamination — eval slice + any 4-gram overlap drops
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= _DECON_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_N - 1)),
+            lambda i: F.array_join(F.slice(words, i, _DECON_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram = F.explode(F.array_distinct(grams)).alias("gram")
+    eval_grams = base.filter(F.col("doc_id") % _DECON_MOD == 0).select(gram).distinct()
+    hit = (
+        s3.select("doc_id", gram)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = scoped_persist(
+        s3.filter(F.col("doc_id") % _DECON_MOD != 0).join(hit, "doc_id", "left_anti")
+    )
+
+    # stage 5: temperature mixture — per-lang epochs, exact-integer boost
+    all_w = Window.partitionBy()
+    lang_epochs = scoped_persist(
+        s4.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tok"),
+        )
+        .withColumn(
+            "s",
+            F.floor(
+                F.pow(F.col("n_tok").cast("double"), F.lit(_TEMP_ALPHA_F)) * _TEMP_MICRO
+            ).cast("long"),
+        )
+        .withColumn("n_tot", F.sum("n_tok").over(all_w))
+        .withColumn("s_tot", F.sum("s").over(all_w))
+        .withColumn(
+            # epochs = ceil(boost): the UniMax/XLM intent — a language
+            # whose temperature share exceeds its raw share upsamples
+            # (ceil, so any boost > 1 earns a second epoch); dominant
+            # languages stay at 1 (never downsampled here — quota
+            # enforcement is text_lang_quota's job). Ceil-div of exact
+            # integers: (num + den - 1) div den, bit-identical across
+            # engines at any corpus size (38-digit accumulators).
+            "epochs",
+            F.expr(
+                "greatest(CAST(1 AS BIGINT),"
+                " (CAST(s AS DECIMAL(38,0)) * n_tot"
+                "  + CAST(s_tot AS DECIMAL(38,0)) * n_tok - 1)"
+                " div (CAST(s_tot AS DECIMAL(38,0)) * n_tok))"
+            ),
+        )
+        .select("lang", "n_docs", "n_tok", "epochs")
+    )
+    s5_stats = lang_epochs.agg(
+        F.coalesce(F.sum(F.col("n_docs") * F.col("epochs")), F.lit(0))
+        .cast("long")
+        .alias("n_out"),
+        F.coalesce(F.sum(F.col("n_tok") * F.col("epochs")), F.lit(0))
+        .cast("long")
+        .alias("tok"),
+    )
+
+    # stage 6: pack the upsampled stream (text_pack_sequences walk)
+    upsampled = (
+        s4.join(F.broadcast(lang_epochs.select("lang", "epochs")), "lang")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("k"),
+            F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("int").alias("shard"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "k"]).reset_index(drop=True)
+        packs = []
+        fill, pack_no = 0, 0
+        first = True
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if first:
+                fill, first = nt, False
+            elif fill + nt <= _PACK_BUDGET:
+                fill += nt
+            else:
+                pack_no += 1
+                fill = nt
+            packs.append(pack_no)
+        pdf["pack_no"] = packs
+        return pdf[["shard", "pack_no"]]
+
+    packed = upsampled.groupBy("shard").applyInPandas(
+        pack, schema="shard int, pack_no bigint"
+    )
+    n_packs = packed.groupBy("shard").agg(F.max("pack_no").alias("mx")).agg(
+        F.coalesce(F.sum(F.col("mx") + 1), F.lit(0)).cast("long").alias("n_out")
+    )
+
+    audit = (
+        _audit_row(1, "quality_filter", _count_in(base), _count_out(s1))
+        .unionByName(_audit_row(2, "exact_dedup", _count_in(s1), _count_out(s2)))
+        .unionByName(_audit_row(3, "near_dedup", _count_in(s2), _count_out(s3)))
+        .unionByName(_audit_row(4, "decontaminate", _count_in(s3), _count_out(s4)))
+        .unionByName(
+            _audit_row(
+                5,
+                "temperature_mixture",
+                _count_in(s4),
+                s5_stats,
+            )
+        )
+        .unionByName(
+            s5_stats.crossJoin(n_packs.select(F.col("n_out").alias("n_packs")))
+            .select(
+                F.lit(6).cast("int").alias("stage"),
+                F.lit("pack_sequences").alias("name"),
+                F.col("n_out").cast("long").alias("docs_in"),
+                F.col("n_packs").cast("long").alias("docs_out"),
+                (F.col("n_out") - F.col("n_packs")).cast("long").alias("docs_dropped"),
+                F.col("tok").cast("long").alias("tokens_out"),
+            )
+        )
+    )
+    return audit.orderBy("stage")
+
+
+@query("pipeline_curation_e2e", oracle=_CURATION_ORACLE, tags=("pipeline", "curation"))
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializing wrapper around :func:`curation_audit_plan` (the
+    lazy core the plan test pins — the keyed_table_diff precedent):
+    the audit is 6 rows by construction, so collect_release frees
+    every stage cache on the way out."""
+    return collect_release(curation_audit_plan(spark, sf_dir))

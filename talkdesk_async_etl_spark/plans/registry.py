@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "talkdesk_async_etl_spark.operators.engine_api",
     "talkdesk_async_etl_spark.operators.spatial",
     "talkdesk_async_etl_spark.operators.mining",
+    "talkdesk_async_etl_spark.operators.curation",
     "talkdesk_async_etl_spark.streaming.batch_twins",
 )
 

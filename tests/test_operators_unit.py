@@ -3410,3 +3410,75 @@ def test_unicode_normalize_constructed(spark, tmp_path):
         expect = re.sub(r"[ \t\n\r]+", " ", expect).strip().lower()
         assert got[doc_id]["norm_head"] == expect[:80]
         assert got[doc_id]["norm_len"] == len(expect)
+
+
+def test_pipeline_curation_e2e_constructed(spark, tmp_path):
+    """Constructed corpus where EVERY stage fires (the shipped fixture
+    has no exact dupes among quality survivors, so this is where the
+    exact-dedup arm is attested): quality drops (lang/short/chars),
+    an exact duplicate, a near duplicate (17/19 shared 3-shingles),
+    an eval-slice doc plus a training doc contaminated by its 4-gram,
+    a minority language that must upsample under ceil(boost), and a
+    shard whose doc stream overflows the 256-token pack budget."""
+    import math
+
+    from talkdesk_async_etl_spark.operators.curation import (
+        pipeline_curation_e2e,
+    )
+
+    A = ["t%02d" % i for i in range(20)]
+    docs = [
+        (1, " ".join(A), "en", "web", 100),                     # survivor
+        (2, " ".join(A), "en", "web", 100),                     # exact dup
+        (3, " ".join(A[:19] + ["zz"]), "en", "web", 100),       # near dup
+        (4, " ".join(["u%02d" % i for i in range(11)]
+                     + ["alpha", "beta", "gamma", "delta"]),
+         "en", "web", 100),                                     # contaminated
+        (5, " ".join(["d%02d" % i for i in range(15)]),
+         "de", "web", 100),                                     # minority de
+        (7, " ".join(["v%03d" % i for i in range(300)]),
+         "en", "web", 100),                                     # big: own pack
+        (8, " ".join(["x%02d" % i for i in range(20)]),
+         "xx", "web", 100),                                     # lang drop
+        (9, "a b c d e", "en", "web", 100),                     # tokens drop
+        (10, " ".join(["y%02d" % i for i in range(20)]),
+         "en", "web", 10),                                      # chars drop
+        (11, " ".join(["e%02d" % i for i in range(11)]
+                      + ["alpha", "beta", "gamma", "delta"]),
+         "en", "web", 100),                                     # eval slice
+        (17, " ".join(["w%03d" % i for i in range(250)]),
+         "en", "web", 100),                                     # pack overflow
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["stage"]: r for r in pipeline_curation_e2e(spark, str(tmp_path)).collect()}
+    assert [got[s]["name"] for s in range(1, 7)] == [
+        "quality_filter", "exact_dedup", "near_dedup", "decontaminate",
+        "temperature_mixture", "pack_sequences",
+    ]
+    assert (got[1]["docs_in"], got[1]["docs_out"]) == (11, 8)   # 8,9,10 drop
+    assert (got[2]["docs_in"], got[2]["docs_out"]) == (8, 7)    # 2 drops
+    assert (got[3]["docs_in"], got[3]["docs_out"]) == (7, 6)    # 3 drops
+    assert (got[4]["docs_in"], got[4]["docs_out"]) == (6, 4)    # 4, 11 drop
+    assert got[4]["tokens_out"] == 20 + 15 + 300 + 250
+
+    # stage 5: replicate the exact-integer ceil(boost) rule
+    n_en, n_de = 570, 15
+    N = n_en + n_de
+    s_en = math.floor(pow(float(n_en), 0.7) * 1_000_000)
+    s_de = math.floor(pow(float(n_de), 0.7) * 1_000_000)
+    S = s_en + s_de
+    e_en = max(1, (s_en * N + S * n_en - 1) // (S * n_en))
+    e_de = max(1, (s_de * N + S * n_de - 1) // (S * n_de))
+    assert e_en == 1 and e_de >= 2  # the minority language upsamples
+    assert got[5]["docs_out"] == 3 * e_en + 1 * e_de
+    assert got[5]["tokens_out"] == n_en * e_en + n_de * e_de
+    assert got[5]["docs_dropped"] == got[5]["docs_in"] - got[5]["docs_out"] < 0
+
+    # stage 6: shard1 = doc1(20)+doc17(250) -> 2 packs (270 > 256);
+    # shard5 = doc5 x e_de (15 each, fits one pack); shard7 = doc7 alone
+    assert got[6]["docs_in"] == got[5]["docs_out"]
+    assert got[6]["docs_out"] == 2 + 1 + 1
+    assert got[6]["tokens_out"] == got[5]["tokens_out"]

@@ -978,3 +978,29 @@ def test_manifest_delta_partition_pruned(spark):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("file_id" in l and "[]" not in l.split("PartitionFilters")[1][:4]
                for l in pf), pf
+
+
+def test_curation_pipeline_scans_corpus_once(spark):
+    """pipeline_curation_e2e's fuse contract (VERDICT r11 task 4):
+    the corpus parquet is scanned ONCE into the persisted base — every
+    stage and every audit aggregate reads a persisted parent, so the
+    6-branch audit union must show exactly one Scan parquet node and
+    zero row-at-a-time Python (the pack walk is grouped Arrow). Pinned
+    on the lazy core (the registered query collect_release's to an
+    ExistingRDD)."""
+    import contextlib
+    import io
+    import re
+
+    from talkdesk_async_etl_spark.operators.curation import curation_audit_plan
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    with cache_scope():
+        core = curation_audit_plan(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            core.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+    assert "FlatMapGroupsInPandas" in plan  # the pack walk, Arrow-grouped

@@ -89,8 +89,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #      ids in the repo not yet driver-hash-attested.
 #   2. The 10 remaining r6-tier ids: after this window the r6 tier is
 #      fully cleared.
-#   3. The 18 oldest r7-tier ids (alphabetical within the tier) with
-#      the remaining slots.
+#   2b. The two round-12 VERDICT-task operators (tasks 3 and 4 demand
+#      driver attestation this round) take two tail slots.
+#   3. The 16 oldest r7-tier ids (alphabetical within the tier) with
+#      the remaining slots — the two displaced ids
+#      (join_bloom_prefilter_ok, join_inner_using) lead r13.
 # The rest of the r7 tier and the r8+ tiers rotate r13+ (r7 first).
 # Every deferred id keeps its every-pytest-run oracle parity check,
 # so deferral costs recency of the driver row, not coverage. Any id
@@ -135,7 +138,16 @@ _PRIORITY = (
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
-    # --- tier 3: the 18 oldest r7-tier ids (alphabetical) ---
+    # --- tier 2b: the two round-12 VERDICT-task operators. Task 3
+    #     demands hash-green attestation and task 4 EXPLICITLY demands
+    #     a CORRECTNESS-green row for the composed pipeline, so they
+    #     take the two tail slots; the two displaced r7-tier ids
+    #     (join_bloom_prefilter_ok, join_inner_using) lead the r13
+    #     rotation instead — deferral costs recency, not coverage
+    #     (their every-pytest-run parity checks continue). ---
+    "text_unicode_normalize",
+    "pipeline_curation_e2e",
+    # --- tier 3: the 16 oldest r7-tier ids (alphabetical) ---
     "agg_approx_distinct",
     "agg_cms_topk_ok",
     "agg_count",
@@ -152,8 +164,6 @@ _PRIORITY = (
     "filter_conj_eq",
     "filter_date_range",
     "graph_triangle_count",
-    "join_bloom_prefilter_ok",
-    "join_inner_using",
 )
 
 

@@ -323,6 +323,9 @@ _HEADLINE_R11 = (
 _HEADLINE_R12 = (
     "text_unicode_normalize",
     "pipeline_curation_e2e",
+    "dedup_exact_normalized",
+    "text_eval_contamination_rate",
+    "text_ccnet_buckets",
 )
 
 HEADLINE = (

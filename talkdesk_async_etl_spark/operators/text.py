@@ -1310,6 +1310,32 @@ _UNI_FW_DIGITS = "".join(chr(0xFF10 + d) for d in range(10))
 
 from talkdesk_async_etl_spark.operators.dedup import _duck_hex15  # noqa: E402
 
+
+def _uni_prefold(col):
+    """JVM half of the normalizer: width-fold + ignorable strip (the
+    steps BEFORE the NFC projection) — shared by every canonical-form
+    consumer so their fold tables can't drift."""
+    return F.regexp_replace(F.translate(col, _UNI_WF_FROM, _UNI_WF_TO), _UNI_ZW_CLASS, "")
+
+
+def _uni_postfold(col):
+    """JVM half AFTER the NFC projection: whitespace collapse + trim +
+    case fold."""
+    return F.lower(F.trim(F.regexp_replace(col, _UNI_WS_CLASS, " ")))
+
+
+def _duck_normalize(expr: str) -> str:
+    """DuckDB twin of the full canonicalization chain over ``expr``
+    (width-fold -> strip ignorables -> NFC -> collapse ws -> trim ->
+    lower) — the single place the oracle-side fold order lives."""
+    wf_to = _UNI_WF_TO.replace("'", "''")
+    return (
+        "lower(trim(regexp_replace(nfc_normalize(regexp_replace("
+        f"translate({expr}, '{_UNI_WF_FROM}', '{wf_to}'),"
+        f" '{_UNI_ZW_CLASS}', '', 'g')), '{_UNI_WS_CLASS}', ' ', 'g')))"
+    )
+
+
 _UNI_ORACLE = f"""
     WITH dirty AS MATERIALIZED (
         SELECT doc_id,
@@ -1323,13 +1349,7 @@ _UNI_ORACLE = f"""
         FROM documents
     ),
     norm AS MATERIALIZED (
-        SELECT doc_id, d,
-               lower(trim(regexp_replace(
-                   nfc_normalize(regexp_replace(
-                       translate(d, '{_UNI_WF_FROM}',
-                                 '{_UNI_WF_TO.replace("'", "''")}'),
-                       '{_UNI_ZW_CLASS}', '', 'g')),
-                   '{_UNI_WS_CLASS}', ' ', 'g'))) AS n
+        SELECT doc_id, d, {_duck_normalize("d")} AS n
         FROM dirty
     )
     SELECT doc_id,
@@ -1410,15 +1430,12 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, _UNI_HEAD)),
         F.lit(" ​ "),
     )
-    folded = F.regexp_replace(
-        F.translate(dirty, _UNI_WF_FROM, _UNI_WF_TO), _UNI_ZW_CLASS, ""
-    )
     staged = docs.select(
         "doc_id",
         dirty.alias("d"),
-        nfc(folded).alias("nfc_s"),
+        nfc(_uni_prefold(dirty)).alias("nfc_s"),
     )
-    norm = F.lower(F.trim(F.regexp_replace(F.col("nfc_s"), _UNI_WS_CLASS, " ")))
+    norm = _uni_postfold(F.col("nfc_s"))
     return staged.select(
         "doc_id",
         F.length("d").cast("long").alias("dirty_len"),
@@ -1426,4 +1443,80 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") != norm).cast("int").alias("changed"),
         F.substring(norm, 1, 80).alias("norm_head"),
         _hex15_col(norm).alias("norm_h"),
+    )
+
+
+# Rendering table for the canonical-dedup fixture: ASCII printable +
+# space -> fullwidth + ideographic space (the exact inverse image of
+# the normalizer's width-fold, so normalize(render(t)) == t for
+# already-canonical t).
+_UNI_RENDER_FROM = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+_UNI_RENDER_TO = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+_UNI_TWIN_OFFSET = 1_000_000  # doc_id offset for the rendered twins
+
+_NORM_DEDUP_ORACLE = f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_UNI_TWIN_OFFSET},
+               translate(text, '{_UNI_RENDER_FROM.replace("'", "''")}',
+                         '{_UNI_RENDER_TO}')
+        FROM documents
+    ),
+    normed AS MATERIALIZED (
+        SELECT doc_id, text, {_duck_normalize("text")} AS norm
+        FROM corpus
+    ),
+    clusters AS (
+        SELECT {_duck_hex15("md5(norm)")} AS cluster_h,
+               CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_raw_distinct
+        FROM normed GROUP BY norm
+    )
+    SELECT * FROM clusters WHERE n_copies >= 2
+"""
+
+
+@query("dedup_exact_normalized", oracle=_NORM_DEDUP_ORACLE, tags=("dedup", "text"))
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D4 composition: exact dedup in CANONICAL form — group on the
+    fingerprint of the NORMALIZED text, so width variants, case,
+    whitespace runs, and zero-width junk can no longer hide a
+    duplicate from the exact pass (the reason every multilingual
+    pipeline normalizes BEFORE dedup; text_unicode_normalize is the
+    normalizer, this is its dedup consumer). The ASCII fixture has no
+    unicode variants, so the corpus unions a deterministic RENDERED
+    twin of every document (doc_id + 10^6, full text width-folded to
+    fullwidth + ideographic spaces — the exact inverse image of the
+    normalizer's fold table): raw exact dedup sees two distinct
+    strings per pair; canonical dedup must merge every one of them.
+    ``n_raw_distinct = 2`` per emitted cluster is the witness that the
+    merge happened ACROSS raw-distinct renderings, and the oracle
+    recomputes the full clustering, so membership is hash-attested.
+
+    Scale shape: one scan of each union branch; the groupBy shuffles
+    the 60-bit fingerprint of the normalized text (never the document
+    — the text_fingerprint rule); min/count/countDistinct partial-
+    aggregate map-side. The NFC projection is the normalizer's one
+    Arrow batch exchange per branch; everything else is codegen."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    nfc = _nfc_udf()
+    raw = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    twin = raw.select(
+        (F.col("doc_id") + _UNI_TWIN_OFFSET).alias("doc_id"),
+        F.translate("text", _UNI_RENDER_FROM, _UNI_RENDER_TO).alias("text"),
+    )
+    corpus = raw.unionByName(twin)
+    norm = _uni_postfold(nfc(_uni_prefold(F.col("text"))))
+    return (
+        corpus.select("doc_id", "text", norm.alias("norm"))
+        .groupBy(_hex15_col(F.col("norm")).alias("cluster_h"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("text").alias("n_raw_distinct"),
+        )
+        .filter(F.col("n_copies") >= 2)
     )

@@ -587,3 +587,168 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("e") - F.col("s")) / F.col("n_tokens"), 6
         ).alias("dup_fraction"),
     )
+
+
+_EVAL_LEAK_ORACLE = f"""
+    WITH g AS MATERIALIZED (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(words) - {_DECON_N - 2}),
+                   i -> array_to_string(words[i:i+{_DECON_N - 1}], ' '))))
+                   AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        WHERE len(words) >= {_DECON_N}
+    ),
+    eg AS (SELECT doc_id, gram FROM g WHERE doc_id % {_DECON_MOD} = 0),
+    tg AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_DECON_MOD} != 0)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(t.gram) AS BIGINT) AS n_leaked,
+           round(count(t.gram) * 1.0 / count(*), 6) AS leak_rate
+    FROM eg e LEFT JOIN tg t USING (gram)
+    GROUP BY e.doc_id
+"""
+
+
+@query("text_eval_contamination_rate", oracle=_EVAL_LEAK_ORACLE, tags=("text", "dedup"))
+def text_eval_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 companion to text_decontaminate, the REVERSE direction: for
+    every EVAL document, what fraction of its distinct word 4-grams
+    also occurs in the training corpus — the per-benchmark-item
+    contamination rate that decides whether an eval score is
+    trustworthy at all (decontaminate answers "which training docs do
+    I drop"; this answers "which eval items were already leaked").
+    Same deterministic eval slice (doc_id % {_DECON_MOD} == 0), same
+    gram construction, so the two operators' numbers reconcile.
+
+    Scale shape (mirror-image of decontaminate's): the eval side is
+    small by construction, so its distinct gram set BROADCASTS to the
+    corpus scan; training grams that miss the broadcast set never
+    leave their scan task, and only the hit set (bounded by the eval
+    gram count, not the corpus) is distinct-ed and joined back to the
+    per-eval-doc grams. The corpus is read once, shuffles nothing
+    corpus-sized, and the final per-doc count exchange carries
+    |eval docs| rows."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= _DECON_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_N - 1)),
+            lambda i: F.array_join(F.slice(words, i, _DECON_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram = F.explode(F.array_distinct(grams)).alias("gram")
+    eval_g = scoped_persist(
+        d.filter(F.col("doc_id") % _DECON_MOD == 0).select("doc_id", gram)
+    )
+    eval_set = eval_g.select("gram").distinct()
+    train_hits = (
+        d.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .select(gram)
+        .join(F.broadcast(eval_set), "gram")
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        eval_g.join(F.broadcast(train_hits), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_leaked"),
+            F.round(F.count("hit") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "leak_rate"
+            ),
+        )
+    )
+
+
+_CCNET_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+    tot AS (SELECT count(*) AS n FROM toks),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(CAST(floor(ln(tf / CAST(n AS DOUBLE)) * 1000000)
+                             AS BIGINT)) AS BIGINT) AS score_micro
+        FROM toks JOIN freq USING (term) CROSS JOIN tot
+        GROUP BY doc_id, lang
+    ),
+    bucketed AS (
+        SELECT lang, n_words, score_micro,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY score_micro DESC, doc_id) AS b
+        FROM scored
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+           CAST(sum(score_micro) AS BIGINT) AS sum_score_micro
+    FROM bucketed GROUP BY lang, b
+"""
+
+
+@query("text_ccnet_buckets", oracle=_CCNET_ORACLE, tags=("text", "quality"))
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 depth: CCNet-style perplexity BUCKETING — per language,
+    rank every document by its LM score under the corpus's own
+    unigram distribution and split into head/middle/tail terciles
+    (Wenzek et al. 2020: the head feeds pretraining as-is, the middle
+    gets a second look, the tail drops). This is the decision layer on
+    top of text_unigram_logprob's raw signal; mixture schedulers
+    consume the per-(lang, bucket) document and token masses emitted
+    here.
+
+    Determinism contract: per-TERM log-probs floor-quantize to micro
+    units BEFORE the per-doc sum (the bigram-LM precedent) so each
+    document's score is an exact BIGINT; the tercile assignment is
+    rank-based with a doc_id tie-break, and Spark and DuckDB share the
+    earlier-buckets-absorb-remainder ntile convention (the RFM-score
+    precedent) — so bucket membership is engine-identical and the
+    per-bucket sums hash-check exactly.
+
+    Scale shape: one explode feeding a vocabulary-sized frequency
+    aggregate (map-side partials) + a broadcast token total; the
+    vocabulary joins back to the token stream (broadcastable after a
+    frequency floor at 100 TB); the per-doc aggregate and the
+    per-lang ntile window shuffle |docs| rows, and the final rollup
+    emits |langs|x3 rows."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").alias("n"))
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.floor(
+                    F.log(F.col("tf") / F.col("n").cast("double")) * 1_000_000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score_micro"), "doc_id")
+    bucketed = scored.withColumn("b", F.ntile(3).over(w))
+    return bucketed.groupBy(
+        "lang",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_tokens"),
+        F.sum("score_micro").cast("long").alias("sum_score_micro"),
+    )

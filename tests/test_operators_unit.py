@@ -3482,3 +3482,97 @@ def test_pipeline_curation_e2e_constructed(spark, tmp_path):
     assert got[6]["docs_in"] == got[5]["docs_out"]
     assert got[6]["docs_out"] == 2 + 1 + 1
     assert got[6]["tokens_out"] == got[5]["tokens_out"]
+
+
+def test_dedup_exact_normalized_merges_variants(spark, tmp_path):
+    """Docs that are Unicode RENDERINGS of one another — precomposed
+    vs decomposed accents, case, width, zero-width junk — must land in
+    one canonical cluster (plus each doc's deterministic fullwidth
+    twin), while a genuinely different doc stays separate."""
+    from talkdesk_async_etl_spark.operators.text import (
+        _UNI_TWIN_OFFSET,
+        dedup_exact_normalized,
+    )
+
+    rows = [
+        (0, "café latte menu price list today ok", "fr", "web", 40),
+        # decomposed e + U+0301, upper case, zero-width space inside
+        (1, "Café LATTE​ menu  price list today ok", "fr", "web", 40),
+        (2, "completely different text body here now", "en", "web", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        dedup_exact_normalized(spark, str(tmp_path)).collect(),
+        key=lambda r: r["canonical_doc_id"],
+    )
+    # cluster A: docs 0,1 + both twins (4 members, 4 distinct raws);
+    # cluster B: doc 2 + its twin (2 members, 2 distinct raws)
+    assert len(got) == 2
+    assert (got[0]["canonical_doc_id"], got[0]["n_copies"], got[0]["n_raw_distinct"]) == (0, 4, 4)
+    assert (got[1]["canonical_doc_id"], got[1]["n_copies"], got[1]["n_raw_distinct"]) == (2, 2, 2)
+    assert _UNI_TWIN_OFFSET > 2  # twins can never shadow a canonical id
+
+
+def test_eval_contamination_rate_constructed(spark, tmp_path):
+    """Eval docs (id % 11 == 0): one fully leaked (a training doc
+    contains its whole text), one half leaked (shares its first 4
+    tokens only), one clean, and one too short to gram — checked
+    against hand-computed rates."""
+    from talkdesk_async_etl_spark.operators.text_quality import (
+        text_eval_contamination_rate,
+    )
+
+    rows = [
+        # eval 0: 5 tokens -> 2 grams, both inside train doc 1
+        (0, "a b c d e", "en", "web", 9),
+        (1, "x a b c d e y z w q", "en", "web", 19),        # train superset
+        # eval 11: 8 tokens -> 5 grams; train doc 3 shares ONLY g h i j
+        (11, "g h i j k l m n", "en", "web", 15),
+        (3, "g h i j zz yy xx ww", "en", "web", 15),
+        # eval 22: clean
+        (22, "p1 p2 p3 p4 p5 p6", "en", "web", 17),
+        # eval 33: too short for a 4-gram
+        (33, "s1 s2 s3", "en", "web", 8),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in text_eval_contamination_rate(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 11, 22}  # 33 has no grams
+    assert (got[0]["n_grams"], got[0]["n_leaked"], got[0]["leak_rate"]) == (2, 2, 1.0)
+    assert (got[11]["n_grams"], got[11]["n_leaked"]) == (5, 1)
+    assert got[11]["leak_rate"] == 0.2
+    assert (got[22]["n_grams"], got[22]["n_leaked"], got[22]["leak_rate"]) == (3, 0, 0.0)
+
+
+def test_ccnet_buckets_constructed(spark, tmp_path):
+    """Six docs in one language with engineered score separation: the
+    three built from the most frequent terms must land in 'head', the
+    rare-token docs in 'tail', and the ntile remainder rule (earlier
+    buckets absorb) decides the 6->(2,2,2) split deterministically."""
+    from talkdesk_async_etl_spark.operators.text_quality import text_ccnet_buckets
+
+    common = "c c c c c c c c"          # 'c' dominates the corpus
+    rows = [
+        (0, common, "en", "web", 10),
+        (1, common, "en", "web", 10),
+        (2, "c c c c m1 m1 m2 m2", "en", "web", 10),
+        (3, "c c m1 m2 m3 m3 m4 m4", "en", "web", 10),
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8", "en", "web", 10),
+        (5, "q1 q2 q3 q4 q5 q6 q7 q8", "en", "web", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["bucket"]: r for r in text_ccnet_buckets(spark, str(tmp_path)).collect()}
+    assert set(got) == {"head", "middle", "tail"}
+    assert all(got[b]["n_docs"] == 2 for b in got)
+    assert got["head"]["sum_tokens"] == 16
+    # scores rank head > middle > tail by construction
+    assert (
+        got["head"]["sum_score_micro"]
+        > got["middle"]["sum_score_micro"]
+        > got["tail"]["sum_score_micro"]
+    )

@@ -326,6 +326,7 @@ _HEADLINE_R12 = (
     "dedup_exact_normalized",
     "text_eval_contamination_rate",
     "text_ccnet_buckets",
+    "sim_pca_power_iter",
 )
 
 HEADLINE = (

@@ -3576,3 +3576,52 @@ def test_ccnet_buckets_constructed(spark, tmp_path):
         > got["middle"]["sum_score_micro"]
         > got["tail"]["sum_score_micro"]
     )
+
+
+def test_pca_power_iter_finds_dominant_direction(spark, tmp_path):
+    """Embeddings whose variance is overwhelmingly along axis 3 (64
+    vectors at ±spread on dim 3, tiny jitter on dim 7): the 8th power
+    iterate must concentrate on dim 3 — |component| at the renorm
+    scale there, near-zero everywhere else — and centering must kill
+    the constant offset on dim 1."""
+    from talkdesk_async_etl_spark.operators.similarity import (
+        _PCA_VSCALE,
+        sim_pca_power_iter,
+    )
+
+    rows = []
+    for i in range(64):
+        v = [0.0] * 64
+        v[0] = 0.25                          # constant offset: centering removes
+        v[2] = 0.25 if i % 2 == 0 else -0.25  # dominant axis (dim 3, 1-based)
+        v[6] = 0.002 if i % 4 == 0 else 0.0   # faint second axis
+        rows.append((i, v))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {r["dim"]: r["component"] for r in sim_pca_power_iter(spark, str(tmp_path)).collect()}
+    assert len(got) == 64
+    top = max(got, key=lambda d: abs(got[d]))
+    assert top == 3
+    assert abs(got[3]) == _PCA_VSCALE  # renormalized to full scale
+    assert abs(got[1]) < _PCA_VSCALE // 100  # centered away
+    for d in got:
+        if d not in (3, 7):
+            assert abs(got[d]) < _PCA_VSCALE // 100
+
+
+def test_pca_tdiv_matches_sql_semantics(spark):
+    """The driver-side renormalization divide must truncate toward
+    zero exactly like Spark's div and DuckDB's // (Python's // floors,
+    which differs on negatives)."""
+    import duckdb
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    con = duckdb.connect()
+    for a, b in [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (1, 3)]:
+        duck = con.execute(f"select CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)").fetchone()[0]
+        sp = spark.sql(f"select CAST({a} AS DECIMAL(38,0)) div {b}").collect()[0][0]
+        assert tdiv(a, b) == int(duck) == int(sp), (a, b)

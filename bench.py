@@ -327,6 +327,7 @@ _HEADLINE_R12 = (
     "text_eval_contamination_rate",
     "text_ccnet_buckets",
     "sim_pca_power_iter",
+    "multimodal_pitch_autocorr",
 )
 
 HEADLINE = (

@@ -1089,3 +1089,129 @@ def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: decode parallelizes per Arrow batch; only 7-column
     feature rows ever shuffle."""
     return extract_png_stats(synthetic_png_df(spark))
+
+
+# --- Pitch detection over real WAV tones (round 12) --------------------
+# Tone clips are exact-integer SQUARE waves (no trig anywhere, so no
+# libm seam in generation or analysis — the decay-weight lesson):
+# clip i has period P(i) = 6 + (i % 8) * 2 samples, amplitude
+# A(i) = 5000 + (i % 4) * 1000, n(i) = 240 + i % 32 samples,
+# s_j = +A if (j mod P)*2 < P else -A.
+_TONE_N = 40
+_TONE_P_BASE, _TONE_P_MOD, _TONE_P_STEP = 6, 8, 2
+_TONE_A_BASE, _TONE_A_MOD, _TONE_A_STEP = 5000, 4, 1000
+_TONE_S_BASE, _TONE_S_MOD = 240, 32
+_TONE_MAX_LAG = 24
+_TONE_MIN_LAG = 2
+
+
+def _tone_pcm(i: int) -> "np.ndarray":
+    p = _TONE_P_BASE + (i % _TONE_P_MOD) * _TONE_P_STEP
+    a = _TONE_A_BASE + (i % _TONE_A_MOD) * _TONE_A_STEP
+    n = _TONE_S_BASE + i % _TONE_S_MOD
+    j = np.arange(n, dtype=np.int64)
+    return np.where((j % p) * 2 < p, a, -a).astype(np.int16)
+
+
+def synthetic_tone_df(spark: SparkSession, n: int = _TONE_N) -> DataFrame:
+    """Real spec-correct WAV blobs carrying exact square-wave tones."""
+    rows = [(i, encode_wav(_tone_pcm(i))) for i in range(n)]
+    rdd = spark.sparkContext.parallelize(rows, min(4, n))
+    return spark.createDataFrame(rdd, "media_id long, content binary")
+
+
+def extract_pitch_autocorr(media: DataFrame) -> DataFrame:
+    """Per-clip pitch via exact integer AUTOCORRELATION: decode the
+    real WAV bytes, compute R(L) = Σ_j s_j·s_{j+L} for L in
+    [{_TONE_MIN_LAG}, {_TONE_MAX_LAG}], report the argmax lag (ties →
+    smallest lag). All arithmetic is int64 — the classic pitch
+    detector with zero float ops, so the oracle can replay it
+    exactly."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for row in pdf.itertuples():
+                samples, _rate = decode_wav_real(bytes(row.content))
+                s = samples.astype(np.int64)
+                n = len(s)
+                r0 = int((s * s).sum())
+                best_lag, best_r = 0, None
+                for lag in range(_TONE_MIN_LAG, _TONE_MAX_LAG + 1):
+                    r = int((s[: n - lag] * s[lag:]).sum())
+                    if best_r is None or r > best_r:
+                        best_lag, best_r = lag, r
+                out.append((row.media_id, n, best_lag, r0, int(best_r)))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samples", "period_detected", "r0", "r_peak"],
+            )
+
+    return media.mapInPandas(
+        per_batch,
+        schema="media_id long, n_samples long, period_detected int, r0 long, r_peak long",
+    )
+
+
+_PITCH_ORACLE = f"""
+    WITH clips AS (
+        SELECT i AS media_id,
+               {_TONE_P_BASE} + (i % {_TONE_P_MOD}) * {_TONE_P_STEP} AS p,
+               {_TONE_A_BASE} + (i % {_TONE_A_MOD}) * {_TONE_A_STEP} AS a,
+               {_TONE_S_BASE} + i % {_TONE_S_MOD} AS n
+        FROM range({_TONE_N}) t(i)
+    ),
+    s AS MATERIALIZED (
+        SELECT c.media_id, c.n, r.j,
+               CAST(CASE WHEN (r.j % c.p) * 2 < c.p THEN c.a
+                         ELSE -c.a END AS BIGINT) AS s
+        FROM clips c, range(0, {_TONE_S_BASE + _TONE_S_MOD}) r(j)
+        WHERE r.j < c.n
+    ),
+    lagged AS (
+        SELECT a.media_id, l.lag,
+               CAST(sum(a.s * b.s) AS BIGINT) AS r
+        FROM s a
+        JOIN range({_TONE_MIN_LAG}, {_TONE_MAX_LAG + 1}) l(lag) ON true
+        JOIN s b ON b.media_id = a.media_id AND b.j = a.j + l.lag
+        GROUP BY a.media_id, l.lag
+    ),
+    best AS (
+        SELECT media_id, lag, r,
+               row_number() OVER (PARTITION BY media_id
+                                  ORDER BY r DESC, lag) AS rn
+        FROM lagged
+    )
+    SELECT c.media_id,
+           CAST(c.n AS BIGINT) AS n_samples,
+           CAST(b.lag AS INTEGER) AS period_detected,
+           (SELECT CAST(sum(s.s * s.s) AS BIGINT) FROM s
+            WHERE s.media_id = c.media_id) AS r0,
+           CAST(b.r AS BIGINT) AS r_peak
+    FROM clips c JOIN best b ON b.media_id = c.media_id AND b.rn = 1
+"""
+
+
+@query("multimodal_pitch_autocorr", oracle=_PITCH_ORACLE, tags=("multimodal", "audio"))
+def multimodal_pitch_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star, audio-analysis notch: PITCH DETECTION over real WAV
+    blobs — exact-integer autocorrelation argmax, the classic
+    time-domain pitch estimator. Clips are spec-correct RIFF/PCM
+    square-wave tones (exact integers, zero trig — no libm seam in
+    generation OR analysis, the decay-weight lesson applied to DSP);
+    the Spark side decodes the real bytes with the stdlib wave parser
+    inside mapInPandas and computes R(L) in int64; the oracle
+    recomputes the identical lags from the generating formula without
+    ever seeing a WAV byte. Every clip's detected period must equal
+    its generating period (R(P) = (n−P)·A² strictly dominates every
+    other lag for a square wave), and the argmax is exact-integer
+    with a smallest-lag tie-break, so the whole result hash-checks.
+
+    Scale shape: identical to the other real-codec notches — decode
+    parallelizes per Arrow batch, waveforms never shuffle, only the
+    5-column feature rows leave the scan. A production pitch tracker
+    (YIN/pYIN) slots into the same per-batch hook; the autocorr lag
+    scan here IS its first stage."""
+    return extract_pitch_autocorr(synthetic_tone_df(spark))

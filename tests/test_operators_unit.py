@@ -3625,3 +3625,36 @@ def test_pca_tdiv_matches_sql_semantics(spark):
         duck = con.execute(f"select CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)").fetchone()[0]
         sp = spark.sql(f"select CAST({a} AS DECIMAL(38,0)) div {b}").collect()[0][0]
         assert tdiv(a, b) == int(duck) == int(sp), (a, b)
+
+
+def test_pitch_autocorr_detects_generating_period(spark):
+    """Every synthetic tone's detected period equals its generating
+    period P(i) = 6 + (i % 8) * 2, the peak is the exact closed form
+    (n-P)*A^2, and a corrupted blob fails like a codec."""
+    import pytest
+
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        _TONE_A_BASE, _TONE_A_MOD, _TONE_A_STEP,
+        _TONE_P_BASE, _TONE_P_MOD, _TONE_P_STEP,
+        _TONE_S_BASE, _TONE_S_MOD,
+        DecodeNotAvailableError,
+        decode_wav_real,
+        extract_pitch_autocorr,
+        multimodal_pitch_autocorr,
+        synthetic_tone_df,
+    )
+
+    got = {r["media_id"]: r for r in multimodal_pitch_autocorr(spark, "unused").collect()}
+    assert len(got) == 40
+    for i, r in got.items():
+        p = _TONE_P_BASE + (i % _TONE_P_MOD) * _TONE_P_STEP
+        a = _TONE_A_BASE + (i % _TONE_A_MOD) * _TONE_A_STEP
+        n = _TONE_S_BASE + i % _TONE_S_MOD
+        assert r["period_detected"] == p, i
+        assert r["n_samples"] == n
+        assert r["r0"] == n * a * a
+        assert r["r_peak"] == (n - p) * a * a
+
+    # codec honesty: garbage bytes raise, not silently feature-ize
+    with pytest.raises(Exception):
+        decode_wav_real(b"not a wav at all")

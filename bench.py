@@ -328,6 +328,7 @@ _HEADLINE_R12 = (
     "text_ccnet_buckets",
     "sim_pca_power_iter",
     "multimodal_pitch_autocorr",
+    "dedup_prefix_filter_join",
 )
 
 HEADLINE = (

@@ -989,3 +989,70 @@ def winnow_fingerprints(text_col, k: int = 3, window: int = 4):
     produce the same fingerprint values."""
     th = F.transform(F.split(text_col, " "), lambda t: F.xxhash64(t))
     return _winnow_fps_from_th(th, lambda x, y: F.xxhash64(x, y), k, window)
+
+
+@query("dedup_prefix_filter_join", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 scale technique: exact set-similarity join via PREFIX
+    FILTERING (the ppjoin/AllPairs family — Bayardo et al. 2007,
+    Xiao et al. 2008) — the scalable-EXACT counterpart to LSH: under
+    any global token order, two sets with Jaccard ≥ t MUST share a
+    token in their first n − ⌈t·n⌉ + 1 tokens, so candidate pairs
+    explode only from that prefix (rarest-first order makes prefixes
+    collide rarely), and the exact Jaccard verification runs on the
+    candidates alone. Same output relation as dedup_near_jaccard, and
+    the ORACLE IS the exhaustive all-shingles join — a hash match
+    here is a machine-checked proof that the filter missed nothing at
+    the threshold, not just a spot check.
+
+    Exactness of the prefix bound: ⌈0.6·n⌉ computes as (3n+4) div 5 —
+    pure integers, so both the prefix length and the final Jaccard
+    ratio are engine-exact. Global order = (corpus frequency asc,
+    hash asc): fully deterministic, and rarest-first minimizes bucket
+    sizes (the frequency relation is the vocabulary-sized aggregate
+    the unigram family already pays).
+
+    Scale shape: the candidate generator explodes |prefix| ≈ 0.4·n
+    tokens per doc instead of n, and bucket sizes follow TOKEN RARITY
+    rather than raw frequency — measured at sf0.1: 299,304 candidate
+    pairs vs 1,130,536 from the exhaustive generator (3.8× fewer)
+    with the identical 256-pair result. Honest crossover (the
+    bucket-pair lesson again): at THIS corpus the plain self-join
+    still wins wall-clock (3.7 s vs 4.5 s min-of-3) because the
+    frequency agg + prefix window cost more than the 0.8M avoided
+    candidates; the filter pays off exactly when Σ(docs-per-shingle)²
+    dominates — hot shingles, web-scale corpora — which is when the
+    exhaustive join stops being runnable at all. One shuffle for the
+    frequency agg, one doc-keyed window for the prefix rank, one
+    bucket shuffle for candidates, two candidate-sized lookups —
+    nothing quadratic in the corpus."""
+    docs = scoped_persist(
+        t(spark, sf_dir, "documents", spread=True).select(
+            "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+        )
+    )
+    full = docs.select(
+        "doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h")
+    )
+    freq = full.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "h")
+    prefix = (
+        full.join(freq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1)
+        .select("doc_id", "h")
+    )
+    cand = _bucket_pairs(prefix, "h").distinct()
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sb"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("c", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("na", F.size("sa"))
+        .withColumn("nb", F.size("sb"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return verified.filter(jac >= 0.6).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )

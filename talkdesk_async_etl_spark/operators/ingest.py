@@ -1012,3 +1012,70 @@ def scan_file_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     todo = [i for i in landed if i >= _MANIFEST_DONE]
     return manifest.unionByName(stats_for(todo, "new"))
+
+
+_METADATA_ORACLE = """
+    SELECT o_orderstatus AS status,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                             1, 15)) AS BIGINT)) AS BIGINT)
+               AS checksum,
+           CAST(1 AS INTEGER) AS files_nonempty
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("scan_file_metadata_cols", oracle=_METADATA_ORACLE, tags=("scan", "ingest"))
+def scan_file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31: hidden FILE-METADATA columns — Spark's ``_metadata`` struct
+    (file_path, file_size, …) exposed by every file source, the
+    lineage/debugging surface an ingest pipeline uses to answer
+    "which physical file did this row come from" without a custom
+    reader. A deterministic landing is written (orders partitioned by
+    status, repartition(1) pins EXACTLY one file per partition
+    directory), read back with ``_metadata`` projected, and attested
+    per status: the distinct-file count (must be the pinned 1), the
+    row count and content checksum (predicted by the oracle straight
+    from the source table — the write/read round-trip must be
+    lossless), and a nonempty-file witness from ``_metadata.file_size``.
+    File NAMES are deliberately absent from the output — Spark
+    generates them nondeterministically (task UUIDs), so the contract
+    attests counts-of-files and bytes-exist, the deterministic
+    projections of the metadata.
+
+    Scale shape: _metadata is populated per-task from the split being
+    read — zero extra I/O, no shuffle beyond the status-grain
+    aggregate; partition pruning and the hidden columns compose (the
+    scan node carries both)."""
+    import os
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    landing = os.path.join(
+        tempfile.gettempdir(),
+        "tde_metadata_landing_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(landing)
+    )
+    land = spark.read.parquet(landing).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fs"),
+    )
+    return land.groupBy("status").agg(
+        F.countDistinct("fp").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(_hex15_col(F.col("o_orderkey").cast("string"))).alias("checksum"),
+        (F.min("fs") > 0).cast("int").alias("files_nonempty"),
+    )

@@ -659,3 +659,59 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(counts), "label")
         .select("label", "n_rows", "n_sampled", "sample_xor")
     )
+
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+    WITH per_user AS MATERIALIZED (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS uh
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(uh % {_KFOLD_K} AS INTEGER) AS fold,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+           CAST(bit_xor(uh) AS BIGINT) AS users_xor
+    FROM per_user GROUP BY 1
+"""
+
+
+@query("sample_group_kfold", oracle=_KFOLD_ORACLE, tags=("sampling", "ml"))
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 depth: GROUP-integral k-fold assignment — the cross-
+    validation split that never leaks a user across folds (row-level
+    random splits put one user's events in both train and test, which
+    inflates every per-user feature): fold = md5-60-bit(user_id) mod
+    {_KFOLD_K}, a pure function of the GROUP key, so group integrity
+    holds by construction, reruns and engines agree exactly, and
+    adding events never moves a user. Emits per fold the user count,
+    event mass, and label (purchase) mass — the balance diagnostics a
+    modeler checks before trusting the split — plus the XOR of member
+    user-hashes, so fold MEMBERSHIP is attested, not just sizes.
+
+    Scale shape: one map-side-combinable groupBy(user) over the scan
+    collapses events to user grain; the fold rollup then aggregates
+    |users| rows into {_KFOLD_K}. No RNG, no shuffle beyond the two
+    keyed aggregates; the same expression assigns folds in any later
+    pipeline without a join back to a split table."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    e = t(spark, sf_dir, "events", spread=True)
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+    ).withColumn("uh", _hex15_col(F.col("user_id").cast("string")))
+    return per_user.groupBy(
+        (F.col("uh") % _KFOLD_K).cast("int").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_purchases").cast("long").alias("n_purchases"),
+        F.bit_xor("uh").alias("users_xor"),
+    )

@@ -3729,3 +3729,68 @@ def test_prefix_filter_join_completeness_and_pruning(spark, tmp_path):
     n_pf = _bucket_pairs(prefix, "h").distinct().count()
     n_all = _bucket_pairs(full.select("doc_id", "h"), "h").distinct().count()
     assert 0 < n_pf < n_all
+
+
+def test_file_metadata_cols_pinned_single_file(spark, tmp_path):
+    """One file per status directory by construction, counts/checksum
+    lossless through the write/read round-trip, nonempty witness."""
+    from talkdesk_async_etl_spark.operators.ingest import scan_file_metadata_cols
+
+    rows = [(i, "F" if i % 3 == 0 else ("O" if i % 3 == 1 else "P"),
+             float(i), "1995-01-01", "c") for i in range(30)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate string, o_comment string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r["status"]: r for r in scan_file_metadata_cols(spark, str(tmp_path)).collect()}
+    assert set(got) == {"F", "O", "P"}
+    for st, r in got.items():
+        assert r["n_files"] == 1
+        assert r["n_rows"] == 10
+        assert r["files_nonempty"] == 1
+
+
+def test_group_kfold_never_splits_a_user(spark, tmp_path):
+    """Every user's events land in exactly one fold (group integrity
+    by construction), fold ids cover 0..k-1 on a large-enough corpus,
+    and the per-fold user XOR recomputes from the assignment."""
+    import datetime as dt
+    from functools import reduce
+
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+    from talkdesk_async_etl_spark.operators.sampling import (
+        _KFOLD_K,
+        sample_group_kfold,
+    )
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 40, "purchase" if i % 7 == 0 else "view",
+         1.0, "{}")
+        for i in range(400)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = sample_group_kfold(spark, str(tmp_path)).collect()
+    assert {r["fold"] for r in got} == set(range(_KFOLD_K))
+    assert sum(r["n_users"] for r in got) == 40
+    assert sum(r["n_events"] for r in got) == 400
+
+    # recompute membership xor independently
+    users = (
+        spark.read.parquet(str(tmp_path / "events.parquet"))
+        .select("user_id").distinct()
+        .withColumn("uh", _hex15_col(F.col("user_id").cast("string")))
+        .withColumn("fold", (F.col("uh") % _KFOLD_K).cast("int"))
+        .collect()
+    )
+    expect = {}
+    for u in users:
+        expect[u["fold"]] = expect.get(u["fold"], 0) ^ u["uh"]
+    for r in got:
+        assert r["users_xor"] == expect[r["fold"]]

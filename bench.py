@@ -331,6 +331,7 @@ _HEADLINE_R12 = (
     "dedup_prefix_filter_join",
     "scan_file_metadata_cols",
     "sample_group_kfold",
+    "dedup_soundex_blocking",
 )
 
 HEADLINE = (

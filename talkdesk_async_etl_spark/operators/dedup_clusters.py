@@ -789,3 +789,94 @@ def incremental_components_from(pairs: DataFrame) -> DataFrame:
         .select(F.col("node").alias("doc_id"), F.col("qc").alias("component_id"))
     )
     return part1.union(part2)
+
+
+# --- Soundex blocking (round 12) ---------------------------------------
+# American Soundex with H/W-transparency, hand-rolled IDENTICALLY on
+# both engines (Spark ships a soundex() builtin but DuckDB does not —
+# a builtin on one side and a hand-roll on the other is exactly the
+# drift this repo avoids). Frozen letter→code tables; the only
+# regexes are per-digit run collapses, so the RE2/Java seam never
+# sees a backreference (RE2 has none).
+_SDX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SDX_TAIL = ".123.12-.22455.12623.1-2.2"   # H,W → '-' (transparent)
+_SDX_FIRST = ".123.12..22455.12623.1.2.2"  # pos 1: H,W → '.' (separator)
+
+
+def _soundex_sql(col: str, dialect: str) -> str:
+    """The full soundex chain as one SQL expression over ``col`` —
+    shared template, dialect only picks the regexp flavor args."""
+    g = ", 'g'" if dialect == "duck" else ""
+    u = f"upper(regexp_replace({col}, '[^A-Za-z]', ''{g}))"
+    t = (
+        f"concat(translate(substr({u}, 1, 1), '{_SDX_ALPHA}', '{_SDX_FIRST}'),"
+        f" translate(substr({u}, 2), '{_SDX_ALPHA}', '{_SDX_TAIL}'))"
+    )
+    t = f"replace({t}, '-', '')"
+    for d in range(1, 7):
+        t = f"regexp_replace({t}, '{d}{{2,}}', '{d}'{g})"
+    rest = f"replace(substr({t}, 2), '.', '')"
+    return (
+        f"CASE WHEN length({u}) = 0 THEN NULL "
+        f"ELSE concat(substr({u}, 1, 1), substr(concat({rest}, '000'), 1, 3)) END"
+    )
+
+
+_SOUNDEX_ORACLE = f"""
+    WITH words AS (
+        SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' ')) AS w
+        FROM part
+    ),
+    coded AS (
+        SELECT p_partkey, w, {_soundex_sql("w", "duck")} AS code FROM words
+    )
+    SELECT code,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(w) AS first_word,
+           max(w) AS last_word
+    FROM coded WHERE code IS NOT NULL
+    GROUP BY code
+"""
+
+
+@query("dedup_soundex_blocking", oracle=_SOUNDEX_ORACLE, tags=("dedup", "er"))
+def dedup_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/ER depth: PHONETIC BLOCKING — American Soundex (with the
+    standard H/W-transparency rule) as the blocking key for fuzzy
+    entity resolution: names that sound alike land in one block, and
+    the expensive pair scorer (dedup_levenshtein) runs within blocks
+    instead of across the corpus. Hand-rolled identically on BOTH
+    engines from frozen letter→code tables (Spark has a soundex()
+    builtin; DuckDB does not — one builtin + one hand-roll is drift
+    by construction, so neither side uses it), with per-digit run
+    collapses instead of a backreference (RE2 has none). The 12
+    canonical test vectors (Robert/Rupert → R163, Ashcraft → A261,
+    Tymczak → T522, Wright → W623, …) are unit-pinned.
+
+    Per block: distinct words, occurrence mass (how much pair work the
+    block concentrates), and the lexical extremes as samples. The
+    fixture vocabulary yields a real multi-word block at every SF
+    (R300), so the merge behavior is attested, not hypothetical.
+
+    Scale shape: the code is a row-local in-scan expression (translate
+    + bounded regexp chain, whole-stage codegen); one keyed aggregate
+    on the block code. Blocking keys at 100 TB are exactly this —
+    a cheap scan-side expression whose aggregate bounds the quadratic
+    stage."""
+    words = (
+        t(spark, sf_dir, "part", spread=True)
+        .select("p_partkey", F.explode(F.split("p_name", " ")).alias("w"))
+        .distinct()
+    )
+    coded = words.withColumn("code", F.expr(_soundex_sql("w", "spark")))
+    return (
+        coded.filter(F.col("code").isNotNull())
+        .groupBy("code")
+        .agg(
+            F.countDistinct("w").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("w").alias("first_word"),
+            F.max("w").alias("last_word"),
+        )
+    )

@@ -3794,3 +3794,35 @@ def test_group_kfold_never_splits_a_user(spark, tmp_path):
         expect[u["fold"]] = expect.get(u["fold"], 0) ^ u["uh"]
     for r in got:
         assert r["users_xor"] == expect[r["fold"]]
+
+
+def test_soundex_canonical_vectors(spark):
+    """The hand-rolled soundex must reproduce the canonical test
+    vectors (H/W-transparency cases included) on BOTH engines."""
+    import duckdb
+
+    from talkdesk_async_etl_spark.operators.dedup_clusters import _soundex_sql
+
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Wright": "W623", "Hughes": "H220",
+        "Washington": "W252", "Jackson": "J250", "White": "W300",
+        "o'Brien": "O165",  # punctuation stripped before coding
+    }
+    df = spark.createDataFrame([(w,) for w in vectors], "w string")
+    got_spark = {
+        r["w"]: r["code"]
+        for r in df.selectExpr("w", _soundex_sql("w", "spark") + " AS code").collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        w: con.execute(
+            "select " + _soundex_sql("'" + w.replace("'", "''") + "'", "duck")
+        ).fetchone()[0]
+        for w in vectors
+    }
+    for w, want in vectors.items():
+        assert got_spark[w] == want, (w, got_spark[w])
+        assert got_duck[w] == want, (w, got_duck[w])
+

@@ -332,6 +332,7 @@ _HEADLINE_R12 = (
     "scan_file_metadata_cols",
     "sample_group_kfold",
     "dedup_soundex_blocking",
+    "multimodal_gif_real",
 )
 
 HEADLINE = (

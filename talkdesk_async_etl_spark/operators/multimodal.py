@@ -1215,3 +1215,266 @@ def multimodal_pitch_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (YIN/pYIN) slots into the same per-batch hook; the autocorr lag
     scan here IS its first stage."""
     return extract_pitch_autocorr(synthetic_tone_df(spark))
+
+
+# --- Fourth real codec: GIF87a (LZW) ------------------------------------
+# PPM gave the image path a real HEADER parse, PNG a real DEFLATE
+# stream; GIF adds the remaining classic compression family —
+# DICTIONARY coding (variable-width LZW with clear codes, LSB-first
+# bit packing, 255-byte sub-block framing). Grayscale pixels derive
+# from an integer formula both engines evaluate, so the stats oracle
+# never sees a GIF byte.
+_GIF_N = 30
+_GIF_W_BASE, _GIF_W_MOD = 10, 6   # width  = 10 + id % 6
+_GIF_H_BASE, _GIF_H_MOD = 8, 4    # height = 8 + id % 4
+_GIF_A, _GIF_B, _GIF_C = 7, 11, 13  # gray(x,y) = (i*7 + y*11 + x*13) % 256
+
+
+def _gif_pixels(i: int) -> "np.ndarray":
+    w = _GIF_W_BASE + i % _GIF_W_MOD
+    h = _GIF_H_BASE + i % _GIF_H_MOD
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return ((i * _GIF_A + y * _GIF_B + x * _GIF_C) % 256).astype(np.uint8)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF variable-width LZW: CLEAR at start and on table overflow,
+    END terminator, code width grows 9→12 as codes are assigned,
+    LSB-first bit packing (the convention the sub-block framing
+    carries)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out_bits.append((clear, width))
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        out_bits.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = bytes([k])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((end, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, wd in out_bits:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of :func:`_lzw_encode`, including the KwKwK case
+    (code == next table slot) and mid-stream CLEAR resets. Raises on
+    truncation or out-of-range codes — codec failure, not a fake."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    acc = nbits = pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise DecodeNotAvailableError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        else:
+            raise DecodeNotAvailableError("invalid LZW code")
+        out += entry
+        prev = entry
+
+
+def encode_gif(pixels: "np.ndarray") -> bytes:
+    """Real GIF87a encoding: header, logical screen descriptor,
+    256-entry grayscale global color table (index == gray level),
+    image descriptor, LZW-compressed index stream in ≤255-byte
+    sub-blocks, trailer."""
+    import struct
+
+    h, w = pixels.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries, 8-bit
+    for g in range(256):  # grayscale palette
+        out += bytes((g, g, g))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out += bytes([8])  # LZW minimum code size
+    lzw = _lzw_encode(pixels.tobytes())
+    for off in range(0, len(lzw), 255):
+        block = lzw[off : off + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_real(content: bytes) -> "np.ndarray":
+    """Real GIF87a decoding: parse the header/LSD/GCT/descriptor, walk
+    the sub-blocks, LZW-decompress, map indices through the palette
+    (grayscale here, so index == value), reshape. Raises on wrong
+    magic, truncated payloads, or index/palette mismatches."""
+    import struct
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise DecodeNotAvailableError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = content[pos : pos + 3 * n]
+        pos += 3 * n
+    if content[pos : pos + 1] != b"\x2c":
+        raise DecodeNotAvailableError("expected image descriptor")
+    _ix, _iy, w, h, iflags = struct.unpack("<HHHHB", content[pos + 1 : pos + 10])
+    pos += 10
+    if iflags & 0x80:
+        raise DecodeNotAvailableError("local color tables unsupported")
+    min_code = content[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        blen = content[pos]
+        pos += 1
+        if blen == 0:
+            break
+        lzw += content[pos : pos + blen]
+        pos += blen
+    idx = _lzw_decode(bytes(lzw), min_code)
+    if len(idx) != w * h:
+        raise DecodeNotAvailableError(
+            f"decoded {len(idx)} indices for a {w}x{h} raster"
+        )
+    if palette is None:
+        raise DecodeNotAvailableError("no global color table")
+    gray = np.frombuffer(bytes(palette), dtype=np.uint8).reshape(-1, 3)[
+        np.frombuffer(idx, dtype=np.uint8)
+    ][:, 0]
+    return gray.reshape(h, w)
+
+
+def synthetic_gif_df(spark: SparkSession, n: int = _GIF_N) -> DataFrame:
+    rows = [(i, encode_gif(_gif_pixels(i))) for i in range(n)]
+    rdd = spark.sparkContext.parallelize(rows, min(4, n))
+    return spark.createDataFrame(rdd, "media_id long, content binary")
+
+
+def extract_gif_stats(media: DataFrame) -> DataFrame:
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for row in pdf.itertuples():
+                px = decode_gif_real(bytes(row.content)).astype(np.int64)
+                h, w = px.shape
+                out.append(
+                    (
+                        row.media_id,
+                        w,
+                        h,
+                        int(px.min()),
+                        int(px.max()),
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "gray_min", "gray_max", "gray_sum"],
+            )
+
+    return media.mapInPandas(
+        per_batch,
+        schema="media_id long, width int, height int, gray_min int, gray_max int, gray_sum long",
+    )
+
+
+_GIF_ORACLE = f"""
+    WITH dims AS (
+        SELECT i AS media_id,
+               {_GIF_W_BASE} + i % {_GIF_W_MOD} AS w,
+               {_GIF_H_BASE} + i % {_GIF_H_MOD} AS h
+        FROM range({_GIF_N}) t(i)
+    ),
+    px AS (
+        SELECT d.media_id, d.w, d.h,
+               CAST((d.media_id * {_GIF_A} + (p.k // d.w) * {_GIF_B}
+                     + (p.k % d.w) * {_GIF_C}) % 256 AS BIGINT) AS g
+        FROM dims d,
+             range(0, {(_GIF_W_BASE + _GIF_W_MOD - 1) * (_GIF_H_BASE + _GIF_H_MOD - 1)})
+                 p(k)
+        WHERE p.k < d.w * d.h
+    )
+    SELECT media_id,
+           CAST(min(w) AS INTEGER) AS width,
+           CAST(min(h) AS INTEGER) AS height,
+           CAST(min(g) AS INTEGER) AS gray_min,
+           CAST(max(g) AS INTEGER) AS gray_max,
+           CAST(sum(g) AS BIGINT) AS gray_sum
+    FROM px GROUP BY media_id
+"""
+
+
+@query("multimodal_gif_real", oracle=_GIF_ORACLE, tags=("multimodal", "image"))
+def multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star, FOURTH real codec: GIF87a — the remaining classic
+    compression family after PPM (raw raster), WAV (PCM container),
+    and PNG (DEFLATE): DICTIONARY coding. The encoder implements real
+    variable-width LZW — clear codes at start and on table overflow,
+    9→12-bit code growth, the KwKwK corner, LSB-first bit packing,
+    255-byte sub-block framing, spec header/LSD/GCT/descriptor — and
+    the decoder parses it all back, failing like a codec on truncation
+    or bad codes. Grayscale pixels derive from an integer formula, so
+    the DuckDB oracle recomputes every stat without seeing a GIF byte;
+    the unit test pins bit-exact pixel round-trips (including a
+    worst-case random raster that forces a mid-stream table reset)
+    and codec-like failures.
+
+    Scale shape: same as every real-codec notch — decode parallelizes
+    per Arrow batch, rasters never shuffle, only the 6-column feature
+    rows leave the scan."""
+    return extract_gif_stats(synthetic_gif_df(spark))

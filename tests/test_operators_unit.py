@@ -3826,3 +3826,40 @@ def test_soundex_canonical_vectors(spark):
         assert got_spark[w] == want, (w, got_spark[w])
         assert got_duck[w] == want, (w, got_duck[w])
 
+
+
+def test_gif_real_codec_roundtrip_and_failures():
+    """Bit-exact pixel round-trip through real GIF87a encode/decode,
+    including a worst-case random raster that forces a mid-stream LZW
+    table reset; wrong magic, truncation, and raster/size mismatch
+    all fail like a codec."""
+    import numpy as np
+    import pytest
+
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        DecodeNotAvailableError,
+        _gif_pixels,
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_real,
+        encode_gif,
+    )
+
+    for i in (0, 7, 29):
+        px = _gif_pixels(i)
+        assert np.array_equal(decode_gif_real(encode_gif(px)), px)
+
+    # worst-case: large random raster -> LZW table overflow + reset
+    rng = np.random.RandomState(3)
+    big = rng.randint(0, 256, size=(120, 200), dtype=np.uint8)
+    assert np.array_equal(decode_gif_real(encode_gif(big)), big)
+    raw = big.tobytes()
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+    flat = np.tile(np.arange(200, dtype=np.uint8), (40, 1))
+    assert len(_lzw_encode(flat.tobytes())) < flat.size  # repetitive rows compress
+
+    with pytest.raises(DecodeNotAvailableError):
+        decode_gif_real(b"JUNKJUNKJUNK")
+    blob = encode_gif(_gif_pixels(1))
+    with pytest.raises(Exception):
+        decode_gif_real(blob[: len(blob) // 2])

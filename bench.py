@@ -333,6 +333,9 @@ _HEADLINE_R12 = (
     "sample_group_kfold",
     "dedup_soundex_blocking",
     "multimodal_gif_real",
+    "agg_gini_concentration",
+    "events_cusum_drift",
+    "sim_hamming_topk",
 )
 
 HEADLINE = (

@@ -80,6 +80,8 @@ _BOUNDED_NLJ = {
     # audited round 12:
     "text_ccnet_buckets",  # 1-row corpus token-total broadcast into the
                            # token stream (the unigram_logprob shape)
+    "sim_hamming_topk",  # 5-row signature query side broadcast with a
+                         # != condition (the sim_topk_cosine shape)
 }
 
 

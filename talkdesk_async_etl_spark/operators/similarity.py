@@ -1332,3 +1332,81 @@ def sim_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(d + 1, v[d]) for d in range(_PCA_DIM)], "dim int, component long"
     )
+
+
+_HAM_BITS = 60  # positive BIGINT signature, the house 60-bit idiom
+
+
+def _sign_sig_sql(col: str, one_based: bool) -> str:
+    """Sign-bit signature of the first _HAM_BITS embedding dims as ONE
+    generated literal expression (the py4j lesson: big expressions
+    enter through the parser, never per-term Column arithmetic).
+    DuckDB lists are 1-based, Spark arrays 0-based."""
+    terms = []
+    for i in range(_HAM_BITS):
+        idx = i + 1 if one_based else i
+        terms.append(
+            f"(CASE WHEN {col}[{idx}] > 0 THEN CAST({1 << i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_HAMMING_ORACLE = f"""
+    WITH sigs AS (
+        SELECT vec_id, {_sign_sig_sql("embedding", True)} AS sig
+        FROM embeddings
+    )
+    SELECT q_id, neighbor_id, hamming, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(q.sig, c.sig)) AS INTEGER) AS hamming,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.sig, c.sig)) ASC, c.vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM sigs q JOIN sigs c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE rank <= {_TOP_K}
+"""
+
+
+@query("sim_hamming_topk", oracle=_HAMMING_ORACLE, tags=("similarity",))
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 binary-retrieval tier: exact Hamming top-10 over sign-bit
+    signatures — the 8-byte-per-vector memory floor of the similarity
+    shelf (SimHash-for-embeddings / binary hashing à la Charikar 2002,
+    ITQ, BinaryPassageRetriever): bit i of the signature is
+    sign(embedding[i]), distance is ``bit_count(a ^ b)``, and both the
+    signature fold and the popcount run as whole-stage-codegen integer
+    expressions — no float path anywhere after the sign test, so the
+    oracle matches bit-for-bit with no rounding pin (unlike the cosine
+    family's 6-dp rounds).
+
+    Why it earns a slot next to sim_topk_cosine: at 100 TB the float
+    corpus is 256 B/vector and the binary corpus is 8 B/vector — the
+    32× compression tier retrieval systems scan FIRST, rerank-by-float
+    SECOND (sim_mmr_rerank / exact cosine are the rerankers here). The
+    scan stays sequential-read-bound: signatures fold in-scan from the
+    parquet embedding column, the 5-row query side broadcasts (the
+    sim_topk_cosine bounded-NLJ shape), and per-partition
+    WindowGroupLimit keeps the shuffle at O(k·queries·partitions).
+    Radius-bounded variants get exact recall via the 4×15-bit
+    pigeonhole banding dedup_simhash already implements — this query
+    is the top-k retrieval face of that same signature family."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", F.expr(_sign_sig_sql("embedding", False)).alias("sig")
+    )
+    sigs = scoped_persist(emb)
+    q = sigs.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("sig").alias("q_sig")
+    )
+    c = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("sig").alias("c_sig"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id")).withColumn(
+        "hamming", F.bit_count(F.expr("q_sig ^ c_sig")).cast("int")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "neighbor_id", "hamming", "rank")
+    )

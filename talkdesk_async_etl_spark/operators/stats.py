@@ -1406,3 +1406,248 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(cents - m), 0.5)").alias("mad_cents"),
         )
     )
+
+
+_GINI_ORACLE = """
+    WITH spend AS (
+        SELECT c.c_nationkey AS nationkey,
+               o.o_custkey AS custkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT nationkey, cents,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY cents, custkey) AS i,
+               count(*) OVER (PARTITION BY nationkey) AS n,
+               sum(cents) OVER (PARTITION BY nationkey) AS tot
+        FROM spend
+    )
+    SELECT nat.n_name AS nation,
+           CAST(max(r.n) AS BIGINT) AS n_customers,
+           CAST(max(r.tot) AS BIGINT) AS total_cents,
+           CAST((CAST(sum((2 * r.i - r.n - 1) * r.cents) AS HUGEINT)
+                 * 1000000)
+                // (CAST(max(r.n) AS HUGEINT) * CAST(max(r.tot) AS HUGEINT))
+                AS BIGINT) AS gini_micro
+    FROM ranked r JOIN nation nat ON r.nationkey = nat.n_nationkey
+    GROUP BY nat.n_name
+"""
+
+
+def gini_per_group(spend: DataFrame, key: str, ord_col: str, val: str) -> DataFrame:
+    """Exact Gini concentration per ``key`` group over BIGINT ``val``
+    masses: floor(1e6 * Σ(2i−n−1)·x_(i) / (n·Σx)) with the ascending
+    sort tie-broken on ``ord_col`` so both engines rank identically.
+
+    The 1e6 scale-up runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+    the BIGINT numerator bound n·Σx already reaches ~5e15 at sf1, so
+    multiplying by 1e6 inside 64 bits would overflow around sf0.1-sf1
+    — the text_pmi_collocations overflow lesson (ADVICE r11) applied
+    at design time instead of patched after. Floor-division is spelled
+    (a − a % b) / b, which DECIMAL division evaluates exactly for
+    positive integral operands, matching HUGEINT ``//``."""
+    w = Window.partitionBy(key)
+    ranked = spend.select(
+        key,
+        val,
+        F.row_number().over(w.orderBy(F.col(val), F.col(ord_col))).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(val).over(w).alias("tot"),
+    )
+    return (
+        ranked.groupBy(key)
+        .agg(
+            F.max("n").cast("long").alias("n_members"),
+            F.max("tot").cast("long").alias("total_mass"),
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col(val))
+            .cast("long")
+            .alias("num"),
+        )
+        .select(
+            key,
+            "n_members",
+            "total_mass",
+            F.expr(
+                "CAST(((CAST(num AS DECIMAL(38,0)) * 1000000)"
+                " - ((CAST(num AS DECIMAL(38,0)) * 1000000)"
+                "    % (CAST(n_members AS DECIMAL(38,0))"
+                "       * CAST(total_mass AS DECIMAL(38,0)))))"
+                " / (CAST(n_members AS DECIMAL(38,0))"
+                "    * CAST(total_mass AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+    )
+
+
+@query("agg_gini_concentration", oracle=_GINI_ORACLE, tags=("agg", "stats"))
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32: GINI COEFFICIENT per nation over customer spend — the
+    standard inequality/concentration measure (0 = every customer
+    spends equally, →1 = one customer carries the nation), the revenue-
+    concentration dashboard number next to agg_entropy_per_group's
+    diversity and window_rfm_scores' per-user value tiers. Fully exact:
+    spend is BIGINT cents, the rank formulation Σ(2i−n−1)·x_(i)/(n·Σx)
+    needs one sort per group, and the only non-BIGINT step (the 1e6
+    micro scale-up) runs in DECIMAL(38,0)/HUGEINT so no engine ever
+    rounds — see ``gini_per_group``.
+
+    Plan: customer⋈orders broadcast join (customer is the dim side at
+    this grain after aggregation — orders shuffles once on o_custkey
+    for the per-customer rollup), one nation-keyed window sort, one
+    final nation aggregate, nation-name broadcast. At 100 TB the
+    per-customer rollup is the only corpus-sized exchange; the window
+    operates on the customer-grain relation (3 orders of magnitude
+    smaller) and the rank sort parallelizes per nation."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    c = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    g = gini_per_group(spend, "nationkey", "custkey", "cents")
+    return (
+        g.join(F.broadcast(nat), g.nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_members").alias("n_customers"),
+            F.col("total_mass").alias("total_cents"),
+            "gini_micro",
+        )
+    )
+
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    scoped AS (
+        SELECT event_type, day, x,
+               count(*) OVER (PARTITION BY event_type) AS n_days,
+               sum(x) OVER (PARTITION BY event_type) AS tot
+        FROM daily
+    ),
+    walked AS (
+        SELECT event_type, day, n_days, tot,
+               sum(n_days * x - tot) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM scoped
+    ),
+    cu AS (
+        SELECT event_type, day, n_days, tot,
+               s - least(CAST(0 AS BIGINT), min(s) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        FROM walked
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(max(n_days) AS BIGINT) AS n_days,
+               CAST(max(tot) AS BIGINT) AS total_events,
+               CAST(max(cusum) AS BIGINT) AS peak_cusum_scaled,
+               CAST(sum(CASE WHEN cusum > tot THEN 1 ELSE 0 END) AS BIGINT)
+                   AS drift_days
+        FROM cu GROUP BY event_type
+    ),
+    peak AS (
+        SELECT event_type, day AS peak_day
+        FROM (SELECT event_type, day,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cusum DESC, day) AS rn
+              FROM cu)
+        WHERE rn = 1
+    )
+    SELECT agg.event_type, n_days, total_events, peak_cusum_scaled,
+           peak.peak_day, drift_days
+    FROM agg JOIN peak ON agg.event_type = peak.event_type
+"""
+
+
+@query("events_cusum_drift", oracle=_CUSUM_ORACLE, tags=("stats", "window", "events"))
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: one-sided CUSUM drift detection over daily event volume —
+    the classic sequential change-point statistic (Page 1954): per
+    event type, accumulate daily deviations above the mean and flag
+    sustained upward drift that a single-day z-score (events_anomaly_
+    days) cannot see because no individual day is extreme.
+
+    The textbook recurrence c_i = max(0, c_{i-1} + dev_i) is not a
+    window aggregate, but it has a closed window form: with S_i the
+    running sum of deviations, c_i = S_i − min(0, min_{j≤i} S_j) —
+    one running SUM plus one running MIN over the same sorted pass,
+    so the whole statistic costs a single day-grain window, no
+    recursion, no UDF. Everything stays exact BIGINT by scaling
+    deviations to dev_i = n_days·x_i − total (mean-centering without
+    division); the drift threshold is one average day's mass, which
+    in that scale is exactly ``total``.
+
+    Plan: the corpus collapses to (type, day) grain FIRST — the only
+    corpus-sized pass is that map-side-combinable aggregate; the two
+    stacked windows and the peak-day pick all run on the ~1.8k-row
+    day-grain relation inside one type-keyed exchange. At 100 TB the
+    day-grain relation is still ~10^4 rows per type — the window cost
+    never grows with raw volume, the signature moving-frame lesson
+    (SCALING.md W1-W4) applied to change detection."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wt = Window.partitionBy("event_type")
+    ww = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scoped = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+        F.sum("x").over(wt).alias("tot"),
+    )
+    walked = scoped.withColumn(
+        "s", F.sum(F.col("n_days") * F.col("x") - F.col("tot")).over(ww)
+    )
+    cu = walked.withColumn(
+        "cusum",
+        F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(ww)),
+    )
+    agg = cu.groupBy("event_type").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("tot").cast("long").alias("total_events"),
+        F.max("cusum").cast("long").alias("peak_cusum_scaled"),
+        F.sum(F.when(F.col("cusum") > F.col("tot"), 1).otherwise(0))
+        .cast("long")
+        .alias("drift_days"),
+    )
+    peak = (
+        cu.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.col("cusum").desc(), F.col("day")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("peak_day"))
+    )
+    return agg.join(F.broadcast(peak), "event_type").select(
+        "event_type",
+        "n_days",
+        "total_events",
+        "peak_cusum_scaled",
+        "peak_day",
+        "drift_days",
+    )

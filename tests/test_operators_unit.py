@@ -3863,3 +3863,124 @@ def test_gif_real_codec_roundtrip_and_failures():
     blob = encode_gif(_gif_pixels(1))
     with pytest.raises(Exception):
         decode_gif_real(blob[: len(blob) // 2])
+
+
+def test_gini_known_values(spark):
+    """Gini ground truths: equal masses -> 0; a two-member group where
+    one holds everything -> (n-1)/n = 0.5; the 1-2-3 triangle ->
+    2/9 = 0.222222 floored to micro units. Also pins the DECIMAL
+    scale-up path against a direct Python computation on a group big
+    enough that BIGINT*1e6 would overflow if applied to sf1-scale
+    masses."""
+    from talkdesk_async_etl_spark.operators.stats import gini_per_group
+
+    rows = (
+        [("eq", i, 100) for i in range(4)]
+        + [("one", 0, 0), ("one", 1, 7_000)]
+        + [("tri", 0, 100), ("tri", 1, 200), ("tri", 2, 300)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, cents long")
+    got = {
+        r["g"]: (r["n_members"], r["gini_micro"])
+        for r in gini_per_group(df, "g", "k", "cents").collect()
+    }
+    assert got["eq"] == (4, 0)
+    assert got["one"] == (2, 500_000)
+    assert got["tri"] == (3, 222_222)
+
+    # big-mass group: numerator*1e6 exceeds int64; DECIMAL path must
+    # still produce the exact floor the Python integers give.
+    big = [("big", i, (i + 1) * 3_000_000_000_000) for i in range(10)]
+    xs = sorted(c for _, _, c in big)
+    n, tot = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    want = num * 1_000_000 // (n * tot)
+    bdf = spark.createDataFrame(big, "g string, k long, cents long")
+    r = gini_per_group(bdf, "g", "k", "cents").collect()[0]
+    assert r["gini_micro"] == want
+    assert num * 1_000_000 > 2**63  # the case BIGINT arithmetic would lose
+
+
+def test_cusum_window_form_equals_recurrence(spark):
+    """The window form S_i - min(0, min_{j<=i} S_j) must equal the
+    textbook recurrence c_i = max(0, c_{i-1} + dev_i) on a constructed
+    series with a sustained small drift, and the drift day must fire
+    where the accumulated excess (not any single day) crosses one
+    average day's mass."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    # 10 quiet days of 100, then 10 drifted days of 130: no day is
+    # individually extreme vs the overall mean 115.
+    xs = [100] * 10 + [130] * 10
+    n, tot = len(xs), sum(xs)
+    devs = [n * x - tot for x in xs]
+    c, expect = 0, []
+    for d in devs:
+        c = max(0, c + d)
+        expect.append(c)
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i, x in enumerate(xs):
+        for _ in range(x):
+            rows.append((eid, dt.datetime.combine(base + dt.timedelta(days=i), dt.time(12)), "t"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        # reuse the registered query against the constructed fixture
+        from talkdesk_async_etl_spark.plans.registry import QUERIES
+
+        out = QUERIES["events_cusum_drift"].fn(spark, d).collect()[0]
+    assert out["n_days"] == n
+    assert out["total_events"] == tot
+    assert out["peak_cusum_scaled"] == max(expect)
+    assert out["peak_day"] == base + dt.timedelta(days=expect.index(max(expect)))
+    assert out["drift_days"] == sum(1 for v in expect if v > tot)
+    assert out["drift_days"] > 0  # the sustained drift DID fire
+
+
+def test_hamming_signature_fold_and_topk(spark):
+    """The sign-bit signature fold must agree between Spark and DuckDB
+    on vectors with mixed signs and zeros (zero is NOT positive ->
+    bit 0), self-distance is 0, and a constructed pair differing in
+    exactly 3 sign dims is Hamming-3."""
+    import duckdb
+
+    from talkdesk_async_etl_spark.operators.similarity import (
+        _HAM_BITS,
+        _sign_sig_sql,
+    )
+
+    base = [1.0 if i % 3 else -1.0 for i in range(64)]
+    flipped = list(base)
+    for i in (2, 5, 9):
+        flipped[i] = -flipped[i]
+    zeros = [0.0] * 64
+    rows = [(0, base), (1, flipped), (2, zeros)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.selectExpr(
+            "vec_id", _sign_sig_sql("embedding", False) + " AS sig"
+        ).collect()
+    }
+    con = duckdb.connect()
+    for vid, vec in rows:
+        duck_sig = con.execute(
+            "WITH t AS (SELECT CAST(? AS FLOAT[]) AS v) SELECT "
+            + _sign_sig_sql("v", True) + " FROM t",
+            [vec],
+        ).fetchone()[0]
+        assert duck_sig == got[vid], (vid, duck_sig, got[vid])
+
+    assert got[2] == 0  # zeros contribute no bits
+    want = sum(1 << i for i in range(_HAM_BITS) if base[i] > 0)
+    assert got[0] == want
+    assert bin(got[0] ^ got[1]).count("1") == 3

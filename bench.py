@@ -336,6 +336,7 @@ _HEADLINE_R12 = (
     "agg_gini_concentration",
     "events_cusum_drift",
     "sim_hamming_topk",
+    "multimodal_bmp_rle_real",
 )
 
 HEADLINE = (

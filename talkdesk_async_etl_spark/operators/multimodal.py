@@ -1478,3 +1478,236 @@ def multimodal_gif_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     per Arrow batch, rasters never shuffle, only the 6-column feature
     rows leave the scan."""
     return extract_gif_stats(synthetic_gif_df(spark))
+
+
+# --- Fifth real codec: BMP BI_RLE8 (run-length) --------------------------
+# PPM = raw raster, WAV = PCM container, PNG = DEFLATE, GIF = LZW
+# dictionary coding; BMP with BI_RLE8 adds the last classic family —
+# RUN-LENGTH ENCODING: encoded runs, absolute (literal) mode with
+# word-alignment padding, end-of-line / end-of-bitmap escapes, delta
+# skips with zero fill, and bottom-up row order behind a little-endian
+# two-struct header walk. Pixels derive from an integer formula with
+# deliberately mixed texture — every third diagonal stripe of rows is
+# x-constant (exercising encoded runs), the rest vary per pixel
+# (exercising absolute mode) — so ONE fixture drives both code paths
+# and the DuckDB oracle recomputes every stat without seeing a BMP
+# byte.
+_BMP_N = 30
+_BMP_W_BASE, _BMP_W_MOD = 10, 6   # width  = 10 + id % 6
+_BMP_H_BASE, _BMP_H_MOD = 8, 4    # height = 8 + id % 4
+_BMP_A, _BMP_B, _BMP_C = 5, 17, 3  # see _bmp_pixels
+
+
+def _bmp_pixels(i: int) -> "np.ndarray":
+    w = _BMP_W_BASE + i % _BMP_W_MOD
+    h = _BMP_H_BASE + i % _BMP_H_MOD
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    xterm = np.where((y + i) % 3 == 0, 0, x * _BMP_C)
+    return ((i * _BMP_A + y * _BMP_B + xterm) % 256).astype(np.uint8)
+
+
+def _rle8_encode_row(row: bytes) -> bytes:
+    """One scanline in BI_RLE8: encoded mode (count, value) for runs
+    of >= 2; literal stretches flushed as absolute mode (00, count,
+    bytes, pad-to-word) when >= 3 long, else as count-1 encoded pairs
+    (absolute mode is spec-illegal below count 3)."""
+    out = bytearray()
+    lits = bytearray()
+
+    def flush_lits() -> None:
+        nonlocal lits, out
+        while len(lits) >= 3:
+            chunk = lits[:255]
+            if len(lits) - len(chunk) in (1, 2) and len(chunk) > 253:
+                chunk = lits[:253]  # keep the remainder flushable
+            out.append(0)
+            out.append(len(chunk))
+            out += chunk
+            if len(chunk) % 2:
+                out.append(0)  # word-alignment pad
+            lits = lits[len(chunk):]
+        for b in lits:
+            out += bytes((1, b))
+        lits = bytearray()
+
+    pos = 0
+    while pos < len(row):
+        run = 1
+        while pos + run < len(row) and row[pos + run] == row[pos] and run < 255:
+            run += 1
+        if run >= 2:
+            flush_lits()
+            out += bytes((run, row[pos]))
+            pos += run
+        else:
+            lits.append(row[pos])
+            pos += 1
+    flush_lits()
+    return bytes(out)
+
+
+def encode_bmp_rle(pixels: "np.ndarray") -> bytes:
+    """Real 8-bit BI_RLE8 BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    (little-endian), 256-entry BGRX grayscale palette (index == gray),
+    then the RLE stream with rows emitted BOTTOM-UP, (00,00) after
+    every row and (00,01) closing the bitmap."""
+    import struct
+
+    h, w = pixels.shape
+    rle = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up row order
+        rle += _rle8_encode_row(pixels[r].tobytes())
+        rle += b"\x00\x00"  # end of line
+    rle += b"\x00\x01"  # end of bitmap
+    palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
+    offset = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rle), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 2835, 2835, 256, 0
+    )  # biCompression=1 is BI_RLE8
+    return header + info + palette + bytes(rle)
+
+
+def decode_bmp_rle(content: bytes) -> "np.ndarray":
+    """Real BI_RLE8 decode: header walk, palette, then the escape
+    machine — encoded runs, absolute mode (+pad), EOL, EOB, and delta
+    skips (skipped pixels zero-filled per the de-facto convention).
+    Raises on wrong magic, non-RLE8 payloads, row overruns, or
+    truncation — codec failures, not fakes."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise DecodeNotAvailableError("not a BMP payload")
+    if len(content) < 54:
+        raise DecodeNotAvailableError("truncated BMP header")
+    offset = struct.unpack("<I", content[10:14])[0]
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", content[14:34])
+    if hdr_size < 40 or bpp != 8 or comp != 1:
+        raise DecodeNotAvailableError("not an 8-bit BI_RLE8 BMP")
+    if h <= 0:
+        raise DecodeNotAvailableError("top-down RLE BMPs are spec-invalid")
+    clr_used = struct.unpack("<I", content[46:50])[0] or 256
+    pal_off = 14 + hdr_size
+    palette = np.frombuffer(
+        content[pal_off : pal_off + 4 * clr_used], dtype=np.uint8
+    ).reshape(-1, 4)
+    px = np.zeros((h, w), dtype=np.uint8)
+    pos, x, y = offset, 0, 0  # y counts bottom-up rows
+    data = content
+    while True:
+        if pos + 1 >= len(data):
+            raise DecodeNotAvailableError("truncated RLE stream")
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise DecodeNotAvailableError("RLE run overflows the row")
+            px[h - 1 - y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta: skip dx right, dy up (zero fill)
+            if pos + 1 >= len(data):
+                raise DecodeNotAvailableError("truncated delta escape")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise DecodeNotAvailableError("delta escape leaves the raster")
+        else:  # absolute mode
+            if y >= h or x + v > w:
+                raise DecodeNotAvailableError("absolute run overflows the row")
+            if pos + v > len(data):
+                raise DecodeNotAvailableError("truncated absolute run")
+            px[h - 1 - y, x : x + v] = np.frombuffer(
+                data[pos : pos + v], dtype=np.uint8
+            )
+            pos += v + (v % 2)  # word-alignment pad
+            x += v
+    idx = px.reshape(-1)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise DecodeNotAvailableError("palette index out of range")
+    gray = palette[idx, 0].reshape(h, w)  # grayscale palette: B channel
+    return gray
+
+
+def synthetic_bmp_df(spark: SparkSession, n: int = _BMP_N) -> DataFrame:
+    rows = [(i, encode_bmp_rle(_bmp_pixels(i))) for i in range(n)]
+    rdd = spark.sparkContext.parallelize(rows, min(4, n))
+    return spark.createDataFrame(rdd, "media_id long, content binary")
+
+
+def extract_bmp_stats(media: DataFrame) -> DataFrame:
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for row in pdf.itertuples():
+                px = decode_bmp_rle(bytes(row.content)).astype(np.int64)
+                h, w = px.shape
+                out.append(
+                    (row.media_id, w, h, int(px.min()), int(px.max()), int(px.sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "gray_min", "gray_max", "gray_sum"],
+            )
+
+    return media.mapInPandas(
+        per_batch,
+        schema="media_id long, width int, height int, gray_min int, gray_max int, gray_sum long",
+    )
+
+
+_BMP_ORACLE = f"""
+    WITH dims AS (
+        SELECT i AS media_id,
+               {_BMP_W_BASE} + i % {_BMP_W_MOD} AS w,
+               {_BMP_H_BASE} + i % {_BMP_H_MOD} AS h
+        FROM range({_BMP_N}) t(i)
+    ),
+    px AS (
+        SELECT d.media_id, d.w, d.h,
+               CAST((d.media_id * {_BMP_A} + (p.k // d.w) * {_BMP_B}
+                     + CASE WHEN ((p.k // d.w) + d.media_id) % 3 = 0
+                            THEN 0 ELSE (p.k % d.w) * {_BMP_C} END) % 256
+                    AS BIGINT) AS g
+        FROM dims d,
+             range(0, {(_BMP_W_BASE + _BMP_W_MOD - 1) * (_BMP_H_BASE + _BMP_H_MOD - 1)})
+                 p(k)
+        WHERE p.k < d.w * d.h
+    )
+    SELECT media_id,
+           CAST(min(w) AS INTEGER) AS width,
+           CAST(min(h) AS INTEGER) AS height,
+           CAST(min(g) AS INTEGER) AS gray_min,
+           CAST(max(g) AS INTEGER) AS gray_max,
+           CAST(sum(g) AS BIGINT) AS gray_sum
+    FROM px GROUP BY media_id
+"""
+
+
+@query("multimodal_bmp_rle_real", oracle=_BMP_ORACLE, tags=("multimodal", "image"))
+def multimodal_bmp_rle_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North star, FIFTH real codec: BMP BI_RLE8 — RUN-LENGTH
+    ENCODING, the last classic compression family after raw raster
+    (PPM), PCM container (WAV), DEFLATE (PNG), and LZW dictionary
+    coding (GIF). The encoder emits real RLE: encoded runs, absolute
+    mode with its >= 3 legality floor and word-alignment padding,
+    end-of-line / end-of-bitmap escapes, bottom-up row order behind
+    the two little-endian structs; the decoder is a full escape
+    machine (including delta skips with zero fill, which the unit
+    test exercises via a handcrafted stream) that fails like a codec
+    on truncation, row overruns, or non-RLE8 payloads. The pixel
+    formula makes every third diagonal row stripe x-constant, so one
+    fixture drives BOTH encoded-run and absolute-mode paths; the
+    DuckDB oracle recomputes all stats from the formula without
+    seeing a BMP byte.
+
+    Scale shape: identical to the other codec notches — decode
+    parallelizes per Arrow batch inside ``mapInPandas``, rasters
+    never leave the task, only 6-column feature rows shuffle."""
+    return extract_bmp_stats(synthetic_bmp_df(spark))

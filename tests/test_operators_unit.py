@@ -3984,3 +3984,57 @@ def test_hamming_signature_fold_and_topk(spark):
     want = sum(1 << i for i in range(_HAM_BITS) if base[i] > 0)
     assert got[0] == want
     assert bin(got[0] ^ got[1]).count("1") == 3
+
+
+def test_bmp_rle_codec_roundtrip_delta_and_failures():
+    """Bit-exact round-trips through real BI_RLE8 encode/decode for
+    the fixture formula (mixed encoded-run / absolute-mode texture),
+    a worst-case random raster, and a pure-run constant raster that
+    must actually compress; a handcrafted stream proves the decoder's
+    delta-escape path (zero fill); wrong magic, truncation, non-RLE8
+    tags, and row overruns fail like a codec."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        DecodeNotAvailableError,
+        _bmp_pixels,
+        decode_bmp_rle,
+        encode_bmp_rle,
+    )
+
+    for i in (0, 3, 17, 29):
+        px = _bmp_pixels(i)
+        assert np.array_equal(decode_bmp_rle(encode_bmp_rle(px)), px)
+
+    rng = np.random.RandomState(11)
+    noisy = rng.randint(0, 256, size=(40, 77), dtype=np.uint8)  # odd width: pad path
+    assert np.array_equal(decode_bmp_rle(encode_bmp_rle(noisy)), noisy)
+
+    flat = np.full((20, 100), 9, dtype=np.uint8)
+    blob = encode_bmp_rle(flat)
+    assert len(blob) - 1078 < flat.size // 10  # RLE really compresses runs
+
+    # handcrafted delta escape: 4x4, bottom row = two 7s, delta skips
+    # 1 right and 1 row up, then one 5 — everything skipped stays 0.
+    palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
+    rle = bytes((2, 7)) + b"\x00\x02" + bytes((1, 1)) + bytes((1, 5)) + b"\x00\x01"
+    head = struct.pack("<2sIHHI", b"BM", 1078 + len(rle), 0, 0, 1078)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, len(rle), 0, 0, 256, 0)
+    got = decode_bmp_rle(head + info + palette + rle)
+    want = np.zeros((4, 4), dtype=np.uint8)
+    want[3, 0] = want[3, 1] = 7  # bottom row (bottom-up y=0)
+    want[2, 3] = 5  # delta lands at x=2+1=3, one row up
+    assert np.array_equal(got, want)
+
+    with pytest.raises(DecodeNotAvailableError):
+        decode_bmp_rle(b"NOPE" + bytes(60))
+    good = encode_bmp_rle(_bmp_pixels(1))
+    with pytest.raises(DecodeNotAvailableError):
+        decode_bmp_rle(good[: len(good) // 2])
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 0)  # biCompression -> BI_RGB
+    with pytest.raises(DecodeNotAvailableError):
+        decode_bmp_rle(bytes(bad))

@@ -337,6 +337,8 @@ _HEADLINE_R12 = (
     "events_cusum_drift",
     "sim_hamming_topk",
     "multimodal_bmp_rle_real",
+    "agg_benford_deviation",
+    "graph_degree_assortativity",
 )
 
 HEADLINE = (

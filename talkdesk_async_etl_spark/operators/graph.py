@@ -815,3 +815,145 @@ def common_neighbors_from(und: DataFrame) -> DataFrame:
             .alias("jaccard_micro"),
         )
     )
+
+
+def _oracle_assortativity() -> str:
+    return f"""
+    WITH base AS (
+        SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (
+        SELECT a, b FROM (
+            SELECT a, b, count(*) AS n_trades
+            FROM base GROUP BY a, b
+        ) ORDER BY n_trades DESC, a, b LIMIT {_CN_TOP_EDGES}
+    ),
+    adj AS (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst FROM und
+    ),
+    deg AS (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY src
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(dj.deg) AS BIGINT) AS sum_j,
+               CAST(sum(dj.deg * dk.deg) AS BIGINT) AS sum_jk,
+               CAST(sum(dj.deg * dj.deg) AS BIGINT) AS sum_j2
+        FROM adj e
+        JOIN deg dj ON dj.node = e.src
+        JOIN deg dk ON dk.node = e.dst
+    )
+    SELECT m AS m_directed_edges, sum_j, sum_jk, sum_j2,
+           CAST(CASE WHEN (m * sum_j2 - sum_j * sum_j) = 0 THEN 0
+                WHEN (m * sum_jk - sum_j * sum_j) < 0
+                THEN -((-(m * sum_jk - sum_j * sum_j) * 1000000)
+                       // (m * sum_j2 - sum_j * sum_j))
+                ELSE ((m * sum_jk - sum_j * sum_j) * 1000000)
+                     // (m * sum_j2 - sum_j * sum_j) END AS BIGINT)
+               AS assortativity_micro
+    FROM sums
+    """
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle=_oracle_assortativity(),
+    tags=("graph",),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 depth: DEGREE ASSORTATIVITY (Newman 2002) of the sparsified
+    trade graph — do high-degree trading hubs connect to other hubs
+    (r > 0, social-network mixing) or to spokes (r < 0, the
+    hub-and-spoke / technological pattern)? The one-number structure
+    summary that tells a graph pipeline whether hot-key mitigations
+    (salting, hub caps) will be load-bearing: disassortative graphs
+    concentrate wedge work around hubs.
+
+    Exactness: over the symmetric directed-edge list, Pearson's r has
+    equal marginal variances, so the usual sqrt denominator collapses
+    and r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — a ratio of exact
+    BIGINT sums. The micro quantization divides toward zero, spelled
+    with an explicit sign split on BOTH engines because DuckDB ``//``
+    floors negatives while Spark ``div`` truncates — assortativity is
+    routinely negative, so this seam would flip the last digit
+    silently. Zero variance (k-regular graph) returns 0 by guard on
+    both engines; at web scale (Σjk approaching 1e18) the four sums
+    promote to DECIMAL(38,0) before the ratio, the gini precedent.
+
+    Plan: the edge build is the shared lineitem⋈orders tree every
+    graph kernel pays (dominant cost at test SF); after the top-60
+    sparsification everything is edge-grain — one degree aggregate,
+    two broadcast degree joins onto the edge list, one 1-row sum. At
+    real graph scale the degree relation passes the broadcast
+    threshold and the joins become edge-keyed shuffles; the final
+    statistic is a single map-side-combinable reduction either way."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    with cache_scope():
+        und = scoped_persist(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .where(F.col("s_nationkey") != F.col("c_nationkey"))
+            .select(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_trades"))
+            .orderBy(F.desc("n_trades"), "a", "b")
+            .limit(_CN_TOP_EDGES)
+            .select("a", "b")
+        )
+        return collect_release(degree_assortativity_from(und))
+
+
+def degree_assortativity_from(und: DataFrame) -> DataFrame:
+    """Statistic core behind :func:`graph_degree_assortativity` over
+    an undirected edge list ``(a, b)``; factored out so the unit test
+    can pin r on constructed graphs (star -> strongly negative,
+    k-regular -> denominator guard, two-clique chain -> positive).
+    Caller holds the cache scope persisting ``und``."""
+    adj = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    dj = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_j"))
+    dk = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_k"))
+    sums = (
+        adj.join(F.broadcast(dj), "src")
+        .join(F.broadcast(dk), "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("deg_j").cast("long").alias("sum_j"),
+            F.sum(F.col("deg_j") * F.col("deg_k")).cast("long").alias("sum_jk"),
+            F.sum(F.col("deg_j") * F.col("deg_j")).cast("long").alias("sum_j2"),
+        )
+    )
+    return sums.select(
+        F.col("m").alias("m_directed_edges"),
+        "sum_j",
+        "sum_jk",
+        "sum_j2",
+        F.expr(
+            "CAST(CASE WHEN (m * sum_j2 - sum_j * sum_j) = 0 THEN 0"
+            " WHEN (m * sum_jk - sum_j * sum_j) < 0"
+            " THEN -((-(m * sum_jk - sum_j * sum_j) * 1000000)"
+            "        DIV (m * sum_j2 - sum_j * sum_j))"
+            " ELSE ((m * sum_jk - sum_j * sum_j) * 1000000)"
+            "      DIV (m * sum_j2 - sum_j * sum_j) END AS BIGINT)"
+        ).alias("assortativity_micro"),
+    )

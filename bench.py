@@ -339,6 +339,8 @@ _HEADLINE_R12 = (
     "multimodal_bmp_rle_real",
     "agg_benford_deviation",
     "graph_degree_assortativity",
+    "text_readability_score",
+    "agg_decile_shares",
 )
 
 HEADLINE = (

@@ -1729,3 +1729,94 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dev_micro"),
         )
     )
+
+
+_DECILE_ORACLE = """
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tiled AS (
+        SELECT custkey, cents,
+               CAST(ntile(10) OVER (ORDER BY cents, custkey) AS INTEGER)
+                   AS decile,
+               sum(cents) OVER () AS total
+        FROM spend
+    ),
+    agg AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS decile_cents,
+               CAST(max(total) AS BIGINT) AS total
+        FROM tiled GROUP BY decile
+    )
+    SELECT decile, n_customers, decile_cents,
+           CAST((CAST(decile_cents AS HUGEINT) * 1000000) // total AS BIGINT)
+               AS share_micro,
+           CAST((CAST(sum(decile_cents) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS HUGEINT)
+                 * 1000000) // total AS BIGINT) AS cum_share_micro
+    FROM agg
+"""
+
+
+@query("agg_decile_shares", oracle=_DECILE_ORACLE, tags=("agg", "stats"))
+def agg_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35: LORENZ DECILES of customer spend — the concentration curve
+    behind agg_gini_concentration's single number: per spend decile,
+    customer count, mass, share, and cumulative share (the "top 10%
+    of customers carry X% of revenue" slide, and the curve whose area
+    IS the Gini). Deterministic tie-break (cents, custkey) makes the
+    decile assignment identical on both engines; shares quantize by
+    truncating integer division with the 1e6 scale-up in
+    DECIMAL(38,0)/HUGEINT — total×1e6 passes int64 around sf1, the
+    same design-time overflow fix as agg_gini_concentration — so
+    every output column is exact.
+
+    Plan: per-customer rollup (the one corpus-sized exchange), one
+    global ntile sort over the customer-grain relation, then a 10-row
+    aggregate + 10-row cumulative window. The global sort is the
+    documented RFM trade: at extreme customer counts swap ntile for
+    percentile_approx-derived boundaries and a broadcast range join —
+    the decile CONTRACT stays identical."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tiled = spend.select(
+        "custkey",
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "custkey")).cast("int").alias("decile"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    agg = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+        F.max("total").cast("long").alias("total"),
+    )
+    cum = (
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        agg.withColumn("cum_cents", F.sum("decile_cents").over(cum))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.expr(
+                "CAST(((CAST(decile_cents AS DECIMAL(38,0)) * 1000000)"
+                " - ((CAST(decile_cents AS DECIMAL(38,0)) * 1000000) % total))"
+                " / total AS BIGINT)"
+            ).alias("share_micro"),
+            F.expr(
+                "CAST(((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)"
+                " - ((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) % total))"
+                " / total AS BIGINT)"
+            ).alias("cum_share_micro"),
+        )
+    )

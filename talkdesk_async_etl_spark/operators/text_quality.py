@@ -752,3 +752,95 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("sum_tokens"),
         F.sum("score_micro").cast("long").alias("sum_score_micro"),
     )
+
+
+# Flesch reading-ease constants, micro-scaled: 206.835 - 1.015*(W/S)
+# - 84.6*(Y/W). The two ratio terms quantize by truncating integer
+# division (positive operands -> floor == truncate on both engines).
+_FLESCH_BASE_MICRO = 206_835_000
+_FLESCH_WS_MICRO = 1_015_000
+_FLESCH_YW_MICRO = 84_600_000
+
+_READABILITY_ORACLE = f"""
+    WITH counted AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_words,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS n_sentences,
+               CAST(list_sum(list_transform(
+                        list_filter(string_split(lower(text), ' '), w -> w <> ''),
+                        w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CAST({_FLESCH_BASE_MICRO}
+                    - ({_FLESCH_WS_MICRO} * n_words) // n_sentences
+                    - ({_FLESCH_YW_MICRO} * n_syllables) // n_words
+                    AS BIGINT) AS flesch_micro
+        FROM counted
+        WHERE n_words > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables, flesch_micro,
+           CASE WHEN flesch_micro >= 60000000 THEN 'easy'
+                WHEN flesch_micro >= 30000000 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM scored
+"""
+
+
+@query("text_readability_score", oracle=_READABILITY_ORACLE, tags=("text", "quality"))
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 depth: FLESCH READING-EASE per document — the readability
+    gate curation pipelines run next to length/stopword heuristics
+    (very low readability correlates with OCR noise and boilerplate;
+    very high with trivial/listicle text — both ends get down-weighted
+    in quality mixtures). The syllable counter is the frozen
+    vowel-group heuristic max(1, |[aeiouy]+ runs|) — a CONTRACT shared
+    by both engines, not a dictionary lookup — and the two ratio terms
+    quantize by truncating integer division of micro-scaled BIGINTs,
+    so the score is exact on both engines with no float division
+    anywhere (the sample_temperature_mixture rule).
+
+    Plan: everything is row-local higher-order functions over the
+    in-scan token array (transform/filter/aggregate compile into the
+    scan stage — SCALING.md X14): zero joins, zero shuffles, zero
+    UDFs. At 100 TB this is a pure map pass bounded by scan
+    bandwidth, the cheapest possible quality-signal shape."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    counted = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)"
+        ).alias("n_words"),
+        F.expr(
+            "CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))"
+            " AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            "aggregate(transform(filter(split(lower(text), ' '), w -> w <> ''),"
+            " w -> CAST(greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0)))"
+            " AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    scored = counted.withColumn(
+        "flesch_micro",
+        (
+            F.lit(_FLESCH_BASE_MICRO)
+            - F.expr(f"({_FLESCH_WS_MICRO} * n_words) DIV n_sentences")
+            - F.expr(f"({_FLESCH_YW_MICRO} * n_syllables) DIV n_words")
+        ).cast("long"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "flesch_micro",
+        F.when(F.col("flesch_micro") >= 60_000_000, "easy")
+        .when(F.col("flesch_micro") >= 30_000_000, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )

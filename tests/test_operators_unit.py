@@ -4114,3 +4114,75 @@ def test_degree_assortativity_constructed_graphs(spark):
     clique2 = [(a + 4, b + 4) for a, b in clique1]
     bridged = clique1 + clique2 + [(0, 4)]
     assert run(bridged)["assortativity_micro"] == python_r(bridged)
+
+
+def test_readability_counts_and_bands(spark):
+    """Known word/sentence/syllable counts through the frozen
+    vowel-group heuristic, and the exact micro Flesch that follows;
+    a long-sentence polysyllabic doc must band 'hard', a terse one
+    'easy'; zero-word docs are excluded."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    docs = [
+        (1, "the cat sat. it ran!", "en", "t", 0),  # 5 words, 2 sentences
+        (2, "incomprehensibility necessitates extraordinary perseverance "
+            "notwithstanding considerable organizational complexity "
+            "throughout multinational bureaucracies everywhere", "en", "t", 0),
+        (3, "", "en", "t", 0),  # excluded: zero words
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/documents.parquet")
+        rows = {r["doc_id"]: r for r in QUERIES["text_readability_score"].fn(spark, d).collect()}
+
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert r1["n_words"] == 5 and r1["n_sentences"] == 2
+    # the(1) cat(1) sat.(1) it(1) ran!(1) -> 5 syllables
+    assert r1["n_syllables"] == 5
+    want1 = 206_835_000 - (1_015_000 * 5) // 2 - (84_600_000 * 5) // 5
+    assert r1["flesch_micro"] == want1 and r1["band"] == "easy"
+    assert rows[2]["band"] == "hard" and rows[2]["n_sentences"] == 1
+
+
+def test_decile_shares_constructed(spark):
+    """20 customers with known spends -> 2 per decile; shares and the
+    Lorenz cumulative must match exact integer expectations, with the
+    whale pair carrying the top decile."""
+    import tempfile
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    # customer k spends (k+1)*100 cents; customers 18,19 are whales.
+    spends = {k: (k + 1) * 100 for k in range(18)}
+    spends[18], spends[19] = 50_000, 150_000
+    rows = []
+    oid = 0
+    for k, cents in spends.items():
+        rows.append((oid, k, "F", cents / 100.0, dt.datetime(2024, 1, 1), "1-URGENT"))
+        oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/orders.parquet")
+        got = {r["decile"]: r for r in QUERIES["agg_decile_shares"].fn(spark, d).collect()}
+
+    total = sum(spends.values())
+    assert len(got) == 10 and all(got[i]["n_customers"] == 2 for i in got)
+    assert got[10]["decile_cents"] == 200_000
+    assert got[10]["share_micro"] == 200_000 * 1_000_000 // total
+    assert got[10]["cum_share_micro"] == 1_000_000  # Lorenz ends at 1
+    running = 0
+    for i in range(1, 11):
+        running += got[i]["decile_cents"]
+        assert got[i]["cum_share_micro"] == running * 1_000_000 // total

@@ -341,6 +341,7 @@ _HEADLINE_R12 = (
     "graph_degree_assortativity",
     "text_readability_score",
     "agg_decile_shares",
+    "ml_decision_stump",
 )
 
 HEADLINE = (

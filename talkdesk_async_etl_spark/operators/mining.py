@@ -17,7 +17,7 @@ dedup/similarity families already covered:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.registry import query
@@ -125,3 +125,146 @@ def ml_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(p * 1_000_000 + F.lit(0.5)).cast("bigint").alias("p_micro"),
         (z >= 0).cast("int").alias("is_quality"),
     )
+
+
+# Candidate split grid for the decision stump: 4 feature dims x 7
+# thresholds (micro units) spanning the embedding domain (~±0.37).
+_STUMP_DIMS = (0, 1, 2, 3)
+_STUMP_THRESHOLDS = tuple(range(-300_000, 300_001, 100_000))
+
+
+def _stump_oracle() -> str:
+    splits = ", ".join(
+        f"({d}, {thr})" for d in _STUMP_DIMS for thr in _STUMP_THRESHOLDS
+    )
+    return f"""
+    WITH feat AS (
+        SELECT CAST(label % 2 AS BIGINT) AS y,
+               embedding
+        FROM embeddings
+    ),
+    splits(dim, thr) AS (VALUES {splits}),
+    sums AS (
+        SELECT s.dim, s.thr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(f.y) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN CAST(floor(f.embedding[s.dim + 1] * 1000000
+                                            + 0.5) AS BIGINT) <= s.thr
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+               CAST(sum(CASE WHEN CAST(floor(f.embedding[s.dim + 1] * 1000000
+                                            + 0.5) AS BIGINT) <= s.thr
+                             THEN f.y ELSE 0 END) AS BIGINT) AS pos_l
+        FROM feat f, splits s
+        GROUP BY s.dim, s.thr
+    ),
+    scored AS (
+        SELECT dim, thr AS threshold_micro, n_l,
+               pos_l, n - n_l AS n_r, pos - pos_l AS pos_r,
+               CASE WHEN n_l = 0 OR n = n_l THEN 1000000
+                    ELSE CAST(
+                        (((n - n_l) * (n_l * n_l - pos_l * pos_l
+                                       - (n_l - pos_l) * (n_l - pos_l))
+                          + n_l * ((n - n_l) * (n - n_l)
+                                   - (pos - pos_l) * (pos - pos_l)
+                                   - ((n - n_l) - (pos - pos_l))
+                                     * ((n - n_l) - (pos - pos_l))))::HUGEINT
+                         * 1000000)
+                        // (CAST(n AS HUGEINT) * n_l * (n - n_l))
+                    AS BIGINT) END AS impurity_micro
+        FROM sums
+    )
+    SELECT dim, threshold_micro, n_l AS n_left, pos_l AS pos_left,
+           n_r AS n_right, pos_r AS pos_right, impurity_micro,
+           CAST(row_number() OVER (ORDER BY impurity_micro, dim,
+                                   threshold_micro) AS INTEGER) AS rank
+    FROM scored
+    """
+
+
+@query("ml_decision_stump", oracle=_stump_oracle(), tags=("mining", "ml"))
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 depth: TRAIN a depth-1 decision tree (stump) distributed —
+    the exact weighted-Gini split search every tree ensemble
+    (XGBoost/LightGBM histogram mode, random forests) runs at its
+    core, and the standard weak learner for label-quality triage over
+    curation features. The target is the parity bit of the embedding
+    label; candidates are a fixed 4-dim × 7-threshold grid over the
+    micro-quantized feature (data-independent literals, so the grid
+    is reproducible across engines and batches).
+
+    Exactness contract: the split RANKING is by micro-quantized
+    weighted Gini — impurity_micro = floor(1e6 · [n_R·(n_L²−pos_L²−
+    neg_L²) + n_L·(n_R²−pos_R²−neg_R²)] / (n·n_L·n_R)) — computed in
+    HUGEINT/DECIMAL(38,0) (the numerator is O(n³), past int64 by
+    sf1), with (dim, threshold) tie-break; degenerate one-sided
+    splits pin to the 1e6 sentinel. Every count is a BIGINT
+    conditional sum, so both engines emit identical rows and ranks.
+
+    Plan: the candidate grid rides as an in-scan posexplode of a
+    28-element literal array — each corpus row emits its 28
+    (split, went_left, y) contributions inside the scan task and the
+    groupBy partial-aggregates them map-side, so the one exchange
+    carries 28×partitions rows regardless of corpus size. No join,
+    no UDF, no second pass: at 100 TB stump training is one scan —
+    which is why histogram-based boosting scales the same way."""
+    emb = t(spark, sf_dir, "embeddings", spread=True)
+    split_lits = ", ".join(
+        f"named_struct('dim', {d}, 'thr', CAST({thr} AS BIGINT))"
+        for d in _STUMP_DIMS
+        for thr in _STUMP_THRESHOLDS
+    )
+    contrib = emb.select(
+        (F.col("label") % 2).cast("long").alias("y"),
+        "embedding",
+        F.explode(F.expr(f"array({split_lits})")).alias("s"),
+    ).select(
+        F.col("s.dim").alias("dim"),
+        F.col("s.thr").alias("thr"),
+        "y",
+        F.expr(
+            "CASE WHEN CAST(floor(embedding[s.dim] * 1000000 + 0.5) AS BIGINT)"
+            " <= s.thr THEN 1 ELSE 0 END"
+        ).alias("went_left"),
+    )
+    sums = contrib.groupBy("dim", "thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("went_left").cast("long").alias("n_l"),
+        F.sum(F.col("went_left") * F.col("y")).cast("long").alias("pos_l"),
+    )
+    # The O(n^3) numerator and its 1e6 scale-up run in DECIMAL(38,0);
+    # floor-division is spelled (a - a % b) / b, the gini idiom.
+    sums = sums.withColumn(
+        "nm",
+        F.expr(
+            "((CAST(n AS DECIMAL(38,0)) - n_l)"
+            " * (CAST(n_l AS DECIMAL(38,0)) * n_l - CAST(pos_l AS DECIMAL(38,0)) * pos_l"
+            "    - (CAST(n_l AS DECIMAL(38,0)) - pos_l) * (CAST(n_l AS DECIMAL(38,0)) - pos_l))"
+            " + CAST(n_l AS DECIMAL(38,0))"
+            " * ((CAST(n AS DECIMAL(38,0)) - n_l) * (CAST(n AS DECIMAL(38,0)) - n_l)"
+            "    - (CAST(pos AS DECIMAL(38,0)) - pos_l) * (CAST(pos AS DECIMAL(38,0)) - pos_l)"
+            "    - ((CAST(n AS DECIMAL(38,0)) - n_l) - (CAST(pos AS DECIMAL(38,0)) - pos_l))"
+            "      * ((CAST(n AS DECIMAL(38,0)) - n_l) - (CAST(pos AS DECIMAL(38,0)) - pos_l))))"
+            " * 1000000"
+        ),
+    ).withColumn(
+        "dn",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * CAST(n_l AS DECIMAL(38,0))"
+            " * (CAST(n AS DECIMAL(38,0)) - n_l)"
+        ),
+    )
+    scored = sums.select(
+        "dim",
+        F.col("thr").alias("threshold_micro"),
+        F.col("n_l").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        (F.col("n") - F.col("n_l")).alias("n_right"),
+        (F.col("pos") - F.col("pos_l")).alias("pos_right"),
+        F.expr(
+            "CASE WHEN n_l = 0 OR n = n_l THEN CAST(1000000 AS BIGINT) ELSE "
+            "CAST((nm - (nm % dn)) / dn AS BIGINT) END"
+        ).alias("impurity_micro"),
+    )
+    w = Window.orderBy("impurity_micro", "dim", "threshold_micro")
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))

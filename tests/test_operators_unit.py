@@ -4186,3 +4186,71 @@ def test_decile_shares_constructed(spark):
     for i in range(1, 11):
         running += got[i]["decile_cents"]
         assert got[i]["cum_share_micro"] == running * 1_000_000 // total
+
+
+def test_decision_stump_separable_and_replica(spark):
+    """A constructed perfectly-separable fixture must put impurity 0
+    at the separating split and rank it 1; every candidate's
+    impurity_micro must equal a pure-Python integer replica; splits
+    that send everything one way pin the 1e6 sentinel."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.mining import (
+        _STUMP_DIMS,
+        _STUMP_THRESHOLDS,
+    )
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    # dim 0 separates at 0: negatives are label 0, positives label 1.
+    # Values sit at ±0.25 so the 0-threshold is the clean cut. Other
+    # dims are constant 0.4 -> every split on them is one-sided.
+    rows = []
+    for k in range(40):
+        y = k % 2
+        v0 = 0.25 if y else -0.25
+        emb = [v0, 0.4, 0.4, 0.4] + [0.0] * 60
+        rows.append((k, emb, y))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/embeddings.parquet")
+        got = QUERIES["ml_decision_stump"].fn(spark, d).collect()
+
+    import math
+
+    import numpy as np
+
+    def replica(dim, thr):
+        # identical quantization path: float32 storage, *1e6, floor
+        quant = lambda x: math.floor(float(np.float32(x)) * 1_000_000 + 0.5)
+        n = len(rows)
+        pos = sum(y for _, _, y in rows)
+        n_l = sum(1 for _, e, _ in rows if quant(e[dim]) <= thr)
+        pos_l = sum(y for _, e, y in rows if quant(e[dim]) <= thr)
+        if n_l == 0 or n_l == n:
+            return n_l, pos_l, 1_000_000
+        n_r, pos_r = n - n_l, pos - pos_l
+        num = n_r * (n_l * n_l - pos_l * pos_l - (n_l - pos_l) ** 2) + n_l * (
+            n_r * n_r - pos_r * pos_r - (n_r - pos_r) ** 2
+        )
+        return n_l, pos_l, (num * 1_000_000) // (n * n_l * n_r)
+
+    by_split = {(r["dim"], r["threshold_micro"]): r for r in got}
+    assert len(by_split) == len(_STUMP_DIMS) * len(_STUMP_THRESHOLDS)
+    for dim in _STUMP_DIMS:
+        for thr in _STUMP_THRESHOLDS:
+            n_l, pos_l, imp = replica(dim, thr)
+            r = by_split[(dim, thr)]
+            assert (r["n_left"], r["pos_left"], r["impurity_micro"]) == (
+                n_l,
+                pos_l,
+                imp,
+            ), (dim, thr)
+    best = next(r for r in got if r["rank"] == 1)
+    assert best["dim"] == 0 and best["impurity_micro"] == 0
+    # constant dims: every threshold one-sided -> sentinel
+    assert all(
+        by_split[(d, t)]["impurity_micro"] == 1_000_000
+        for d in (1, 2, 3)
+        for t in _STUMP_THRESHOLDS
+    )

@@ -596,3 +596,29 @@ def read_cdc_store(spark: SparkSession, store_path: str) -> DataFrame:
     tombstones stay in the store (they must outrank older versions on
     replay) and are filtered at read, the merge-on-read contract."""
     return spark.read.parquet(store_path).filter(F.col("op") != "D")
+
+
+def enrich_with_static_dim(
+    events: DataFrame, dim: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T9: STREAM-STATIC enrichment — the most common production
+    streaming shape after windowed aggregation: a fact stream joined
+    to a slowly-changing dimension snapshot (tier table, feature
+    flags, routing rules). Spark plans the static side as a broadcast
+    into every micro-batch, so the stream never shuffles and the join
+    adds no state to the streaming query (unlike stream-stream joins,
+    there is nothing to watermark on the static side; the watermark
+    here only bounds the downstream aggregate).
+
+    Returns per-(window, tier) event counts so the test's batch twin
+    can check exact equality. At 100 TB/day the static side refreshes
+    by restarting the query on a new snapshot — or graduating to a
+    stream-stream join when the dimension churns intra-day."""
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), "event_type"
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "tier", "n_events")
+    )

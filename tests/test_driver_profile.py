@@ -215,6 +215,7 @@ def test_survey_section2_is_the_registry():
         "pagerank_from_edges",  # reusable core function documented inside the D8 cell
         "cdc_upsert_stream",  # streaming-only CDC apply; batch twins hold the driver rows
         "read_cdc_store",  # its read-side contract (tombstone filter)
+        "enrich_with_static_dim",  # T9 stream-static join; in-test batch twin
     }
     stale = []
     for l in section:

@@ -766,3 +766,56 @@ def test_cdc_upsert_stream_matches_batch_resolution(spark, tmp_path):
     }
     assert got2 == batch_resolution()
     assert (0, "R", 4) in got2  # revived through the tombstone
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """T9: stream-static broadcast enrichment — per-(window, tier)
+    counts through the streaming path must equal the identical batch
+    expression; the static dim maps event types onto two tiers so the
+    join actually merges groups."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.streaming.streams import (
+        enrich_with_static_dim,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("refund", "convert")],
+        "event_type string, tier string",
+    )
+    q = run_to_memory_sink(
+        enrich_with_static_dim(read_events_stream(spark, SF_SMALL), dim),
+        "t_static_enrich",
+        "append",
+    )
+    try:
+        got = {
+            (r["window_start"], r["tier"]): r["n_events"]
+            for r in spark.sql("select * from t_static_enrich").collect()
+        }
+    finally:
+        q.stop()
+
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    want = {
+        (r["window_start"], r["tier"]): r["n_events"]
+        for r in ev.join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "tier", "n_events")
+        .collect()
+    }
+    # append mode withholds windows the final watermark hasn't closed:
+    # emitted rows must agree exactly, and only the tail may be missing.
+    assert got and all(want[k] == v for k, v in got.items())
+    missing = set(want) - set(got)
+    assert len(missing) < len(want)
+    if missing:
+        tail = max(w for w, _ in want)
+        assert all(w == tail for w, _ in missing)
+    assert set(t for _, t in got) <= {"engage", "convert"}

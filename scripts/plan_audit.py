@@ -82,6 +82,8 @@ _BOUNDED_NLJ = {
                            # token stream (the unigram_logprob shape)
     "sim_hamming_topk",  # 5-row signature query side broadcast with a
                          # != condition (the sim_topk_cosine shape)
+    "agg_benford_deviation",  # 1-row corpus-total broadcast into the
+                              # 9-row digit relation (the neyman shape)
 }
 
 

@@ -1551,26 +1551,20 @@ _CUSUM_ORACLE = """
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
         FROM walked
     ),
-    agg AS (
-        SELECT event_type,
-               CAST(max(n_days) AS BIGINT) AS n_days,
-               CAST(max(tot) AS BIGINT) AS total_events,
-               CAST(max(cusum) AS BIGINT) AS peak_cusum_scaled,
-               CAST(sum(CASE WHEN cusum > tot THEN 1 ELSE 0 END) AS BIGINT)
-                   AS drift_days
-        FROM cu GROUP BY event_type
-    ),
-    peak AS (
-        SELECT event_type, day AS peak_day
-        FROM (SELECT event_type, day,
-                     row_number() OVER (PARTITION BY event_type
-                                        ORDER BY cusum DESC, day) AS rn
-              FROM cu)
-        WHERE rn = 1
+    ranked AS (
+        SELECT event_type, day, n_days, tot, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cusum DESC, day) AS rn
+        FROM cu
     )
-    SELECT agg.event_type, n_days, total_events, peak_cusum_scaled,
-           peak.peak_day, drift_days
-    FROM agg JOIN peak ON agg.event_type = peak.event_type
+    SELECT event_type,
+           CAST(max(n_days) AS BIGINT) AS n_days,
+           CAST(max(tot) AS BIGINT) AS total_events,
+           CAST(max(cusum) AS BIGINT) AS peak_cusum_scaled,
+           max(CASE WHEN rn = 1 THEN day END) AS peak_day,
+           CAST(sum(CASE WHEN cusum > tot THEN 1 ELSE 0 END) AS BIGINT)
+               AS drift_days
+    FROM ranked GROUP BY event_type
 """
 
 
@@ -1594,10 +1588,12 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the corpus collapses to (type, day) grain FIRST — the only
     corpus-sized pass is that map-side-combinable aggregate; the two
-    stacked windows and the peak-day pick all run on the ~1.8k-row
-    day-grain relation inside one type-keyed exchange. At 100 TB the
-    day-grain relation is still ~10^4 rows per type — the window cost
-    never grows with raw volume, the signature moving-frame lesson
+    stacked running windows, the peak-rank window, and the final
+    aggregate all share ONE type-keyed exchange (the peak day is a
+    rank-gated max inside the same groupBy — no join-back, no second
+    derivation of the day-grain tree). At 100 TB the day-grain
+    relation is still ~10^4 rows per type — the window cost never
+    grows with raw volume, the signature moving-frame lesson
     (SCALING.md W1-W4) applied to change detection."""
     ev = t(spark, sf_dir, "events", spread=True)
     daily = ev.groupBy(
@@ -1623,33 +1619,22 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(ww)),
     )
-    agg = cu.groupBy("event_type").agg(
+    ranked = cu.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("cusum").desc(), F.col("day")
+            )
+        ),
+    )
+    return ranked.groupBy("event_type").agg(
         F.max("n_days").cast("long").alias("n_days"),
         F.max("tot").cast("long").alias("total_events"),
         F.max("cusum").cast("long").alias("peak_cusum_scaled"),
+        F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("peak_day"),
         F.sum(F.when(F.col("cusum") > F.col("tot"), 1).otherwise(0))
         .cast("long")
         .alias("drift_days"),
-    )
-    peak = (
-        cu.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy(
-                    F.col("cusum").desc(), F.col("day")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("event_type", F.col("day").alias("peak_day"))
-    )
-    return agg.join(F.broadcast(peak), "event_type").select(
-        "event_type",
-        "n_days",
-        "total_events",
-        "peak_cusum_scaled",
-        "peak_day",
-        "drift_days",
     )
 
 

@@ -3935,9 +3935,9 @@ def test_cusum_window_form_equals_recurrence(spark):
     with tempfile.TemporaryDirectory() as d:
         ev.write.parquet(d + "/events.parquet")
         # reuse the registered query against the constructed fixture
-        from talkdesk_async_etl_spark.plans.registry import QUERIES
+        from talkdesk_async_etl_spark.plans.registry import load_all
 
-        out = QUERIES["events_cusum_drift"].fn(spark, d).collect()[0]
+        out = load_all()["events_cusum_drift"].fn(spark, d).collect()[0]
     assert out["n_days"] == n
     assert out["total_events"] == tot
     assert out["peak_cusum_scaled"] == max(expect)

@@ -342,6 +342,7 @@ _HEADLINE_R12 = (
     "text_readability_score",
     "agg_decile_shares",
     "ml_decision_stump",
+    "graph_clustering_coeff",
 )
 
 HEADLINE = (

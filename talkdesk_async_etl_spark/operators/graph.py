@@ -957,3 +957,146 @@ def degree_assortativity_from(und: DataFrame) -> DataFrame:
             "      DIV (m * sum_j2 - sum_j * sum_j) END AS BIGINT)"
         ).alias("assortativity_micro"),
     )
+
+
+def _oracle_clustering() -> str:
+    return """
+    WITH base AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM base
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node
+    ),
+    tris AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tris
+            UNION ALL SELECT y AS node FROM tris
+            UNION ALL SELECT z AS node FROM tris
+        ) GROUP BY node
+    )
+    SELECT n.n_name AS nation, d.deg,
+           CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.deg < 2 THEN 0
+                ELSE (2000000 * coalesce(p.triangles, 0))
+                     // (d.deg * (d.deg - 1)) END AS BIGINT) AS cc_micro
+    FROM deg d
+    LEFT JOIN per_node p ON p.node = d.node
+    JOIN nation n ON n.n_nationkey = d.node
+    """
+
+
+@query("graph_clustering_coeff", oracle=_oracle_clustering(), tags=("graph",))
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 depth: LOCAL CLUSTERING COEFFICIENT per node — cc_v =
+    2·tri_v / (deg_v·(deg_v−1)), the how-clique-like-is-this-
+    neighborhood number that grades dedup cluster tightness (a
+    near-dup cluster whose pair graph has cc ≈ 1 is one document in
+    many renderings; cc ≈ 0 with high degree is a hub stitching
+    unrelated docs — exactly the cluster the canonical-keep rule
+    should NOT collapse). Builds on the same degree-oriented wedge
+    machinery as graph_triangle_count (per-node triangle membership
+    counts instead of the nation rollup) plus the node-degree
+    relation; the ratio is exact micro-unit integer division with a
+    deg<2 guard, and zero-triangle nodes stay visible via the left
+    join — both engines emit identical BIGINTs.
+
+    Scale shape: identical to the triangle kernel — O(m^1.5) wedges
+    under orientation, equi-join close, degree broadcast below the
+    node threshold. The extra cost over triangle counting is one
+    node-keyed left join of two node-sized relations: free at any
+    scale where triangles themselves are feasible."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    with cache_scope():
+        und = scoped_persist(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .where(F.col("s_nationkey") != F.col("c_nationkey"))
+            .select(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            )
+            .distinct()
+        )
+        out = clustering_coeff_from(und).join(
+            F.broadcast(n), F.col("node") == n.n_nationkey
+        ).select(F.col("n_name").alias("nation"), "deg", "triangles", "cc_micro")
+        return collect_release(out)
+
+
+def clustering_coeff_from(und: DataFrame) -> DataFrame:
+    """Per-node clustering-coefficient core over an undirected edge
+    list ``(a, b)`` with a < b → ``(node, deg, triangles, cc_micro)``.
+    Factored out so the unit test can pin cc on constructed graphs
+    (triangle-plus-pendant, clique, star). Caller holds the cache
+    scope persisting ``und``; the degree and oriented relations
+    persist inside it too (each feeds two plan branches)."""
+    deg = scoped_persist(
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = scoped_persist(
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select("u", "v1", "v2")
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .union(tris.select(F.col("v1").alias("node")))
+        .union(tris.select(F.col("v2").alias("node")))
+    )
+    per_node = members.groupBy("node").agg(
+        F.count("*").cast("long").alias("triangles")
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.expr(
+            "CAST(CASE WHEN deg < 2 THEN 0"
+            " ELSE (2000000 * coalesce(triangles, CAST(0 AS BIGINT)))"
+            "      DIV (deg * (deg - 1)) END AS BIGINT)"
+        ).alias("cc_micro"),
+    )

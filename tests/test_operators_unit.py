@@ -4254,3 +4254,32 @@ def test_decision_stump_separable_and_replica(spark):
         for d in (1, 2, 3)
         for t in _STUMP_THRESHOLDS
     )
+
+
+def test_clustering_coeff_constructed_graphs(spark):
+    """Triangle-plus-pendant: the two pure-triangle nodes get cc = 1,
+    the shared node deg 3 with one triangle gets 2/6, the pendant 0;
+    a 4-clique is cc = 1 everywhere; a star is 0 everywhere."""
+    from talkdesk_async_etl_spark.operators.graph import clustering_coeff_from
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "a int, b int")
+        with cache_scope():
+            return {
+                r["node"]: (r["deg"], r["triangles"], r["cc_micro"])
+                for r in clustering_coeff_from(df).collect()
+            }
+
+    tri_pendant = [(0, 1), (0, 2), (1, 2), (0, 3)]
+    got = run(tri_pendant)
+    assert got[1] == (2, 1, 1_000_000) and got[2] == (2, 1, 1_000_000)
+    assert got[0] == (3, 1, 333_333)
+    assert got[3] == (1, 0, 0)
+
+    clique4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert all(v == (3, 3, 1_000_000) for v in run(clique4).values())
+
+    star = [(0, i) for i in range(1, 6)]
+    got = run(star)
+    assert got[0] == (5, 0, 0) and all(got[i] == (1, 0, 0) for i in range(1, 6))

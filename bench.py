@@ -343,6 +343,7 @@ _HEADLINE_R12 = (
     "agg_decile_shares",
     "ml_decision_stump",
     "graph_clustering_coeff",
+    "window_seasonal_dow_baseline",
 )
 
 HEADLINE = (

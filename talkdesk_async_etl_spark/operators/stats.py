@@ -1805,3 +1805,105 @@ def agg_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share_micro"),
         )
     )
+
+
+_SEASONAL_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT event_type, day, x,
+               CAST((date_diff('day', DATE '1970-01-01', day) + 4) % 7
+                    AS INTEGER) AS dow
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type, dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               quantile_cont(x, 0.5) AS median_count
+        FROM keyed GROUP BY event_type, dow
+    ),
+    resid AS (
+        SELECT k.event_type, k.dow, k.day,
+               abs(k.x - m.median_count) AS r,
+               row_number() OVER (PARTITION BY k.event_type, k.dow
+                                  ORDER BY abs(k.x - m.median_count) DESC,
+                                           k.day) AS rn
+        FROM keyed k JOIN med m
+          ON k.event_type = m.event_type AND k.dow = m.dow
+    )
+    SELECT m.event_type, m.dow, m.n_days, m.median_count,
+           max(r.r) AS max_residual,
+           max(CASE WHEN r.rn = 1 THEN r.day END) AS worst_day
+    FROM med m JOIN resid r
+      ON r.event_type = m.event_type AND r.dow = m.dow
+    GROUP BY m.event_type, m.dow, m.n_days, m.median_count
+"""
+
+
+@query(
+    "window_seasonal_dow_baseline",
+    oracle=_SEASONAL_ORACLE,
+    tags=("stats", "window", "events"),
+)
+def window_seasonal_dow_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36: WEEKDAY-SEASONAL DECOMPOSITION of daily event volume — the
+    baseline table the other monitors lean on: events_dow_chi2 asks
+    "is there weekday seasonality at all", events_anomaly_days asks
+    "is today extreme vs the trailing week"; this one EXTRACTS the
+    seasonal component (per-(type, weekday) MEDIAN daily count — the
+    robust choice, one launch-day spike cannot move it) and reports
+    the largest residual day per cell, which is "the Tuesday that
+    didn't look like a Tuesday" — invisible to both other monitors
+    when absolute volume stays in range.
+
+    Engine-agnostic weekday: dow = (epoch_day + 4) % 7 computed as
+    date arithmetic on both sides (1970-01-01 was a Thursday), never
+    the engines' dayofweek builtins whose numbering conventions
+    differ — the seam events_dow_chi2 dodged by permutation
+    invariance is here pinned by construction. Medians of integer
+    counts interpolate to integers or exact .5 halves (the MAD
+    precedent), residual magnitudes inherit that exactness, and the
+    worst day folds in as a rank-gated max — no join-back, the cusum
+    lesson.
+
+    Plan: corpus → (type, day) grain first (the only corpus-sized
+    pass); the median aggregate, residual join, rank window, and
+    final aggregate all run on the ~35-cell-keyed day-grain relation.
+    The med relation is groups-sized → broadcast back onto the
+    day-grain rescan (the winsorize/MAD trade)."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    keyed = scoped_persist(
+        daily.withColumn(
+            "dow",
+            ((F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) + 4) % 7)
+            .cast("int"),
+        )
+    )
+    med = keyed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("percentile(x, 0.5)").alias("median_count"),
+    )
+    resid = (
+        keyed.join(F.broadcast(med), ["event_type", "dow"])
+        .withColumn("r", F.abs(F.col("x") - F.col("median_count")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "dow").orderBy(
+                    F.col("r").desc(), F.col("day")
+                )
+            ),
+        )
+    )
+    return resid.groupBy("event_type", "dow").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("median_count").alias("median_count"),
+        F.max("r").alias("max_residual"),
+        F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("worst_day"),
+    )

@@ -4283,3 +4283,48 @@ def test_clustering_coeff_constructed_graphs(spark):
     star = [(0, i) for i in range(1, 6)]
     got = run(star)
     assert got[0] == (5, 0, 0) and all(got[i] == (1, 0, 0) for i in range(1, 6))
+
+
+def test_seasonal_dow_baseline_constructed(spark):
+    """Three identical weeks except one inflated Tuesday: its cell
+    must keep the median at the quiet level, report the inflated
+    residual, and name the exact day; the dow key must be the
+    engine-agnostic (epoch_day + 4) % 7 arithmetic (1970-01-01 was a
+    Thursday -> dow 0), not a builtin's numbering."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    base = dt.date(2024, 1, 1)  # a Monday; (epoch+4)%7 -> 4
+    counts = {}
+    for week in range(3):
+        for d in range(7):
+            day = base + dt.timedelta(days=week * 7 + d)
+            counts[day] = 10
+    spike = base + dt.timedelta(days=8)  # second Tuesday
+    counts[spike] = 25
+
+    rows = []
+    eid = 0
+    for day, n in counts.items():
+        for _ in range(n):
+            rows.append((eid, dt.datetime.combine(day, dt.time(9)), "t"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        got = {
+            r["dow"]: r
+            for r in load_all()["window_seasonal_dow_baseline"].fn(spark, d).collect()
+        }
+
+    assert set(got) == set(range(7))
+    assert got[4]["n_days"] == 3  # Mondays: (19723+4)%7 == 4
+    tuesday_dow = ((spike - dt.date(1970, 1, 1)).days + 4) % 7
+    cell = got[tuesday_dow]
+    assert cell["median_count"] == 10.0
+    assert cell["max_residual"] == 15.0
+    assert cell["worst_day"] == spike
+    quiet = [got[w] for w in got if w != tuesday_dow]
+    assert all(c["max_residual"] == 0.0 for c in quiet)

@@ -142,6 +142,8 @@ def main() -> None:
     )
     audit: dict[str, dict] = {}
     problems: list[str] = []
+    from talkdesk_async_etl_spark.plans.cache import release_scoped
+
     for name, spec in load_all().items():
         try:
             df = spec.fn(spark, SF)
@@ -149,6 +151,14 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
+            # Drop this query's scoped persists before the next build:
+            # a cached relation left behind substitutes InMemoryRelation
+            # nodes into LATER queries that share lineage, making the
+            # recorded exchange counts depend on SWEEP ORDER (the round
+            # 12 rotation reordered the registry and two unchanged
+            # operators "changed" exactly this way — standalone builds
+            # matched round 11 verbatim).
+            release_scoped()
         except Exception as exc:  # noqa: BLE001
             audit[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             problems.append(f"{name}: plan build failed")

@@ -344,6 +344,9 @@ _HEADLINE_R12 = (
     "ml_decision_stump",
     "graph_clustering_coeff",
     "window_seasonal_dow_baseline",
+    "scalar_base_codecs",
+    "sort_range_partitioned_ok",
+    "scan_csv_malformed_modes",
 )
 
 HEADLINE = (

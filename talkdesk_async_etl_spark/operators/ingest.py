@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
+from talkdesk_async_etl_spark.sources.io import session_scratch_path
 
 # Every 13th doc_id is emitted as truncated JSON — deterministic, so
 # both engines can predict exactly which rows quarantine.
@@ -77,7 +78,7 @@ def scan_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined ``_corrupt_record`` column would be written to a
     side-channel table for replay instead of being counted."""
     d = t(spark, sf_dir, "documents", spread=True)
-    out = os.path.join(tempfile.gettempdir(), "tde_dirty_jsonl")
+    out = session_scratch_path(spark, sf_dir, "tde_dirty_jsonl")
     shutil.rmtree(out, ignore_errors=True)
     line = F.when(
         F.col("doc_id") % _CORRUPT_MOD == 0,
@@ -135,7 +136,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The batch split (doc_id parity) is deterministic so the oracle
     reconstructs both batches from the source table."""
     d = t(spark, sf_dir, "documents", spread=True)
-    out = os.path.join(tempfile.gettempdir(), "tde_schema_evo")
+    out = session_scratch_path(spark, sf_dir, "tde_schema_evo")
     shutil.rmtree(out, ignore_errors=True)
     old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
     new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "lang")
@@ -194,7 +195,7 @@ def sink_compaction_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition size rather than a fixed count; the fixed 2 here makes
     the invariant deterministic."""
     d = t(spark, sf_dir, "documents", spread=True).select("doc_id", "source", "n_chars")
-    out = os.path.join(tempfile.gettempdir(), "tde_compaction")
+    out = session_scratch_path(spark, sf_dir, "tde_compaction")
     shutil.rmtree(out, ignore_errors=True)
     frag_dir, compact_dir = os.path.join(out, "frag"), os.path.join(out, "compact")
     (
@@ -256,7 +257,7 @@ def sink_clustered_layout_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     encodings; single-key range clustering is the exact shape
     ``repartitionByRange`` gives for free."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    out = os.path.join(tempfile.gettempdir(), "tde_clustered")
+    out = session_scratch_path(spark, sf_dir, "tde_clustered")
     shutil.rmtree(out, ignore_errors=True)
     (
         o.repartitionByRange(_CLUSTER_FILES, "o_custkey")
@@ -359,7 +360,7 @@ def sink_zorder_layout_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     |files|-sized, not data-sized."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     zv = zorder_value(F.col("o_custkey"), F.col("o_orderkey")).alias("zv")
-    out = os.path.join(tempfile.gettempdir(), "tde_zorder")
+    out = session_scratch_path(spark, sf_dir, "tde_zorder")
     shutil.rmtree(out, ignore_errors=True)
     (
         o.select("o_orderkey", "o_custkey", zv)
@@ -415,7 +416,7 @@ def sink_jsonl_export_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale use 2-3 nibbles → 256-4096 shards sized to the writer's
     file target) and one partitioned write; the read-back is the
     attestation cost, not the operator cost."""
-    out = os.path.join(tempfile.gettempdir(), "tde_jsonl_export")
+    out = session_scratch_path(spark, sf_dir, "tde_jsonl_export")
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "n_chars",
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("shard"),
@@ -976,12 +977,7 @@ def scan_file_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other's landing data mid-read (ADVICE r11). Same-session
     # same-sf reruns still reuse (overwrite) one path, keeping the
     # operator idempotent rather than tempdir-accreting.
-    landing = os.path.join(
-        tempfile.gettempdir(),
-        "tde_manifest_landing_"
-        f"{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    landing = session_scratch_path(spark, sf_dir, "tde_manifest_landing")
     (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", (F.col("o_orderkey") % _MANIFEST_FILES).cast("int").alias("file_id"))
@@ -1079,3 +1075,106 @@ def scan_file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(_hex15_col(F.col("o_orderkey").cast("string"))).alias("checksum"),
         (F.min("fs") > 0).cast("int").alias("files_nonempty"),
     )
+
+
+_CSV_BAD_MOD = 7  # every 7th order key carries a type-corrupt cents field
+
+_CSV_MODES_ORACLE = f"""
+    WITH src AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderstatus,
+               (o_orderkey % {_CSV_BAD_MOD} = 3) AS bad
+        FROM orders
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+               CAST(sum(CASE WHEN NOT bad THEN o_orderkey END) AS BIGINT)
+                   AS sum_good_keys,
+               CAST(sum(CASE WHEN NOT bad THEN cents END) AS BIGINT)
+                   AS sum_good_cents
+        FROM src
+    )
+    SELECT 'PERMISSIVE' AS mode, n_all AS n_rows, n_all - n_bad AS n_good,
+           n_bad AS n_corrupt, sum_good_keys, sum_good_cents
+    FROM tot
+    UNION ALL
+    SELECT 'DROPMALFORMED' AS mode, n_all - n_bad AS n_rows,
+           n_all - n_bad AS n_good, CAST(0 AS BIGINT) AS n_corrupt,
+           sum_good_keys, sum_good_cents
+    FROM tot
+"""
+
+
+@query("scan_csv_malformed_modes", oracle=_CSV_MODES_ORACLE, tags=("scan", "robustness"))
+def scan_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 depth, CSV face: the parse-mode CONTRACT matrix. The JSON
+    twin (scan_corrupt_recovery) attests PERMISSIVE quarantine; this
+    one attests PERMISSIVE and DROPMALFORMED side by side over the
+    same deterministically type-corrupted CSV landing (every 7th-ish
+    order's cents field reads 'abc'), pinning exactly what each mode
+    does to row counts and surviving values: PERMISSIVE keeps every
+    line and lands bad ones whole in ``_corrupt_record`` with null
+    data columns; DROPMALFORMED silently deletes them — the mode
+    whose silence costs pipelines data, which is why the matrix is
+    worth a driver row (FAILFAST, the third mode, raises by design
+    and is pinned in the unit test instead). The oracle predicts both
+    rows from the SOURCE table without seeing a CSV byte, so a parser
+    that drops, double-counts, or mis-assigns a row breaks the hash.
+
+    The landing is keyed by application id + sf fixture (the
+    manifest-delta concurrency lesson). Scale: dirty write and both
+    reads are distributed scans; the only exchanges are two 1-row
+    aggregate folds. The corrupt-column restriction (Spark refuses
+    filters over ONLY ``_corrupt_record``) is satisfied by
+    aggregating data columns alongside it, the corrupt-recovery
+    precedent."""
+    o = t(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    landing = session_scratch_path(spark, sf_dir, "tde_csv_modes")
+    bad = F.col("o_orderkey") % _CSV_BAD_MOD == 3
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.when(bad, F.lit("abc")).otherwise(F.col("cents").cast("string")),
+        F.col("o_orderstatus"),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(landing)
+
+    schema = "o_orderkey bigint, cents bigint, o_orderstatus string, _corrupt_record string"
+
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(landing)
+    )
+    good = F.col("_corrupt_record").isNull()
+    p_row = permissive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("o_orderkey"))).alias("sum_good_keys"),
+        F.sum(F.when(good, F.col("cents"))).alias("sum_good_cents"),
+    ).select(F.lit("PERMISSIVE").alias("mode"), "n_rows", "n_good", "n_corrupt",
+             "sum_good_keys", "sum_good_cents")
+
+    dropped = (
+        spark.read.schema("o_orderkey bigint, cents bigint, o_orderstatus string")
+        .option("mode", "DROPMALFORMED")
+        .csv(landing)
+    )
+    d_row = dropped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(0).cast("long").alias("n_corrupt"),
+        F.sum("o_orderkey").alias("sum_good_keys"),
+        F.sum("cents").alias("sum_good_cents"),
+    ).select(F.lit("DROPMALFORMED").alias("mode"), "n_rows", "n_good", "n_corrupt",
+             "sum_good_keys", "sum_good_cents")
+
+    return p_row.unionAll(d_row)

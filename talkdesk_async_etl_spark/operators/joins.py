@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
+from talkdesk_async_etl_spark.sources.io import session_scratch_path
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +254,7 @@ def join_bucketed_noshuffle_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     import contextlib
     import io as _io
 
-    out = os.path.join(tempfile.gettempdir(), "tde_bucketed")
+    out = session_scratch_path(spark, sf_dir, "tde_bucketed")
     for tbl, name, key in (
         ("tde_orders_b", "orders", "o_custkey"),
         ("tde_customer_b", "customer", "c_custkey"),
@@ -562,7 +563,7 @@ def join_dpp_prune_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").withColumn(
         "event_date", F.col("ts").cast("date")
     )
-    out = os.path.join(tempfile.gettempdir(), "tde_dpp_partitioned")
+    out = session_scratch_path(spark, sf_dir, "tde_dpp_partitioned")
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
 
     facts = spark.read.parquet(out)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
+from talkdesk_async_etl_spark.sources.io import session_scratch_path
 
 # ---------------------------------------------------------------------------
 # §2.1 Scans / sources
@@ -61,7 +62,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     through CSV text, DB:437/441-446), then aggregate — proves the CSV
     codec preserves values. Distributed write (directory of parts), no
     ``coalesce(1)`` bottleneck."""
-    out = os.path.join(tempfile.gettempdir(), "tde_csv_roundtrip")
+    out = session_scratch_path(spark, sf_dir, "tde_csv_roundtrip")
     slice_df = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 10 == 0)
@@ -120,7 +121,7 @@ def scan_json_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in _SEED_REPORTS
         ],
     }
-    path = os.path.join(tempfile.gettempdir(), "tde_scan_json_doc.json")
+    path = session_scratch_path(spark, sf_dir, "tde_scan_json_doc.json")
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(doc, fh)
     loaded = read_json_doc(path)
@@ -462,7 +463,7 @@ def sink_partition_prune_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     from talkdesk_async_etl_spark.sources.io import write_partitioned
 
     d = t(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.gettempdir(), "tde_sink_partitioned")
+    out = session_scratch_path(spark, sf_dir, "tde_sink_partitioned")
     write_partitioned(d, out, partition_by=("lang",), sort_by=("doc_id",))
 
     back = spark.read.parquet(out)
@@ -1141,3 +1142,118 @@ def keyed_table_diff_plan(
         )
     )
     return counts.join(F.broadcast(samp), "verdict")
+
+
+_RANGE_PARTS = 8
+
+_RANGE_SORT_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(1 AS BOOLEAN) AS parts_ok,
+           CAST(1 AS BOOLEAN) AS all_sorted_within,
+           CAST(1 AS BOOLEAN) AS boundaries_disjoint,
+           CAST(bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    AS VARCHAR))), 1, 15)) AS BIGINT)) AS BIGINT)
+               AS xor_checksum
+    FROM orders
+"""
+
+
+@query("sort_range_partitioned_ok", oracle=_RANGE_SORT_ORACLE, tags=("sort", "invariant"))
+def sort_range_partitioned_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: the TERASORT primitive attested — ``repartitionByRange`` +
+    ``sortWithinPartitions`` is how a cluster globally sorts 100 TB
+    (every partition holds a disjoint key range, each sorts locally,
+    concatenation IS the total order — no single-point merge), and
+    this query PROVES all three properties distributed instead of
+    assuming them: a ``mapInPandas`` pass walks every partition's
+    Arrow batches carrying the running last key (so sortedness is
+    checked across batch boundaries, where a naive per-batch check
+    lies), emitting one stats row per partition — pid, count,
+    first/last key; the ≤8-row stats relation is a bounded driver
+    fetch (the sampling-family precedent) that checks partitions
+    really are sorted within AND pairwise disjoint in (cents, key)
+    lexicographic order. Row survival is attested separately by the
+    partitioning-independent bit_xor-of-md5 checksum on a second
+    branch of the source scan, so a dropped/duplicated row cannot
+    hide behind TRUE flags. The oracle pins count, checksum, and
+    constant-TRUE flags — any violated property flips a flag →
+    driver hash mismatch.
+
+    Plan: ONE range exchange (sampled boundaries) + local sorts —
+    the exact shape Spark plans for a global ORDER BY, made explicit
+    and verifiable; the verification adds a feature-row-sized
+    mapInPandas and a map-side-combinable checksum aggregate."""
+    import pandas as pd
+
+    o = t(spark, sf_dir, "orders", spread=True).select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    ranged = o.repartitionByRange(
+        _RANGE_PARTS, F.col("cents"), F.col("o_orderkey")
+    ).sortWithinPartitions("cents", "o_orderkey")
+
+    def per_partition(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        first = last = None
+        ok = True
+        for pdf in batches:
+            for c, k in zip(pdf["cents"], pdf["o_orderkey"]):
+                cur = (int(c), int(k))
+                if first is None:
+                    first = cur
+                elif cur < last:
+                    ok = False
+                last = cur
+                n += 1
+        if n:
+            yield pd.DataFrame(
+                [(pid, n, first[0], first[1], last[0], last[1], ok)],
+                columns=["pid", "n", "min_c", "min_k", "max_c", "max_k", "ok"],
+            )
+
+    stats = ranged.mapInPandas(
+        per_partition,
+        schema="pid int, n long, min_c long, min_k long, max_c long, max_k long, ok boolean",
+    ).collect()  # bounded: <= _RANGE_PARTS rows by construction
+
+    rows = sorted(stats, key=lambda r: (r["min_c"], r["min_k"]))
+    all_sorted = all(r["ok"] for r in rows)
+    disjoint = all(
+        (a["max_c"], a["max_k"]) < (b["min_c"], b["min_k"])
+        for a, b in zip(rows, rows[1:])
+    )
+    parts_ok = 1 < len(rows) <= _RANGE_PARTS
+
+    checksum = o.select(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.bit_xor(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("cents").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias("xor_checksum"),
+    )
+    return checksum.select(
+        "total_rows",
+        F.lit(bool(parts_ok)).alias("parts_ok"),
+        F.lit(bool(all_sorted)).alias("all_sorted_within"),
+        F.lit(bool(disjoint)).alias("boundaries_disjoint"),
+        "xor_checksum",
+    )

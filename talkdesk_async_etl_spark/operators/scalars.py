@@ -877,3 +877,49 @@ def scalar_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ip_u32").cast("long").alias("ip_sum"),
         )
     )
+
+
+_BASE_CODECS_ORACLE = """
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 100))) AS b64,
+           hex(encode(substr(text, 1, 20))) AS hx,
+           CAST(decode(from_base64(base64(encode(substr(text, 1, 100)))))
+                = substr(text, 1, 100) AS BOOLEAN) AS b64_roundtrip_ok,
+           CAST(decode(from_hex(hex(encode(substr(text, 1, 20)))))
+                = substr(text, 1, 20) AS BOOLEAN) AS hex_roundtrip_ok
+    FROM documents
+"""
+
+
+@query("scalar_base_codecs", oracle=_BASE_CODECS_ORACLE, tags=("scalar",))
+def scalar_base_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: binary-text codec surface — base64 and hex encode/decode
+    with BOTH the encodings and the round-trips value-hash-checked.
+    The one real seam is pinned as the contract: Spark's ``base64``
+    is the MIME variant (CRLF wrap every 76 chars, a java.util.Base64
+    MimeEncoder inheritance) while DuckDB emits unwrapped RFC 4648,
+    so the Spark side strips CRLF to make the UNWRAPPED encoding the
+    cross-engine contract — exactly the normalization a migration off
+    a JVM pipeline has to apply before comparing ETL outputs, and the
+    unit test pins the raw wrap so a future Spark behavior change
+    surfaces loudly. Hex is uppercase on both engines as-is.
+
+    Plan: row-local projection in the scan, zero shuffles — codecs
+    are free at any scale; the cost is only output width."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    return d.select(
+        "doc_id",
+        F.expr(
+            "replace(replace(base64(encode(substr(text, 1, 100), 'UTF-8')),"
+            " '\\r', ''), '\\n', '')"
+        ).alias("b64"),
+        F.expr("hex(encode(substr(text, 1, 20), 'UTF-8'))").alias("hx"),
+        F.expr(
+            "string(unbase64(base64(encode(substr(text, 1, 100), 'UTF-8'))))"
+            " = substr(text, 1, 100)"
+        ).alias("b64_roundtrip_ok"),
+        F.expr(
+            "string(unhex(hex(encode(substr(text, 1, 20), 'UTF-8'))))"
+            " = substr(text, 1, 20)"
+        ).alias("hex_roundtrip_ok"),
+    )

@@ -268,3 +268,23 @@ def write_partitioned(
     if sort_by:
         out = out.sortWithinPartitions(*[F.col(c) for c in sort_by])
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def session_scratch_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Scratch landing path keyed by Spark application id AND the sf
+    fixture name. Fixture-writing operators (CSV round-trips, sink
+    layout attestations, dirty-landing robustness queries) used fixed
+    ``$TMPDIR/tde_*`` paths; ADVICE r11 flagged the race — two
+    concurrent sessions (parallel pytest, overlapping bench/plan-audit
+    sweeps) or two sf fixtures in one session overwrite each other's
+    landing mid-read, producing wrong counts or read failures. Keying
+    by (application id, sf) isolates every writer while keeping
+    same-session same-sf reruns idempotent (they reuse and overwrite
+    ONE path instead of accreting tempdirs)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{name}_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )

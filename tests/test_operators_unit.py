@@ -4328,3 +4328,55 @@ def test_seasonal_dow_baseline_constructed(spark):
     assert cell["worst_day"] == spike
     quiet = [got[w] for w in got if w != tuesday_dow]
     assert all(c["max_residual"] == 0.0 for c in quiet)
+
+
+def test_base64_wrap_seam_pinned(spark):
+    """Spark's base64 is the MIME variant (CRLF wrap every 76 chars);
+    DuckDB emits unwrapped RFC 4648. The operator's contract is the
+    UNWRAPPED form — pin the raw wrap so a future Spark change
+    surfaces here, and pin that stripping CRLF equals DuckDB."""
+    import duckdb
+
+    payload = "x" * 300
+    raw = spark.sql(
+        f"SELECT base64(encode('{payload}', 'UTF-8')) AS b"
+    ).collect()[0]["b"]
+    assert "\r\n" in raw  # the MIME wrap is real
+    duck = duckdb.sql(f"select base64(encode('{payload}'))").fetchone()[0]
+    assert raw.replace("\r", "").replace("\n", "") == duck
+    assert "\n" not in duck
+
+
+def test_csv_failfast_raises_and_modes_agree(spark, tmp_path):
+    """FAILFAST must raise on the corrupted landing (the third mode of
+    the matrix, pinned here because a registered query can't return a
+    raise); PERMISSIVE must keep the corrupt line whole in
+    _corrupt_record with null data columns."""
+    import pytest
+
+    lines = ["1,100,OK", "2,abc,BAD", "3,300,OK"]
+    p = tmp_path / "csv_landing"
+    p.mkdir()
+    (p / "part-0.txt").write_text("\n".join(lines) + "\n")
+
+    schema = "k bigint, cents bigint, s string, _corrupt_record string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    )
+    rows = {r["k"]: r for r in perm.collect()}
+    assert rows[1]["cents"] == 100 and rows[1]["_corrupt_record"] is None
+    corrupt = [r for r in rows.values() if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["_corrupt_record"] == "2,abc,BAD"
+    assert corrupt[0]["cents"] is None
+
+    ff = (
+        spark.read.schema("k bigint, cents bigint, s string")
+        .option("mode", "FAILFAST")
+        .csv(str(p))
+    )
+    with pytest.raises(Exception) as ei:
+        ff.collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)

@@ -347,6 +347,7 @@ _HEADLINE_R12 = (
     "scalar_base_codecs",
     "sort_range_partitioned_ok",
     "scan_csv_malformed_modes",
+    "window_max_drawdown",
 )
 
 HEADLINE = (

@@ -1907,3 +1907,124 @@ def window_seasonal_dow_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("r").alias("max_residual"),
         F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("worst_day"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+    WITH daily AS (
+        SELECT c.c_nationkey AS nationkey, CAST(o.o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    scoped AS (
+        SELECT nationkey, day, cents,
+               count(*) OVER (PARTITION BY nationkey) AS n_days,
+               sum(cents) OVER (PARTITION BY nationkey) AS tot
+        FROM daily
+    ),
+    cums AS (
+        SELECT nationkey, day,
+               sum(n_days * cents - tot) OVER (
+                   PARTITION BY nationkey ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum
+        FROM scoped
+    ),
+    walked AS (
+        SELECT nationkey, day, cum,
+               max(cum) OVER (PARTITION BY nationkey ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+        FROM cums
+    ),
+    dd AS (
+        SELECT nationkey, day, peak - cum AS drawdown,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY peak - cum DESC, day) AS rn
+        FROM walked
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_scaled,
+           max(CASE WHEN rn = 1 THEN day END) AS trough_day
+    FROM dd JOIN nation n ON n.n_nationkey = dd.nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("window_max_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("stats", "window"))
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37: MAXIMUM DRAWDOWN of mean-centered cumulative revenue per
+    nation — the peak-to-trough statistic (finance's risk number),
+    here over the TREND-centered series n_days·x_i − total (raw
+    cumulative revenue of positive daily sums is monotone and its
+    drawdown vacuously 0 — the common_neighbors vacuity lesson
+    applied at design time; centering makes the statistic "worst
+    sustained below-trend slump", the other-tail complement to
+    events_cusum_drift's above-mean accumulation and in the same
+    exact n_days-scaled cents units). The textbook definition
+    max_t(peak_t − cum_t)
+    needs a running max OF a running sum — neither engine allows the
+    nesting in one expression (DuckDB binder-errors on it), but two
+    STACKED window layers over the same partition/sort evaluate
+    inside one exchange, so the whole statistic is still one
+    day-grain sorted pass. Everything is BIGINT cents; the trough
+    day folds in as a rank-gated max (the cusum lesson — no
+    join-back).
+
+    Plan: orders collapse to (nation, day) grain first via one
+    broadcast dim join + map-side-combinable aggregate; the nested
+    windows and the final rollup share one nation-keyed exchange of
+    the day-grain relation. 100 TB: identical — the window never
+    sees raw orders."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wp = Window.partitionBy("nationkey")
+    w = (
+        Window.partitionBy("nationkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scoped = daily.select(
+        "nationkey",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+        F.sum("cents").over(wp).alias("tot"),
+    )
+    walked = scoped.select(
+        "nationkey",
+        "day",
+        F.sum(F.col("n_days") * F.col("cents") - F.col("tot")).over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    dd = walked.withColumn("drawdown", F.col("peak") - F.col("cum")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("nationkey").orderBy(
+                F.col("drawdown").desc(), F.col("day")
+            )
+        ),
+    )
+    return (
+        dd.join(F.broadcast(n), dd.nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("drawdown").cast("long").alias("max_drawdown_scaled"),
+            F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("trough_day"),
+        )
+    )

@@ -4380,3 +4380,63 @@ def test_csv_failfast_raises_and_modes_agree(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         ff.collect()
     assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_max_drawdown_replica_and_nonvacuous(spark):
+    """The two stacked windows must equal the textbook peak-to-trough
+    walk on a constructed boom-slump-recover series (pure-Python
+    replica), the trough day must land at the slump bottom, and the
+    statistic must be NON-vacuous (raw cumulative revenue is monotone;
+    the centered series is the point)."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    # one nation; daily cents: strong start, sustained slump, recovery
+    cents = [500, 500, 500, 100, 100, 100, 100, 600, 600, 600]
+    n, tot = len(cents), sum(cents)
+    devs = [n * x - tot for x in cents]
+    cum = peak = 0
+    best = (0, None)
+    cums = []
+    for i, d in enumerate(devs):
+        cum += d
+        peak = max(peak, cum)
+        cums.append(cum)
+        ddn = peak - cum
+        if ddn > best[0]:
+            best = (ddn, i)
+    assert best[0] > 0  # the slump is real in centered units
+
+    base = dt.date(2024, 3, 1)
+    orders = []
+    oid = 0
+    for i, x in enumerate(cents):
+        orders.append(
+            (oid, 7, "F", x / 100.0,
+             dt.datetime.combine(base + dt.timedelta(days=i), dt.time(0)), "1-URGENT")
+        )
+        oid += 1
+    odf = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cdf = spark.createDataFrame(
+        [(7, "c7", 3, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    ndf = spark.createDataFrame(
+        [(3, "NATION_3", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        odf.write.parquet(d + "/orders.parquet")
+        cdf.write.parquet(d + "/customer.parquet")
+        ndf.write.parquet(d + "/nation.parquet")
+        out = load_all()["window_max_drawdown"].fn(spark, d).collect()[0]
+
+    assert out["n_days"] == n
+    assert out["max_drawdown_scaled"] == best[0]
+    assert out["trough_day"] == base + dt.timedelta(days=best[1])

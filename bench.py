@@ -348,6 +348,8 @@ _HEADLINE_R12 = (
     "sort_range_partitioned_ok",
     "scan_csv_malformed_modes",
     "window_max_drawdown",
+    "window_session_bounce",
+    "text_source_quality_rollup",
 )
 
 HEADLINE = (

@@ -1520,3 +1520,68 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+_SOURCE_ROLLUP_ORACLE = """
+    WITH fp AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS BIGINT) AS n_tokens,
+               md5(text) AS fingerprint
+        FROM documents
+    ),
+    marked AS (
+        SELECT source, doc_id, n_tokens,
+               count(*) OVER (PARTITION BY fingerprint) >= 2 AS is_dup
+        FROM fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+           CAST((sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS dup_micro
+    FROM marked GROUP BY source
+"""
+
+
+@query("text_source_quality_rollup", oracle=_SOURCE_ROLLUP_ORACLE, tags=("text", "quality"))
+def text_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 depth: SOURCE-level curation rollup — the table the
+    keep/drop/down-weight decision is actually made on in production
+    curation (CCNet and every web-scale pipeline gate by DOMAIN, not
+    by document: a source whose duplication rate is pathological gets
+    down-weighted wholesale before any per-doc scoring runs). Per
+    source: document count, exact token mass, documents whose md5
+    text fingerprint repeats CORPUS-WIDE (cross-source duplication
+    counts against both carriers — mirror-site detection), and the
+    duplication rate in exact micro units.
+
+    Plan: one scan computes tokens + fingerprint in-scan; the dup
+    mark is ONE window count over the 128-bit fingerprint (the
+    dedup_exact grouping key, so the shuffle carries digests, never
+    text); the rollup regroups by source. Two keyed exchanges total,
+    both map-side combinable. 100 TB: the fingerprint exchange is
+    the dedup-exact cost the pipeline already pays — this rollup
+    rides the same shuffle grain."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    fp = d.select(
+        "source",
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)"
+        ).alias("n_tokens"),
+        F.md5("text").alias("fingerprint"),
+    )
+    marked = fp.withColumn(
+        "is_dup",
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")) >= 2,
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("dup_docs"),
+        F.expr(
+            "CAST((sum(CAST(is_dup AS BIGINT)) * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("dup_micro"),
+    )

@@ -883,3 +883,92 @@ def window_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum(gap_s).cast("long").alias("total_gap_s"),
     )
+
+
+_BOUNCE_ORACLE = f"""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+               lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_type, event_id, ts,
+               sum(CASE WHEN prev_us IS NULL
+                             OR us - prev_us > {_SESSIONIZE_GAP_US}
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM ordered
+    ),
+    ranked AS (
+        SELECT user_id, session_no, event_type,
+               row_number() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts, event_id) AS rn_sess
+        FROM numbered
+    ),
+    sess AS (
+        SELECT user_id, session_no,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(CASE WHEN rn_sess = 1 THEN event_type END) AS entry_type
+        FROM ranked GROUP BY user_id, session_no
+    )
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS bounce_micro
+    FROM sess GROUP BY entry_type
+"""
+
+
+@query("window_session_bounce", oracle=_BOUNCE_ORACLE, tags=("window", "sessionize"))
+def window_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18: BOUNCE RATE by session entry type — the engagement KPI
+    built on W9's gaps-and-islands sessionization: a session whose
+    only event is its entry is a bounce, and grouping by the ENTRY
+    event type answers "which door do one-and-done visits come
+    through" (the landing-page report). Entry attribution uses an
+    in-session row_number so ties can't split credit; the rate is
+    exact micro-unit integer division.
+
+    Plan: the lag window, the island cumsum, the in-session rank,
+    and the per-session aggregate ALL share the one user-keyed
+    exchange (same partitioning, stacked sorts); the final entry-type
+    rollup exchanges |sessions| rows. Same microsecond gap arithmetic
+    and 30-min threshold as window_sessionize_gap — the two queries
+    are the same session table consumed at two grains."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_micros = F.lag(micros).over(w)
+    is_new = F.when(
+        prev_micros.isNull() | ((micros - prev_micros) > _SESSIONIZE_GAP_US), 1
+    ).otherwise(0)
+    numbered = ev.withColumn(
+        "session_no",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ranked = numbered.withColumn(
+        "rn_sess",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+        ),
+    )
+    sess = ranked.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("rn_sess") == 1, F.col("event_type"))).alias("entry_type"),
+    )
+    return sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounce"),
+        F.expr(
+            "CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("bounce_micro"),
+    )

@@ -4440,3 +4440,73 @@ def test_max_drawdown_replica_and_nonvacuous(spark):
     assert out["n_days"] == n
     assert out["max_drawdown_scaled"] == best[0]
     assert out["trough_day"] == base + dt.timedelta(days=best[1])
+
+
+def test_session_bounce_constructed(spark):
+    """Three sessions for one user (bounce, 2-event, bounce) with
+    distinct entry types plus a second user's single long session:
+    counts, entry attribution, and the exact micro rate."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=2)
+    rows = [
+        # user 1: bounce (view), then [click, purchase], then bounce (view)
+        (1, t0, 1, "view"),
+        (2, t0 + h, 1, "click"),
+        (3, t0 + h + m, 1, "purchase"),
+        (4, t0 + 2 * h + h, 1, "view"),
+        # user 2: one 3-event session entered via click
+        (5, t0, 2, "click"),
+        (6, t0 + m, 2, "view"),
+        (7, t0 + 2 * m, 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, uid, et) for eid, ts, uid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        got = {
+            r["entry_type"]: r
+            for r in load_all()["window_session_bounce"].fn(spark, d).collect()
+        }
+
+    assert got["view"]["n_sessions"] == 2 and got["view"]["n_bounce"] == 2
+    assert got["view"]["bounce_micro"] == 1_000_000
+    assert got["click"]["n_sessions"] == 2 and got["click"]["n_bounce"] == 0
+    assert got["click"]["bounce_micro"] == 0
+
+
+def test_source_rollup_cross_source_dup(spark):
+    """A text duplicated ACROSS two sources must count as dup in both
+    (mirror-site detection); unique docs don't; token mass exact."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    docs = [
+        (1, "shared mirror text", "en", "src_a", 0),
+        (2, "shared mirror text", "en", "src_b", 0),
+        (3, "unique a", "en", "src_a", 0),
+        (4, "one two three four", "en", "src_b", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/documents.parquet")
+        got = {
+            r["source"]: r
+            for r in load_all()["text_source_quality_rollup"].fn(spark, d).collect()
+        }
+
+    assert got["src_a"]["n_docs"] == 2 and got["src_a"]["dup_docs"] == 1
+    assert got["src_b"]["n_docs"] == 2 and got["src_b"]["dup_docs"] == 1
+    assert got["src_a"]["total_tokens"] == 3 + 2
+    assert got["src_b"]["total_tokens"] == 3 + 4
+    assert got["src_a"]["dup_micro"] == 500_000

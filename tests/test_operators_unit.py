@@ -864,12 +864,12 @@ def test_corrupt_recovery_quarantines_raw_lines(spark):
     line in ``_corrupt_record`` with every data column null (the replay
     contract), and good rows must parse with the corrupt column null."""
     import os
-    import tempfile
 
     from talkdesk_async_etl_spark.operators.ingest import (
         _CORRUPT_MOD,
         scan_corrupt_recovery,
     )
+    from talkdesk_async_etl_spark.sources.io import session_scratch_path
 
     agg = scan_corrupt_recovery(spark, SF_SMALL).collect()[0]
     total = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet")).count()
@@ -882,7 +882,9 @@ def test_corrupt_recovery_quarantines_raw_lines(spark):
         )
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(os.path.join(tempfile.gettempdir(), "tde_dirty_jsonl"))
+        # the landing is session-keyed now (tempdir-race fix) — derive
+        # the same path the operator wrote
+        .json(session_scratch_path(spark, SF_SMALL, "tde_dirty_jsonl"))
     )
     bad = parsed.filter(parsed._corrupt_record.isNotNull()).collect()
     assert len(bad) == agg.n_corrupt

@@ -350,6 +350,7 @@ _HEADLINE_R12 = (
     "window_max_drawdown",
     "window_session_bounce",
     "text_source_quality_rollup",
+    "window_seasonal_naive_backtest",
 )
 
 HEADLINE = (

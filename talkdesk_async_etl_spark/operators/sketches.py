@@ -360,3 +360,101 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.crossJoin(F.broadcast(total)).select(
         "event_type", "n_users", "n_total"
     )
+
+
+_AMS_K = 16  # independent sign-hash counters; rel. std err ~ sqrt(2/k)
+
+
+def _ams_sign_sql(key: str, i: int, dialect: str) -> str:
+    """±1 sign hash for counter ``i``: bit ``i`` of the md5 of the
+    (salted) key — the 4-wise-independent-enough stand-in both
+    engines evaluate identically (md5 is the repo's engine-agreeing
+    hash leaf). Returns SQL yielding BIGINT +1/-1."""
+    if dialect == "duck":
+        digest = f"md5(concat(CAST({key} AS VARCHAR), '#ams{i}'))"
+        nib = f"CAST(('0x' || substr({digest}, 1, 1)) AS INTEGER)"
+    else:
+        digest = f"md5(concat(CAST({key} AS STRING), '#ams{i}'))"
+        nib = f"CAST(conv(substr({digest}, 1, 1), 16, 10) AS INT)"
+    return f"(CASE WHEN {nib} % 2 = 1 THEN 1 ELSE -1 END)"
+
+
+def _ams_oracle() -> str:
+    z_cols = ", ".join(
+        f"CAST(sum(n * {_ams_sign_sql('user_id', i, 'duck')}) AS BIGINT) AS z{i}"
+        for i in range(_AMS_K)
+    )
+    est = "(" + " + ".join(f"z{i} * z{i}" for i in range(_AMS_K)) + f") // {_AMS_K}"
+    return f"""
+    WITH grain AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    sketch AS (
+        SELECT event_type, {z_cols}
+        FROM grain GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(sum(n * n) AS BIGINT) AS f2
+        FROM grain GROUP BY 1
+    )
+    SELECT s.event_type,
+           e.f2 AS exact_f2,
+           CAST({est} AS BIGINT) AS ams_estimate,
+           CAST(abs(CAST({est} AS BIGINT) - e.f2) * 2 <= e.f2 AS BOOLEAN)
+               AS within_tol
+    FROM sketch s JOIN exact e ON s.event_type = e.event_type
+    """
+
+
+@query("agg_ams_f2_ok", oracle=_ams_oracle(), tags=("agg", "sketch"))
+def agg_ams_f2_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: AMS (Alon-Matias-Szegedy) second-moment sketch — F2 =
+    Σ_x c_x² is the SELF-JOIN SIZE, the statistic every cost-based
+    optimizer wants before picking a join strategy and the skew
+    number behind "will this key explode". The sketch keeps k=16
+    signed counters Z_i = Σ_x c_x·s_i(x) (±1 sign hashes); E[Z²] =
+    F2, and averaging the k squares bounds the relative error by
+    ~sqrt(2/k). Because the sign hashes derive from md5 — the repo's
+    engine-agreeing hash leaf — the WHOLE sketch is deterministic
+    and the oracle recomputes estimate AND exact F2 AND the
+    tolerance flag as real hash-checked values: unlike the HLL/
+    theta/KLL family this sketch needs no rows-only concession, and
+    a single flipped sign or dropped counter breaks the hash.
+
+    Scale shape: counters fold map-side (each partition contributes
+    k partial BIGINTs per group), merge associatively across batches
+    (sum the Z's — per-day sketches answer any date range), and the
+    exact-F2 branch exists only as the attestation: at 100 TB you
+    keep the 128-byte sketch and drop the exact pass. The (type,
+    user) grain collapse is the one corpus-sized exchange both
+    branches share."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    grain = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    z_aggs = [
+        F.sum(
+            F.col("n") * F.expr(_ams_sign_sql("user_id", i, "spark"))
+        )
+        .cast("long")
+        .alias(f"z{i}")
+        for i in range(_AMS_K)
+    ]
+    sketch = grain.groupBy("event_type").agg(*z_aggs)
+    exact = grain.groupBy("event_type").agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_f2")
+    )
+    est = "(" + " + ".join(f"z{i} * z{i}" for i in range(_AMS_K)) + f") DIV {_AMS_K}"
+    return (
+        sketch.join(exact, "event_type")
+        .withColumn("ams_estimate", F.expr(f"CAST({est} AS BIGINT)"))
+        .select(
+            "event_type",
+            "exact_f2",
+            "ams_estimate",
+            F.expr(
+                "abs(ams_estimate - exact_f2) * 2 <= exact_f2"
+            ).alias("within_tol"),
+        )
+    )

@@ -2028,3 +2028,97 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("trough_day"),
         )
     )
+
+
+_BACKTEST_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, day, x,
+               lag(x, 7) OVER w AS x7,
+               lag(x, 1) OVER w AS x1
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN x7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored,
+           CAST(sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END) AS BIGINT)
+               AS mae7_sum,
+           CAST(sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x1) END) AS BIGINT)
+               AS mae1_sum,
+           CAST(CASE WHEN sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x1) END) = 0
+                THEN 0
+                ELSE (sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)
+                      * 1000000)
+                     // sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x1) END)
+                END AS BIGINT) AS mase_micro,
+           CASE WHEN sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)
+                     < sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x1) END)
+                THEN 'seasonal_naive' ELSE 'naive' END AS best_model
+    FROM lagged GROUP BY event_type
+"""
+
+
+@query(
+    "window_seasonal_naive_backtest",
+    oracle=_BACKTEST_ORACLE,
+    tags=("stats", "window", "events"),
+)
+def window_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: FORECAST BACKTEST as a relation — the evaluation harness
+    every capacity-planning forecast runs before anyone trusts it:
+    walk the daily series, score the seasonal-naive model (x̂_d =
+    x_{d−7 obs}) against the naive-1 benchmark (x̂_d = x_{d−1 obs})
+    on exactly the days where both have an ancestor, and report the
+    MASE-style ratio (Hyndman's scaled error with the benchmark in
+    the denominator): mase_micro < 1e6 means weekly seasonality is
+    REAL and worth modeling; ≥ 1e6 means the fancy model loses to
+    persistence — the go/no-go number. The seasonal lag is 7
+    OBSERVED days (ROWS lag over the day sequence, a documented
+    contract that sidesteps calendar-gap ambiguity); both error
+    sums are exact BIGINT counts, the ratio is truncating integer
+    division, and a zero benchmark error (constant series) pins the
+    0 sentinel on both engines.
+
+    Plan: corpus → (type, day) grain first (the moving-frame
+    lesson); both lags ride ONE window sort and the scoring fold is
+    the same type-keyed exchange. 100 TB: day-grain forever —
+    backtesting cost is independent of event volume."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x", 7).over(w).alias("x7"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    scored7 = F.when(F.col("x7").isNotNull(), F.abs(F.col("x") - F.col("x7")))
+    scored1 = F.when(F.col("x7").isNotNull(), F.abs(F.col("x") - F.col("x1")))
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("x7").isNotNull().cast("long")).cast("long").alias("n_scored"),
+        F.sum(scored7).cast("long").alias("mae7_sum"),
+        F.sum(scored1).cast("long").alias("mae1_sum"),
+        F.expr(
+            "CAST(CASE WHEN sum(CASE WHEN x7 IS NOT NULL"
+            " THEN abs(x - x1) END) = 0 THEN 0"
+            " ELSE (sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)"
+            "       * 1000000)"
+            "      DIV sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x1) END)"
+            " END AS BIGINT)"
+        ).alias("mase_micro"),
+        F.expr(
+            "CASE WHEN sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)"
+            "      < sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x1) END)"
+            " THEN 'seasonal_naive' ELSE 'naive' END"
+        ).alias("best_model"),
+    )

@@ -4512,3 +4512,96 @@ def test_source_rollup_cross_source_dup(spark):
     assert got["src_a"]["total_tokens"] == 3 + 2
     assert got["src_b"]["total_tokens"] == 3 + 4
     assert got["src_a"]["dup_micro"] == 500_000
+
+
+def test_ams_signs_cross_engine_and_merge(spark):
+    """The ±1 sign hashes must agree between Spark and DuckDB for
+    every counter (a single disagreement flips a Z), the sketch must
+    detect a hot-key F2 explosion a distinct-count cannot see, and
+    sketches must MERGE: Z over a union equals the sum of the parts'
+    Z's (the per-batch rollup property)."""
+    import duckdb
+
+    from talkdesk_async_etl_spark.operators.sketches import _AMS_K, _ams_sign_sql
+
+    keys = list(range(40))
+    exprs = [
+        _ams_sign_sql("id", i, "spark") + f" AS s{i}" for i in range(_AMS_K)
+    ]
+    sdf = spark.range(40).selectExpr("id", *exprs).collect()
+    con = duckdb.connect()
+    for row in sdf:
+        duck = con.execute(
+            "SELECT "
+            + ", ".join(_ams_sign_sql(str(row["id"]), i, "duck") for i in range(_AMS_K))
+        ).fetchone()
+        assert tuple(duck) == tuple(row[f"s{i}"] for i in range(_AMS_K)), row["id"]
+
+    # hot-key F2: one key with multiplicity 100 among 40 singletons.
+    def z(counts, i):
+        sign = {
+            k: con.execute("SELECT " + _ams_sign_sql(str(k), i, "duck")).fetchone()[0]
+            for k in counts
+        }
+        return sum(c * sign[k] for k, c in counts.items())
+
+    flat = {k: 1 for k in keys}
+    hot = dict(flat)
+    hot[7] = 100
+    f2_hot = sum(c * c for c in hot.values())
+    est = sum(z(hot, i) ** 2 for i in range(_AMS_K)) // _AMS_K
+    assert abs(est - f2_hot) * 2 <= f2_hot  # skew detected within tol
+
+    # mergeability: Z(a ⊎ b) == Z(a) + Z(b) for every counter
+    a = {k: 2 for k in keys[:20]}
+    b = {k: 3 for k in keys[10:]}
+    union = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    for i in range(_AMS_K):
+        assert z(union, i) == z(a, i) + z(b, i)
+
+
+def test_seasonal_backtest_replica(spark):
+    """A constructed strongly-weekly series must pick seasonal_naive
+    with the exact MASE a pure-Python replica computes; a trendy
+    non-seasonal series must pick naive."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    base = dt.date(2024, 1, 1)
+    weekly = [100, 50, 50, 50, 50, 50, 80] * 4          # strong weekly shape
+    trendy = [100 + 5 * i for i in range(28)]            # pure trend
+
+    rows = []
+    eid = 0
+    for et, series in (("wk", weekly), ("tr", trendy)):
+        for i, x in enumerate(series):
+            for _ in range(x):
+                rows.append(
+                    (eid, dt.datetime.combine(base + dt.timedelta(days=i), dt.time(6)), et)
+                )
+                eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+
+    def replica(series):
+        mae7 = sum(abs(series[i] - series[i - 7]) for i in range(7, len(series)))
+        mae1 = sum(abs(series[i] - series[i - 1]) for i in range(7, len(series)))
+        mase = 0 if mae1 == 0 else mae7 * 1_000_000 // mae1
+        return mae7, mae1, mase
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(d + "/events.parquet")
+        got = {
+            r["event_type"]: r
+            for r in load_all()["window_seasonal_naive_backtest"].fn(spark, d).collect()
+        }
+
+    for et, series in (("wk", weekly), ("tr", trendy)):
+        mae7, mae1, mase = replica(series)
+        r = got[et]
+        assert (r["mae7_sum"], r["mae1_sum"], r["mase_micro"]) == (mae7, mae1, mase), et
+        assert r["n_scored"] == len(series) - 7
+    assert got["wk"]["best_model"] == "seasonal_naive"
+    assert got["wk"]["mase_micro"] == 0  # perfect weekly repetition
+    assert got["tr"]["best_model"] == "naive"

@@ -351,6 +351,7 @@ _HEADLINE_R12 = (
     "window_session_bounce",
     "text_source_quality_rollup",
     "window_seasonal_naive_backtest",
+    "pipeline_entity_resolution_e2e",
 )
 
 HEADLINE = (

@@ -42,7 +42,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from talkdesk_async_etl_spark.plans.cache import collect_release, scoped_persist
+from talkdesk_async_etl_spark.plans.cache import (
+    cache_scope,
+    collect_release,
+    scoped_persist,
+)
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -442,3 +446,157 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit is 6 rows by construction, so collect_release frees
     every stage cache on the way out."""
     return collect_release(curation_audit_plan(spark, sf_dir))
+
+
+# --- Entity-resolution composition (round 12) ---------------------------
+_ER_LEV_K = 2  # within-block edit-distance threshold
+
+
+def _er_oracle() -> str:
+    from talkdesk_async_etl_spark.operators.dedup_clusters import _soundex_sql
+
+    block_key = _soundex_sql("list_extract(string_split(nm, ' '), -1)", "duck")
+    return f"""
+    WITH RECURSIVE norm AS (
+        SELECT p_partkey,
+               regexp_replace(trim(lower(p_name)), ' +', ' ', 'g') AS nm
+        FROM part
+    ),
+    names AS (SELECT DISTINCT nm FROM norm),
+    keyed AS (SELECT nm, {block_key} AS bk FROM names),
+    pairs AS (
+        SELECT a.nm AS doc_a, b.nm AS doc_b
+        FROM keyed a JOIN keyed b
+          ON a.bk = b.bk AND a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= {_ER_LEV_K}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+        SELECT src AS nm, least(src, min(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    entities AS (
+        SELECT n.nm, coalesce(l.component_id, n.nm) AS entity
+        FROM names n LEFT JOIN labels l ON l.nm = n.nm
+    ),
+    mapback AS (
+        SELECT o.p_partkey, e.entity
+        FROM norm o JOIN entities e ON e.nm = o.nm
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_no, 'normalize' AS stage,
+               CAST(count(*) AS BIGINT) AS rows_out,
+               CAST(0 AS BIGINT) AS checksum
+        FROM norm
+        UNION ALL
+        SELECT 2, 'collapse_exact', CAST(count(*) AS BIGINT), 0 FROM names
+        UNION ALL
+        SELECT 3, 'block_pairs', CAST(count(*) AS BIGINT), 0 FROM pairs
+        UNION ALL
+        SELECT 4, 'components',
+               CAST(count(DISTINCT component_id) AS BIGINT), 0 FROM labels
+        UNION ALL
+        SELECT 5, 'resolve', CAST(count(DISTINCT entity) AS BIGINT), 0
+        FROM entities
+        UNION ALL
+        SELECT 6, 'map_back', CAST(count(*) AS BIGINT),
+               CAST(bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+                   CAST(p_partkey AS VARCHAR), entity)), 1, 15)) AS BIGINT))
+                   AS BIGINT)
+        FROM mapback
+    ) ORDER BY stage_no
+    """
+
+
+@query("pipeline_entity_resolution_e2e", oracle=_er_oracle(), tags=("pipeline", "er"))
+def pipeline_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second composed demonstrator next to pipeline_curation_e2e:
+    END-TO-END ENTITY RESOLUTION — normalize → exact collapse →
+    phonetic blocking → edit-distance match → connected components →
+    canonical resolution → map-back, as ONE registered relation
+    emitting a per-stage audit row, with the final stage carrying a
+    bit_xor-of-md5 checksum of the ENTIRE (record → entity) mapping
+    so the hash pins every resolution decision, not just the counts.
+
+    The scale move is stage 2: ER runs on the DISTINCT-VALUE grain
+    (the names), not the record grain — the vocabulary is orders of
+    magnitude smaller than the table and bounded by the domain, so
+    blocking, pairing (thresholded banded Levenshtein within
+    soundex-of-head-noun blocks), and label propagation all cost
+    vocabulary-sized work at ANY corpus size; records only pay the
+    final broadcast-shaped map-back join. Stage machinery is the
+    attested parts reused: ``_soundex_sql`` (dedup_soundex_blocking),
+    thresholded ``levenshtein`` (dedup_levenshtein),
+    ``propagate_min_labels`` (dedup_components); the DuckDB oracle
+    replays the identical chain with a recursive-CTE closure, so a
+    blocking key that drops a true pair, a mis-propagated label, or
+    one mis-mapped record each break the hash. The fixture's
+    cold-X/old-X name family yields a stable nonzero pair set at
+    every SF (vacuity-checked)."""
+    from talkdesk_async_etl_spark.operators.dedup_clusters import (
+        _soundex_sql,
+        propagate_min_labels,
+    )
+
+    p = t(spark, sf_dir, "part", spread=True)
+    with cache_scope():
+        norm = scoped_persist(
+            p.select(
+                "p_partkey",
+                F.regexp_replace(F.trim(F.lower(F.col("p_name"))), " +", " ").alias("nm"),
+            )
+        )
+        names = scoped_persist(norm.select("nm").distinct())
+        block_key = _soundex_sql("element_at(split(nm, ' '), -1)", "spark")
+        keyed = names.withColumn("bk", F.expr(block_key))
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = scoped_persist(
+            a.join(b, on=[F.col("a.bk") == F.col("b.bk"), F.col("a.nm") < F.col("b.nm")])
+            .where(F.expr(f"levenshtein(a.nm, b.nm, {_ER_LEV_K})").between(0, _ER_LEV_K))
+            .select(F.col("a.nm").alias("doc_a"), F.col("b.nm").alias("doc_b"))
+        )
+        labels = scoped_persist(propagate_min_labels(pairs))
+        entities = scoped_persist(
+            names.join(
+                labels.select(F.col("doc_id").alias("nm"), "component_id"), "nm", "left"
+            ).select("nm", F.coalesce("component_id", "nm").alias("entity"))
+        )
+        mapback = norm.join(entities, "nm")
+
+        def row(no: int, stage: str, df: DataFrame, cnt, checksum=None):
+            cs = checksum if checksum is not None else F.lit(0).cast("long")
+            return df.agg(
+                F.lit(no).cast("int").alias("stage_no"),
+                F.lit(stage).alias("stage"),
+                cnt.cast("long").alias("rows_out"),
+                cs.alias("checksum"),
+            )
+
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("p_partkey").cast("string"), F.col("entity"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        audit = (
+            row(1, "normalize", norm, F.count(F.lit(1)))
+            .unionAll(row(2, "collapse_exact", names, F.count(F.lit(1))))
+            .unionAll(row(3, "block_pairs", pairs, F.count(F.lit(1))))
+            .unionAll(row(4, "components", labels, F.count_distinct("component_id")))
+            .unionAll(row(5, "resolve", entities, F.count_distinct("entity")))
+            .unionAll(
+                row(6, "map_back", mapback, F.count(F.lit(1)), F.bit_xor(h))
+            )
+        )
+        return collect_release(audit.orderBy("stage_no"))

@@ -4605,3 +4605,40 @@ def test_seasonal_backtest_replica(spark):
     assert got["wk"]["best_model"] == "seasonal_naive"
     assert got["wk"]["mase_micro"] == 0  # perfect weekly repetition
     assert got["tr"]["best_model"] == "naive"
+
+
+def test_entity_resolution_e2e_constructed(spark):
+    """A three-name edit chain (bold/cold/old anvil) must merge
+    TRANSITIVELY into one entity with the lexicographic-min canonical;
+    exact-dup records collapse at stage 2; an unrelated name stays its
+    own entity; every audit count matches hand arithmetic."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    parts = [
+        (1, "cold anvil"),
+        (2, "old anvil"),
+        (3, "bold anvil"),
+        (4, "cold anvil"),     # exact dup record
+        (5, "red widget"),
+        (6, "  Red   Widget "),  # normalization dup of 5
+    ]
+    df = spark.createDataFrame(parts, "p_partkey long, p_name string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/part.parquet")
+        rows = {
+            r["stage"]: r
+            for r in load_all()["pipeline_entity_resolution_e2e"].fn(spark, d).collect()
+        }
+
+    assert rows["normalize"]["rows_out"] == 6
+    # distinct normalized names: {cold,old,bold} anvil + red widget -> 4
+    assert rows["collapse_exact"]["rows_out"] == 4
+    # pairs within the anvil block: (bold,cold)=2? b<c<o lexicographic:
+    # bold-cold 2 edits, bold-old 1, cold-old 1 -> 3 pairs
+    assert rows["block_pairs"]["rows_out"] == 3
+    assert rows["components"]["rows_out"] == 1  # one merged cluster
+    assert rows["resolve"]["rows_out"] == 2  # anvil entity + red widget
+    assert rows["map_back"]["rows_out"] == 6
+    assert rows["map_back"]["checksum"] != 0

@@ -136,3 +136,87 @@ def test_winnow_bitfold_duck_matches_python(a, b):
         f"SELECT xor(((?::BIGINT % {P}) * 128), ?::BIGINT)", [a, b]
     ).fetchone()[0]
     assert got == (((a % P) * 128) ^ b)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(2, 60),
+    st.integers(2, 40),
+    st.integers(0, 2**32),
+)
+def test_rle8_roundtrip_arbitrary_raster(w, h, seed):
+    """BI_RLE8 round-trip identity on arbitrary rasters — random
+    (absolute-mode-heavy), banded (encoded-run-heavy), and mixed
+    textures all decode bit-exactly, including odd widths that
+    exercise the absolute-mode word-alignment pad."""
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        decode_bmp_rle,
+        encode_bmp_rle,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    noisy = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_bmp_rle(encode_bmp_rle(noisy)), noisy)
+
+    banded = np.repeat(
+        rng.randint(0, 256, size=(h, 1), dtype=np.uint8), w, axis=1
+    )
+    assert np.array_equal(decode_bmp_rle(encode_bmp_rle(banded)), banded)
+
+    mixed = noisy.copy()
+    mixed[:: 2] = banded[:: 2]
+    assert np.array_equal(decode_bmp_rle(encode_bmp_rle(mixed)), mixed)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_lzw_roundtrip_arbitrary_bytes(payload):
+    """GIF variable-width LZW round-trip identity on arbitrary byte
+    strings (table-overflow resets included once payloads get long
+    and diverse)."""
+    from talkdesk_async_etl_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=60),
+)
+def test_cusum_window_identity_property(devs):
+    """S_i − min(0, min_{j≤i} S_j) == the max(0, c+dev) recurrence for
+    ARBITRARY deviation series — the identity events_cusum_drift's
+    window formulation rests on."""
+    c = 0
+    s = 0
+    run_min = 0
+    for d in devs:
+        c = max(0, c + d)
+        s += d
+        run_min = min(run_min, s)
+        assert c == s - min(0, run_min)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**9), min_size=2, max_size=30),
+)
+def test_gini_decimal_path_matches_python(masses):
+    """The DECIMAL(38,0) floor-division spelling must equal exact
+    Python integer arithmetic for arbitrary masses, including ones
+    whose 1e6-scaled numerator exceeds int64."""
+    xs = sorted(masses)
+    n, tot = len(xs), sum(xs)
+    if tot == 0:
+        return  # zero-mass group is out of the operator's domain
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    want = num * 1_000_000 // (n * tot)
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT CAST(({num}::HUGEINT * 1000000) // ({n}::HUGEINT * {tot}::HUGEINT) AS BIGINT)"
+    ).fetchone()[0]
+    assert got == want

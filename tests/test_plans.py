@@ -1004,3 +1004,122 @@ def test_curation_pipeline_scans_corpus_once(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
     assert "FlatMapGroupsInPandas" in plan  # the pack walk, Arrow-grouped
+
+
+def test_gini_customer_grain_window_and_broadcasts(spark):
+    """agg_gini_concentration: the rank window runs on the CUSTOMER
+    grain after the per-customer rollup, both dims broadcast (no
+    sort-merge join anywhere), and no cartesian/NLJ appears."""
+    plan = plan_of(spark, "agg_gini_concentration")
+    assert plan.count("SortMergeJoin") == 0
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cusum_single_type_exchange_no_join(spark):
+    """events_cusum_drift after the fuse: day-grain collapse + the
+    stacked windows + the rank-gated final aggregate — NO join (the
+    peak pick folds into the groupBy) and exactly one Scan."""
+    import re
+
+    plan = plan_of(spark, "events_cusum_drift")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 2
+
+
+def test_decision_stump_one_scan_no_join(spark):
+    """ml_decision_stump: the 28-split grid posexplodes IN the scan
+    task — one parquet scan, a Generate node, zero joins except the
+    bounded n/pos recombination, and no Python anywhere."""
+    import re
+
+    plan = plan_of(spark, "ml_decision_stump")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2  # sums + exact share
+    assert "Generate" in plan
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+
+
+def test_hamming_topk_bounded_broadcast_shape(spark):
+    """sim_hamming_topk: the 5-row query side broadcasts (the
+    allowlisted bounded NLJ), the corpus side never sort-merges, and
+    WindowGroupLimit bounds the per-partition top-k."""
+    plan = plan_of(spark, "sim_hamming_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_sort_plans_range_partitioning(spark):
+    """sort_range_partitioned_ok's checksum relation aside, the ranged
+    layout must come from a rangepartitioning exchange (the terasort
+    shape) — asserted on the intermediate the operator builds."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    o = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    ranged = o.repartitionByRange(8, F.col("cents"), F.col("o_orderkey")).sortWithinPartitions(
+        "cents", "o_orderkey"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranged.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_seasonal_dow_med_broadcast_back(spark):
+    """window_seasonal_dow_baseline: the 35-cell median relation
+    broadcasts back onto the day-grain rescan (the winsorize/MAD
+    trade) — a broadcast join, not a sort-merge."""
+    plan = plan_of(spark, "window_seasonal_dow_baseline")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bounce_windows_share_user_exchange(spark):
+    """window_session_bounce: the lag window, island cumsum, and
+    in-session rank stack on ONE user-keyed exchange — at most two
+    exchanges total (user key + the final entry-type rollup)."""
+    import re
+
+    plan = plan_of(spark, "window_session_bounce")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 2
+
+
+def test_source_rollup_digest_shuffle_only(spark):
+    """text_source_quality_rollup: the dup mark shuffles 128-bit
+    digests (fingerprint window) then regroups by source — two keyed
+    exchanges, no join."""
+    import re
+
+    plan = plan_of(spark, "text_source_quality_rollup")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_ams_sketch_and_exact_share_grain(spark):
+    """agg_ams_f2_ok: sketch and exact branches share the (type, user)
+    grain collapse; the final 5-row recombination is a broadcast-sized
+    join, never sort-merge on the corpus."""
+    plan = plan_of(spark, "agg_ams_f2_ok")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_backtest_both_lags_one_window_sort(spark):
+    """window_seasonal_naive_backtest: both lags ride one type-keyed
+    window sort over the day-grain relation — no join, one scan."""
+    import re
+
+    plan = plan_of(spark, "window_seasonal_naive_backtest")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -151,18 +151,21 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
-            # Drop this query's scoped persists before the next build:
-            # a cached relation left behind substitutes InMemoryRelation
-            # nodes into LATER queries that share lineage, making the
-            # recorded exchange counts depend on SWEEP ORDER (the round
-            # 12 rotation reordered the registry and two unchanged
-            # operators "changed" exactly this way — standalone builds
-            # matched round 11 verbatim).
-            release_scoped()
         except Exception as exc:  # noqa: BLE001
             audit[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
             problems.append(f"{name}: plan build failed")
             continue
+        finally:
+            # Drop this query's scoped persists before the next build —
+            # on BOTH paths: a cached relation left behind substitutes
+            # InMemoryRelation nodes into LATER queries that share
+            # lineage, making the recorded exchange counts depend on
+            # SWEEP ORDER (the round-12 rotation reordered the registry
+            # and two unchanged operators "changed" exactly this way).
+            # A build/explain that THROWS used to leak its persists into
+            # every subsequent plan (ADVICE r12), so this runs in a
+            # finally, not just on success.
+            release_scoped()
         entry = {
             "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
             "broadcasts": len(re.findall(r"\(\d+\) BroadcastExchange", plan)),

@@ -933,28 +933,53 @@ def degree_assortativity_from(und: DataFrame) -> DataFrame:
     )
     dj = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_j"))
     dk = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_k"))
+    # The Σjk/Σj² accumulators run in DECIMAL(38,0): Spark sums BIGINT
+    # as BIGINT (silent non-ANSI wraparound) while the DuckDB oracle
+    # widens to HUGEINT, so a 64-bit accumulator diverges silently at
+    # web scale instead of failing loudly (ADVICE r12 — the gini
+    # accumulator fix applied here); the ratio arithmetic below stays
+    # in DECIMAL(38,0) end-to-end, with the sign split preserved
+    # because DuckDB ``//`` floors negatives where truncation toward
+    # zero is the documented contract.
     sums = (
         adj.join(F.broadcast(dj), "src")
         .join(F.broadcast(dk), "dst")
         .agg(
             F.count(F.lit(1)).cast("long").alias("m"),
             F.sum("deg_j").cast("long").alias("sum_j"),
-            F.sum(F.col("deg_j") * F.col("deg_k")).cast("long").alias("sum_jk"),
-            F.sum(F.col("deg_j") * F.col("deg_j")).cast("long").alias("sum_j2"),
+            F.sum(F.col("deg_j").cast("decimal(19,0)") * F.col("deg_k")).alias(
+                "sum_jk_d"
+            ),
+            F.sum(F.col("deg_j").cast("decimal(19,0)") * F.col("deg_j")).alias(
+                "sum_j2_d"
+            ),
         )
     )
-    return sums.select(
+    ratio = sums.select(
+        "m",
+        "sum_j",
+        "sum_jk_d",
+        "sum_j2_d",
+        F.expr(
+            "CAST(m AS DECIMAL(38,0)) * sum_jk_d"
+            " - CAST(sum_j AS DECIMAL(38,0)) * CAST(sum_j AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.expr(
+            "CAST(m AS DECIMAL(38,0)) * sum_j2_d"
+            " - CAST(sum_j AS DECIMAL(38,0)) * CAST(sum_j AS DECIMAL(38,0))"
+        ).alias("den"),
+    )
+    return ratio.select(
         F.col("m").alias("m_directed_edges"),
         "sum_j",
-        "sum_jk",
-        "sum_j2",
+        F.col("sum_jk_d").cast("long").alias("sum_jk"),
+        F.col("sum_j2_d").cast("long").alias("sum_j2"),
         F.expr(
-            "CAST(CASE WHEN (m * sum_j2 - sum_j * sum_j) = 0 THEN 0"
-            " WHEN (m * sum_jk - sum_j * sum_j) < 0"
-            " THEN -((-(m * sum_jk - sum_j * sum_j) * 1000000)"
-            "        DIV (m * sum_j2 - sum_j * sum_j))"
-            " ELSE ((m * sum_jk - sum_j * sum_j) * 1000000)"
-            "      DIV (m * sum_j2 - sum_j * sum_j) END AS BIGINT)"
+            "CAST(CASE WHEN den = 0 THEN 0"
+            " WHEN num < 0"
+            " THEN -((((-num) * 1000000) - (((-num) * 1000000) % den)) / den)"
+            " ELSE ((num * 1000000) - ((num * 1000000) % den)) / den"
+            " END AS BIGINT)"
         ).alias("assortativity_micro"),
     )
 

@@ -1446,9 +1446,15 @@ def gini_per_group(spend: DataFrame, key: str, ord_col: str, val: str) -> DataFr
     the BIGINT numerator bound n·Σx already reaches ~5e15 at sf1, so
     multiplying by 1e6 inside 64 bits would overflow around sf0.1-sf1
     — the text_pmi_collocations overflow lesson (ADVICE r11) applied
-    at design time instead of patched after. Floor-division is spelled
-    (a − a % b) / b, which DECIMAL division evaluates exactly for
-    positive integral operands, matching HUGEINT ``//``."""
+    at design time instead of patched after. The Σ(2i−n−1)·x sum
+    ITSELF also accumulates in DECIMAL(38,0): Spark sums longs as
+    long (silent wraparound in non-ANSI mode) while DuckDB sums into
+    HUGEINT, so a BIGINT accumulator would diverge silently past
+    roughly sf1 (ADVICE r12) — the summand is promoted before the
+    grouped sum so both engines carry exact wide integers end-to-end.
+    Floor-division is spelled (a − a % b) / b, which DECIMAL division
+    evaluates exactly for positive integral operands, matching
+    HUGEINT ``//``."""
     w = Window.partitionBy(key)
     ranked = spend.select(
         key,
@@ -1462,9 +1468,10 @@ def gini_per_group(spend: DataFrame, key: str, ord_col: str, val: str) -> DataFr
         .agg(
             F.max("n").cast("long").alias("n_members"),
             F.max("tot").cast("long").alias("total_mass"),
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col(val))
-            .cast("long")
-            .alias("num"),
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1).cast("decimal(19,0)")
+                * F.col(val)
+            ).alias("num"),
         )
         .select(
             key,
@@ -1612,12 +1619,20 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wt).alias("n_days"),
         F.sum("x").over(wt).alias("tot"),
     )
+    # The running deviation sum accumulates in DECIMAL(38,0): Spark
+    # would sum the BIGINT summand as BIGINT (silent non-ANSI
+    # wraparound) while DuckDB widens to HUGEINT — promote the summand
+    # before the windowed sum so both engines stay exact at any sf
+    # (ADVICE r12, the gini accumulator fix applied to this family).
     walked = scoped.withColumn(
-        "s", F.sum(F.col("n_days") * F.col("x") - F.col("tot")).over(ww)
+        "s",
+        F.sum(
+            F.col("n_days").cast("decimal(19,0)") * F.col("x") - F.col("tot")
+        ).over(ww),
     )
     cu = walked.withColumn(
         "cusum",
-        F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(ww)),
+        F.col("s") - F.least(F.lit(0).cast("decimal(38,0)"), F.min("s").over(ww)),
     )
     ranked = cu.withColumn(
         "rn",
@@ -2006,10 +2021,19 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wp).alias("n_days"),
         F.sum("cents").over(wp).alias("tot"),
     )
+    # DECIMAL(38,0) accumulator for the running centered sum — Spark's
+    # BIGINT window sum wraps silently in non-ANSI mode while DuckDB
+    # widens to HUGEINT (ADVICE r12, the gini accumulator fix applied
+    # to this family); n_days·cents ~ 5e15 at sf1 makes the cumulative
+    # series the first place the engines would diverge.
     walked = scoped.select(
         "nationkey",
         "day",
-        F.sum(F.col("n_days") * F.col("cents") - F.col("tot")).over(w).alias("cum"),
+        F.sum(
+            F.col("n_days").cast("decimal(19,0)") * F.col("cents") - F.col("tot")
+        )
+        .over(w)
+        .alias("cum"),
     ).withColumn("peak", F.max("cum").over(w))
     dd = walked.withColumn("drawdown", F.col("peak") - F.col("cum")).withColumn(
         "rn",

@@ -280,11 +280,17 @@ def session_scratch_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     landing mid-read, producing wrong counts or read failures. Keying
     by (application id, sf) isolates every writer while keeping
     same-session same-sf reruns idempotent (they reuse and overwrite
-    ONE path instead of accreting tempdirs)."""
+    ONE path instead of accreting tempdirs).
+
+    The session suffix is inserted BEFORE the extension (ADVICE r12):
+    appending after the full name yielded ``doc.json_app-123_sf0.01``,
+    which confuses anything keying on the ``.json``/``.csv`` suffix
+    (editors, format sniffers, glob cleanup)."""
     import tempfile
 
+    stem, ext = os.path.splitext(name)
     return os.path.join(
         tempfile.gettempdir(),
-        f"{name}_{spark.sparkContext.applicationId}_"
-        f"{os.path.basename(os.path.normpath(sf_dir))}",
+        f"{stem}_{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}{ext}",
     )

@@ -600,3 +600,447 @@ def pipeline_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
         return collect_release(audit.orderBy("stage_no"))
+
+
+# --- Incremental-ingest composition (round 13, VERDICT r12 task 3) ------
+# The reference's identity loop — download report files, track
+# completion in the monitoring table, append-only apply (DB:206-253) —
+# composed on the analytics side: partitioned landing → manifest
+# delta → CDC latest-wins+tombstone apply → incremental aggregate
+# maintenance → incremental cluster maintenance, as ONE audited
+# relation. Every stage reuses its standalone attested machinery:
+# the landing/manifest shape is scan_file_manifest_delta's
+# (ingest.py), the apply window is cdc_latest_wins /
+# cdc_tombstone_deletes' (relational.py), the view merge is
+# cdc_incremental_agg's union-of-partials (ingest.py) extended with
+# retractions, and the cluster stage is dedup_incremental_components'
+# quotient composition (dedup_clusters.py, incremental_components_from)
+# over near_jaccard_pairs (dedup.py). The DuckDB oracle replays the
+# chain from scratch — maintain(snapshot, delta) == recompute(all) is
+# the S7i contract, and every stage checksum pins full stage CONTENT
+# (bit_xor of md5 over every row), not just counts.
+
+_INC_FILES = 8   # landing files: doc_id % _INC_FILES
+_INC_DONE = 5    # files 0..4 were processed by the previous run
+_INC_UPD_MOD = 5   # re-crawled old docs: doc_id % 5 == 0 (op U, v2)
+_INC_DEL_MOD = 3   # tombstoned old docs: doc_id % 3 == 0 (op D, v3)
+_INC_RECRAWL = "recrawl"  # the source updated docs move to
+
+
+def _inc_hex15(*cols) -> object:
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+
+    return _hex15_col(F.concat_ws("|", *cols))
+
+
+def _inc_oracle() -> str:
+    duck_hex = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+
+    def h(s: str) -> str:
+        return duck_hex.format(s=s)
+
+    return f"""
+    WITH RECURSIVE filed AS MATERIALIZED (
+        SELECT doc_id, text, lang, source, n_chars,
+               CAST(doc_id % {_INC_FILES} AS INT) AS file_id
+        FROM documents
+    ),
+    ops AS (
+        SELECT doc_id, 'I' AS op, source, lang, n_chars, text, 1 AS version
+        FROM filed WHERE file_id < {_INC_DONE}
+        UNION ALL
+        SELECT doc_id, 'I', source, lang, n_chars, text, 2
+        FROM filed WHERE file_id >= {_INC_DONE}
+        UNION ALL
+        SELECT doc_id, 'U', '{_INC_RECRAWL}', lang, n_chars, text, 2
+        FROM filed WHERE file_id < {_INC_DONE} AND doc_id % {_INC_UPD_MOD} = 0
+        UNION ALL
+        SELECT doc_id, 'D', NULL, NULL, NULL, NULL, 3
+        FROM filed WHERE file_id < {_INC_DONE} AND doc_id % {_INC_DEL_MOD} = 0
+    ),
+    live AS MATERIALIZED (
+        SELECT doc_id, source, lang, n_chars, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY version DESC) AS rn
+            FROM ops
+        ) WHERE rn = 1 AND op <> 'D'
+    ),
+    fstats AS MATERIALIZED (
+        SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+               bit_xor({h("CAST(doc_id AS VARCHAR)")}) AS content_xor
+        FROM filed GROUP BY file_id
+    ),
+    manifest AS (
+        SELECT file_id,
+               CASE WHEN file_id < {_INC_DONE} THEN 'done' ELSE 'new' END
+                   AS status,
+               n_rows, content_xor
+        FROM fstats
+    ),
+    view_src AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM live GROUP BY source
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM live),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS sh
+        FROM toks, range(1, 2000) r(i) WHERE i + 2 <= len(tk)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b USING (sh)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    jpairs AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION ALL SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    audit AS (
+        SELECT 1 AS stage_no, 'land_manifest' AS stage,
+               (SELECT count(*) FROM manifest) AS rows_out,
+               (SELECT bit_xor({h("concat_ws('|', CAST(file_id AS VARCHAR), status, CAST(n_rows AS VARCHAR), CAST(content_xor AS VARCHAR))")})
+                FROM manifest) AS checksum
+        UNION ALL
+        SELECT 2, 'cdc_apply', (SELECT count(*) FROM live),
+               (SELECT bit_xor({h("concat_ws('|', CAST(doc_id AS VARCHAR), source, lang)")})
+                FROM live)
+        UNION ALL
+        SELECT 3, 'ivm_source_stats', (SELECT count(*) FROM view_src),
+               (SELECT bit_xor({h("concat_ws('|', source, CAST(n_docs AS VARCHAR), CAST(total_chars AS VARCHAR))")})
+                FROM view_src)
+        UNION ALL
+        SELECT 4, 'inc_clusters',
+               (SELECT count(DISTINCT component_id) FROM labels),
+               (SELECT bit_xor({h("concat_ws('|', CAST(doc_id AS VARCHAR), CAST(component_id AS VARCHAR))")})
+                FROM labels)
+        UNION ALL
+        SELECT 5, 'idempotence_recheck', (SELECT count(*) FROM fstats),
+               (SELECT bit_xor({h("concat_ws('|', CAST(file_id AS VARCHAR), CAST(n_rows AS VARCHAR), CAST(content_xor AS VARCHAR))")})
+                FROM fstats)
+    )
+    SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+           CAST(rows_out AS BIGINT) AS rows_out,
+           CAST(checksum AS BIGINT) AS checksum
+    FROM audit ORDER BY stage_no
+    """
+
+
+def incremental_audit_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third composed demonstrator (next to pipeline_curation_e2e
+    and pipeline_entity_resolution_e2e): END-TO-END INCREMENTAL INGEST
+    over a partitioned landing of document files, as ONE relation with
+    a per-stage audit row (stage_no, stage, rows_out, checksum).
+
+    1. land_manifest — the corpus lands partitioned by
+       file_id = doc_id % {files}; the previous run's manifest holds
+       files 0..{done-1} ('done', stats as recorded), the diff
+       discovers the rest ('new', stats freshly computed) — the
+       scan_file_manifest_delta shape (ingest.py:945). Both passes are
+       PARTITION-PRUNED scans of the landing.
+    2. cdc_apply — the delta batch carries op I for new docs plus a
+       deterministic re-crawl feed against old docs (op U v2 moves
+       doc_id%5==0 to source='recrawl'; op D v3 tombstones
+       doc_id%3==0; a %15 key sees both and the tombstone wins).
+       Live state = stored snapshot (epoch-1 live, localCheckpoint'd,
+       i.e. the previous run's table) unioned with the DELTA ops only,
+       resolved by the cdc_latest_wins/cdc_tombstone_deletes window —
+       O(snapshot + delta), never a history rescan.
+    3. ivm_source_stats — the per-source (n_docs, total_chars) view is
+       maintained by cdc_incremental_agg's union-of-partials extended
+       with RETRACTIONS: the delta's net per-key effect joins the
+       snapshot on the DELTA's keys (O(delta) probe of a stored keyed
+       table), emits (-1, -chars) for each replaced/deleted key and
+       (+1, +chars) for each insert/new version, and re-aggregates
+       with the snapshot partials; sources retracted to zero drop out.
+       The oracle recomputes the view from the final live state, so
+       the hash attests maintain == recompute.
+    4. inc_clusters — near-dup cluster labels over the LIVE corpus,
+       maintained by dedup_incremental_components' quotient-graph
+       composition (old = surviving docs from processed files, new =
+       delta docs) over near_jaccard_pairs' attested pair build; the
+       checksum pins EVERY (doc_id, component_id) label. Deletions are
+       handled at the pair grain — tombstoned docs leave the live set
+       before pair generation, so the previous labels are re-derived
+       over survivors (in production: only for deletion-touched
+       clusters); the quotient minimum is then exactly the
+       from-scratch minimum, which is what the oracle checks.
+    5. idempotence_recheck — the manifest pass re-runs as if the new
+       files had been appended to the manifest: every file's
+       recomputed (n_rows, content_xor) must MATCH the first pass
+       (rows_out counts matches, = n files), and the checksum is the
+       status-independent stat fold — re-running changes statuses,
+       never stats.
+
+    Scale/plan shape: the landing is written once, partitioned by
+    file_id (at 100 TB: the object-store layout, one directory per
+    arrival batch); the done/new scans are partition-pruned; the
+    snapshot and its aggregate view are localCheckpoint'd (stored
+    tables — the merge plans provably cannot reach into the epoch-1
+    scan); the expensive stage (the shingle self-join) runs on the
+    live SURVIVORS only; every audit aggregate reads a persisted
+    parent. Output is 5 rows by construction — the registered wrapper
+    collect_releases every stage cache."""
+    from talkdesk_async_etl_spark.operators.dedup import near_jaccard_pairs
+    from talkdesk_async_etl_spark.operators.dedup_clusters import (
+        incremental_components_from,
+    )
+    from talkdesk_async_etl_spark.sources.io import session_scratch_path
+
+    landing = session_scratch_path(spark, sf_dir, "tde_inc_landing")
+    (
+        t(spark, sf_dir, "documents", spread=True)
+        .withColumn("file_id", (F.col("doc_id") % _INC_FILES).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(landing)
+    )
+    land = spark.read.parquet(landing)
+    old = scoped_persist(land.filter(F.col("file_id") < _INC_DONE))
+    new = scoped_persist(land.filter(F.col("file_id") >= _INC_DONE))
+
+    def fstats(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("file_id").cast("int").alias("file_id")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(_inc_hex15(F.col("doc_id").cast("string"))).alias(
+                "content_xor"
+            ),
+        )
+
+    # stage 1: the previous run's recorded stats re-emit as 'done';
+    # the delta files are discovered and freshly computed as 'new'.
+    pass1 = scoped_persist(
+        fstats(old)
+        .select("file_id", F.lit("done").alias("status"), "n_rows", "content_xor")
+        .unionByName(
+            fstats(new).select(
+                "file_id", F.lit("new").alias("status"), "n_rows", "content_xor"
+            )
+        )
+    )
+
+    # stage 2: CDC apply. The stored snapshot is epoch-1 live state;
+    # localCheckpoint cuts lineage (a stored table behaves the same).
+    cols = ("doc_id", "source", "lang", "n_chars", "text")
+    snapshot_live = old.select(*cols).localCheckpoint()
+
+    def op_rows(df, op, source_col, version):
+        return df.select(
+            "doc_id",
+            F.lit(op).alias("op"),
+            source_col.alias("source"),
+            (F.lit(None).cast("string") if op == "D" else F.col("lang")).alias("lang"),
+            (F.lit(None).cast("long") if op == "D" else F.col("n_chars")).alias(
+                "n_chars"
+            ),
+            (F.lit(None).cast("string") if op == "D" else F.col("text")).alias("text"),
+            F.lit(version).alias("version"),
+        )
+
+    ins = op_rows(new, "I", F.col("source"), 2)
+    upd = op_rows(
+        old.filter(F.col("doc_id") % _INC_UPD_MOD == 0),
+        "U",
+        F.lit(_INC_RECRAWL),
+        2,
+    )
+    dele = op_rows(
+        old.filter(F.col("doc_id") % _INC_DEL_MOD == 0),
+        "D",
+        F.lit(None).cast("string"),
+        3,
+    )
+    delta_ops = ins.unionByName(upd).unionByName(dele)
+    snap_ops = snapshot_live.select(
+        "doc_id",
+        F.lit("I").alias("op"),
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.lit(1).alias("version"),
+    )
+    w_key = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    live = scoped_persist(
+        snap_ops.unionByName(delta_ops)
+        .withColumn("rn", F.row_number().over(w_key))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(*cols)
+    )
+
+    # stage 3: IVM with retractions. The stored view is the epoch-1
+    # aggregate; the delta's NET per-key effect joins the snapshot on
+    # the delta's keys only.
+    snapshot_agg = (
+        snapshot_live.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("n_chars").alias("dchars"),
+        )
+        .localCheckpoint()
+    )
+    delta_latest = (
+        delta_ops.withColumn("rn", F.row_number().over(w_key))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "op", "source", "n_chars")
+    )
+    old_vals = snapshot_live.select(
+        "doc_id",
+        F.col("source").alias("old_source"),
+        F.col("n_chars").alias("old_chars"),
+    )
+    adj = scoped_persist(delta_latest.join(old_vals, "doc_id", "left"))
+    retract = adj.filter(F.col("old_source").isNotNull()).select(
+        F.col("old_source").alias("source"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("old_chars")).alias("dchars"),
+    )
+    addnew = adj.filter(F.col("op") != "D").select(
+        "source",
+        F.lit(1).cast("long").alias("dn"),
+        F.col("n_chars").alias("dchars"),
+    )
+    view_src = scoped_persist(
+        snapshot_agg.unionByName(retract)
+        .unionByName(addnew)
+        .groupBy("source")
+        .agg(
+            F.sum("dn").cast("long").alias("n_docs"),
+            F.sum("dchars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+    # stage 4: incremental cluster maintenance over the live corpus.
+    pairs = scoped_persist(
+        near_jaccard_pairs(live.select("doc_id", "text")).select("doc_a", "doc_b")
+    )
+    labels = scoped_persist(
+        incremental_components_from(
+            pairs, is_old=lambda c: (c % _INC_FILES) < _INC_DONE
+        )
+    )
+
+    # stage 5: idempotence — re-run the stat pass over ALL files and
+    # compare to the first pass.
+    pass2 = scoped_persist(fstats(land))
+    matched = pass2.join(
+        pass1.select("file_id", "n_rows", "content_xor"),
+        ["file_id", "n_rows", "content_xor"],
+    )
+
+    def row(no: int, stage: str, df: DataFrame, cnt, checksum) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(stage).alias("stage"),
+            cnt.cast("long").alias("rows_out"),
+            checksum.alias("checksum"),
+        )
+
+    return (
+        row(
+            1,
+            "land_manifest",
+            pass1,
+            F.count(F.lit(1)),
+            F.bit_xor(
+                _inc_hex15(
+                    F.col("file_id").cast("string"),
+                    F.col("status"),
+                    F.col("n_rows").cast("string"),
+                    F.col("content_xor").cast("string"),
+                )
+            ),
+        )
+        .unionAll(
+            row(
+                2,
+                "cdc_apply",
+                live,
+                F.count(F.lit(1)),
+                F.bit_xor(
+                    _inc_hex15(
+                        F.col("doc_id").cast("string"),
+                        F.col("source"),
+                        F.col("lang"),
+                    )
+                ),
+            )
+        )
+        .unionAll(
+            row(
+                3,
+                "ivm_source_stats",
+                view_src,
+                F.count(F.lit(1)),
+                F.bit_xor(
+                    _inc_hex15(
+                        F.col("source"),
+                        F.col("n_docs").cast("string"),
+                        F.col("total_chars").cast("string"),
+                    )
+                ),
+            )
+        )
+        .unionAll(
+            row(
+                4,
+                "inc_clusters",
+                labels,
+                F.count_distinct("component_id"),
+                F.bit_xor(
+                    _inc_hex15(
+                        F.col("doc_id").cast("string"),
+                        F.col("component_id").cast("string"),
+                    )
+                ),
+            )
+        )
+        .unionAll(
+            row(
+                5,
+                "idempotence_recheck",
+                matched,
+                F.count(F.lit(1)),
+                F.bit_xor(
+                    _inc_hex15(
+                        F.col("file_id").cast("string"),
+                        F.col("n_rows").cast("string"),
+                        F.col("content_xor").cast("string"),
+                    )
+                ),
+            )
+        )
+        .orderBy("stage_no")
+    )
+
+
+@query(
+    "pipeline_incremental_e2e",
+    oracle=_inc_oracle(),
+    tags=("pipeline", "cdc", "incremental"),
+)
+def pipeline_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materializing wrapper around :func:`incremental_audit_plan` (the
+    lazy core the plan test pins): the audit is 5 rows by
+    construction, so collect_release frees every stage cache on the
+    way out."""
+    with cache_scope():
+        return collect_release(incremental_audit_plan(spark, sf_dir))

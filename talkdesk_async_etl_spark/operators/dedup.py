@@ -322,14 +322,23 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed afterwards. Cost remains Σ_shingle (docs_with_shingle)² —
     the oracle-checkable exact semantics; dedup_minhash_lsh is the
     100 TB path."""
-    docs = t(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", _shingle_hashes(F.col("text")).alias("shs")
-    )
+    docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    return near_jaccard_pairs(docs)
+
+
+def near_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """The 3-shingle exact-Jaccard pair build behind
+    :func:`dedup_near_jaccard`, over any ``(doc_id, text)`` frame —
+    factored out so composed pipelines (pipeline_incremental_e2e's
+    cluster-maintenance stage) reuse the attested semantics instead of
+    copying them. Caller must hold an active cache_scope (the shingle
+    persist registered here is released by the caller's scope exit)."""
+    shingled = docs.select("doc_id", _shingle_hashes(F.col("text")).alias("shs"))
     # Persist (scoped): both self-join sides read this; without it the
     # whole shingle pipeline is recomputed per side. (At 100 TB this is
     # a checkpoint to a signatures table, not executor memory.)
     sh = scoped_persist(
-        docs.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h"))
+        shingled.select("doc_id", F.size("shs").alias("n"), F.explode("shs").alias("h"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -343,7 +352,9 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return pairs.filter(jac >= 0.6).select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return pairs.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
 
 
 @query("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))

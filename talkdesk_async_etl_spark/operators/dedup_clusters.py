@@ -733,19 +733,27 @@ def dedup_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         return incremental_components_from(pairs)
 
 
-def incremental_components_from(pairs: DataFrame) -> DataFrame:
+def incremental_components_from(pairs: DataFrame, is_old=None) -> DataFrame:
     """The quotient-graph composition behind
     :func:`dedup_incremental_components`, over a ``(doc_a, doc_b)``
-    pair graph with the family's parity split (odd doc_id = new).
-    Factored out so the constructed-graph unit test can drive every
-    branch (old-cluster merge through new docs, untouched old cluster,
+    pair graph. ``is_old`` maps a doc-id column to a boolean "was in
+    the previous run's corpus" predicate; the default is the family's
+    parity split (odd doc_id = new). pipeline_incremental_e2e passes
+    its landing-file split instead, so the composed demonstrator
+    reuses this exact composition rather than copying it. Factored
+    out so the constructed-graph unit test can drive every branch
+    (old-cluster merge through new docs, untouched old cluster,
     previously-isolated old doc, new-new pair) on hand-built pairs.
     Caller must hold an active cache_scope."""
+    if is_old is None:
+        def is_old(c):
+            return c % 2 == 0
+
     old_pairs = pairs.filter(
-        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+        is_old(F.col("doc_a")) & is_old(F.col("doc_b"))
     )
     new_edges = pairs.filter(
-        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
+        ~is_old(F.col("doc_a")) | ~is_old(F.col("doc_b"))
     )
     l_old = scoped_persist(propagate_min_labels(old_pairs))
     la = l_old.select(

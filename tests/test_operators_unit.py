@@ -4642,3 +4642,60 @@ def test_entity_resolution_e2e_constructed(spark):
     assert rows["resolve"]["rows_out"] == 2  # anvil entity + red widget
     assert rows["map_back"]["rows_out"] == 6
     assert rows["map_back"]["checksum"] != 0
+
+
+def test_pipeline_incremental_e2e_constructed(spark, tmp_path):
+    """Constructed landing where EVERY CDC/maintenance branch fires:
+    an untouched old survivor, an updated old doc (source moves to
+    'recrawl'), a deleted old doc whose near-dup pair must vanish, an
+    update-then-delete key (%15 — the tombstone must win), new
+    inserts, a source fully retracted from the maintained view, an
+    old↔new quotient merge, an untouched old-old cluster, and a
+    new-new cluster."""
+    from talkdesk_async_etl_spark.operators.curation import (
+        pipeline_incremental_e2e,
+    )
+
+    A = ["t%02d" % i for i in range(20)]
+    B = ["b%02d" % i for i in range(20)]
+    C = ["c%02d" % i for i in range(20)]
+    docs = [
+        # old files (doc_id % 8 < 5)
+        (1, " ".join(A), "en", "src_a", 100),                   # survivor
+        (2, " ".join(B), "en", "src_d", 100),                   # old-old pair a
+        (4, " ".join(B[:19] + ["zz"]), "en", "src_d", 100),     # old-old pair b
+        (9, " ".join(A[:19] + ["yy"]), "en", "src_gone", 50),   # deleted (%3)
+        (10, " ".join(["u%02d" % i for i in range(20)]),
+         "en", "src_b", 70),                                    # updated (%5)
+        (60, " ".join(["q%02d" % i for i in range(20)]),
+         "en", "src_c", 30),                                    # upd+del (%15)
+        # new files (doc_id % 8 >= 5)
+        (13, " ".join(A[:19] + ["ww"]), "en", "src_a", 100),    # pairs w/ doc 1
+        (5, " ".join(C), "en", "src_n1", 100),                  # new-new pair a
+        (7, " ".join(C[:19] + ["vv"]), "en", "src_n1", 100),    # new-new pair b
+        (6, " ".join(["n%02d" % i for i in range(20)]),
+         "en", "src_n1", 100),                                  # new singleton
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["stage_no"]: r for r in pipeline_incremental_e2e(spark, str(tmp_path)).collect()}
+    assert [got[s]["stage"] for s in range(1, 6)] == [
+        "land_manifest", "cdc_apply", "ivm_source_stats",
+        "inc_clusters", "idempotence_recheck",
+    ]
+    # files present: {1,2,4} done + {5,6,7} new
+    assert got[1]["rows_out"] == 6
+    # live: old 1,2,4,10 (9 and 60 tombstoned) + new 5,6,7,13
+    assert got[2]["rows_out"] == 8
+    # view: src_a{1,13}, src_d{2,4}, recrawl{10}, src_n1{5,6,7};
+    # src_gone and src_c fully retracted -> dropped
+    assert got[3]["rows_out"] == 4
+    # clusters: {1,13} old<->new quotient merge, {2,4} old-old,
+    # {5,7} new-new; doc 9's A-variant is dead so no fourth cluster
+    assert got[4]["rows_out"] == 3
+    # idempotence: every file's recomputed stats match the first pass
+    assert got[5]["rows_out"] == got[1]["rows_out"] == 6
+    for s in range(1, 6):
+        assert got[s]["checksum"] is not None

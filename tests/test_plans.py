@@ -1123,3 +1123,35 @@ def test_backtest_both_lags_one_window_sort(spark):
     plan = plan_of(spark, "window_seasonal_naive_backtest")
     assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_incremental_pipeline_plan_shape(spark):
+    """pipeline_incremental_e2e's plan contract (VERDICT r12 task 3):
+    the 5-row audit union reads the LANDING parquet exactly three
+    times — the done-files scan and the new-files scan are both
+    PARTITION-PRUNED on file_id, the idempotence recheck is the only
+    full scan — the stored snapshot enters as ExistingRDD
+    (localCheckpoint: the merge plan provably cannot reach the epoch-1
+    scan), and there is no row-at-a-time Python, no sort-merge join,
+    and no cartesian anywhere."""
+    import contextlib
+    import io
+    import re
+
+    from talkdesk_async_etl_spark.operators.curation import incremental_audit_plan
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    with cache_scope():
+        core = incremental_audit_plan(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            core.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("file_id" in l and "< 5" in l for l in pf), pf
+    assert any("file_id" in l and ">= 5" in l for l in pf), pf
+    assert "Scan ExistingRDD" in plan  # the checkpointed snapshot
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -354,6 +354,12 @@ _HEADLINE_R12 = (
     "pipeline_entity_resolution_e2e",
 )
 
+_HEADLINE_R13 = (
+    "pipeline_incremental_e2e",
+    "sim_topk_ivfpq",
+    "sim_ivfpq_recall_ok",
+)
+
 HEADLINE = (
     _HEADLINE_CORE
     + _HEADLINE_RELATIONAL
@@ -365,6 +371,7 @@ HEADLINE = (
     + _HEADLINE_R10
     + _HEADLINE_R11
     + _HEADLINE_R12
+    + _HEADLINE_R13
 )
 
 

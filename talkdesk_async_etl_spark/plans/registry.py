@@ -81,89 +81,90 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-12 window, in priority order (executes ROUND_NOTES' round-11
-# rotation pre-plan verbatim, which VERDICT r11 task 1 endorsed):
-#   1. The 22 round-11 additions that registered AFTER the r11 window
-#      froze (parity-verified by the r11 judge's own check_parity run
-#      but still without a formal driver CORRECTNESS row) — the only
-#      ids in the repo not yet driver-hash-attested.
-#   2. The 10 remaining r6-tier ids: after this window the r6 tier is
-#      fully cleared.
-#   2b. The two round-12 VERDICT-task operators (tasks 3 and 4 demand
-#      driver attestation this round) take two tail slots.
-#   3. The 16 oldest r7-tier ids (alphabetical within the tier) with
-#      the remaining slots — the two displaced ids
-#      (join_bloom_prefilter_ok, join_inner_using) lead r13.
-# The rest of the r7 tier and the r8+ tiers rotate r13+ (r7 first).
-# Every deferred id keeps its every-pytest-run oracle parity check,
-# so deferral costs recency of the driver row, not coverage. Any id
-# registered but absent here appends in registration order, so new
-# operators are never silently dropped — and the first-50 meta-test
-# in tests/test_driver_profile.py fails on typos or miscounts.
-# Round-12 additions registered after THIS window freezes lead the
-# r13 window per the standing precedent.
+# Round-13 window, in priority order (executes ROUND_NOTES' round-13
+# rotation pre-plan, which VERDICT r12 task 1 endorsed, with the
+# VERDICT-task amendments tasks 3/5/6 demand):
+#   1. The 30 round-12 additions that registered AFTER the r12 window
+#      froze (parity-verified by the r12 judge's own check_parity run
+#      but still without a formal driver CORRECTNESS row), in
+#      registration order per the pre-plan.
+#   2. The two r12-displaced ids: join_bloom_prefilter_ok,
+#      join_inner_using.
+#   2b. VERDICT r12 task 6: agg_approx_distinct re-attests ADJACENT to
+#      its agg_approx_distinct_tol twin (the one rows-only id whose
+#      sibling was not in the same window; the twin's last row is r9).
+#   2c. The three round-13 VERDICT-task operators: task 3's composed
+#      incremental pipeline and task 5's IVF-PQ pair (the rows-only
+#      composite next to its hash-attested recall twin) — each task
+#      explicitly demands a driver row this round.
+#   3. The 13 oldest r7-tier ids (alphabetical within the tier) fill
+#      the remaining slots; the five displaced ids (sim_topk_cosine,
+#      sim_topk_ivf, sink_clustered_layout_ok, sink_zorder_layout_ok,
+#      sort_topk_global) lead the r14 rotation instead — deferral
+#      costs recency, not coverage (their every-pytest-run parity
+#      checks continue).
+# The rest of the r7 tier and the r8+ tiers rotate r14+ (r7 first).
+# Any id registered but absent here appends in registration order, so
+# new operators are never silently dropped — and the first-50
+# meta-test in tests/test_driver_profile.py fails on typos/miscounts.
+# Round-13 additions registered after THIS window freezes lead the
+# r14 window per the standing precedent.
 _PRIORITY = (
-    # --- tier 1: the 22 round-11 ids without a formal driver row
-    #     (registration order, per the r11 pre-plan) ---
-    "scan_table_diff",
-    "window_cumulative_distinct",
-    "window_rolling_median",
-    "window_attribution_first_touch",
-    "window_gap_distribution",
-    "scalar_ip_cidr",
-    "multimodal_png_real",
-    "sim_mmr_rerank",
-    "sim_cluster_purity",
-    "text_cdc_chunking",
-    "text_pmi_collocations",
-    "dedup_chunk_level",
-    "agg_user_path_topk",
-    "window_time_to_event",
-    "agg_decay_weighted",
-    "events_dow_chi2",
-    "window_rfm_scores",
-    "agg_mad_robust",
-    "graph_common_neighbors",
-    "sample_stratified_neyman",
-    "sample_balanced_classes",
-    "scan_file_manifest_delta",
-    # --- tier 2: the 10 remaining r6-tier ids (clears the r6 tier) ---
-    "stream_funnel_state",
-    "stream_interval_join",
-    "tpch_q8",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    # --- tier 2b: the two round-12 VERDICT-task operators. Task 3
-    #     demands hash-green attestation and task 4 EXPLICITLY demands
-    #     a CORRECTNESS-green row for the composed pipeline, so they
-    #     take the two tail slots; the two displaced r7-tier ids
-    #     (join_bloom_prefilter_ok, join_inner_using) lead the r13
-    #     rotation instead — deferral costs recency, not coverage
-    #     (their every-pytest-run parity checks continue). ---
-    "text_unicode_normalize",
-    "pipeline_curation_e2e",
-    # --- tier 3: the 16 oldest r7-tier ids (alphabetical) ---
+    # --- tier 1: the 30 round-12 ids without a formal driver row ---
+    "sort_range_partitioned_ok",
+    "window_session_bounce",
+    "scalar_base_codecs",
+    "dedup_prefix_filter_join",
+    "multimodal_pitch_autocorr",
+    "multimodal_gif_real",
+    "multimodal_bmp_rle_real",
+    "dedup_soundex_blocking",
+    "sim_pca_power_iter",
+    "sim_hamming_topk",
+    "dedup_exact_normalized",
+    "text_source_quality_rollup",
+    "text_eval_contamination_rate",
+    "text_ccnet_buckets",
+    "text_readability_score",
+    "agg_gini_concentration",
+    "events_cusum_drift",
+    "agg_benford_deviation",
+    "agg_decile_shares",
+    "window_seasonal_dow_baseline",
+    "window_max_drawdown",
+    "window_seasonal_naive_backtest",
+    "agg_ams_f2_ok",
+    "graph_degree_assortativity",
+    "graph_clustering_coeff",
+    "sample_group_kfold",
+    "scan_file_metadata_cols",
+    "scan_csv_malformed_modes",
+    "ml_decision_stump",
+    "pipeline_entity_resolution_e2e",
+    # --- tier 2: the two r12-displaced ids ---
+    "join_bloom_prefilter_ok",
+    "join_inner_using",
+    # --- tier 2b: the approx-distinct pair, adjacent (task 6) ---
     "agg_approx_distinct",
-    "agg_cms_topk_ok",
-    "agg_count",
-    "agg_count_distinct",
-    "agg_gap_fill_daily",
-    "agg_multi",
-    "agg_percentile",
-    "agg_unpivot_melt",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "dedup_resolve_canonical",
-    "filter_col_eq",
-    "filter_conj_eq",
-    "filter_date_range",
-    "graph_triangle_count",
+    "agg_approx_distinct_tol",
+    # --- tier 2c: the round-13 VERDICT-task operators (tasks 3, 5) ---
+    "pipeline_incremental_e2e",
+    "sim_topk_ivfpq",
+    "sim_ivfpq_recall_ok",
+    # --- tier 3: the 13 oldest r7-tier ids (alphabetical) ---
+    "join_lateral_topn",
+    "join_range",
+    "multimodal_wav_real",
+    "pivot_event_counts",
+    "scalar_higher_order_lambda",
+    "scalar_json_struct",
+    "scalar_variant_json",
+    "scan_json_doc",
+    "scan_parquet",
+    "scan_recursive_cte",
+    "scan_table_checksum",
+    "sim_ivf_recall",
+    "sim_topk_blocked",
 )
 
 

@@ -116,6 +116,13 @@ def test_rows_only_query_set_is_pinned():
         # PQ: codebook/ADC values are engine-internal floats; the
         # driver-checked guarantee is sim_pq_recall_ok's 0.7 floor.
         "sim_topk_pq",
+        # IVF-PQ composition (round 13, VERDICT r12 task 5): same
+        # engine-internal floats as its two parent tiers; the
+        # driver-checked guarantee is sim_ivfpq_recall_ok's 0.7 floor
+        # (measured 0.88-0.98). This is the set's only growth since it
+        # was pinned at 8 — a deliberate one, with the hash-attested
+        # twin registered in the same round and the same driver window.
+        "sim_topk_ivfpq",
         "agg_approx_distinct",
         "agg_percentile_approx",
         "multimodal_image_features",

@@ -4699,3 +4699,31 @@ def test_pipeline_incremental_e2e_constructed(spark, tmp_path):
     assert got[5]["rows_out"] == got[1]["rows_out"] == 6
     for s in range(1, 6):
         assert got[s]["checksum"] is not None
+
+
+def test_ivfpq_full_ranked_topk_and_recall(spark):
+    """IVF-PQ output contract: a full, densely-ranked top-10 per query
+    (a probe list that starves a query, a lost shortlist block, or a
+    rerank join that drops vectors shows up as a short or gapped
+    ranking), and recall@10 against the exact operator clears the
+    documented 0.7 floor with margin."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.similarity import (
+        sim_topk_cosine,
+        sim_topk_ivfpq,
+    )
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    with cache_scope():
+        df = sim_topk_ivfpq(spark, SF_SMALL)
+        assert df.count() == 50  # 5 queries x top-10
+        ranks = df.groupBy("q_id").agg(
+            F.max("rank").alias("mx"), F.count("*").alias("n")
+        ).collect()
+        for r in ranks:
+            assert r["mx"] == 10 and r["n"] == 10
+        exact = {(r.q_id, r.neighbor_id)
+                 for r in sim_topk_cosine(spark, SF_SMALL).collect()}
+        got = {(r.q_id, r.neighbor_id) for r in df.collect()}
+    assert len(exact & got) / len(exact) >= 0.7

@@ -1155,3 +1155,30 @@ def test_incremental_pipeline_plan_shape(spark):
     assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_one_scan_no_smj(spark):
+    """sim_topk_ivfpq's composition contract (VERDICT r12 task 5): the
+    embeddings parquet is scanned ONCE (cell assignment and PQ encoding
+    are in-scan literal expressions — the corpus never shuffles for
+    either), the shortlist windows plan partial+final WindowGroupLimit,
+    the rerank join broadcasts, and there is no sort-merge join, no
+    cartesian, and no Python anywhere."""
+    import contextlib
+    import io
+    import re
+
+    from talkdesk_async_etl_spark.operators.similarity import sim_topk_ivfpq
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    with cache_scope():
+        df = sim_topk_ivfpq(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None

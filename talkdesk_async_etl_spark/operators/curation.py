@@ -540,7 +540,17 @@ def pipeline_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     blocking key that drops a true pair, a mis-propagated label, or
     one mis-mapped record each break the hash. The fixture's
     cold-X/old-X name family yields a stable nonzero pair set at
-    every SF (vacuity-checked)."""
+    every SF (vacuity-checked).
+
+    Degenerate-domain caveat (SCALING.md r13): the vocabulary-grain
+    premise assumes a bounded name domain. On a serial-number-dense
+    domain (every record a unique 'part_<n> <color>' name) the lev<=2
+    pair graph is NEAR-COMPLETE per block — measured 339 s at sf1 on
+    such a fixture, and exact-recall rare-gram prefix filtering does
+    not help because the TRUE answer itself is millions of edges
+    collapsing to a handful of entities. The mitigation there is a
+    block-size cap (the `_bucket_pairs` hot-key move) or a stricter
+    key — a semantic tuning choice, not a join optimization."""
     from talkdesk_async_etl_spark.operators.dedup_clusters import (
         _soundex_sql,
         propagate_min_labels,

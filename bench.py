@@ -358,6 +358,11 @@ _HEADLINE_R13 = (
     "pipeline_incremental_e2e",
     "sim_topk_ivfpq",
     "sim_ivfpq_recall_ok",
+    "agg_ks_source_drift",
+    "agg_mann_whitney_auc",
+    "events_autocorr_lag",
+    "sample_bootstrap_replicates",
+    "agg_tukey_outlier_fences",
 )
 
 HEADLINE = (

@@ -84,6 +84,12 @@ _BOUNDED_NLJ = {
                          # != condition (the sim_topk_cosine shape)
     "agg_benford_deviation",  # 1-row corpus-total broadcast into the
                               # 9-row digit relation (the neyman shape)
+    # audited round 13:
+    "agg_ks_source_drift",  # sources x value-domain grid build: two
+                            # domain-bounded relations (~20 x ~340)
+                            # cross-joined broadcast, plus the 1-row
+                            # corpus-total broadcast — both bounded by
+                            # the DOMAIN, not the corpus
 }
 
 

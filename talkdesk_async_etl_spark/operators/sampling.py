@@ -715,3 +715,97 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_purchases").cast("long").alias("n_purchases"),
         F.bit_xor("uh").alias("users_xor"),
     )
+
+
+# --- Deterministic bootstrap (round 13) ---------------------------------
+# Poisson(1) bootstrap weights derived from md5 — the streaming/
+# distributed bootstrap (each row draws its replicate multiplicity
+# independently, no global resample pass), made fully deterministic by
+# replacing the RNG with the family's md5-60-bit fold on (doc_id |
+# replicate). The five cumulative-pmf thresholds are floor(1e6 ·
+# P(X<=k)) for Poisson(1), frozen as literals shared by both engines
+# (unit-pinned against math.exp so a typo cannot skew every weight);
+# mass past k=4 (~0.37%) draws weight 5 — the truncation is part of
+# the deterministic contract, identical on both engines.
+_BOOT_B = 16
+_BOOT_MICRO = 1_000_000
+_BOOT_THRESH = (367879, 735758, 919698, 981011, 996340)
+
+
+def _boot_weight_sql(u: str) -> str:
+    """Weight from a uniform micro-draw ``u`` — shared SQL template
+    (pure CASE over the frozen thresholds, dialect-free)."""
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+_BOOT_ORACLE = f"""
+    WITH draws AS (
+        SELECT r.r AS replicate, d.n_chars,
+               {_boot_weight_sql(
+                   "(" + _duck_hex15(
+                       "md5(CAST(doc_id AS VARCHAR) || '|' || CAST(r.r AS VARCHAR))"
+                   ) + f" % {_BOOT_MICRO})"
+               )} AS w
+        FROM documents d, range(0, {_BOOT_B}) r(r)
+    )
+    SELECT CAST(replicate AS INTEGER) AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_draws,
+           CAST(sum(CAST(w AS HUGEINT) * n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CAST(w AS HUGEINT) * n_chars) * 1000000
+                // CAST(sum(w) AS HUGEINT) AS BIGINT) AS mean_chars_micro
+    FROM draws GROUP BY replicate
+"""
+
+
+@query("sample_bootstrap_replicates", oracle=_BOOT_ORACLE, tags=("sample", "stats"))
+def sample_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 depth: deterministic POISSON BOOTSTRAP over the corpus — 16
+    resampling replicates of the mean-document-length statistic, the
+    uncertainty bar a curation dashboard should put next to every
+    corpus-level number (the spread of the 16 means IS the bootstrap
+    standard error). The classic streaming bootstrap (Poisson(1)
+    multiplicities per row, no global resample) with the RNG replaced
+    by the family's md5-60-bit fold on (doc_id | replicate), so both
+    engines draw the IDENTICAL resamples and the per-replicate sums
+    hash-match exactly; the replicate mean is micro-quantized floor
+    division over DECIMAL(38,0)/HUGEINT sums.
+
+    Plan: ONE corpus scan with an in-scan 16-way explode (the weight
+    is a pure projection — no join, no shuffle of documents); the only
+    exchange carries 16 map-side-combined partial rows per task. At
+    100 TB: identical — B·corpus weight draws all inside the scan
+    task, the reduction is 16 groups wide. Memory-free versus the
+    naive "materialize B resampled corpora" formulation."""
+    d = t(spark, sf_dir, "documents", spread=True).select("doc_id", "n_chars")
+    drawn = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(*[F.lit(r) for r in range(_BOOT_B)])).alias("replicate"),
+    ).withColumn(
+        "w",
+        F.expr(
+            _boot_weight_sql(
+                "pmod(conv(substring(md5(concat(CAST(doc_id AS STRING), '|',"
+                " CAST(replicate AS STRING))), 1, 15), 16, 10),"
+                f" {_BOOT_MICRO})"
+            )
+        ),
+    )
+    return (
+        drawn.groupBy(F.col("replicate").cast("int").alias("replicate"))
+        .agg(
+            F.sum("w").cast("long").alias("n_draws"),
+            F.sum(F.col("w").cast("decimal(19,0)") * F.col("n_chars"))
+            .cast("long")
+            .alias("chars_total"),
+            F.expr(
+                "CAST((sum(CAST(w AS DECIMAL(19,0)) * n_chars) * 1000000"
+                " - (sum(CAST(w AS DECIMAL(19,0)) * n_chars) * 1000000)"
+                "   % sum(CAST(w AS DECIMAL(19,0))))"
+                " / sum(CAST(w AS DECIMAL(19,0))) AS BIGINT)"
+            ).alias("mean_chars_micro"),
+        )
+    )

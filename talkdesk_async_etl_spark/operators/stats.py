@@ -2146,3 +2146,498 @@ def window_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
             " THEN 'seasonal_naive' ELSE 'naive' END"
         ).alias("best_model"),
     )
+
+
+# --- Distribution-diagnostics wave (round 13) ---------------------------
+# Drift, effect size, seasonality memory, and outlier screening — the
+# statistics a training-data pipeline runs BETWEEN ingest and training
+# to decide whether a source moved, a slice differs, or a batch needs
+# gating. All exact: value-grain collapses first, cross products in
+# DECIMAL(38,0)/HUGEINT (the gini accumulator lesson at design time),
+# micro-quantization before any division, floor(sqrt(double)) only
+# where a denominator genuinely needs a root (the Neyman precedent —
+# IEEE 754 sqrt and int->double round identically on both engines).
+
+_KS_ORACLE = """
+    WITH per AS (
+        SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM per GROUP BY v),
+    srcs AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_src FROM per GROUP BY source
+    ),
+    n AS (SELECT CAST(sum(ct) AS BIGINT) AS n_all FROM tot),
+    grid AS (
+        SELECT s.source, s.n_src, t.v, t.ct, coalesce(p.c, 0) AS c
+        FROM srcs s CROSS JOIN tot t
+        LEFT JOIN per p ON p.source = s.source AND p.v = t.v
+    ),
+    cums AS (
+        SELECT source, n_src, v,
+               sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_s,
+               sum(ct) OVER (PARTITION BY source ORDER BY v) AS cum_all
+        FROM grid
+    ),
+    devs AS (
+        SELECT source, n_src, v,
+               abs(CAST(cum_s AS HUGEINT) * ((SELECT n_all FROM n) - n_src)
+                   - CAST(cum_all - cum_s AS HUGEINT) * n_src) * 1000000
+                   // (CAST(n_src AS HUGEINT)
+                       * ((SELECT n_all FROM n) - n_src)) AS d_micro
+        FROM cums
+    ),
+    ranked AS (
+        SELECT source, n_src, v, d_micro,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY d_micro DESC, v) AS rn
+        FROM devs
+    )
+    SELECT source,
+           CAST(max(n_src) AS BIGINT) AS n_src,
+           CAST((SELECT n_all FROM n) - max(n_src) AS BIGINT) AS n_rest,
+           CAST(max(d_micro) AS BIGINT) AS ks_micro,
+           CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS ks_at_value
+    FROM ranked GROUP BY source
+"""
+
+
+@query("agg_ks_source_drift", oracle=_KS_ORACLE, tags=("agg", "stats", "drift"))
+def agg_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: two-sample KOLMOGOROV-SMIRNOV drift screen, each source vs
+    the rest of the corpus over the document-length distribution — the
+    standard "did this source's data shift" gate a curation pipeline
+    runs per ingest batch (a mean/variance screen misses shape changes;
+    KS sees any ecdf divergence). Fully exact: both ecdfs are step
+    functions over the bounded n_chars DOMAIN, so the max deviation is
+    evaluated on the global value grid; the per-point statistic
+    |cum_s·n_rest − cum_rest·n_src| is cross-multiplied in
+    DECIMAL(38,0)/HUGEINT and micro-quantized by floor division —
+    no engine ever divides floats. The argmax value (smallest-v
+    tie-break) rides out via the cusum rank-gated-max pattern.
+
+    Plan: ONE corpus-grain pass (the (source, value) count collapse —
+    map-side combinable); everything after runs on the sources×values
+    grid, which is bounded by |sources|·|value domain| at ANY corpus
+    size (~20×340 here). The grid build is a broadcast cross join of
+    two domain-sized relations — the allowlisted bounded NLJ shape —
+    and the two cumulative windows share one source-keyed exchange of
+    grid rows."""
+    base = t(spark, sf_dir, "documents", spread=True).select(
+        "source", F.col("n_chars").alias("v")
+    )
+    per = scoped_persist(
+        base.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = per.groupBy("v").agg(F.sum("c").alias("ct"))
+    srcs = per.groupBy("source").agg(F.sum("c").alias("n_src"))
+    n_all = per.agg(F.sum("c").alias("n_all"))
+    grid = (
+        srcs.crossJoin(F.broadcast(tot))
+        .join(per, ["source", "v"], "left")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_src",
+            "v",
+            "ct",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "n_all",
+        )
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cums = grid.select(
+        "source",
+        "n_src",
+        "v",
+        "n_all",
+        F.sum("c").over(w).alias("cum_s"),
+        F.sum("ct").over(w).alias("cum_all"),
+    )
+    devs = cums.select(
+        "source",
+        "n_src",
+        "n_all",
+        "v",
+        F.expr(
+            "CAST((abs(CAST(cum_s AS DECIMAL(38,0)) * (n_all - n_src)"
+            "     - CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_src) * 1000000"
+            " - (abs(CAST(cum_s AS DECIMAL(38,0)) * (n_all - n_src)"
+            "     - CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_src) * 1000000)"
+            "   % (CAST(n_src AS DECIMAL(38,0)) * (n_all - n_src)))"
+            " / (CAST(n_src AS DECIMAL(38,0)) * (n_all - n_src)) AS BIGINT)"
+        ).alias("d_micro"),
+    )
+    ranked = devs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("d_micro").desc(), F.col("v"))
+        ),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n_src").cast("long").alias("n_src"),
+        (F.max("n_all") - F.max("n_src")).cast("long").alias("n_rest"),
+        F.max("d_micro").cast("long").alias("ks_micro"),
+        F.max(F.when(F.col("rn") == 1, F.col("v"))).cast("long").alias("ks_at_value"),
+    )
+
+
+_MWU_ORACLE = """
+    WITH per AS (
+        SELECT n_chars AS v,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_en,
+               CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS c_de
+        FROM documents WHERE lang IN ('en', 'de') GROUP BY 1
+    ),
+    walked AS (
+        SELECT v, c_en, c_de, c_en + c_de AS ct,
+               sum(c_en + c_de) OVER (ORDER BY v) - (c_en + c_de)
+                   AS cum_before
+        FROM per
+    ),
+    sums AS (
+        SELECT CAST(sum(c_en) AS BIGINT) AS n_en,
+               CAST(sum(c_de) AS BIGINT) AS n_de,
+               CAST(sum(CAST(c_en AS HUGEINT)
+                        * (2 * cum_before + ct + 1)) AS HUGEINT) AS r1x2,
+               CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS BIGINT)
+                   AS tie_cubes
+        FROM walked
+    )
+    SELECT n_en, n_de,
+           CAST(r1x2 - CAST(n_en AS HUGEINT) * (n_en + 1) AS BIGINT)
+               AS u_twice,
+           CAST((r1x2 - CAST(n_en AS HUGEINT) * (n_en + 1)) * 1000000
+                // (2 * CAST(n_en AS HUGEINT) * n_de) AS BIGINT)
+               AS auc_micro,
+           tie_cubes
+    FROM sums
+"""
+
+
+@query("agg_mann_whitney_auc", oracle=_MWU_ORACLE, tags=("agg", "stats", "drift"))
+def agg_mann_whitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: MANN-WHITNEY U / rank-sum between the en and de document
+    slices over document length — the nonparametric "is one slice
+    stochastically longer" test, and U/(n1·n2) is exactly the AUC of
+    "length predicts slice", the effect-size number next to
+    agg_ks_source_drift's shape distance and agg_ab_significance's
+    parametric z. Fully exact: ranks collapse to the value GRAIN with
+    midranks for ties carried as 2×-scaled integers (2·midrank =
+    2·cum_before + t + 1 — never a .5), the rank-sum accumulates in
+    DECIMAL(38,0)/HUGEINT, AUC is micro-quantized floor division, and
+    the tie-correction mass Σ(t³−t) rides out for any downstream
+    variance use.
+
+    Plan: ONE corpus-grain pass (the value-grain count collapse,
+    map-side combinable, with both slice counts as conditional sums in
+    the same aggregate); the midrank walk is one window over the
+    bounded value domain; one final 1-row reduction. Corpus-size-
+    independent after the collapse at any scale."""
+    base = t(spark, sf_dir, "documents", spread=True).filter(
+        F.col("lang").isin("en", "de")
+    )
+    per = base.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_en"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("c_de"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walked = per.select(
+        "v",
+        "c_en",
+        "c_de",
+        (F.col("c_en") + F.col("c_de")).alias("ct"),
+        (F.sum(F.col("c_en") + F.col("c_de")).over(w) - (F.col("c_en") + F.col("c_de"))).alias(
+            "cum_before"
+        ),
+    )
+    sums = walked.agg(
+        F.sum("c_en").cast("long").alias("n_en"),
+        F.sum("c_de").cast("long").alias("n_de"),
+        F.sum(
+            F.col("c_en").cast("decimal(19,0)")
+            * (2 * F.col("cum_before") + F.col("ct") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("ct").cast("decimal(19,0)") * F.col("ct") * F.col("ct")
+            - F.col("ct")
+        )
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    return sums.select(
+        "n_en",
+        "n_de",
+        F.expr(
+            "CAST(r1x2 - CAST(n_en AS DECIMAL(38,0)) * (n_en + 1) AS BIGINT)"
+        ).alias("u_twice"),
+        F.expr(
+            "CAST(((r1x2 - CAST(n_en AS DECIMAL(38,0)) * (n_en + 1)) * 1000000"
+            " - ((r1x2 - CAST(n_en AS DECIMAL(38,0)) * (n_en + 1)) * 1000000)"
+            "   % (2 * CAST(n_en AS DECIMAL(38,0)) * n_de))"
+            " / (2 * CAST(n_en AS DECIMAL(38,0)) * n_de) AS BIGINT)"
+        ).alias("auc_micro"),
+        "tie_cubes",
+    )
+
+
+_ACF_LAGS = (1, 7)
+
+_ACF_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               lag(x, 1) OVER w AS y1,
+               lag(x, 7) OVER w AS y7
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    stacked AS (
+        SELECT event_type, lag, x, y FROM (
+            SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged
+            UNION ALL
+            SELECT event_type, 7, x, y7 FROM lagged
+        ) WHERE y IS NOT NULL
+    ),
+    moms AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sx2,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS sy2
+        FROM stacked GROUP BY 1, 2
+    ),
+    parts AS (
+        SELECT event_type, lag, n,
+               n * sxy - sx * sy AS num,
+               CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))) AS HUGEINT)
+                   AS dx,
+               CAST(floor(sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS HUGEINT)
+                   AS dy
+        FROM moms
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+                WHEN num < 0 THEN -(((-num) * 1000000) // (dx * dy))
+                ELSE (num * 1000000) // (dx * dy) END AS BIGINT)
+               AS acf_micro
+    FROM parts
+"""
+
+
+@query("events_autocorr_lag", oracle=_ACF_ORACLE, tags=("stats", "events", "window"))
+def events_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40: lag-1 and lag-7 AUTOCORRELATION of daily event volume per
+    type — the seasonality-memory diagnostic that says WHETHER a
+    weekly cycle exists (window_seasonal_dow_baseline then says what
+    it looks like, and window_seasonal_naive_backtest whether it
+    forecasts): acf(7) >> acf(1) is the weekly-rhythm signature.
+    Pearson r over the (x_t, x_{t−k}) pairs with every moment summed
+    exactly (DECIMAL(38,0)/HUGEINT), the two denominator roots taken
+    once each as floor(sqrt(double)) — the Neyman precedent: IEEE 754
+    sqrt of an exactly-representable integer rounds identically on
+    both engines — and the ratio micro-quantized with an explicit
+    sign split (DuckDB ``//`` floors negatives; truncation toward
+    zero is the documented contract).
+
+    Plan: the corpus collapses to (type, day) grain FIRST (map-side
+    combinable); one type-keyed window serves BOTH lags (shared
+    window spec -> one Window node); the two lag series stack via an
+    in-scan explode (no union re-scan) and reduce to |types|×|lags|
+    moment rows. Day-grain everything — corpus-size-independent after
+    the collapse."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 7).over(w).alias("y7"),
+    )
+    stacked = (
+        lagged.select(
+            "event_type",
+            "x",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("lag"), F.col("y1").alias("y")),
+                    F.struct(F.lit(7).alias("lag"), F.col("y7").alias("y")),
+                )
+            ).alias("ly"),
+        )
+        .select("event_type", F.col("ly.lag").alias("lag"), "x", F.col("ly.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    moms = stacked.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("sy2"),
+    )
+    parts = moms.select(
+        "event_type",
+        "lag",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+        ).alias("num"),
+        F.floor(
+            F.sqrt(
+                F.expr(
+                    "CAST(CAST(n AS DECIMAL(38,0)) * sx2"
+                    " - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))"
+                    " AS DOUBLE)"
+                )
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("dx"),
+        F.floor(
+            F.sqrt(
+                F.expr(
+                    "CAST(CAST(n AS DECIMAL(38,0)) * sy2"
+                    " - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))"
+                    " AS DOUBLE)"
+                )
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("dy"),
+    )
+    return parts.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0"
+            " WHEN num < 0"
+            " THEN -((((-num) * 1000000) - (((-num) * 1000000) % (dx * dy)))"
+            "        / (dx * dy))"
+            " ELSE ((num * 1000000) - ((num * 1000000) % (dx * dy))) / (dx * dy)"
+            " END AS BIGINT)"
+        ).alias("acf_micro"),
+    )
+
+
+_TUKEY_ORACLE = """
+    WITH cents AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+               o.o_orderkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+        SELECT nationkey, v,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY v, k) AS rn,
+               count(*) OVER (PARTITION BY nationkey) AS n
+        FROM cents
+    ),
+    quarts AS (
+        SELECT nationkey, CAST(max(n) AS BIGINT) AS n_orders,
+               CAST(max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS BIGINT)
+                   AS q1_cents,
+               CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS BIGINT)
+                   AS q3_cents
+        FROM ranked GROUP BY nationkey
+    ),
+    flagged AS (
+        SELECT c.nationkey, q.n_orders, q.q1_cents, q.q3_cents,
+               CASE WHEN 2 * c.v < 5 * q.q1_cents - 3 * q.q3_cents
+                    THEN 1 ELSE 0 END AS lo,
+               CASE WHEN 2 * c.v > 5 * q.q3_cents - 3 * q.q1_cents
+                    THEN 1 ELSE 0 END AS hi
+        FROM cents c JOIN quarts q ON q.nationkey = c.nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(max(f.n_orders) AS BIGINT) AS n_orders,
+           CAST(max(f.q1_cents) AS BIGINT) AS q1_cents,
+           CAST(max(f.q3_cents) AS BIGINT) AS q3_cents,
+           CAST(sum(f.lo) AS BIGINT) AS n_low_outliers,
+           CAST(sum(f.hi) AS BIGINT) AS n_high_outliers
+    FROM flagged f JOIN nation n ON n.n_nationkey = f.nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("agg_tukey_outlier_fences", oracle=_TUKEY_ORACLE, tags=("agg", "stats", "dq"))
+def agg_tukey_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41: TUKEY-FENCE outlier screen per nation over order amounts —
+    the boxplot rule (outside [q1 − 1.5·IQR, q3 + 1.5·IQR]) that data-
+    quality gates and anomaly triage run before trusting a batch; the
+    rank-based complement to agg_mad_robust's deviation-scale screen.
+    Fully exact: quartiles are POSITIONAL (value at row ceil(n/4) /
+    ceil(3n/4) of the per-nation sort — spelled as rank arithmetic on
+    BOTH engines rather than builtin percentile functions, whose
+    interpolation conventions differ), and the fence test multiplies
+    through by 2 so 1.5·IQR never leaves the integers: 2v < 5q1 − 3q3
+    flags low, 2v > 5q3 − 3q1 flags high.
+
+    Plan: one broadcast dim join + ONE nation-keyed window sort of the
+    cents relation; the quartiles fold out via the rank-gated max (no
+    join-back for the quartile PICK), then the |nations|-row quartile
+    table broadcasts back onto the same persisted cents relation for
+    the outlier count — the winsorize shape. At 100 TB the sort is the
+    cost and it shards by nation; everything after is scan + 25-row
+    broadcast."""
+    o = t(spark, sf_dir, "orders", spread=True)
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cents = scoped_persist(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("v"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    wp = Window.partitionBy("nationkey")
+    ranked = cents.select(
+        "nationkey",
+        "v",
+        F.row_number().over(wp.orderBy("v", "k")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    quarts = ranked.groupBy("nationkey").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("v")))
+        .cast("long")
+        .alias("q1_cents"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("v")))
+        .cast("long")
+        .alias("q3_cents"),
+    )
+    flagged = cents.join(F.broadcast(quarts), "nationkey").select(
+        "nationkey",
+        "n_orders",
+        "q1_cents",
+        "q3_cents",
+        F.when(2 * F.col("v") < 5 * F.col("q1_cents") - 3 * F.col("q3_cents"), 1)
+        .otherwise(0)
+        .alias("lo"),
+        F.when(2 * F.col("v") > 5 * F.col("q3_cents") - 3 * F.col("q1_cents"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    return (
+        flagged.join(F.broadcast(n), flagged.nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_orders").cast("long").alias("n_orders"),
+            F.max("q1_cents").cast("long").alias("q1_cents"),
+            F.max("q3_cents").cast("long").alias("q3_cents"),
+            F.sum("lo").cast("long").alias("n_low_outliers"),
+            F.sum("hi").cast("long").alias("n_high_outliers"),
+        )
+    )

@@ -4727,3 +4727,147 @@ def test_ivfpq_full_ranked_topk_and_recall(spark):
                  for r in sim_topk_cosine(spark, SF_SMALL).collect()}
         got = {(r.q_id, r.neighbor_id) for r in df.collect()}
     assert len(exact & got) / len(exact) >= 0.7
+
+
+def test_ks_source_drift_constructed(spark, tmp_path):
+    """Two-source corpus with hand-computable ecdfs: disjoint value
+    ranges give KS = 1e6 exactly (attained at the boundary value), and
+    the statistic is symmetric between the two sources (each is the
+    other's 'rest')."""
+    from talkdesk_async_etl_spark.operators.stats import agg_ks_source_drift
+
+    rows = [(i, "t", "en", "A", v) for i, v in enumerate([10, 10, 20])] + [
+        (10 + i, "t", "en", "B", v) for i, v in enumerate([30, 30, 40])
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r for r in agg_ks_source_drift(spark, str(tmp_path)).collect()}
+    for s in ("A", "B"):
+        assert got[s]["n_src"] == 3 and got[s]["n_rest"] == 3
+        assert got[s]["ks_micro"] == 1_000_000
+        assert got[s]["ks_at_value"] == 20  # smallest argmax value
+
+
+def test_mann_whitney_midranks_constructed(spark, tmp_path):
+    """Tie handling: one en doc and one de doc with the SAME length
+    must midrank to AUC exactly 0.5; a clean separation gives AUC 0."""
+    from talkdesk_async_etl_spark.operators.stats import agg_mann_whitney_auc
+
+    tied = [(1, "t", "en", "w", 100), (2, "t", "de", "w", 100)]
+    spark.createDataFrame(
+        tied, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = agg_mann_whitney_auc(spark, str(tmp_path)).collect()[0]
+    assert (r["n_en"], r["n_de"]) == (1, 1)
+    assert r["u_twice"] == 1  # 2*midrank(1.5) - n1(n1+1) = 3 - 2
+    assert r["auc_micro"] == 500_000
+    assert r["tie_cubes"] == 2 * 2 * 2 - 2
+
+    sep = [(1, "t", "en", "w", 10), (2, "t", "en", "w", 20),
+           (3, "t", "de", "w", 30), (4, "t", "de", "w", 40)]
+    import shutil
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        sep, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = agg_mann_whitney_auc(spark, str(tmp_path)).collect()[0]
+    assert r["u_twice"] == 0 and r["auc_micro"] == 0
+
+
+def test_autocorr_periodic_series(spark, tmp_path):
+    """A strictly 7-periodic daily series must read acf(7) ~ 1.0 (the
+    integer-sqrt floor can only push the micro value a hair ABOVE 1e6,
+    never below) and acf(1) well under acf(7)."""
+    import datetime
+
+    from talkdesk_async_etl_spark.operators.stats import events_autocorr_lag
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    pattern = [1, 5, 2, 7, 3, 9, 4]  # weekly cycle, aperiodic at lag 1
+    for d in range(35):
+        for _ in range(pattern[d % 7]):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "click",
+                         1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["lag"]: r for r in events_autocorr_lag(spark, str(tmp_path)).collect()}
+    assert got[7]["n_pairs"] == 28 and got[1]["n_pairs"] == 34
+    # floor(sqrt) in each denominator biases the micro value UP by at
+    # most (1 + 1/sqrt(D))^2 ~ 1 + 2/sqrt(D); D = 5344 here, so the
+    # exact value is 5344e6 // 73^2 = 1_002_814 — never below 1e6.
+    assert 1_000_000 <= got[7]["acf_micro"] <= 1_003_000
+    assert got[1]["acf_micro"] < 0  # the sawtooth anti-correlates at lag 1
+
+
+def test_bootstrap_replicates_match_python_replay(spark, tmp_path):
+    """The frozen Poisson(1) thresholds must equal floor(1e6·cdf) from
+    math.exp, and every replicate's (n_draws, chars_total) must equal a
+    pure-python replay of the md5 weight rule — the determinism that
+    makes the bootstrap oracle-checkable."""
+    import hashlib
+    import math
+
+    from talkdesk_async_etl_spark.operators.sampling import (
+        _BOOT_B,
+        _BOOT_THRESH,
+        sample_bootstrap_replicates,
+    )
+
+    cdf = 0.0
+    for k, t in enumerate(_BOOT_THRESH):
+        cdf += math.exp(-1) / math.factorial(k)
+        assert t == math.floor(cdf * 1_000_000)
+
+    docs = [(i, "t", "en", "w", 50 + 7 * i) for i in range(40)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def weight(doc_id, r):
+        u = int(hashlib.md5(f"{doc_id}|{r}".encode()).hexdigest()[:15], 16) % 1_000_000
+        for k, t in enumerate(_BOOT_THRESH):
+            if u < t:
+                return k
+        return 5
+
+    expect = {}
+    for r in range(_BOOT_B):
+        ws = [(weight(d, r), nc) for d, _, _, _, nc in docs]
+        expect[r] = (sum(w for w, _ in ws), sum(w * nc for w, nc in ws))
+    got = {r["replicate"]: r for r in
+           sample_bootstrap_replicates(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(_BOOT_B))
+    for r, (nd, ct) in expect.items():
+        assert (got[r]["n_draws"], got[r]["chars_total"]) == (nd, ct)
+        if nd:
+            assert got[r]["mean_chars_micro"] == ct * 1_000_000 // nd
+
+
+def test_tukey_fences_constructed(spark, tmp_path):
+    """Hand-computable quartiles and fences: n=8 values with one far
+    outlier — q1 at rank ceil(8/4)=2, q3 at rank ceil(24/4)=6, only the
+    extreme value clears the high fence, nothing clears the low one."""
+    from talkdesk_async_etl_spark.operators.stats import agg_tukey_outlier_fences
+
+    vals = [1.00, 2.00, 3.00, 4.00, 5.00, 6.00, 7.00, 1000.00]
+    spark.createDataFrame(
+        [(i, 1, v, "1996-01-01") for i, v in enumerate(vals)],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 0)], "c_custkey long, c_nationkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "N0")], "n_nationkey long, n_name string"
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    r = agg_tukey_outlier_fences(spark, str(tmp_path)).collect()[0]
+    assert r["nation"] == "N0" and r["n_orders"] == 8
+    assert (r["q1_cents"], r["q3_cents"]) == (200, 600)
+    assert (r["n_low_outliers"], r["n_high_outliers"]) == (0, 1)

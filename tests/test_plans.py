@@ -1182,3 +1182,54 @@ def test_ivfpq_one_scan_no_smj(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("WindowGroupLimit") >= 2
     assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+
+
+def test_ks_drift_grid_is_domain_bounded(spark):
+    """agg_ks_source_drift: one corpus scan feeds the (source, value)
+    collapse; the grid build's nested-loop joins are the allowlisted
+    bounded broadcasts (domain-sized relations), and the cumulative
+    windows run source-keyed — no sort-merge join anywhere."""
+    import re
+
+    plan = plan_of(spark, "agg_ks_source_drift")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+
+
+def test_mwu_and_autocorr_single_scan_no_join(spark):
+    """agg_mann_whitney_auc and events_autocorr_lag both collapse to
+    the value/day grain in one scan and never join."""
+    import re
+
+    for name in ("agg_mann_whitney_auc", "events_autocorr_lag"):
+        plan = plan_of(spark, name)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None, name
+        assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None, name
+
+
+def test_bootstrap_in_scan_explode_no_join(spark):
+    """sample_bootstrap_replicates: the 16-way replicate explode and
+    the md5 weight draw run inside the scan task (Generate over one
+    parquet scan, zero joins); the only exchange carries the 16-group
+    partials."""
+    import re
+
+    plan = plan_of(spark, "sample_bootstrap_replicates")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Generate" in plan
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    # two exchanges max: the spread repartition (testdata's one-row-
+    # group parquet; a no-op at scale) + the 16-group partial merge
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_tukey_fences_broadcast_winsorize_shape(spark):
+    """agg_tukey_outlier_fences: the dims and the 25-row quartile table
+    broadcast back onto the persisted cents relation (the winsorize
+    shape) — no sort-merge join, no cartesian."""
+    plan = plan_of(spark, "agg_tukey_outlier_fences")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -363,6 +363,9 @@ _HEADLINE_R13 = (
     "events_autocorr_lag",
     "sample_bootstrap_replicates",
     "agg_tukey_outlier_fences",
+    "agg_chi2_independence",
+    "text_dispersion_dp",
+    "text_rake_keywords",
 )
 
 HEADLINE = (

@@ -90,6 +90,11 @@ _BOUNDED_NLJ = {
                             # cross-joined broadcast, plus the 1-row
                             # corpus-total broadcast — both bounded by
                             # the DOMAIN, not the corpus
+    "agg_chi2_independence",  # 1-row totals x 1-row statistic join
+                              # (the neyman 1-row broadcast shape)
+    "text_dispersion_dp",  # 10-term top list x |sources| grid build +
+                           # 1-row grand-total broadcast — both bounded
+                           # by the domain, the KS grid shape
 }
 
 

@@ -2641,3 +2641,132 @@ def agg_tukey_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hi").cast("long").alias("n_high_outliers"),
         )
     )
+
+
+_CHI2_ORACLE = """
+    WITH obs AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    cells AS (
+        -- zero-fill the full grid: unobserved (source, lang) combos
+        -- still contribute (0 - E)^2 / E to the statistic
+        SELECT s.source, l.lang, coalesce(ob.o, 0) AS o
+        FROM (SELECT DISTINCT source FROM obs) s
+        CROSS JOIN (SELECT DISTINCT lang FROM obs) l
+        LEFT JOIN obs ob ON ob.source = s.source AND ob.lang = l.lang
+    ),
+    margins AS (
+        SELECT c.source, c.lang, c.o,
+               sum(c.o) OVER (PARTITION BY c.source) AS r,
+               sum(c.o) OVER (PARTITION BY c.lang) AS cl,
+               sum(c.o) OVER () AS n
+        FROM cells c
+    ),
+    contrib AS (
+        SELECT source, lang,
+               (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * cl)
+               * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * cl)
+               * 1000000
+               // (CAST(n AS HUGEINT) * r * cl) AS cell_micro
+        FROM margins
+    ),
+    ranked AS (
+        SELECT source, lang, cell_micro,
+               row_number() OVER (ORDER BY cell_micro DESC, source, lang) AS rn
+        FROM contrib
+    )
+    SELECT CAST((SELECT sum(o) FROM cells) AS BIGINT) AS n_rows,
+           CAST((SELECT count(DISTINCT source) FROM cells) AS BIGINT)
+               AS n_sources,
+           CAST((SELECT count(DISTINCT lang) FROM cells) AS BIGINT) AS n_langs,
+           CAST(((SELECT count(DISTINCT source) FROM cells) - 1)
+                * ((SELECT count(DISTINCT lang) FROM cells) - 1) AS BIGINT)
+               AS dof,
+           CAST((SELECT sum(cell_micro) FROM contrib) AS BIGINT)
+               AS chi2_micro,
+           (SELECT max(source) FROM ranked WHERE rn = 1) AS top_source,
+           (SELECT max(lang) FROM ranked WHERE rn = 1) AS top_lang
+"""
+
+
+@query("agg_chi2_independence", oracle=_CHI2_ORACLE, tags=("agg", "stats", "drift"))
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42: CHI-SQUARED INDEPENDENCE test over the source × lang
+    contingency table — the categorical-drift companion to
+    agg_ks_source_drift's numeric shape test and events_dow_chi2's
+    goodness-of-fit (this one tests ASSOCIATION between two
+    categorical columns: "do sources have different language mixes").
+    Fully integer: Σ(n·o − r·c)²/(n·r·c) IS chi-squared exactly
+    ((o−E)²/E with E=r·c/n, cross-multiplied), so no float expected
+    counts ever appear: cross products and squares run
+    in DECIMAL(38,0)/HUGEINT (exact through n ~ 3e9; past that the
+    squared term exceeds 38 digits — the envelope is documented, not
+    silent), per-cell floor division, and the dominant cell rides out
+    via the rank-gated max with a (source, lang) tie-break.
+
+    Plan: one corpus-grain collapse to |sources|×|langs| cells
+    (map-side combinable), then three margin windows and the final
+    1-row reduction all on the bounded cell grid. Corpus-size-
+    independent after the collapse."""
+    obs = scoped_persist(
+        t(spark, sf_dir, "documents", spread=True)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    # Zero-fill the full grid (bounded broadcast cross join, the KS
+    # shape): unobserved combos still contribute (0 − E)²/E.
+    cells = scoped_persist(
+        obs.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(obs.select("lang").distinct()))
+        .join(obs, ["source", "lang"], "left")
+        .select("source", "lang", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    margins = cells.select(
+        "source",
+        "lang",
+        "o",
+        F.sum("o").over(Window.partitionBy("source")).alias("r"),
+        F.sum("o").over(Window.partitionBy("lang")).alias("cl"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    contrib = margins.select(
+        "source",
+        "lang",
+        F.expr(
+            "CAST((((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * cl)"
+            "  * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * cl))"
+            "  * 1000000"
+            " - (((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * cl)"
+            "  * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * cl))"
+            "  * 1000000)"
+            "   % (CAST(n AS DECIMAL(38,0)) * r * cl))"
+            " / (CAST(n AS DECIMAL(38,0)) * r * cl) AS DECIMAL(38,0))"
+        ).alias("cell_micro"),
+    )
+    ranked = contrib.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("cell_micro").desc(), F.col("source"), F.col("lang"))
+        ),
+    )
+    totals = cells.agg(
+        F.sum("o").cast("long").alias("n_rows"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+    stat = ranked.agg(
+        F.sum("cell_micro").cast("long").alias("chi2_micro"),
+        F.max(F.when(F.col("rn") == 1, F.col("source"))).alias("top_source"),
+        F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("top_lang"),
+    )
+    return totals.crossJoin(stat).select(
+        "n_rows",
+        "n_sources",
+        "n_langs",
+        ((F.col("n_sources") - 1) * (F.col("n_langs") - 1)).cast("long").alias("dof"),
+        "chi2_micro",
+        "top_source",
+        "top_lang",
+    )

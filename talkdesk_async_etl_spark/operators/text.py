@@ -1585,3 +1585,244 @@ def text_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(CAST(is_dup AS BIGINT)) * 1000000) DIV count(*) AS BIGINT)"
         ).alias("dup_micro"),
     )
+
+
+# --- Lexical dispersion (round 13) --------------------------------------
+# Gries' DP (2008): how evenly is a term spread across corpus parts?
+# DP(w) = 0.5 * sum_s |f_ws/F_w - t_s/T| over sources s — 0 means the
+# term follows the corpus' source mix exactly, ->1 means it lives in
+# one source. The curation signal frequency alone misses: a "frequent"
+# term concentrated in one crawl is boilerplate/contamination, not
+# vocabulary; dispersion separates the two.
+_DP_TOP_TERMS = 10
+
+
+_DP_ORACLE = f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        FROM tok WHERE w <> '' GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT source, CAST(sum(f) AS BIGINT) AS t FROM per GROUP BY source),
+    word_tot AS (SELECT w, CAST(sum(f) AS BIGINT) AS fw FROM per GROUP BY w),
+    grand AS (SELECT CAST(sum(t) AS BIGINT) AS tt FROM src_tot),
+    top AS (
+        SELECT w, fw FROM (
+            SELECT w, fw, row_number() OVER (ORDER BY fw DESC, w) AS rn
+            FROM word_tot
+        ) WHERE rn <= {_DP_TOP_TERMS}
+    ),
+    devs AS (
+        SELECT tp.w, tp.fw, st.source, st.t,
+               abs(CAST(coalesce(p.f, 0) AS HUGEINT) * (SELECT tt FROM grand)
+                   - CAST(st.t AS HUGEINT) * tp.fw) AS num
+        FROM top tp CROSS JOIN src_tot st
+        LEFT JOIN per p ON p.w = tp.w AND p.source = st.source
+    )
+    SELECT w AS term, CAST(max(fw) AS BIGINT) AS corpus_freq,
+           CAST(sum(num) * 1000000
+                // (2 * CAST(max(fw) AS HUGEINT) * (SELECT tt FROM grand))
+                AS BIGINT) AS dp_micro
+    FROM devs GROUP BY w
+"""
+
+
+@query("text_dispersion_dp", oracle=_DP_ORACLE, tags=("text", "stats", "drift"))
+def text_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-depth: GRIES' DP lexical dispersion for the corpus' top terms
+    across sources — 0 = the term follows the corpus source mix, ->1 =
+    it concentrates in one source (boilerplate / single-crawl
+    contamination that raw frequency cannot see). Fully exact: the
+    deviation |f_ws·T − t_s·F_w| cross-multiplies in DECIMAL(38,0)/
+    HUGEINT, the half comes from a single ×2 in the final floor
+    division, and the top-terms pick is frequency-ranked with an
+    alphabetical tie-break.
+
+    Plan: ONE corpus token pass collapses to the (source, word) grain
+    (map-side combinable — per-task state bounded by the vocabulary);
+    everything after is vocabulary- or source-sized: the top-10 pick
+    is a tiny sort, the grid is a bounded broadcast cross join
+    (10 terms × |sources|), the absent-cell zeros come from the left
+    join. At 100 TB the (source, word) relation is the only
+    corpus-derived table and it is domain-bounded."""
+    tok = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per = scoped_persist(
+        tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("f"))
+    )
+    src_tot = per.groupBy("source").agg(F.sum("f").alias("t"))
+    word_tot = per.groupBy("w").agg(F.sum("f").alias("fw"))
+    grand = src_tot.agg(F.sum("t").alias("tt"))
+    top = (
+        word_tot.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("fw").desc(), F.col("w")))
+        )
+        .filter(F.col("rn") <= _DP_TOP_TERMS)
+        .drop("rn")
+    )
+    tp = top.select(F.col("w").alias("term"), "fw")
+    p2 = per.select(
+        F.col("w").alias("term"), F.col("source").alias("src"), "f"
+    )
+    grid = (
+        tp.crossJoin(F.broadcast(src_tot.select(F.col("source").alias("src"), "t")))
+        .join(p2, ["term", "src"], "left")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "term",
+            "fw",
+            "t",
+            "tt",
+            F.abs(
+                F.coalesce(F.col("f"), F.lit(0)).cast("decimal(19,0)") * F.col("tt")
+                - F.col("t").cast("decimal(19,0)") * F.col("fw")
+            ).alias("num"),
+        )
+    )
+    return grid.groupBy("term").agg(
+        F.max("fw").cast("long").alias("corpus_freq"),
+        F.expr(
+            "CAST((sum(num) * 1000000"
+            " - (sum(num) * 1000000)"
+            "   % (2 * CAST(max(fw) AS DECIMAL(38,0)) * max(tt)))"
+            " / (2 * CAST(max(fw) AS DECIMAL(38,0)) * max(tt)) AS BIGINT)"
+        ).alias("dp_micro"),
+    )
+
+
+# --- RAKE keyword extraction (round 13) ----------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): split text
+# into candidate phrases at stopword/empty-token boundaries, score
+# each content word by degree/frequency (degree = total length of the
+# phrases it appears in — words that live in long multi-word phrases
+# outrank equally-frequent words that appear alone). Implemented
+# REGEX-FREE on both engines: tokens carry their position, a stopword
+# flag drives a running-sum phrase id, so the Java-vs-RE2 regex seam
+# never opens.
+_RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "in", "on", "to", "is",
+    "are", "was", "were", "for", "with", "as", "at", "by", "it",
+    "this", "that", "be", "from", "but", "not",
+)
+_RAKE_TOP = 20
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i, tk[i] AS w
+        FROM tk, range(1, 2000) r(i) WHERE i <= len(tk)
+    ),
+    flag AS (
+        SELECT doc_id, i, w,
+               CASE WHEN w IN ({stops}) OR w = '' THEN 1 ELSE 0 END AS st
+        FROM tok
+    ),
+    ph AS (
+        SELECT doc_id, i, w, st,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY i) AS p
+        FROM flag
+    ),
+    wrds AS (
+        SELECT doc_id, p, w,
+               count(*) OVER (PARTITION BY doc_id, p) AS len_ph
+        FROM ph WHERE st = 0
+    ),
+    stats AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(len_ph) AS BIGINT) AS degree
+        FROM wrds GROUP BY w
+    ),
+    scored AS (
+        SELECT w, freq, degree,
+               CAST(CAST(degree AS HUGEINT) * 1000000 // freq AS BIGINT)
+                   AS score_micro
+        FROM stats
+    )
+    SELECT w AS term, freq, degree, score_micro FROM (
+        SELECT *, row_number() OVER (ORDER BY score_micro DESC, w) AS rn
+        FROM scored
+    ) WHERE rn <= {_RAKE_TOP}
+    """
+
+
+@query("text_rake_keywords", oracle=_rake_oracle(), tags=("text", "keywords"))
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-depth: RAKE keyword extraction over the corpus — the
+    co-occurrence-based keyword scorer (degree/frequency over stopword-
+    delimited phrases) that tags corpora without a model: a word that
+    consistently appears inside long content phrases scores above an
+    equally-frequent word that appears alone, which is what separates
+    topical vocabulary from filler. Deterministic and regex-free on
+    both engines: positional tokens, a frozen 25-word stopword flag,
+    phrase id = running stopword count, phrase length by a window over
+    (doc, phrase), degree/frequency micro-quantized by floor division
+    with an alphabetical tie-break on the top-{top} cut.
+
+    Plan: one corpus token pass (posexplode in-scan), one (doc)-keyed
+    window sort shared by the flag walk, one (doc, phrase) window for
+    lengths on the same partitioning's refinement, then the
+    vocabulary-grain aggregate (map-side combinable) and a tiny top-k
+    sort. The only corpus-sized exchanges are the two token-grain
+    windows; at 100 TB phrase structure is computable inside the scan
+    via a partition-local walk, but the window form is what the
+    optimizer can already fuse.""".format(top=_RAKE_TOP)
+    stops = F.array(*[F.lit(w) for w in _RAKE_STOPWORDS])
+    toks = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("i", "w"))
+        .withColumn(
+            "st",
+            F.when(F.array_contains(stops, F.col("w")) | (F.col("w") == ""), 1)
+            .otherwise(0),
+        )
+    )
+    ph = toks.withColumn(
+        "p",
+        F.sum("st").over(
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wrds = ph.filter(F.col("st") == 0).withColumn(
+        "len_ph", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "p"))
+    )
+    stats = wrds.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("len_ph").alias("degree"),
+    )
+    scored = stats.select(
+        "w",
+        "freq",
+        "degree",
+        F.expr(
+            "CAST((CAST(degree AS DECIMAL(38,0)) * 1000000"
+            " - (CAST(degree AS DECIMAL(38,0)) * 1000000) % freq)"
+            " / freq AS BIGINT)"
+        ).alias("score_micro"),
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("rn") <= _RAKE_TOP)
+        .select(
+            F.col("w").alias("term"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("degree").cast("long").alias("degree"),
+            "score_micro",
+        )
+    )

@@ -4871,3 +4871,73 @@ def test_tukey_fences_constructed(spark, tmp_path):
     assert r["nation"] == "N0" and r["n_orders"] == 8
     assert (r["q1_cents"], r["q3_cents"]) == (200, 600)
     assert (r["n_low_outliers"], r["n_high_outliers"]) == (0, 1)
+
+
+def test_chi2_independence_constructed(spark, tmp_path):
+    """2x2 contingency extremes: a perfectly independent table reads
+    chi2 = 0; a perfectly associated one reads chi2 = n (the 2x2
+    identity), both exactly in micro units."""
+    from talkdesk_async_etl_spark.operators.stats import agg_chi2_independence
+
+    indep = [(i, "t", ["x", "y"][i % 2], ["A", "B"][(i // 2) % 2], 100)
+             for i in range(20)]
+    spark.createDataFrame(
+        indep, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = agg_chi2_independence(spark, str(tmp_path)).collect()[0]
+    assert (r["n_rows"], r["dof"]) == (20, 1)
+    assert r["chi2_micro"] == 0
+
+    import shutil
+    shutil.rmtree(str(tmp_path / "documents.parquet"))
+    assoc = [(i, "t", "x", "A", 100) for i in range(10)] + [
+        (10 + i, "t", "y", "B", 100) for i in range(10)
+    ]
+    spark.createDataFrame(
+        assoc, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = agg_chi2_independence(spark, str(tmp_path)).collect()[0]
+    assert r["chi2_micro"] == 20 * 1_000_000  # chi2 == n for a perfect 2x2
+    assert (r["top_source"], r["top_lang"]) == ("A", "x")  # tie-break
+
+
+def test_dispersion_dp_constructed(spark, tmp_path):
+    """A term spread exactly proportionally to the source mix reads
+    DP = 0; a term living in one source reads DP = 1 - t_s/T."""
+    from talkdesk_async_etl_spark.operators.stats import agg_chi2_independence  # noqa: F401
+    from talkdesk_async_etl_spark.operators.text import text_dispersion_dp
+
+    # source A: 6 tokens; source B: 3 tokens (T=9, t_A=6, t_B=3)
+    docs = [
+        (1, "even even solo solo solo solo", "en", "A", 30),
+        (2, "even pad pad", "en", "B", 12),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["term"]: r for r in text_dispersion_dp(spark, str(tmp_path)).collect()}
+    # 'even': f_A=2 of F=3 -> |2*9-6*3|=0; B: |1*9-3*3|=0 -> DP=0
+    assert got["even"]["dp_micro"] == 0
+    # 'solo': only in A -> DP = 1 - 6/9 = 1/3
+    assert got["solo"]["dp_micro"] == 333_333
+    assert got["solo"]["corpus_freq"] == 4
+
+
+def test_rake_keywords_constructed(spark, tmp_path):
+    """Hand-computed RAKE scores: 'the quick brown fox and lazy dog
+    the fox' -> phrases [quick brown fox][lazy dog][fox]; degree
+    rewards phrase length, the top-k tie-breaks alphabetically."""
+    from talkdesk_async_etl_spark.operators.text import text_rake_keywords
+
+    docs = [(1, "the quick brown fox and lazy dog the fox", "en", "w", 40)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = text_rake_keywords(spark, str(tmp_path)).collect()
+    assert [(r["term"], r["freq"], r["degree"], r["score_micro"]) for r in rows] == [
+        ("brown", 1, 3, 3_000_000),
+        ("quick", 1, 3, 3_000_000),
+        ("dog", 1, 2, 2_000_000),
+        ("fox", 2, 4, 2_000_000),
+        ("lazy", 1, 2, 2_000_000),
+    ]

@@ -1233,3 +1233,29 @@ def test_tukey_fences_broadcast_winsorize_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chi2_and_dispersion_domain_bounded(spark):
+    """agg_chi2_independence / text_dispersion_dp: one corpus scan
+    each; all joins are the allowlisted bounded broadcasts (zero-fill
+    grids, 1-row totals) — no sort-merge join anywhere."""
+    import re
+
+    for name in ("agg_chi2_independence", "text_dispersion_dp"):
+        plan = plan_of(spark, name)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        assert "SortMergeJoin" not in plan, name
+        assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None, name
+
+
+def test_rake_two_token_windows_no_join(spark):
+    """text_rake_keywords: phrase structure via two token-grain
+    windows (flag walk + phrase length), zero joins, one scan, and
+    the in-scan posexplode Generate."""
+    import re
+
+    plan = plan_of(spark, "text_rake_keywords")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Generate" in plan
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert len(re.findall(r"\(\d+\) Window", plan)) >= 2

@@ -366,6 +366,8 @@ _HEADLINE_R13 = (
     "agg_chi2_independence",
     "text_dispersion_dp",
     "text_rake_keywords",
+    "text_lexical_richness",
+    "scan_binary_files",
 )
 
 HEADLINE = (

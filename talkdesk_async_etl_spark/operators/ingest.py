@@ -1178,3 +1178,76 @@ def scan_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
              "sum_good_keys", "sum_good_cents")
 
     return p_row.unionAll(d_row)
+
+
+_BINFILES_N = 8
+
+_BINFILES_ORACLE = f"""
+    WITH fx AS (
+        SELECT CAST(doc_id % {_BINFILES_N} AS INT) AS file_id,
+               bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS BIGINT)) AS x
+        FROM documents GROUP BY 1
+    )
+    SELECT file_id,
+           CAST(32 AS BIGINT) AS n_bytes,
+           CAST(('0x' || substr(md5(md5(CAST(x AS VARCHAR))), 1, 15)) AS BIGINT)
+               AS content_h
+    FROM fx
+"""
+
+
+@query("scan_binary_files", oracle=_BINFILES_ORACLE, tags=("scan", "ingest", "binary"))
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32: the ``binaryFile`` DataSource — Spark's whole-file binary
+    reader (schema: path, modificationTime, length, content), the
+    ingestion surface every multimodal pipeline starts from when media
+    arrives as FILES rather than parquet-embedded blobs. The landing
+    is derived deterministically from the documents table (one bounded
+    |files|-row aggregate collected, content_i = the md5 hex of file
+    i's doc-id XOR — so the ORACLE recomputes every byte from the
+    source table, the scan_file_manifest_delta precedent for
+    session-scratch landings), written with a decoy ``ignore.txt``
+    that ``pathGlobFilter='*.bin'`` must exclude; the read-back emits
+    per file its name-derived id, the byte length the source reports,
+    and the md5-60-bit of the CONTENT bytes — a wrong glob, a
+    truncated read, or any content corruption breaks the hash.
+
+    Scale shape: binaryFile lists and reads files across executors
+    (one task per file up to maxPartitionBytes); the md5 fold runs
+    inside the scan task, so the only driver traffic is the
+    |files|-row result. At 100 TB of media this is the entry point
+    that feeds the multimodal decode family (multimodal.py) —
+    content stays binary, metadata is typed columns."""
+    import hashlib
+    import os
+
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+    from talkdesk_async_etl_spark.sources.io import session_scratch_path
+
+    landing = session_scratch_path(spark, sf_dir, "tde_binfiles")
+    os.makedirs(landing, exist_ok=True)
+    per_file = (
+        t(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") % _BINFILES_N).cast("int").alias("file_id"))
+        .agg(F.bit_xor(_hex15_col(F.col("doc_id").cast("string"))).alias("x"))
+        .collect()
+    )  # bounded: |files| rows
+    for r in per_file:
+        content = hashlib.md5(str(r["x"]).encode()).hexdigest().encode("ascii")
+        with open(os.path.join(landing, f"part_{r['file_id']}.bin"), "wb") as fh:
+            fh.write(content)
+    with open(os.path.join(landing, "ignore.txt"), "w", encoding="utf-8") as fh:
+        fh.write("decoy - pathGlobFilter must exclude this file")
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(landing)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"part_(\d+)\.bin", 1)
+        .cast("int")
+        .alias("file_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        _hex15_col(F.col("content").cast("string")).alias("content_h"),
+    )

@@ -1826,3 +1826,92 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_micro",
         )
     )
+
+
+# --- Lexical richness (round 13) ------------------------------------------
+# Two classic vocabulary-richness statistics per source, both exact
+# integer functionals of the term-frequency spectrum (so, unlike
+# type-token ratio, only weakly length-dependent): Simpson's D =
+# sum f(f-1) / (N(N-1)) — the probability two random tokens are the
+# same type — and Yule's K = 1e4 * (sum f^2 - N) / N^2. Low-diversity
+# sources (template/boilerplate heavy) stand out on both.
+
+_RICHNESS_ORACLE = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        FROM tok WHERE w <> '' GROUP BY 1, 2
+    ),
+    spec AS (
+        SELECT source,
+               CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CAST(f AS HUGEINT) * (f - 1)) AS HUGEINT) AS rep2,
+               CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS f2
+        FROM tf GROUP BY source
+    )
+    SELECT source, n_tokens, n_types,
+           CAST(CASE WHEN n_tokens < 2 THEN 0
+                ELSE rep2 * 1000000
+                     // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) END
+                AS BIGINT) AS simpson_micro,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (f2 - n_tokens) * 10000 * 1000000
+                     // (CAST(n_tokens AS HUGEINT) * n_tokens) END
+                AS BIGINT) AS yule_k_micro
+    FROM spec
+"""
+
+
+@query("text_lexical_richness", oracle=_RICHNESS_ORACLE, tags=("text", "stats"))
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-depth: per-source LEXICAL RICHNESS — Simpson's repeat
+    probability D = Σf(f−1)/(N(N−1)) and Yule's characteristic
+    K = 10⁴·(Σf² − N)/N², the two classic frequency-spectrum
+    diversity statistics (robust to length where raw type-token ratio
+    is not): a template-heavy or boilerplate source reads high on
+    both, which is a curation gate frequency counts alone miss. Fully
+    exact: both are integer functionals of the term-frequency
+    spectrum — squares and repeat products in DECIMAL(38,0)/HUGEINT,
+    micro-quantized floor division, degenerate sources (<2 tokens)
+    pinned to 0 on both engines.
+
+    Plan: one corpus token pass collapses to the (source, word)
+    spectrum grain (map-side combinable, vocabulary-bounded state),
+    then ONE source-keyed aggregate. Nothing downstream of the
+    collapse scales with the corpus."""
+    tok = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("f"))
+    spec = tf.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("f").cast("decimal(19,0)") * (F.col("f") - 1)).alias("rep2"),
+        F.sum(F.col("f").cast("decimal(19,0)") * F.col("f")).alias("f2"),
+    )
+    return spec.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CAST(CASE WHEN n_tokens < 2 THEN 0"
+            " ELSE (rep2 * 1000000"
+            "       - (rep2 * 1000000)"
+            "         % (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)))"
+            "      / (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)) END"
+            " AS BIGINT)"
+        ).alias("simpson_micro"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE ((f2 - n_tokens) * 10000 * 1000000"
+            "       - ((f2 - n_tokens) * 10000 * 1000000)"
+            "         % (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens))"
+            "      / (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) END"
+            " AS BIGINT)"
+        ).alias("yule_k_micro"),
+    )

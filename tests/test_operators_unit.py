@@ -4941,3 +4941,56 @@ def test_rake_keywords_constructed(spark, tmp_path):
         ("fox", 2, 4, 2_000_000),
         ("lazy", 1, 2, 2_000_000),
     ]
+
+
+def test_lexical_richness_constructed(spark, tmp_path):
+    """Hand-computed frequency spectra: a source of 4 identical tokens
+    reads Simpson = 1 and Yule's K = 10^4 * (16-4)/16; a source of 4
+    distinct tokens reads Simpson = 0 and K = 0; a 1-token source
+    pins the degenerate guard to 0."""
+    from talkdesk_async_etl_spark.operators.text import text_lexical_richness
+
+    docs = [
+        (1, "x x x x", "en", "dup", 7),
+        (2, "a b c d", "en", "uni", 7),
+        (3, "solo", "en", "tiny", 4),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["source"]: r for r in text_lexical_richness(spark, str(tmp_path)).collect()}
+    assert (got["dup"]["n_tokens"], got["dup"]["n_types"]) == (4, 1)
+    assert got["dup"]["simpson_micro"] == 1_000_000
+    assert got["dup"]["yule_k_micro"] == 10_000 * 1_000_000 * 12 // 16
+    assert got["uni"]["simpson_micro"] == 0 and got["uni"]["yule_k_micro"] == 0
+    assert got["tiny"]["simpson_micro"] == 0 and got["tiny"]["yule_k_micro"] == 0
+
+
+def test_binary_files_glob_and_content(spark, tmp_path):
+    """The binaryFile read must exclude the decoy via pathGlobFilter
+    and report per-file lengths/content hashes matching a pure-python
+    replay of the landing derivation."""
+    import hashlib
+
+    from talkdesk_async_etl_spark.operators.ingest import (
+        _BINFILES_N,
+        scan_binary_files,
+    )
+
+    docs = [(i, "t", "en", "w", 10) for i in range(40)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["file_id"]: r for r in scan_binary_files(spark, str(tmp_path)).collect()}
+    assert set(rows) == set(range(_BINFILES_N))  # decoy excluded
+
+    def hex15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for fid in range(_BINFILES_N):
+        x = 0
+        for i in range(fid, 40, _BINFILES_N):
+            x ^= hex15(str(i))
+        content = hashlib.md5(str(x).encode()).hexdigest()
+        assert rows[fid]["n_bytes"] == 32
+        assert rows[fid]["content_h"] == hex15(content)

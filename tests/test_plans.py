@@ -1259,3 +1259,25 @@ def test_rake_two_token_windows_no_join(spark):
     assert "Generate" in plan
     assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
     assert len(re.findall(r"\(\d+\) Window", plan)) >= 2
+
+
+def test_richness_single_scan_no_join(spark):
+    """text_lexical_richness: one token pass to the spectrum grain,
+    one source aggregate, zero joins."""
+    import re
+
+    plan = plan_of(spark, "text_lexical_richness")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+
+
+def test_binary_files_scans_binary_source(spark):
+    """scan_binary_files: the read-back plans a binaryFile scan (not a
+    parquet detour) with the md5 fold as a scan-side projection — no
+    joins, no Python."""
+    import re
+
+    plan = plan_of(spark, "scan_binary_files")
+    assert "binaryFile" in plan
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None

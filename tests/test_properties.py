@@ -220,3 +220,115 @@ def test_gini_decimal_path_matches_python(masses):
         f"SELECT CAST(({num}::HUGEINT * 1000000) // ({n}::HUGEINT * {tot}::HUGEINT) AS BIGINT)"
     ).fetchone()[0]
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    st.lists(st.integers(0, 500), min_size=1, max_size=60),
+)
+def test_ks_grid_formula_matches_brute_force(xs, ys):
+    """The KS value-grid formulation (cross-multiplied cumulative
+    counts, micro floor) must equal the brute-force max over all
+    thresholds of |ecdf_a - ecdf_b| for ARBITRARY integer samples —
+    including ties, disjoint ranges, and singletons."""
+    import math
+
+    na, nb = len(xs), len(ys)
+    grid = sorted(set(xs) | set(ys))
+    best = 0
+    for v in grid:
+        ca = sum(1 for x in xs if x <= v)
+        cb = sum(1 for y in ys if y <= v)
+        best = max(best, abs(ca * nb - cb * na) * 1_000_000 // (na * nb))
+    # replay the operator's formulation: cumulative over the global
+    # value grid with zero-filled per-sample counts
+    ca = cb = 0
+    got = 0
+    from collections import Counter
+
+    fa, fb = Counter(xs), Counter(ys)
+    for v in grid:
+        ca += fa.get(v, 0)
+        cb += fb.get(v, 0)
+        got = max(got, abs(ca * nb - cb * na) * 1_000_000 // (na * nb))
+    assert got == best
+    assert 0 <= got <= 1_000_000
+    assert math.gcd(na, nb) >= 1  # hypothesis shrinks keep both non-empty
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.sampled_from(["en", "de"])),
+                min_size=2, max_size=80))
+def test_mwu_tworank_identity(pairs):
+    """The 2x-midrank walk (2*cum_before + t + 1 per tied value) must
+    reproduce the classical midrank rank-sum: R1 = sum of average
+    ranks of group 1, hence U = R1 - n1(n1+1)/2, for arbitrary tied
+    samples."""
+    if not any(g == "en" for _, g in pairs) or not any(g == "de" for _, g in pairs):
+        return
+    vals = sorted(pairs)
+    # classical midranks
+    ranks = {}
+    i = 0
+    svals = sorted(v for v, _ in pairs)
+    while i < len(svals):
+        j = i
+        while j < len(svals) and svals[j] == svals[i]:
+            j += 1
+        mid = (i + 1 + j) / 2  # average of ranks i+1..j
+        ranks[svals[i]] = mid
+        i = j
+    r1 = sum(ranks[v] for v, g in pairs if g == "en")
+    n1 = sum(1 for _, g in pairs if g == "en")
+    u_classic_x2 = int(2 * r1) - n1 * (n1 + 1)
+
+    # operator walk on the value grain
+    from collections import Counter
+
+    cen = Counter(v for v, g in pairs if g == "en")
+    call = Counter(v for v, _ in pairs)
+    cum = 0
+    r1x2 = 0
+    for v in sorted(call):
+        t = call[v]
+        r1x2 += cen.get(v, 0) * (2 * cum + t + 1)
+        cum += t
+    assert r1x2 - n1 * (n1 + 1) == u_classic_x2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 2**60 - 1), st.integers(0, 15))
+def test_bootstrap_weight_thresholds_partition_micro_space(u, r):
+    """The frozen Poisson(1) thresholds are strictly increasing, below
+    1e6, and the CASE walk assigns every micro draw exactly one weight
+    whose cumulative probability brackets the draw."""
+    from talkdesk_async_etl_spark.operators.sampling import _BOOT_THRESH
+
+    assert list(_BOOT_THRESH) == sorted(set(_BOOT_THRESH))
+    assert _BOOT_THRESH[-1] < 1_000_000
+    um = u % 1_000_000
+    w = next((k for k, t in enumerate(_BOOT_THRESH) if um < t), 5)
+    if w < 5:
+        assert um < _BOOT_THRESH[w]
+        assert w == 0 or um >= _BOOT_THRESH[w - 1]
+    else:
+        assert um >= _BOOT_THRESH[-1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(1, 10**6), min_size=1, max_size=50))
+def test_simpson_yule_spectrum_bounds(freqs):
+    """Simpson's D and Yule's K over an arbitrary frequency spectrum:
+    D in [0, 1e6]; D = 1e6 iff one type; K = 0 iff all singletons —
+    the exact-integer formulations can't leave their ranges."""
+    n = sum(freqs)
+    rep2 = sum(f * (f - 1) for f in freqs)
+    f2 = sum(f * f for f in freqs)
+    d = 0 if n < 2 else rep2 * 1_000_000 // (n * (n - 1))
+    k = 0 if n == 0 else (f2 - n) * 10_000 * 1_000_000 // (n * n)
+    assert 0 <= d <= 1_000_000
+    assert (d == 1_000_000) == (len(freqs) == 1 and n >= 2)
+    # k == 0 iff the spectrum is all singletons (f2 == n): any repeat
+    # makes (f2-n)*1e10 >= 1e10 > n^2 for every reachable n here.
+    assert (k == 0) == (f2 == n)

@@ -886,8 +886,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors negatives while Spark ``div`` truncates — assortativity is
     routinely negative, so this seam would flip the last digit
     silently. Zero variance (k-regular graph) returns 0 by guard on
-    both engines; at web scale (Σjk approaching 1e18) the four sums
-    promote to DECIMAL(38,0) before the ratio, the gini precedent.
+    both engines; at web scale (Σjk approaching 1e18) the two
+    quadratic sums (Σjk, Σj²) ACCUMULATE in DECIMAL(38,0) — the gini
+    precedent — while m and Σj stay BIGINT: they are linear in edge
+    count and degree, and the top-60 sparsification cap bounds them
+    far below 2^63 (all four still enter the ratio arithmetic as
+    DECIMAL, so the cross products m·Σj² and (Σj)² cannot wrap).
 
     Plan: the edge build is the shared lineitem⋈orders tree every
     graph kernel pays (dominant cost at test SF); after the top-60

@@ -788,9 +788,15 @@ def sample_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.expr(
             _boot_weight_sql(
-                "pmod(conv(substring(md5(concat(CAST(doc_id AS STRING), '|',"
-                " CAST(replicate AS STRING))), 1, 15), 16, 10),"
-                f" {_BOOT_MICRO})"
+                # Explicit BIGINT cast on conv()'s STRING result: the
+                # 60-bit value must enter pmod as exact integer math,
+                # not via version/ANSI-dependent string->numeric
+                # coercion (which could route through DOUBLE and lose
+                # precision above 2^53). Matches _hex15_col's
+                # .cast('long').
+                "pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+                " '|', CAST(replicate AS STRING))), 1, 15), 16, 10) AS"
+                f" BIGINT), {_BOOT_MICRO})"
             )
         ),
     )

@@ -1766,7 +1766,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines: positional tokens, a frozen 25-word stopword flag,
     phrase id = running stopword count, phrase length by a window over
     (doc, phrase), degree/frequency micro-quantized by floor division
-    with an alphabetical tie-break on the top-{top} cut.
+    with an alphabetical tie-break on the top-20 (``_RAKE_TOP``) cut.
 
     Plan: one corpus token pass (posexplode in-scan), one (doc)-keyed
     window sort shared by the flag walk, one (doc, phrase) window for
@@ -1775,7 +1775,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. The only corpus-sized exchanges are the two token-grain
     windows; at 100 TB phrase structure is computable inside the scan
     via a partition-local walk, but the window form is what the
-    optimizer can already fuse.""".format(top=_RAKE_TOP)
+    optimizer can already fuse."""
     stops = F.array(*[F.lit(w) for w in _RAKE_STOPWORDS])
     toks = (
         t(spark, sf_dir, "documents", spread=True)

@@ -81,90 +81,82 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-13 window, in priority order (executes ROUND_NOTES' round-13
-# rotation pre-plan, which VERDICT r12 task 1 endorsed, with the
-# VERDICT-task amendments tasks 3/5/6 demand):
-#   1. The 30 round-12 additions that registered AFTER the r12 window
-#      froze (parity-verified by the r12 judge's own check_parity run
-#      but still without a formal driver CORRECTNESS row), in
-#      registration order per the pre-plan.
-#   2. The two r12-displaced ids: join_bloom_prefilter_ok,
-#      join_inner_using.
-#   2b. VERDICT r12 task 6: agg_approx_distinct re-attests ADJACENT to
-#      its agg_approx_distinct_tol twin (the one rows-only id whose
-#      sibling was not in the same window; the twin's last row is r9).
-#   2c. The three round-13 VERDICT-task operators: task 3's composed
-#      incremental pipeline and task 5's IVF-PQ pair (the rows-only
-#      composite next to its hash-attested recall twin) — each task
-#      explicitly demands a driver row this round.
-#   3. The 13 oldest r7-tier ids (alphabetical within the tier) fill
-#      the remaining slots; the five displaced ids (sim_topk_cosine,
+# Round-14 window, in priority order (executes ROUND_NOTES' committed
+# round-14 rotation pre-plan VERBATIM, per VERDICT r13 task 1):
+#   1. The 10 round-13 additions that registered AFTER the r13 window
+#      froze (judge-parity-verified 10/10 by the r13 judge's own
+#      check_parity run but still without a formal driver CORRECTNESS
+#      row), in registration order per the pre-plan.
+#   2. The 18 remaining r7-tier ids (alphabetical within the tier) —
+#      retires the oldest half of the attestation tail; includes the
+#      five ids displaced from the r13 window (sim_topk_cosine,
 #      sim_topk_ivf, sink_clustered_layout_ok, sink_zorder_layout_ok,
-#      sort_topk_global) lead the r14 rotation instead — deferral
-#      costs recency, not coverage (their every-pytest-run parity
-#      checks continue).
-# The rest of the r7 tier and the r8+ tiers rotate r14+ (r7 first).
+#      sort_topk_global) as the pre-plan ordered them.  sim_topk_ivf
+#      (rows-only) re-attests here one round after its sim_ivf_recall
+#      twin went hash-green at r13 position 48 (VERDICT task 5's
+#      adjacency ask lands the remaining pairs in the r15 pre-plan).
+#   3. The 22 oldest r8-tier ids (alphabetical) fill the remaining
+#      slots.  The remaining 28 r8-tier ids and the r9+ tiers rotate
+#      r15+ (r8 first).
 # Any id registered but absent here appends in registration order, so
 # new operators are never silently dropped — and the first-50
 # meta-test in tests/test_driver_profile.py fails on typos/miscounts.
-# Round-13 additions registered after THIS window freezes lead the
-# r14 window per the standing precedent.
+# Round-14 additions registered after THIS window freezes lead the
+# r15 window per the standing precedent.
 _PRIORITY = (
-    # --- tier 1: the 30 round-12 ids without a formal driver row ---
-    "sort_range_partitioned_ok",
-    "window_session_bounce",
-    "scalar_base_codecs",
-    "dedup_prefix_filter_join",
-    "multimodal_pitch_autocorr",
-    "multimodal_gif_real",
-    "multimodal_bmp_rle_real",
-    "dedup_soundex_blocking",
-    "sim_pca_power_iter",
-    "sim_hamming_topk",
-    "dedup_exact_normalized",
-    "text_source_quality_rollup",
-    "text_eval_contamination_rate",
-    "text_ccnet_buckets",
-    "text_readability_score",
-    "agg_gini_concentration",
-    "events_cusum_drift",
-    "agg_benford_deviation",
-    "agg_decile_shares",
-    "window_seasonal_dow_baseline",
-    "window_max_drawdown",
-    "window_seasonal_naive_backtest",
-    "agg_ams_f2_ok",
-    "graph_degree_assortativity",
-    "graph_clustering_coeff",
-    "sample_group_kfold",
-    "scan_file_metadata_cols",
-    "scan_csv_malformed_modes",
-    "ml_decision_stump",
-    "pipeline_entity_resolution_e2e",
-    # --- tier 2: the two r12-displaced ids ---
-    "join_bloom_prefilter_ok",
-    "join_inner_using",
-    # --- tier 2b: the approx-distinct pair, adjacent (task 6) ---
-    "agg_approx_distinct",
-    "agg_approx_distinct_tol",
-    # --- tier 2c: the round-13 VERDICT-task operators (tasks 3, 5) ---
-    "pipeline_incremental_e2e",
-    "sim_topk_ivfpq",
-    "sim_ivfpq_recall_ok",
-    # --- tier 3: the 13 oldest r7-tier ids (alphabetical) ---
-    "join_lateral_topn",
-    "join_range",
-    "multimodal_wav_real",
-    "pivot_event_counts",
-    "scalar_higher_order_lambda",
-    "scalar_json_struct",
-    "scalar_variant_json",
-    "scan_json_doc",
-    "scan_parquet",
-    "scan_recursive_cte",
-    "scan_table_checksum",
-    "sim_ivf_recall",
-    "sim_topk_blocked",
+    # --- tier 1: the 10 round-13 ids without a formal driver row ---
+    "text_dispersion_dp",
+    "text_rake_keywords",
+    "text_lexical_richness",
+    "agg_ks_source_drift",
+    "agg_mann_whitney_auc",
+    "events_autocorr_lag",
+    "agg_tukey_outlier_fences",
+    "agg_chi2_independence",
+    "sample_bootstrap_replicates",
+    "scan_binary_files",
+    # --- tier 2: the 18 remaining r7-tier ids (alphabetical) ---
+    "sim_topk_cosine",
+    "sim_topk_ivf",
+    "sink_clustered_layout_ok",
+    "sink_zorder_layout_ok",
+    "sort_topk_global",
+    "text_dominant_term",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_split_assign",
+    "text_token_count_regex",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q3",
+    "udaf_ewma_timeseries",
+    "udtf_word_chunks",
+    "window_row_number",
+    "window_topk_per_group",
+    # --- tier 3: the 22 oldest r8-tier ids (alphabetical) ---
+    "agg_approx_top_k_exact_domain",
+    "agg_bitmap_distinct",
+    "agg_bool_family",
+    "agg_entropy_per_group",
+    "agg_listagg_ordered",
+    "agg_max_by_mode",
+    "agg_rolling_wau",
+    "dedup_components_star",
+    "graph_bfs_distance",
+    "graph_kcore",
+    "join_asof_forward_tol",
+    "join_asof_nearest",
+    "join_band_nonequi",
+    "join_dpp_prune_ok",
+    "join_interval_overlap",
+    "join_null_safe",
+    "join_scd2_point_in_time",
+    "multimodal_ppm_real",
+    "sample_stratified_exact",
+    "scalar_collation_ci",
+    "scalar_map_ops",
+    "scalar_try_arithmetic",
 )
 
 

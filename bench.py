@@ -405,6 +405,45 @@ def _calibrate(spark, cpus: int, reps: int = 3) -> tuple[float, float]:
     return round(min(samples), 3), round(max(samples), 3)
 
 
+def _finals_load_gate() -> dict | None:
+    """Quiet-host gate for finals sweeps (VERDICT r13 task 6): all
+    three round-13 finals runs were burst-contaminated and the
+    adjudication had to lean on round 12's quiet number. Active only
+    when ``SPARK_GRAFT_BENCH_FINALS=1``: polls the 1-min load average
+    until it drops to ``SPARK_GRAFT_BENCH_MAX_LOAD`` (default 4.0 —
+    r13's contaminated sweeps started at 2.1-12.0, quiet starts sit
+    near 0.5) for up to ``SPARK_GRAFT_BENCH_GATE_TRIES`` (default 10)
+    waits of ``SPARK_GRAFT_BENCH_GATE_WAIT`` s (default 60). If the
+    host never quiets, exit 3 WITHOUT running or stamping anything —
+    a missing stamp is adjudicable; a contaminated one pollutes every
+    later round's comparison. Returns the gate record for the host
+    block when it passes (calibrated proof the sweep STARTED quiet)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FINALS") != "1":
+        return None
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
+    tries = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_TRIES", "10"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "60"))
+    observed: list[float] = []
+    for attempt in range(tries):
+        load = os.getloadavg()[0]
+        observed.append(round(load, 2))
+        if load <= max_load:
+            return {"max_load": max_load, "attempts": attempt + 1, "observed": observed}
+        print(
+            f"bench finals gate: load {load:.2f} > {max_load} "
+            f"(attempt {attempt + 1}/{tries}) — waiting {wait_s:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(wait_s)
+    print(
+        f"bench finals gate: host never quieted below {max_load} over "
+        f"{tries} attempts (observed {observed}) — REFUSING to run the "
+        f"finals sweep; retry later or raise SPARK_GRAFT_BENCH_MAX_LOAD",
+        file=sys.stderr,
+    )
+    sys.exit(3)
+
+
 def _round_stamp(repo_dir: str) -> int:
     """Current round number. ``$SPARK_GRAFT_ROUND`` pins it explicitly;
     otherwise it is derived as max(N)+1 over BOTH driver artifact
@@ -502,6 +541,7 @@ def _find_regressions(
 
 
 def main() -> None:
+    finals_gate = _finals_load_gate()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -619,6 +659,10 @@ def main() -> None:
             "calib_start_max": calib_start[1],
             "calib_end_min": calib_end[0],
             "calib_end_max": calib_end[1],
+            # Present only on gated finals runs: proof the sweep
+            # STARTED on a quiet host (threshold, waits, observed
+            # loads) — the r14 quiet-stamp protocol.
+            **({"finals_gate": finals_gate} if finals_gate else {}),
         },
     }
     # Full detail: the summary plus the per-query min map, the

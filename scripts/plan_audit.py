@@ -95,6 +95,14 @@ _BOUNDED_NLJ = {
     "text_dispersion_dp",  # 10-term top list x |sources| grid build +
                            # 1-row grand-total broadcast — both bounded
                            # by the domain, the KS grid shape
+    # audited round 14 (VERDICT task 3 — the two-pass ntile re-plan):
+    "window_rfm_scores",  # three |partitions|² prefix-offset
+                          # theta-joins + 1-row total broadcasts from
+                          # two_pass_ntile — bounded by the partition
+                          # count, never the corpus
+    "agg_decile_shares",  # one two_pass_ntile offset theta-join + the
+                          # 10-row Lorenz cumulative/total theta-join —
+                          # bounded by |partitions| and the 10 deciles
 }
 
 

@@ -1273,6 +1273,80 @@ def events_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NTILE_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | row
+
+
+def two_pass_ntile(df: DataFrame, order_cols, n_buckets: int, out_col: str) -> DataFrame:
+    """Global ``ntile(n_buckets)`` over ``order_cols`` WITHOUT the
+    single-partition WindowExec Spark plans for an unpartitioned
+    window (VERDICT r13 task 3): range-repartition on the sort key,
+    sort within partitions, derive each row's global rank from a
+    broadcast |partitions|-row offset relation, and assign the bucket
+    by ntile's closed-form remainder convention (the first n % k
+    buckets absorb one extra row each), so the output is
+    hash-identical to ``F.ntile`` over the same total order — callers
+    must include a unique tie-break column so the order is total and
+    the result deterministic under any partitioning.
+
+    Mechanics: ``monotonically_increasing_id`` evaluated AFTER the
+    in-partition sort encodes (partition << 33 | local row), so
+    partition id and local index come for free; the sorted relation is
+    persisted so the count pass and the probe pass see the SAME ids
+    (the id expression is nondeterministic, which also stops Catalyst
+    from pushing it below the sort). Per-partition counts become
+    exclusive prefix offsets via a bounded |partitions|² broadcast
+    theta-join — NO WindowExec anywhere in the plan — and
+    offset + local index + 1 IS the global rank. The n < k edge keeps
+    ntile's row-per-bucket behavior: cut = n, every row takes the THEN
+    branch, the ELSE branch's base=0 division is never evaluated.
+
+    Scale shape: ONE range shuffle of the input grain (the price of
+    exact rank-based bucketing), one map-side-combinable count of the
+    cached relation, two broadcasts of |partitions|-sized relations,
+    zero driver collects. At 100 TB with 10k partitions the theta-join
+    is 10k×10k on two broadcast relations — still sub-second — and no
+    single task ever holds more than its range slice."""
+    srt = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    mid = scoped_persist(srt.withColumn("_mid", F.monotonically_increasing_id()))
+    parts = mid.groupBy(F.shiftright("_mid", 33).alias("_pid")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    other = parts.select(F.col("_pid").alias("_bpid"), F.col("_cnt").alias("_bcnt"))
+    # One |partitions|² pass carries BOTH the exclusive prefix offset
+    # and the grand total, so the probe needs a single broadcast
+    # instead of offset + total broadcasts (one fewer job per call).
+    off = (
+        parts.crossJoin(F.broadcast(other))
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_bpid") < F.col("_pid"), F.col("_bcnt"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_off"),
+            F.sum("_bcnt").cast("long").alias("_n"),
+        )
+    )
+    k = int(n_buckets)
+    ranked = mid.join(
+        F.broadcast(off), F.shiftright("_mid", 33) == F.col("_pid")
+    ).withColumn(
+        "_rk",
+        F.col("_off") + F.col("_mid").bitwiseAND(F.lit(_NTILE_LOCAL_MASK)) + 1,
+    )
+    bucket = (
+        f"CAST(CASE WHEN _rk <= (_n % {k}) * ((_n DIV {k}) + 1)"
+        f" THEN ((_rk - 1) DIV ((_n DIV {k}) + 1)) + 1"
+        f" ELSE (_n % {k})"
+        f"      + ((_rk - (_n % {k}) * ((_n DIV {k}) + 1) - 1) DIV (_n DIV {k}))"
+        f"      + 1 END AS INT)"
+    )
+    return ranked.withColumn(out_col, F.expr(bucket)).drop(
+        "_mid", "_pid", "_off", "_n", "_rk"
+    )
+
+
 _RFM_ANCHOR_DAY = 20089  # the decay operator's fixed scoring anchor
 
 _RFM_ORACLE = f"""
@@ -1307,16 +1381,22 @@ def window_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-based ``ntile(5)`` with a user_id tie-break, so bucket
     boundaries are deterministic row positions — no quantile
     interpolation float to disagree on, and both engines share the
-    same ntile convention (earlier buckets absorb the remainder).
+    same ntile convention (earlier buckets absorb the remainder) —
+    here reproduced from the two-pass global rank via
+    :func:`two_pass_ntile`'s closed-form remainder formula.
 
     Scale shape: the corpus collapses to user grain in one map-side-
-    combinable aggregate; each ntile is then a global sort of the
-    USER-grain relation — at 100 TB that is a real (range-partitioned)
-    sort but of users, not events, and it is the price of exact
-    rank-based scoring; the cheaper production variant broadcasts
-    approximate quintile boundaries and assigns by comparison, which
-    trades the sort for an interpolation seam this operator
-    deliberately avoids."""
+    combinable aggregate; each quintile is then a genuinely
+    RANGE-PARTITIONED two-pass rank of the user-grain relation
+    (range shuffle → local sort → broadcast |partitions|-row offset
+    cumsum → closed-form bucket), so no single task ever sorts the
+    whole customer base — the plan pin asserts NO unpartitioned
+    WindowExec survives. Three orderings → three range shuffles of
+    users, not events, and that is the price of exact rank-based
+    scoring; the cheaper production variant broadcasts approximate
+    quintile boundaries and assigns by comparison, which trades the
+    sort for an interpolation seam this operator deliberately
+    avoids."""
     day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
     per_user = (
         t(spark, sf_dir, "events", spread=True)
@@ -1332,23 +1412,23 @@ def window_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("monetary_cents"),
         )
     )
-    return per_user.select(
+    scored = two_pass_ntile(
+        per_user, [F.col("recency_d").desc(), F.col("user_id")], 5, "r_score"
+    )
+    scored = two_pass_ntile(
+        scored, [F.col("frequency").asc(), F.col("user_id")], 5, "f_score"
+    )
+    scored = two_pass_ntile(
+        scored, [F.col("monetary_cents").asc(), F.col("user_id")], 5, "m_score"
+    )
+    return scored.select(
         "user_id",
         "recency_d",
         "frequency",
         "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_d").desc(), F.col("user_id")))
-        .cast("int")
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
-        .cast("int")
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_cents").asc(), F.col("user_id")))
-        .cast("int")
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -1776,49 +1856,53 @@ def agg_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     same design-time overflow fix as agg_gini_concentration — so
     every output column is exact.
 
-    Plan: per-customer rollup (the one corpus-sized exchange), one
-    global ntile sort over the customer-grain relation, then a 10-row
-    aggregate + 10-row cumulative window. The global sort is the
-    documented RFM trade: at extreme customer counts swap ntile for
-    percentile_approx-derived boundaries and a broadcast range join —
-    the decile CONTRACT stays identical."""
+    Plan: per-customer rollup (the one corpus-sized exchange), then a
+    RANGE-PARTITIONED two-pass rank (:func:`two_pass_ntile` — no
+    unpartitioned WindowExec; the decile assignment is the closed-form
+    ntile remainder formula over the distributed global rank), a
+    10-row aggregate, and the Lorenz cumulative + grand total computed
+    by bounded 10-row broadcast theta-joins instead of windows — the
+    plan pin asserts the whole query is WindowExec-free. At extreme
+    customer counts swap the exact rank for percentile_approx-derived
+    boundaries and a broadcast range join — the decile CONTRACT stays
+    identical."""
     o = t(spark, sf_dir, "orders", spread=True)
     spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    tiled = spend.select(
-        "custkey",
-        "cents",
-        F.ntile(10).over(Window.orderBy("cents", "custkey")).cast("int").alias("decile"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    tiled = two_pass_ntile(spend, [F.col("cents"), F.col("custkey")], 10, "decile")
+    agg10 = scoped_persist(
+        tiled.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+        )
     )
-    agg = tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("cents").cast("long").alias("decile_cents"),
-        F.max("total").cast("long").alias("total"),
+    tot = agg10.agg(F.sum("decile_cents").cast("long").alias("total"))
+    other = agg10.select(
+        F.col("decile").alias("_bd"), F.col("decile_cents").alias("_bc")
     )
     cum = (
-        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        agg10.join(F.broadcast(other), F.col("_bd") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "decile_cents")
+        .agg(F.sum("_bc").cast("long").alias("cum_cents"))
+        .crossJoin(F.broadcast(tot))
     )
-    return (
-        agg.withColumn("cum_cents", F.sum("decile_cents").over(cum))
-        .select(
-            "decile",
-            "n_customers",
-            "decile_cents",
-            F.expr(
-                "CAST(((CAST(decile_cents AS DECIMAL(38,0)) * 1000000)"
-                " - ((CAST(decile_cents AS DECIMAL(38,0)) * 1000000) % total))"
-                " / total AS BIGINT)"
-            ).alias("share_micro"),
-            F.expr(
-                "CAST(((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)"
-                " - ((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) % total))"
-                " / total AS BIGINT)"
-            ).alias("cum_share_micro"),
-        )
+    return cum.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.expr(
+            "CAST(((CAST(decile_cents AS DECIMAL(38,0)) * 1000000)"
+            " - ((CAST(decile_cents AS DECIMAL(38,0)) * 1000000) % total))"
+            " / total AS BIGINT)"
+        ).alias("share_micro"),
+        F.expr(
+            "CAST(((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)"
+            " - ((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) % total))"
+            " / total AS BIGINT)"
+        ).alias("cum_share_micro"),
     )
 
 
@@ -2181,10 +2265,11 @@ _KS_ORACLE = """
     ),
     devs AS (
         SELECT source, n_src, v,
+               CASE WHEN (SELECT n_all FROM n) = n_src THEN 0 ELSE
                abs(CAST(cum_s AS HUGEINT) * ((SELECT n_all FROM n) - n_src)
                    - CAST(cum_all - cum_s AS HUGEINT) * n_src) * 1000000
                    // (CAST(n_src AS HUGEINT)
-                       * ((SELECT n_all FROM n) - n_src)) AS d_micro
+                       * ((SELECT n_all FROM n) - n_src)) END AS d_micro
         FROM cums
     ),
     ranked AS (
@@ -2259,13 +2344,20 @@ def agg_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_src",
         "n_all",
         "v",
+        # Zero guard: a degenerate single-source corpus makes
+        # n_all == n_src, where Spark's non-ANSI decimal division
+        # yields NULL while DuckDB's // raises — an engine-divergence
+        # seam. KS of a population vs its empty complement is
+        # definitionally 0. Guarded identically in _KS_ORACLE.
         F.expr(
-            "CAST((abs(CAST(cum_s AS DECIMAL(38,0)) * (n_all - n_src)"
+            "CASE WHEN n_all = n_src THEN CAST(0 AS BIGINT) ELSE"
+            " CAST((abs(CAST(cum_s AS DECIMAL(38,0)) * (n_all - n_src)"
             "     - CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_src) * 1000000"
             " - (abs(CAST(cum_s AS DECIMAL(38,0)) * (n_all - n_src)"
             "     - CAST(cum_all - cum_s AS DECIMAL(38,0)) * n_src) * 1000000)"
             "   % (CAST(n_src AS DECIMAL(38,0)) * (n_all - n_src)))"
             " / (CAST(n_src AS DECIMAL(38,0)) * (n_all - n_src)) AS BIGINT)"
+            " END"
         ).alias("d_micro"),
     )
     ranked = devs.withColumn(

@@ -144,3 +144,31 @@ def test_prior_detail_names_its_baseline_file(tmp_path):
     rnd, detail, fname = got
     assert rnd == 10 and fname == "bench_detail_r10.json"
     assert detail == {"sf": 0.1}
+
+
+def test_finals_load_gate(monkeypatch):
+    """VERDICT r13 task 6: the finals quiet-host gate. Inactive without
+    SPARK_GRAFT_BENCH_FINALS; passes (returning the calibrated gate
+    record) once the 1-min load drops under the threshold; exits 3
+    WITHOUT stamping when the host never quiets. Pure-Python check —
+    loadavg and sleep are stubbed."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FINALS", raising=False)
+    assert bench._finals_load_gate() is None
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FINALS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_GATE_TRIES", "3")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_GATE_WAIT", "0")
+    loads = iter([9.0, 5.0, 1.5])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(loads), 0, 0))
+    gate = bench._finals_load_gate()
+    assert gate == {"max_load": 2.0, "attempts": 3, "observed": [9.0, 5.0, 1.5]}
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (7.0, 0, 0))
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        bench._finals_load_gate()
+    assert exc.value.code == 3

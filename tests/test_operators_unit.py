@@ -4994,3 +4994,33 @@ def test_binary_files_glob_and_content(spark, tmp_path):
         content = hashlib.md5(str(x).encode()).hexdigest()
         assert rows[fid]["n_bytes"] == 32
         assert rows[fid]["content_h"] == hex15(content)
+
+
+def test_two_pass_ntile_matches_builtin_ntile(spark):
+    """two_pass_ntile's closed-form remainder formula must reproduce
+    F.ntile bit-for-bit over the same total order, across the three
+    regimes: n divisible by k, n % k != 0 (the first buckets absorb
+    one extra row each), and n < k (row-per-bucket, high buckets
+    empty). Values are deliberately adversarial: duplicates in the
+    score column so the unique tie-break does the ordering work."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.stats import two_pass_ntile
+
+    for n, k in ((20, 5), (23, 5), (7, 10), (3, 10), (1, 5)):
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 4) for i in range(n)], "id long, score long"
+        )
+        order = [F.col("score").desc(), F.col("id")]
+        want = {
+            r["id"]: r["b"]
+            for r in df.select(
+                "id", F.ntile(k).over(Window.orderBy(*order)).alias("b")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["b"]
+            for r in two_pass_ntile(df, order, k, "b").collect()
+        }
+        assert got == want, (n, k)

@@ -1281,3 +1281,20 @@ def test_binary_files_scans_binary_source(spark):
     assert "binaryFile" in plan
     assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
     assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+
+
+def test_ntile_replans_have_no_window_exec(spark):
+    """VERDICT r13 task 3: window_rfm_scores and agg_decile_shares were
+    the repo's last two single-partition ntile windows. Re-planned as
+    two_pass_ntile (range shuffle -> local sort -> broadcast
+    |partitions|-row offset theta-join -> closed-form bucket), the
+    plans must carry NO WindowExec of any kind (partitioned or not)
+    and one rangepartitioning exchange per ordering, with the rank
+    probe a BroadcastHashJoin on the partition id."""
+    import re
+
+    for name, n_range in (("window_rfm_scores", 3), ("agg_decile_shares", 1)):
+        plan = plan_of(spark, name)
+        assert re.search(r"\(\d+\) Window", plan) is None, name
+        assert len(re.findall(r"rangepartitioning", plan)) == n_range, name
+        assert "BroadcastHashJoin" in plan, name

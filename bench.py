@@ -370,6 +370,10 @@ _HEADLINE_R13 = (
     "scan_binary_files",
 )
 
+_HEADLINE_R14 = (
+    "pipeline_training_export_e2e",
+)
+
 HEADLINE = (
     _HEADLINE_CORE
     + _HEADLINE_RELATIONAL
@@ -382,6 +386,7 @@ HEADLINE = (
     + _HEADLINE_R11
     + _HEADLINE_R12
     + _HEADLINE_R13
+    + _HEADLINE_R14
 )
 
 

@@ -5024,3 +5024,83 @@ def test_two_pass_ntile_matches_builtin_ntile(spark):
             for r in two_pass_ntile(df, order, k, "b").collect()
         }
         assert got == want, (n, k)
+
+
+def test_pipeline_training_export_e2e_constructed(spark, tmp_path):
+    """Constructed corpus where EVERY training-export stage fires:
+    quality drops (lang/short/chars), an eval-slice doc plus a train
+    doc contaminated by its 4-gram, all three md5-nibble splits
+    populated, a pack shard whose doc stream overflows the 256-token
+    budget twice, and a JSON-hostile text (quotes, backslash, unicode)
+    whose byte-exact round trip the stage-6 checksum replica attests
+    against a pure-Python md5 fold."""
+    import hashlib
+
+    from talkdesk_async_etl_spark.operators.curation import (
+        pipeline_training_export_e2e,
+    )
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # md5-nibble facts (computed, stable): 1->'c' val, 3->'e' test,
+    # 4/6/7/9/17/20/25 -> train; 11 is the eval slice (11 % 11 == 0).
+    texts = {
+        1: " ".join("a%02d" % i for i in range(20)),    # val survivor
+        3: " ".join("b%02d" % i for i in range(20)),    # test survivor
+        4: " ".join("t%02d" % i for i in range(20)),    # train, shard 4
+        6: " ".join(["u%02d" % i for i in range(11)]
+                    + ["alpha", "beta", "gamma", "delta"]),  # contaminated
+        7: " ".join("v%03d" % i for i in range(300)),   # train, own pack
+        8: " ".join("x%02d" % i for i in range(20)),    # lang drop
+        9: " ".join("y%02d" % i for i in range(20)),    # train, shard 1
+        11: " ".join(["e%02d" % i for i in range(11)]
+                     + ["alpha", "beta", "gamma", "delta"]),  # eval slice
+        12: "a b c d e",                                 # tokens drop
+        13: " ".join("z%02d" % i for i in range(20)),    # chars drop
+        17: " ".join("w%03d" % i for i in range(250)),   # shard 1 overflow
+        20: " ".join("q%02d" % i for i in range(30)),    # shard 4, fits
+        25: 'héllo "quoted" back\\slash '
+            + " ".join("k%02d" % i for i in range(13)),  # shard 1, hostile
+    }
+    langs = {8: "xx"}
+    chars = {13: 10}
+    rows = [
+        (i, txt, langs.get(i, "en"), "web", chars.get(i, 100))
+        for i, txt in texts.items()
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["stage_no"]: r
+        for r in pipeline_training_export_e2e(spark, str(tmp_path)).collect()
+    }
+    assert [got[s]["stage"] for s in range(1, 7)] == [
+        "quality_filter", "decontaminate", "split_assign",
+        "pack_sequences", "shuffle_shards", "jsonl_export",
+    ]
+    assert (got[1]["docs_in"], got[1]["docs_out"]) == (13, 10)  # 8,12,13 drop
+    assert (got[2]["docs_in"], got[2]["docs_out"]) == (10, 8)   # 6,11 drop
+    assert (got[3]["docs_in"], got[3]["docs_out"]) == (8, 6)    # 1 val, 3 test
+    assert got[3]["tokens_out"] == 636
+    # shard 4: doc4(20)+doc20(30) share a pack; shard 7: doc7(300);
+    # shard 1: doc9(20) | doc17(250) overflows | doc25(16) overflows
+    assert (got[4]["docs_in"], got[4]["docs_out"]) == (6, 5)
+    assert got[4]["tokens_out"] == 636                          # conserved
+    assert (got[5]["docs_in"], got[5]["docs_out"]) == (6, 6)
+    assert (got[6]["docs_in"], got[6]["docs_out"]) == (6, 6)
+    assert got[6]["tokens_out"] == 636
+
+    # Stage-6 checksum replica: the bit_xor hex15 fold over the
+    # ROUND-TRIPPED rows, recomputed in pure Python — binds doc set,
+    # export shards, pack assignment, token counts, and text BYTES.
+    packs = {4: 0, 20: 0, 7: 0, 9: 0, 17: 1, 25: 2}
+    chk = 0
+    for i, p in packs.items():
+        shard = md5("pos|%d" % i)[0]
+        nt = len(texts[i].split(" "))
+        payload = "|".join([str(i), shard, str(p), str(nt), md5(texts[i])])
+        chk ^= int(md5(payload)[:15], 16)
+    assert got[6]["checksum"] == chk

@@ -372,6 +372,9 @@ _HEADLINE_R13 = (
 
 _HEADLINE_R14 = (
     "pipeline_training_export_e2e",
+    "agg_spearman_corr",
+    "agg_contingency_residuals",
+    "agg_weighted_percentile",
 )
 
 HEADLINE = (

@@ -103,6 +103,9 @@ _BOUNDED_NLJ = {
     "agg_decile_shares",  # one two_pass_ntile offset theta-join + the
                           # 10-row Lorenz cumulative/total theta-join —
                           # bounded by |partitions| and the 10 deciles
+    "agg_contingency_residuals",  # sources x langs zero-fill grid
+                                  # cross join + 1-row total broadcast
+                                  # — domain-bounded, the KS grid shape
 }
 
 

@@ -2862,3 +2862,339 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_source",
         "top_lang",
     )
+
+
+# --- Distribution-diagnostics wave (round 14) ---------------------------
+# Rank association, categorical effect size with cell drill-down, and
+# weighted quantiles — the next shelf of between-ingest-and-training
+# statistics. Same exactness discipline as the round-13 wave: collapse
+# to value/cell grain first, exact DECIMAL(38,0)/HUGEINT cross
+# products, and floats only as IEEE-identical double ops over exact
+# integers (division, sqrt — both correctly rounded per IEEE 754, so
+# the engines agree bit-for-bit before the shared 6-dp rounding).
+
+_SPEAR_ORACLE = """
+    WITH base AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS x,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        FROM documents
+    ),
+    grid AS (
+        SELECT lang, x, y, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2, 3
+    ),
+    gx AS (
+        SELECT lang, x,
+               2 * (sum(c) OVER (PARTITION BY lang ORDER BY x)
+                    - sum(c) OVER (PARTITION BY lang, x)) + sum(c) OVER (PARTITION BY lang, x) + 1 AS rx2
+        FROM (SELECT lang, x, CAST(sum(c) AS BIGINT) AS c
+              FROM grid GROUP BY 1, 2)
+    ),
+    gy AS (
+        SELECT lang, y,
+               2 * (sum(c) OVER (PARTITION BY lang ORDER BY y)
+                    - sum(c) OVER (PARTITION BY lang, y)) + sum(c) OVER (PARTITION BY lang, y) + 1 AS ry2
+        FROM (SELECT lang, y, CAST(sum(c) AS BIGINT) AS c
+              FROM grid GROUP BY 1, 2)
+    ),
+    moms AS (
+        SELECT g.lang,
+               CAST(sum(g.c) AS HUGEINT) AS n,
+               CAST(sum(g.c * CAST(gx.rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(g.c * CAST(gy.ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(g.c * CAST(gx.rx2 AS HUGEINT) * gx.rx2) AS HUGEINT) AS sxx,
+               CAST(sum(g.c * CAST(gy.ry2 AS HUGEINT) * gy.ry2) AS HUGEINT) AS syy,
+               CAST(sum(g.c * CAST(gx.rx2 AS HUGEINT) * gy.ry2) AS HUGEINT) AS sxy
+        FROM grid g
+        JOIN gx ON gx.lang = g.lang AND gx.x = g.x
+        JOIN gy ON gy.lang = g.lang AND gy.y = g.y
+        GROUP BY g.lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS rho_spearman
+    FROM moms
+"""
+
+
+@query("agg_spearman_corr", oracle=_SPEAR_ORACLE, tags=("agg", "stats", "drift"))
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43: SPEARMAN rank correlation between document length in chars
+    and in tokens, per language — the monotone-association screen that
+    Pearson (agg_corr_regr) misses when the relationship is nonlinear
+    and that survives any monotone re-scaling of either column (the
+    property that matters when one axis is a heuristic score). Exact
+    through the last integer: ties get MIDRANKS carried as 2×-scaled
+    integers (the agg_mann_whitney_auc device, so .5 halves never
+    touch a float), all five co-moment sums accumulate per-cell
+    weights in DECIMAL(38,0)/HUGEINT (n·Σc·rx·ry reaches ~4n⁴ — past
+    int64 by sf0.1), and rho emerges from ONE double division and ONE
+    IEEE-correctly-rounded sqrt over those exact integers, identical
+    on both engines before the shared 6-dp rounding. Zero-variance
+    groups (a lang whose docs all share one length) return 0 by guard
+    on both engines rather than diverging on NULL-vs-error.
+
+    Plan: one corpus-grain collapse to the (lang, x, y) grid — the
+    only corpus-sized exchange, map-side combinable; the two midrank
+    relations are (lang, value)-grain windows over bounded domains
+    sharing the grid's exchange; the closing joins and 5-sum aggregate
+    run entirely on the grid. Corpus-size-independent after the
+    collapse."""
+    base = t(spark, sf_dir, "documents", spread=True).select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.split("text", " ")).cast("long").alias("y"),
+    )
+    grid = scoped_persist(
+        base.groupBy("lang", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        per = grid.groupBy("lang", col).agg(F.sum("c").alias("cv"))
+        w = Window.partitionBy("lang").orderBy(col)
+        return per.select(
+            "lang",
+            col,
+            (2 * (F.sum("cv").over(w) - F.col("cv")) + F.col("cv") + 1).alias(out),
+        )
+
+    gx = midranks("x", "rx2")
+    gy = midranks("y", "ry2")
+    d = F.col("c").cast("decimal(38,0)")
+    moms = (
+        grid.join(gx, ["lang", "x"])
+        .join(gy, ["lang", "y"])
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("decimal(38,0)").alias("n"),
+            F.sum(d * F.col("rx2")).alias("sx"),
+            F.sum(d * F.col("ry2")).alias("sy"),
+            F.sum(d * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(d * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(d * F.col("rx2") * F.col("ry2")).alias("sxy"),
+        )
+    )
+    return moms.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0"
+            " THEN CAST(0.0 AS DOUBLE)"
+            " ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "                   * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+            " END"
+        ).alias("rho_spearman"),
+    )
+
+
+_CONTING_ORACLE = """
+    WITH obs AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY source),
+    cols_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY lang),
+    n_ AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+        SELECT rows_.source, cols_.lang, rows_.r, cols_.c,
+               coalesce(obs.o, 0) AS o, (SELECT n FROM n_) AS n
+        FROM rows_ CROSS JOIN cols_
+        LEFT JOIN obs ON obs.source = rows_.source AND obs.lang = cols_.lang
+    ),
+    cells AS (
+        SELECT source, lang, o,
+               CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT)
+                   AS expected_micro,
+               round(CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c
+                          AS DOUBLE)
+                     / sqrt(CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE)), 6)
+                   AS resid,
+               (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                   * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                   * 1000000 // (CAST(n AS HUGEINT) * r * c) AS cell_micro,
+               n, r, c
+        FROM grid
+    ),
+    tot AS (
+        SELECT CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+               max(n) AS n,
+               (SELECT count(*) FROM rows_) AS nr,
+               (SELECT count(*) FROM cols_) AS nc
+        FROM cells
+    )
+    SELECT cells.source, cells.lang, cells.o, cells.expected_micro,
+           cells.resid,
+           round(sqrt(CAST(tot.chi2_micro AS DOUBLE) / 1000000.0
+                      / (CAST(tot.n AS DOUBLE)
+                         * least(tot.nr - 1, tot.nc - 1))), 6) AS cramers_v
+    FROM cells CROSS JOIN tot
+"""
+
+
+@query(
+    "agg_contingency_residuals",
+    oracle=_CONTING_ORACLE,
+    tags=("agg", "stats", "drift"),
+)
+def agg_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44: PER-CELL standardized Pearson residuals + Cramér's V over
+    the source × lang contingency table — the drill-down companion to
+    agg_chi2_independence's one-number test: chi² says "the mix
+    differs somewhere", the residual table says WHICH source×lang cell
+    is over/under-represented and by how many standard deviations
+    (|resid| > 2-3 is the working flag), and V grades the association
+    strength on the 0-1 scale comparable across tables of any size.
+    Zero-filled grid (the r13 chi² lesson: unobserved cells carry
+    (0−E)²/E mass), exact integer cross products in
+    DECIMAL(38,0)/HUGEINT, residual = (o·n − r·c)/sqrt(n·r·c) as
+    IEEE-identical double ops over exact integers, chi² summed from
+    per-cell floor-quantized micro terms so V derives from an exact
+    BIGINT on both engines.
+
+    Plan: one corpus-grain collapse to |sources|×|langs| cells, then
+    the margin aggregates, the bounded zero-fill grid (allowlisted
+    domain-bounded cross join, the KS shape), and one 1-row total
+    broadcast back onto the cell grid. Corpus-size-independent after
+    the collapse."""
+    obs = scoped_persist(
+        t(spark, sf_dir, "documents", spread=True)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_ = obs.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("c"))
+    n_ = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .join(obs, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(n_))
+        .select(
+            "source", "lang", "r", "c", "n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    cells = scoped_persist(
+        grid.select(
+            "source",
+            "lang",
+            "o",
+            "n",
+            F.expr(
+                "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000"
+                " - (CAST(r AS DECIMAL(38,0)) * c * 1000000) % n) / n AS BIGINT)"
+            ).alias("expected_micro"),
+            F.expr(
+                "round(CAST(CAST(o AS DECIMAL(38,0)) * n"
+                "           - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)"
+                " / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DOUBLE)), 6)"
+            ).alias("resid"),
+            F.expr(
+                "CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                "  * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                "  * 1000000"
+                " - ((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                "    * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+                "    * 1000000) % (CAST(n AS DECIMAL(38,0)) * r * c))"
+                " / (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+            ).alias("cell_micro"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("cell_micro").cast("long").alias("chi2_micro"),
+        F.max("n").alias("n_tot"),
+        F.count_distinct("source").cast("long").alias("nr"),
+        F.count_distinct("lang").cast("long").alias("nc"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "o",
+        "expected_micro",
+        "resid",
+        F.expr(
+            "round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0"
+            " / (CAST(n_tot AS DOUBLE) * least(nr - 1, nc - 1))), 6)"
+        ).alias("cramers_v"),
+    )
+
+
+_WPCT_ORACLE = """
+    WITH grain AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+        FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT lang, v, w,
+               sum(w) OVER (PARTITION BY lang ORDER BY v) AS cw,
+               sum(w) OVER (PARTITION BY lang) AS tw
+        FROM grain
+    )
+    SELECT lang, CAST(max(tw) AS BIGINT) AS total_tokens,
+           CAST(min(CASE WHEN 4 * cw >= tw THEN v END) AS BIGINT) AS wp25,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS wp50,
+           CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN v END) AS BIGINT) AS wp75
+    FROM cum GROUP BY lang
+"""
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle=_WPCT_ORACLE,
+    tags=("agg", "stats", "percentile"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45: TOKEN-WEIGHTED quartiles of document length per language —
+    "half the TOKENS live in documents shorter than X", the statistic
+    a curation pipeline actually budgets with (the unweighted median
+    answers about documents; training cost is paid in tokens, and one
+    long-doc tail can hold most of the mass). Exact by construction:
+    the weighted lower-quantile convention picks the smallest value
+    whose cumulative token weight reaches p·W, evaluated with
+    cross-multiplied integer comparisons (4·cum ≥ W etc.) — no
+    interpolation float on either engine, ever.
+
+    Plan: one corpus-grain collapse to the (lang, n_chars) grain with
+    token-sum weights (map-side combinable — the ONLY corpus-sized
+    exchange), one lang-keyed cumulative window over the bounded value
+    domain sharing that exchange's partitioning, one rank-gated min
+    per quartile in the closing |langs|-row aggregate. At 100 TB the
+    value domain stays bounded, so everything after the collapse is
+    grid work; the unbounded-domain variant swaps the exact grid for
+    mergeable KLL sketches (agg_kll_quantiles_ok), trading exactness
+    for fixed state — both shelves exist, pick by domain."""
+    grain = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select(
+            "lang",
+            F.col("n_chars").cast("long").alias("v"),
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+        )
+        .groupBy("lang", "v")
+        .agg(F.sum("nt").cast("long").alias("w"))
+    )
+    w_ord = Window.partitionBy("lang").orderBy("v")
+    w_all = Window.partitionBy("lang")
+    cum = grain.select(
+        "lang",
+        "v",
+        F.sum("w").over(w_ord).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return cum.groupBy("lang").agg(
+        F.max("tw").cast("long").alias("total_tokens"),
+        F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("wp25"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("wp50"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("wp75"),
+    )

@@ -5104,3 +5104,140 @@ def test_pipeline_training_export_e2e_constructed(spark, tmp_path):
         payload = "|".join([str(i), shard, str(p), str(nt), md5(texts[i])])
         chk ^= int(md5(payload)[:15], 16)
     assert got[6]["checksum"] == chk
+
+
+def test_spearman_constructed(spark, tmp_path):
+    """Four languages pin the four regimes: a perfectly monotone pair
+    (rho = 1 even though the relation is nonlinear — the point of rank
+    correlation), a perfectly inverse pair (rho = -1), a tied sample
+    whose midrank rho matches a pure-Python replica, and a
+    zero-variance group (guard -> 0)."""
+    import math
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    rows = []
+    # mono: x = 100+i, tokens = i+16 (nonlinear-free monotone)
+    for i in range(6):
+        rows.append((100 + i, " ".join("a%02d" % j for j in range(16 + i)), "mono", "s", 100 + i))
+    # anti: x grows, tokens shrink
+    for i in range(6):
+        rows.append((200 + i, " ".join("b%02d" % j for j in range(26 - i)), "anti", "s", 100 + i))
+    # tied: x values [1,1,2,2,3,3] via n_chars, y tokens [15,16,16,17,17,18]
+    ys = [15, 16, 16, 17, 17, 18]
+    xs = [61, 61, 62, 62, 63, 63]
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        rows.append((300 + i, " ".join("c%02d" % j for j in range(y)), "tied", "s", x))
+    # flat: every doc identical length (zero variance in x) -> 0
+    for i in range(4):
+        rows.append((400 + i, " ".join("d%02d" % j for j in range(15 + i)), "flat", "s", 90))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in load_all()["agg_spearman_corr"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["mono"]["rho_spearman"] == 1.0
+    assert got["anti"]["rho_spearman"] == -1.0
+    assert got["flat"]["rho_spearman"] == 0.0
+
+    # midrank replica for the tied group
+    def ranks(vals):
+        out = []
+        for v in vals:
+            below = sum(1 for u in vals if u < v)
+            ties = sum(1 for u in vals if u == v)
+            out.append(below + (ties + 1) / 2.0)
+        return out
+
+    rx, ry = ranks(xs), ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    )
+    assert got["tied"]["rho_spearman"] == round(num / den, 6)
+    assert got["tied"]["n_docs"] == 6
+
+
+def test_contingency_residuals_constructed(spark, tmp_path):
+    """A 2x2 table with a known association: expected counts, each
+    cell's standardized residual, and Cramér's V must match a
+    pure-Python integer/micro replica — including the zero-filled cell
+    that never appears in the data."""
+    import math
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    # srcA: 30 en, 10 de; srcB: 10 en, 0 de (the zero cell)
+    counts = {("srcA", "en"): 30, ("srcA", "de"): 10, ("srcB", "en"): 10}
+    rows = []
+    did = 0
+    for (src, lang), k in counts.items():
+        for _ in range(k):
+            did += 1
+            rows.append((did, " ".join("w%02d" % j for j in range(15)), lang, src, 100))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["source"], r["lang"]): r
+        for r in load_all()["agg_contingency_residuals"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 4  # zero-filled grid
+    n = 50
+    r_ = {"srcA": 40, "srcB": 10}
+    c_ = {"en": 40, "de": 10}
+    chi2_micro = 0
+    for src in r_:
+        for lang in c_:
+            o = counts.get((src, lang), 0)
+            num = o * n - r_[src] * c_[lang]
+            den = n * r_[src] * c_[lang]
+            exp_micro = r_[src] * c_[lang] * 1_000_000 // n
+            resid = round(num / math.sqrt(den), 6)
+            chi2_micro += num * num * 1_000_000 // den
+            row = got[(src, lang)]
+            assert row["o"] == o
+            assert row["expected_micro"] == exp_micro
+            assert row["resid"] == resid
+    v = round(math.sqrt(chi2_micro / 1_000_000 / (n * 1)), 6)
+    assert all(row["cramers_v"] == v for row in got.values())
+    # the zero cell is the most under-represented one
+    assert got[("srcB", "de")]["o"] == 0 and got[("srcB", "de")]["resid"] < 0
+
+
+def test_weighted_percentile_whale(spark, tmp_path):
+    """A whale document holding over half of a language's tokens must
+    pull the token-weighted median to ITS length (the unweighted
+    median stays low) — plus exact quartile checks on a uniform
+    group."""
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    rows = []
+    # en: 9 docs of 20 tokens at lengths 100..108, one whale of 300
+    # tokens at length 400 -> W = 480, half = 240 -> wp50 = 400.
+    for i in range(9):
+        rows.append((i + 1, " ".join("a%02d" % j for j in range(20)), "en", "s", 100 + i))
+    rows.append((10, " ".join("b%03d" % j for j in range(300)), "en", "s", 400))
+    # de: 4 docs, 15 tokens each, lengths 60/70/80/90 -> cum 15/30/45/60:
+    # wp25 -> first cum>=15 -> 60; wp50 -> first cum>=30 -> 70;
+    # wp75 -> first 4cum>=180 -> 80.
+    for i, L in enumerate((60, 70, 80, 90)):
+        rows.append((20 + i, " ".join("c%02d" % j for j in range(15)), "de", "s", L))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in load_all()["agg_weighted_percentile"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["en"]["total_tokens"] == 480
+    assert got["en"]["wp50"] == 400 and got["en"]["wp75"] == 400
+    assert got["en"]["wp25"] == 105  # cum at 105: 6*20 = 120 >= 120
+    assert (got["de"]["wp25"], got["de"]["wp50"], got["de"]["wp75"]) == (60, 70, 80)

@@ -1334,3 +1334,32 @@ def test_training_export_pipeline_scans_corpus_once(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 9
     assert len(re.findall(r"\(\d+\) CartesianProduct", plan)) == 0
     assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 0
+
+
+def test_spearman_grid_collapse_no_nlj(spark):
+    """agg_spearman_corr: one corpus scan collapsing to the (lang,x,y)
+    grid; midrank windows are lang-PARTITIONED (never unpartitioned);
+    the closing joins are hash joins on (lang, value) — no NLJ."""
+    import re
+
+    plan = plan_of(spark, "agg_spearman_corr")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan or "windowspecdefinition(lang" in plan
+
+
+def test_contingency_grid_bounded_and_weighted_pct_joinfree(spark):
+    """agg_contingency_residuals: the zero-fill grid is the bounded
+    sources x langs cross join (allowlisted KS shape) and the margins
+    broadcast. agg_weighted_percentile: NO join of any kind — one
+    collapse + lang-partitioned windows + final aggregate."""
+    import re
+
+    plan = plan_of(spark, "agg_contingency_residuals")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+
+    plan2 = plan_of(spark, "agg_weighted_percentile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) == 1
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan2) is None

@@ -375,6 +375,9 @@ _HEADLINE_R14 = (
     "agg_spearman_corr",
     "agg_contingency_residuals",
     "agg_weighted_percentile",
+    "agg_log2_histogram",
+    "text_heaps_law",
+    "text_burstiness",
 )
 
 HEADLINE = (

@@ -106,6 +106,10 @@ _BOUNDED_NLJ = {
     "agg_contingency_residuals",  # sources x langs zero-fill grid
                                   # cross join + 1-row total broadcast
                                   # — domain-bounded, the KS grid shape
+    "text_heaps_law",  # 10x10 decile cumulative theta-join (the
+                       # agg_decile_shares Lorenz shape)
+    "text_burstiness",  # 1-row corpus doc-count broadcast onto the
+                        # top-20 terms (the neyman scalar shape)
 }
 
 

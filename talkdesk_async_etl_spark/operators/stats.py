@@ -3198,3 +3198,69 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wp75"),
     )
+
+
+_LOG2H_ORACLE = """
+    WITH c AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (
+        SELECT event_type,
+               CAST(CASE WHEN cents <= 0 THEN -1
+                    ELSE length(format('{:b}', cents)) - 1
+               END AS INTEGER) AS bucket,
+               cents
+        FROM c
+    )
+    SELECT event_type, bucket,
+           CAST(CASE WHEN bucket < 0 THEN 0 ELSE 1::BIGINT << bucket END
+                AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY event_type, bucket
+"""
+
+
+@query("agg_log2_histogram", oracle=_LOG2H_ORACLE, tags=("agg", "stats"))
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46: LOG2-BUCKETED value histogram per event type — the
+    HdrHistogram/latency-style companion to agg_histogram's equi-width
+    buckets: exponential buckets give constant RELATIVE resolution, so
+    one histogram covers cents through mega-cents without choosing a
+    range up front (the right default for long-tailed value/latency
+    columns). The bucket is floor(log2(cents)) computed WITHOUT libm
+    on either engine — binary-representation length minus one
+    (Spark ``length(bin(v))``, DuckDB ``length(format('{:b}', v))``) —
+    so there is no 1-ulp log boundary to flip a power-of-two between
+    buckets; non-positive values pin to bucket -1 explicitly.
+
+    Plan: one in-scan projection + one map-side-combinable hash
+    aggregate on (type, bucket) — O(types × 64) groups at any corpus
+    size, the same mergeable-rollup shape as the sketch family."""
+    c = t(spark, sf_dir, "events", spread=True).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    bucket = F.when(F.col("cents") <= 0, F.lit(-1)).otherwise(
+        (F.length(F.bin("cents")) - 1).cast("int")
+    )
+    return (
+        c.withColumn("bucket", bucket.cast("int"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN bucket < 0 THEN 0"
+                " ELSE shiftleft(CAST(1 AS BIGINT), bucket) END AS BIGINT)"
+            ).alias("bucket_lo"),
+            "n",
+            "sum_cents",
+        )
+    )

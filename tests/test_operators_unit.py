@@ -5241,3 +5241,57 @@ def test_weighted_percentile_whale(spark, tmp_path):
     assert got["en"]["wp50"] == 400 and got["en"]["wp75"] == 400
     assert got["en"]["wp25"] == 105  # cum at 105: 6*20 = 120 >= 120
     assert (got["de"]["wp25"], got["de"]["wp50"], got["de"]["wp75"]) == (60, 70, 80)
+
+
+def test_heaps_law_constructed(spark, tmp_path):
+    """Ten docs -> one per decile; a saturating vocabulary (every
+    term reused after doc 3) must show new_terms dropping to 0 while
+    docs_seen/tokens_seen keep climbing — and the curve's invariants
+    hold (vocab_size = Σ new_terms, final vocab = |distinct terms|)."""
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    vocab = ["w%02d" % i for i in range(9)]
+    rows = []
+    for i in range(10):
+        if i < 3:  # three novel terms per early doc
+            toks = vocab[3 * i : 3 * i + 3] * 5
+        else:      # later docs only reuse
+            toks = vocab[:5] * 3
+        rows.append((i + 1, " ".join(toks), "en", "s", 100))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["decile"]: r for r in load_all()["text_heaps_law"].fn(spark, str(tmp_path)).collect()}
+    assert len(got) == 10
+    assert [got[d]["new_terms"] for d in range(1, 11)] == [3, 3, 3, 0, 0, 0, 0, 0, 0, 0]
+    assert got[10]["vocab_size"] == 9
+    assert got[10]["docs_seen"] == 10
+    assert [got[d]["docs_seen"] for d in range(1, 11)] == list(range(1, 11))
+    assert got[3]["tokens_seen"] == 45 and got[10]["tokens_seen"] == 45 + 7 * 15
+
+
+def test_burstiness_constructed(spark, tmp_path):
+    """A bursty term (all mass in one doc) vs a uniform term (once per
+    doc): VMR must be (N·Σx²−tf²)/(N·tf) exactly — high for the burst,
+    exactly 0 for the uniform spread — replicated in pure Python."""
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    n = 10
+    rows = []
+    for i in range(n):
+        toks = ["base"] * 1  # uniform: once per doc
+        if i == 0:
+            toks += ["burst"] * 30  # all burst mass in doc 0
+        toks += ["f%02d" % i] * 1  # unique singletons (stay out of top by tf)
+        rows.append((i + 1, " ".join(toks), "en", "s", 100))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["term"]: r for r in load_all()["text_burstiness"].fn(spark, str(tmp_path)).collect()}
+    assert got["base"]["tf"] == 10 and got["base"]["df"] == 10
+    assert got["base"]["vmr_micro"] == 0  # exactly Poisson-degenerate
+    b = got["burst"]
+    assert (b["tf"], b["df"]) == (30, 1)
+    assert b["vmr_micro"] == (n * 900 - 900) * 1_000_000 // (n * 30)

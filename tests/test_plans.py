@@ -1363,3 +1363,25 @@ def test_contingency_grid_bounded_and_weighted_pct_joinfree(spark):
     plan2 = plan_of(spark, "agg_weighted_percentile")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) == 1
     assert re.search(r"\(\d+\) [A-Za-z]*Join", plan2) is None
+
+
+def test_wave2_plans_log2_joinfree_heaps_range_burst_takeordered(spark):
+    """agg_log2_histogram: pure in-scan projection + one hash agg —
+    join-free, window-free. text_heaps_law: decile rank via the
+    range-partitioned two-pass helper (no unpartitioned WindowExec
+    anywhere). text_burstiness: the top-20 cut must plan as
+    TakeOrderedAndProject, never a global sort."""
+    import re
+
+    plan = plan_of(spark, "agg_log2_histogram")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert re.search(r"\(\d+\) Window", plan) is None
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+    plan2 = plan_of(spark, "text_heaps_law")
+    assert re.search(r"\(\d+\) Window", plan2) is None
+    assert "rangepartitioning" in plan2
+
+    plan3 = plan_of(spark, "text_burstiness")
+    assert "TakeOrderedAndProject" in plan3
+    assert "Exchange rangepartitioning" not in plan3

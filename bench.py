@@ -378,6 +378,9 @@ _HEADLINE_R14 = (
     "agg_log2_histogram",
     "text_heaps_law",
     "text_burstiness",
+    "join_range_bucket_equi",
+    "scan_jsonl_gzip",
+    "graph_hits_scores",
 )
 
 HEADLINE = (

@@ -385,3 +385,79 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         carried.filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", nearest.alias("nearest_gap_us"))
     )
+
+
+_RB_WIN_S = 1800  # 30-minute range window
+
+
+@query(
+    "join_range_bucket_equi",
+    oracle=f"""
+        SELECT p.event_id,
+               CAST(count(v.event_id) AS BIGINT) AS n_nearby_views
+        FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'view') v
+          ON v.ts > p.ts - INTERVAL {_RB_WIN_S} SECOND
+         AND v.ts <= p.ts
+        GROUP BY p.event_id
+    """,
+    tags=("join", "range"),
+)
+def join_range_bucket_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6c: PURE range join (no equality key — views by ANY user in
+    the 30 minutes before each purchase) re-planned as a BUCKETED
+    EQUI-JOIN: J6b's range join rides its user_id equality key through
+    the hash shuffle, but a range join with no equi key plans as a
+    nested-loop — O(|purchases|·|views|) — which is exactly what dies
+    first at 100 TB. The standard fix, built from primitives: bucket
+    time into window-width slots (floor(epoch/1800)), explode each
+    probe row into the ≤2 slots its window overlaps (b and b−1 — a
+    pure projection, always distinct), hash-join on the slot, and
+    re-check the exact range as the join residual. Every view falls in
+    exactly one slot, so no candidate can double-count; unmatched
+    purchases survive the left join as count 0. The oracle states the
+    ORIGINAL range-join semantics (DuckDB plans it as IEJoin), so the
+    green hash row IS the equivalence proof that bucketing preserves
+    the answer.
+
+    Scale shape: one hash exchange per side on the slot key (probe
+    carries 2× purchase rows); per-slot work is bounded by the event
+    arrival rate per 30 minutes, not the corpus — and a hot slot
+    (flash-sale burst) salts like any hot key, which no nested-loop
+    formulation can. Slot width = window width is the sweet spot: ≤2
+    probe slots, one build slot, residual selectivity ≥ 50%."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.unix_timestamp("ts").alias("p_sec"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+        F.floor(F.unix_timestamp("ts") / _RB_WIN_S).alias("slot"),
+    )
+    probe = p.select(
+        "p_id",
+        "p_ts",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_sec") / _RB_WIN_S),
+                F.floor((F.col("p_sec") - _RB_WIN_S) / _RB_WIN_S),
+            )
+        ).alias("slot"),
+    )
+    joined = probe.join(
+        v,
+        (probe["slot"] == v["slot"])
+        & (F.col("v_ts") > F.col("p_ts") - F.expr(f"INTERVAL {_RB_WIN_S} SECOND"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy(F.col("p_id").alias("event_id")).agg(
+        F.count("v_id").alias("n_nearby_views")
+    )

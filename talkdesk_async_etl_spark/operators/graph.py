@@ -1129,3 +1129,189 @@ def clustering_coeff_from(und: DataFrame) -> DataFrame:
             "      DIV (deg * (deg - 1)) END AS BIGINT)"
         ).alias("cc_micro"),
     )
+
+
+# --- HITS hubs & authorities (round 14) ---------------------------------
+
+_HITS_ITERS = 4
+_HITS_MICRO = 1_000_000
+
+
+def hits_from_edges(edges_raw: DataFrame, iters: int = _HITS_ITERS) -> DataFrame:
+    """EXACT-INTEGER HITS (Kleinberg) core over an ``(src, dst, w)``
+    BIGINT-weighted directed edge list → ``(node, hub_micro,
+    auth_micro)``. Callers must hold an active cache_scope; the result
+    is localCheckpointed like the pagerank core.
+
+    Unlike graph_pagerank (doubles, 6-dp rounded), every HITS round
+    here is integer arithmetic end-to-end: scores live in micro units
+    (1e6 = 1.0 of L1 mass), the mutual-reinforcement sums Σ hub·w /
+    Σ auth·w accumulate in DECIMAL(38,0)/HUGEINT, and each L1
+    normalization is a truncating integer division (score·1e6 div
+    total — nonnegative, so truncation ≡ floor ≡ DuckDB ``//``). No
+    float enters at any round, so partial-aggregation ORDER cannot
+    perturb anything — the per-round quantization to 1e-6 of L1 mass
+    is the documented (and deterministic) contract, not an error term.
+
+    Scale shape: per round, two node-sized join+aggregate passes over
+    the once-persisted edge relation, each followed by a 1-row total
+    broadcast; below the broadcast threshold the score relation ships
+    to the edge partitions (the pagerank small-graph fast path),
+    above it both sides shuffle on the node key. Lineage cut per
+    round via localCheckpoint (the pagerank 2.4x lesson)."""
+    n_edges = edges_raw.count()
+    n_parts = max(1, n_edges // 100_000 + 1)
+    edges = scoped_persist(edges_raw.repartition(n_parts, "src"))
+    nodes = scoped_persist(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n_parts, "node")
+    )
+
+    def norm(raw: DataFrame, key: str, out: str) -> DataFrame:
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return (
+            nodes.join(
+                F.broadcast(raw.withColumnRenamed(key, "node")), "node", "left"
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(
+                    "CAST(CASE WHEN raw IS NULL OR tot = 0 THEN 0"
+                    " ELSE (raw * 1000000 - (raw * 1000000) % tot) / tot"
+                    " END AS BIGINT)"
+                ).alias(out),
+            )
+            .localCheckpoint()
+        )
+
+    h = nodes.select(
+        "node", F.lit(_HITS_MICRO).cast("long").alias("hub")
+    ).localCheckpoint()
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            h.withColumnRenamed("node", "src")
+            .join(edges, "src")
+            .groupBy(F.col("dst"))
+            .agg(F.sum(F.col("hub").cast("decimal(38,0)") * F.col("w")).alias("raw"))
+        )
+        a = norm(a_raw, "dst", "auth")
+        h_raw = (
+            a.withColumnRenamed("node", "dst")
+            .join(edges, "dst")
+            .groupBy(F.col("src"))
+            .agg(F.sum(F.col("auth").cast("decimal(38,0)") * F.col("w")).alias("raw"))
+        )
+        h = norm(h_raw, "src", "hub")
+    return h.join(a, "node")
+
+
+def _oracle_hits() -> str:
+    ctes = [
+        """
+        edges AS MATERIALIZED (
+            SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY src, dst
+        )""",
+        """
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION SELECT dst AS node FROM edges
+            )
+        )""",
+        f"""
+        h0 AS MATERIALIZED (SELECT node, CAST({_HITS_MICRO} AS HUGEINT) AS hub FROM nodes)""",
+    ]
+    for k in range(1, _HITS_ITERS + 1):
+        ctes.append(f"""
+        araw{k} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(CAST(h.hub AS HUGEINT) * e.w) AS raw
+            FROM h{k - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+        )""")
+        ctes.append(f"""
+        a{k} AS MATERIALIZED (
+            SELECT nodes.node,
+                   CASE WHEN r.raw IS NULL
+                             OR (SELECT sum(raw) FROM araw{k}) = 0 THEN 0
+                        ELSE r.raw * 1000000
+                             // (SELECT sum(raw) FROM araw{k}) END AS auth
+            FROM nodes LEFT JOIN araw{k} r ON r.node = nodes.node
+        )""")
+        ctes.append(f"""
+        hraw{k} AS MATERIALIZED (
+            SELECT e.src AS node, sum(CAST(a.auth AS HUGEINT) * e.w) AS raw
+            FROM a{k} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+        )""")
+        ctes.append(f"""
+        h{k} AS MATERIALIZED (
+            SELECT nodes.node,
+                   CASE WHEN r.raw IS NULL
+                             OR (SELECT sum(raw) FROM hraw{k}) = 0 THEN 0
+                        ELSE r.raw * 1000000
+                             // (SELECT sum(raw) FROM hraw{k}) END AS hub
+            FROM nodes LEFT JOIN hraw{k} r ON r.node = nodes.node
+        )""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+        SELECT n.n_name AS nation,
+               CAST(h.hub AS BIGINT) AS hub_micro,
+               CAST(a.auth AS BIGINT) AS auth_micro
+        FROM h{_HITS_ITERS} h
+        JOIN a{_HITS_ITERS} a ON a.node = h.node
+        JOIN nation n ON n.n_nationkey = h.node
+    """
+    )
+
+
+@query("graph_hits_scores", oracle=_oracle_hits(), tags=("graph",))
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 depth: HITS hubs & authorities over the DIRECTED
+    supplier-nation → customer-nation trade graph — the two-sided
+    importance ranking PageRank cannot express: a great SUPPLIER
+    nation (hub) is one that ships to the nations everyone buys from;
+    a great CUSTOMER nation (authority) is one the best suppliers
+    ship to. The mutual-recursion pair is the link-analysis companion
+    to graph_pagerank's single random-walk score, and its directed
+    edge build shares pagerank's exact lineitem⋈orders tree.
+
+    Four fixed rounds of exact-integer mutual reinforcement with L1
+    micro-normalization (see :func:`hits_from_edges` — no float in
+    any round, so the oracle's unrolled MATERIALIZED CTE replay
+    matches bit-for-bit, a stronger contract than pagerank's 6-dp
+    rounding). Output: per nation, hub and authority mass in micro
+    units."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    with cache_scope():
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        scores = hits_from_edges(edges)
+        nat = t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+        )
+        return collect_release(
+            scores.join(F.broadcast(nat), "node").select(
+                "nation",
+                F.col("hub").cast("long").alias("hub_micro"),
+                F.col("auth").cast("long").alias("auth_micro"),
+            )
+        )

@@ -1251,3 +1251,61 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         _hex15_col(F.col("content").cast("string")).alias("content_h"),
     )
+
+
+_GZ_ORACLE = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(bit_xor(CAST(('0x' || substr(md5(concat_ws('|',
+                CAST(doc_id AS VARCHAR), md5(text))), 1, 15)) AS BIGINT))
+                AS BIGINT) AS content_xor
+    FROM documents GROUP BY lang
+"""
+
+
+@query("scan_jsonl_gzip", oracle=_GZ_ORACLE, tags=("scan", "codec"))
+def scan_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33: COMPRESSED JSONL ingestion — the wire format external text
+    corpora actually arrive in (CommonCrawl-style .json.gz dumps).
+    The landing is written by the engine itself (gzip-codec JSON
+    LINES, one write), then read back through the codec; the attested
+    numbers (per-lang count, char total, and a bit_xor md5-hex15 fold
+    over (doc_id, md5(text)) — the text BYTES survive or the hash
+    breaks) are computed from the DECOMPRESSED round trip while the
+    oracle computes them from the source parquet. A truncated gzip
+    member, a codec mismatch, or a lossy escape breaks the row.
+
+    Scale shape: gzip is NOT splittable — each .json.gz file is one
+    read task, so file COUNT is the parallelism dial (the write
+    repartitions to 8 files here; production sizes files to ~100-500
+    MB compressed). That constraint is the operator's documentation
+    payload: at 100 TB, prefer zstd/bzip2 (splittable containers) or
+    re-land to parquet on first touch — this query IS the re-land's
+    verification step."""
+    from talkdesk_async_etl_spark.operators.dedup import _hex15_col
+    from talkdesk_async_etl_spark.sources.io import session_scratch_path
+
+    out = session_scratch_path(spark, sf_dir, "tde_jsonl_gz")
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "doc_id long, lang string, text string, n_chars long"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.bit_xor(
+            _hex15_col(
+                F.concat_ws("|", F.col("doc_id").cast("string"), F.md5("text"))
+            )
+        )
+        .cast("long")
+        .alias("content_xor"),
+    )

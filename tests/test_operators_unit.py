@@ -5295,3 +5295,136 @@ def test_burstiness_constructed(spark, tmp_path):
     b = got["burst"]
     assert (b["tf"], b["df"]) == (30, 1)
     assert b["vmr_micro"] == (n * 900 - 900) * 1_000_000 // (n * 30)
+
+
+def test_range_bucket_equi_boundaries(spark, tmp_path):
+    """Constructed purchases/views pin the bucketed range join's
+    boundary semantics: a view exactly AT the purchase instant counts
+    (<=), one exactly 30 minutes before does NOT (strict >), one 29:59
+    before counts even when it lives in the NEIGHBOR time slot (the
+    exploded b-1 probe row), and views by OTHER users count (no
+    equality key)."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)  # 12:00 -> slot boundary at 12:00
+    rows = [
+        # purchase at 12:10 (slot of 12:00-12:30)
+        (1, base + dt.timedelta(minutes=10), 100, "purchase", 1.0, "{}"),
+        # views: at purchase instant (counts), 29:59 before (counts,
+        # lives in the 11:30 slot), exactly 30:00 before (excluded),
+        # 31 min before (excluded), 5 min after (excluded)
+        (2, base + dt.timedelta(minutes=10), 200, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=10) - dt.timedelta(minutes=29, seconds=59), 201, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=10) - dt.timedelta(minutes=30), 202, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=10) - dt.timedelta(minutes=31), 203, "view", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=15), 204, "view", 1.0, "{}"),
+        # purchase with no views in range
+        (7, base + dt.timedelta(hours=6), 100, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r["n_nearby_views"]
+        for r in load_all()["join_range_bucket_equi"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 2, 7: 0}
+
+
+def test_jsonl_gzip_real_codec_roundtrip(spark, tmp_path):
+    """The landing must be REAL gzip (magic bytes + decompressible with
+    Python's gzip), and the operator's checksum must equal a
+    pure-Python md5-hex15 fold over the source docs — including a
+    JSON-hostile text."""
+    import glob
+    import gzip
+    import hashlib
+    import json
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    texts = {
+        1: 'héllo "quoted" back\\slash plus plain words here',
+        2: "two plain docs share this language",
+        3: "drittes deutsches dokument",
+    }
+    langs = {1: "en", 2: "en", 3: "de"}
+    rows = [(i, t_, langs[i], "s", len(t_)) for i, t_ in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["lang"]: r for r in load_all()["scan_jsonl_gzip"].fn(spark, str(tmp_path)).collect()}
+
+    # the landing really is gzip JSONL
+    from talkdesk_async_etl_spark.sources.io import session_scratch_path
+
+    out = session_scratch_path(spark, str(tmp_path), "tde_jsonl_gz")
+    gz = sorted(glob.glob(out + "/*.json.gz"))
+    assert gz, "no .json.gz files written"
+    seen = {}
+    for f in gz:
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                seen[rec["doc_id"]] = rec["text"]
+    assert seen == texts  # byte-exact through the codec
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for lang in ("en", "de"):
+        ids = [i for i in texts if langs[i] == lang]
+        chk = 0
+        for i in ids:
+            payload = "%d|%s" % (i, hashlib.md5(texts[i].encode()).hexdigest())
+            chk ^= h15(payload)
+        assert got[lang]["n_docs"] == len(ids)
+        assert got[lang]["content_xor"] == chk
+
+
+def test_hits_star_graph_exact_micro(spark):
+    """Directed star 0->{1,2,3}: every round, all hub mass sits on the
+    center and authority splits 1/3 each — with the exact truncation
+    (1e6 div 3 = 333333) the micro contract pins. A second asymmetric
+    graph replicates the full 4-round integer walk in pure Python."""
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.graph import (
+        _HITS_ITERS,
+        hits_from_edges,
+    )
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    star = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 1), (0, 3, 1)], "src long, dst long, w long"
+    )
+    with cache_scope():
+        got = {r["node"]: (r["hub"], r["auth"]) for r in hits_from_edges(star).collect()}
+    assert got[0] == (1_000_000, 0)
+    for v in (1, 2, 3):
+        assert got[v] == (0, 333_333)
+
+    # asymmetric: 0->2 (w2), 1->2 (w1), 1->3 (w1)
+    edges = [(0, 2, 2), (1, 2, 1), (1, 3, 1)]
+    py_h = {n: 1_000_000 for n in (0, 1, 2, 3)}
+    py_a = {}
+    for _ in range(_HITS_ITERS):
+        raw_a = {}
+        for s, d, w in edges:
+            raw_a[d] = raw_a.get(d, 0) + py_h[s] * w
+        tot = sum(raw_a.values())
+        py_a = {n: (raw_a.get(n, 0) * 1_000_000 // tot if tot else 0) for n in (0, 1, 2, 3)}
+        raw_h = {}
+        for s, d, w in edges:
+            raw_h[s] = raw_h.get(s, 0) + py_a[d] * w
+        tot = sum(raw_h.values())
+        py_h = {n: (raw_h.get(n, 0) * 1_000_000 // tot if tot else 0) for n in (0, 1, 2, 3)}
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    with cache_scope():
+        got2 = {r["node"]: (r["hub"], r["auth"]) for r in hits_from_edges(df).collect()}
+    assert got2 == {n: (py_h[n], py_a[n]) for n in (0, 1, 2, 3)}

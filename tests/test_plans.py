@@ -1385,3 +1385,28 @@ def test_wave2_plans_log2_joinfree_heaps_range_burst_takeordered(spark):
     plan3 = plan_of(spark, "text_burstiness")
     assert "TakeOrderedAndProject" in plan3
     assert "Exchange rangepartitioning" not in plan3
+
+
+def test_range_bucket_join_is_equi_not_nlj(spark):
+    """join_range_bucket_equi's entire reason to exist: the pure range
+    join must plan as a HASH join on the time slot (probe exploded to
+    <=2 slots) with the range residual as join filter — zero
+    nested-loop/cartesian nodes anywhere."""
+    import re
+
+    plan = plan_of(spark, "join_range_bucket_equi")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin)", plan)
+    assert re.search(r"\(\d+\) Generate", plan)  # the 2-slot explode
+
+
+def test_jsonl_gzip_readback_plans_json_scan(spark):
+    """scan_jsonl_gzip: the returned relation aggregates the
+    DECOMPRESSED json read-back (Scan json, no Python, no join)."""
+    import re
+
+    plan = plan_of(spark, "scan_jsonl_gzip")
+    assert re.search(r"\(\d+\) Scan json", plan)
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None

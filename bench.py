@@ -381,6 +381,8 @@ _HEADLINE_R14 = (
     "join_range_bucket_equi",
     "scan_jsonl_gzip",
     "graph_hits_scores",
+    "sim_silhouette_centroid",
+    "events_markov_stationary",
 )
 
 HEADLINE = (

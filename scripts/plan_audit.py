@@ -110,6 +110,8 @@ _BOUNDED_NLJ = {
                        # agg_decile_shares Lorenz shape)
     "text_burstiness",  # 1-row corpus doc-count broadcast onto the
                         # top-20 terms (the neyman scalar shape)
+    "sim_silhouette_centroid",  # k centroid vectors (KB) broadcast —
+                                # the sim_centroid_assign shape
 }
 
 

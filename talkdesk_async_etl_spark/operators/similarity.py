@@ -1544,3 +1544,92 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("q_id", "neighbor_id", "hamming", "rank")
     )
+
+
+_SILH_ORACLE = f"""
+    WITH scored AS MATERIALIZED (
+        SELECT v.vec_id, c.vec_id AS cid,
+               list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) AS sim,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS rn
+        FROM embeddings v JOIN embeddings c ON c.vec_id < {_N_CENTROIDS}
+    ),
+    tops AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cid END) AS centroid_id,
+               max(CASE WHEN rn = 1 THEN sim END) AS s1,
+               max(CASE WHEN rn = 2 THEN sim END) AS s2
+        FROM scored WHERE rn <= 2 GROUP BY vec_id
+    )
+    SELECT CAST(centroid_id AS BIGINT) AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(CASE WHEN (1 - s2) <= 0 THEN 0.0
+                          ELSE ((1 - s2) - (1 - s1))
+                               / greatest(1 - s1, 1 - s2) END), 6)
+               AS mean_silhouette
+    FROM tops GROUP BY centroid_id
+"""
+
+
+@query(
+    "sim_silhouette_centroid",
+    oracle=_SILH_ORACLE,
+    tags=("similarity", "clustering"),
+)
+def sim_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 depth: SIMPLIFIED SILHOUETTE per cluster over the IVF coarse
+    quantizer's assignment — the clustering-quality grade that decides
+    whether the centroid set is worth probing against: s = (b−a)/
+    max(a,b) with a = cosine distance to the ASSIGNED (nearest)
+    centroid and b = distance to the runner-up (the classic
+    simplified-silhouette substitution of centroid distances for
+    pairwise ones — O(n·k), not O(n²)). Mean s near 1 = tight,
+    well-separated cells (IVF probes few cells for high recall); near
+    0 = boundary-heavy cells (raise nprobe or re-train); the per-
+    cluster breakdown names WHICH cells are mushy. Assignment and
+    tie-break (sim desc, centroid asc) replicate sim_centroid_assign
+    exactly, so this grades the SAME index that sim_topk_ivf probes.
+    Duplicate-centroid degenerate (b = 0) pins s = 0 on both engines.
+
+    Scale shape: centroids broadcast (KB), corpus scanned once with
+    per-row k cosines inside the scan task, top-2 via a
+    WindowGroupLimit-bounded per-vector window, then one k-row
+    aggregate. Same cost envelope as the assignment itself."""
+    emb = t(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    with_norm = emb.withColumn("norm", _norm("v"))
+    cents = with_norm.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    scored = with_norm.join(F.broadcast(cents)).withColumn(
+        "sim", dot / (F.col("norm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+    tops = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("centroid_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias("s1"),
+            F.max(F.when(F.col("rn") == 2, F.col("sim"))).alias("s2"),
+        )
+    )
+    s = F.when(F.lit(1) - F.col("s2") <= 0, F.lit(0.0)).otherwise(
+        ((F.lit(1) - F.col("s2")) - (F.lit(1) - F.col("s1")))
+        / F.greatest(F.lit(1) - F.col("s1"), F.lit(1) - F.col("s2"))
+    )
+    return tops.groupBy(F.col("centroid_id").cast("long").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg(s), 6).alias("mean_silhouette"),
+    )

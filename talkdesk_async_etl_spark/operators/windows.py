@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from talkdesk_async_etl_spark.plans.cache import scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
@@ -971,4 +972,152 @@ def window_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)"
             " DIV count(*) AS BIGINT)"
         ).alias("bounce_micro"),
+    )
+
+
+_MARKOV_ITERS = 6
+_MARKOV_MICRO = 1_000_000
+
+
+def _oracle_markov() -> str:
+    ctes = [
+        """
+        seq AS MATERIALIZED (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY CAST(ts AS TIMESTAMP),
+                                                  event_id) AS prev_type
+            FROM events
+        )""",
+        """
+        trans AS MATERIALIZED (
+            SELECT prev_type AS i, event_type AS j,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )""",
+        """
+        rowsum AS MATERIALIZED (
+            SELECT i, CAST(sum(c) AS BIGINT) AS rs FROM trans GROUP BY i
+        )""",
+        """
+        types AS MATERIALIZED (
+            SELECT DISTINCT t FROM (
+                SELECT i AS t FROM trans UNION SELECT j AS t FROM trans
+            )
+        )""",
+        f"""
+        pi0 AS MATERIALIZED (
+            SELECT t, CAST({_MARKOV_MICRO} AS HUGEINT) AS pi FROM types
+        )""",
+    ]
+    for k in range(1, _MARKOV_ITERS + 1):
+        ctes.append(f"""
+        raw{k} AS MATERIALIZED (
+            SELECT tr.j AS t,
+                   sum((p.pi * tr.c) // r.rs) AS raw
+            FROM pi{k - 1} p
+            JOIN trans tr ON tr.i = p.t
+            JOIN rowsum r ON r.i = p.t
+            GROUP BY tr.j
+        )""")
+        ctes.append(f"""
+        pi{k} AS MATERIALIZED (
+            SELECT types.t,
+                   CASE WHEN r.raw IS NULL
+                             OR (SELECT sum(raw) FROM raw{k}) = 0 THEN 0
+                        ELSE r.raw * {_MARKOV_MICRO}
+                             // (SELECT sum(raw) FROM raw{k}) END AS pi
+            FROM types LEFT JOIN raw{k} r ON r.t = types.t
+        )""")
+    return (
+        "WITH " + ",".join(ctes) + f"""
+        SELECT p.t AS event_type,
+               CAST(p.pi AS BIGINT) AS stationary_micro,
+               CAST(coalesce(r.rs, 0) AS BIGINT) AS n_out
+        FROM pi{_MARKOV_ITERS} p LEFT JOIN rowsum r ON r.i = p.t
+    """
+    )
+
+
+@query("events_markov_stationary", oracle=_oracle_markov(), tags=("window", "analytics"))
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 depth: STATIONARY DISTRIBUTION of the user-journey Markov
+    chain — the long-run fraction of time a user's session spends in
+    each event state, computed by power iteration over the SAME
+    transition matrix window_event_transitions reports (one lag over
+    the tie-broken per-user order). The matrix says where users go
+    NEXT; the stationary vector says where the product's attention
+    equilibrium actually sits — the one-number-per-state summary a
+    funnel redesign is measured against.
+
+    Exact-integer contract (the graph_hits_scores discipline): the
+    distribution lives in micro units of L1 mass; each round's
+    push-forward floors per-edge (pi·c div rowsum — the quantized
+    transition), then renormalizes to 1e6 by truncating division, so
+    NO float enters any round and the unrolled MATERIALIZED-CTE
+    oracle matches bit-for-bit. States with no outgoing transitions
+    shed their mass into the renormalization (the sub-stochastic
+    convention, identical on both engines by construction). Six
+    rounds — on a |types|≈5 chain the iterate is stationary to the
+    micro grain well before that.
+
+    Plan: ONE corpus-sized window shuffle on user_id builds the
+    matrix (shared with the transitions op's shape); everything after
+    is |types|²-sized — per round one broadcast join + aggregate and
+    one 1-row total broadcast, lineage cut per round."""
+    ev = t(spark, sf_dir, "events", spread=True)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = scoped_persist(
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rowsum = trans.groupBy("i").agg(F.sum("c").cast("long").alias("rs"))
+    types = scoped_persist(
+        trans.select(F.col("i").alias("t"))
+        .union(trans.select(F.col("j").alias("t")))
+        .distinct()
+    )
+    pi = types.select(
+        "t", F.lit(_MARKOV_MICRO).cast("decimal(38,0)").alias("pi")
+    ).localCheckpoint()
+    tr = trans.join(rowsum, "i")
+    for _ in range(_MARKOV_ITERS):
+        raw = (
+            F.broadcast(pi.withColumnRenamed("t", "i"))
+            .join(tr, "i")
+            .groupBy(F.col("j").alias("t"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST((pi * c - (pi * c) % rs) / rs AS DECIMAL(38,0))"
+                    )
+                ).alias("raw")
+            )
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        pi = (
+            types.join(F.broadcast(raw), "t", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "t",
+                F.expr(
+                    f"CAST(CASE WHEN raw IS NULL OR tot = 0 THEN 0"
+                    f" ELSE (raw * {_MARKOV_MICRO}"
+                    f"       - (raw * {_MARKOV_MICRO}) % tot) / tot"
+                    f" END AS DECIMAL(38,0))"
+                ).alias("pi"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        pi.join(F.broadcast(rowsum.withColumnRenamed("i", "t")), "t", "left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("pi").cast("long").alias("stationary_micro"),
+            F.coalesce(F.col("rs"), F.lit(0)).cast("long").alias("n_out"),
+        )
     )

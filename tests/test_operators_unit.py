@@ -5428,3 +5428,131 @@ def test_hits_star_graph_exact_micro(spark):
     with cache_scope():
         got2 = {r["node"]: (r["hub"], r["auth"]) for r in hits_from_edges(df).collect()}
     assert got2 == {n: (py_h[n], py_a[n]) for n in (0, 1, 2, 3)}
+
+
+def test_silhouette_constructed(spark, tmp_path):
+    """Two tight orthogonal clusters around centroids 0/1 -> mean
+    silhouette near 1 in both cells; values replicated in pure Python
+    with the exact simplified-silhouette formula and tie-break."""
+    import math
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    def vec(i, j, a=1.0, b=0.0):
+        v = [0.0] * 8
+        v[i], v[j] = a, b
+        return v
+
+    rows = []
+    # 8 centroid slots (vec_id < 8): two real centroids on axes 0/1,
+    # six far-away parked on distinct axes so they never win.
+    rows.append((0, vec(0, 1), 0))
+    rows.append((1, vec(1, 0), 0))
+    for k in range(2, 8):
+        rows.append((k, vec(k, 0), 0))
+    # members: near axis 0 and near axis 1
+    members = {
+        10: [1.0, 0.1] + [0.0] * 6,
+        11: [1.0, 0.2] + [0.0] * 6,
+        12: [0.1, 1.0] + [0.0] * 6,
+        13: [0.2, 1.0] + [0.0] * 6,
+    }
+    for vid, v in members.items():
+        rows.append((vid, v, 1))
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    got = {
+        r["centroid_id"]: r
+        for r in load_all()["sim_silhouette_centroid"].fn(spark, str(tmp_path)).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    cents = {cid: r[1] for cid, r in zip(range(8), rows[:8])}
+    per_cluster = {}
+    all_vecs = {r[0]: r[1] for r in rows}
+    for vid, v in all_vecs.items():
+        sims = sorted(
+            ((cos(v, cents[c]), -c) for c in range(8)), reverse=True
+        )
+        s1, c1 = sims[0][0], -sims[0][1]
+        s2 = sims[1][0]
+        a, b = 1 - s1, 1 - s2
+        s = 0.0 if b <= 0 else (b - a) / max(a, b)
+        per_cluster.setdefault(c1, []).append(s)
+    for cid, vals in per_cluster.items():
+        if cid in got:
+            assert got[cid]["n_members"] == len(vals)
+            assert abs(got[cid]["mean_silhouette"] - round(sum(vals) / len(vals), 6)) <= 1e-6
+    # the two real clusters picked up their members and read tight
+    assert got[0]["n_members"] == 3 and got[1]["n_members"] == 3
+    assert got[0]["mean_silhouette"] > 0.5 and got[1]["mean_silhouette"] > 0.5
+
+
+def test_markov_stationary_constructed(spark, tmp_path):
+    """A deterministic 2-cycle (view->buy->view->...) must reach the
+    exact (500000, 500000) stationary split; a biased 3-state chain is
+    replicated in pure Python with the SAME quantized integer walk
+    (per-edge floor + truncating renormalization)."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.windows import (
+        _MARKOV_ITERS,
+        _MARKOV_MICRO,
+    )
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: strict alternation view/buy x 8
+    for k in range(8):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(minutes=k), 1,
+                     "view" if k % 2 == 0 else "buy", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in load_all()["events_markov_stationary"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["view"]["stationary_micro"] == 500_000
+    assert got["buy"]["stationary_micro"] == 500_000
+    assert got["view"]["n_out"] == 4 and got["buy"]["n_out"] == 3
+
+    # biased chain: a->a (2), a->b (1), b->a (1) — replicate the walk
+    trans = {("a", "a"): 2, ("a", "b"): 1, ("b", "a"): 1}
+    rows2 = []
+    eid = 0
+    # user 2 path: a a a b a  (edges: a->a, a->a, a->b, b->a)
+    for k, tpe in enumerate(["a", "a", "a", "b", "a"]):
+        eid += 1
+        rows2.append((eid, base + dt.timedelta(minutes=k), 2, tpe, 1.0, "{}"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d2:
+        spark.createDataFrame(
+            rows2,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(d2 + "/events.parquet")
+        got2 = {
+            r["event_type"]: r["stationary_micro"]
+            for r in load_all()["events_markov_stationary"].fn(spark, d2).collect()
+        }
+    rowsum = {"a": 3, "b": 1}
+    pi = {"a": _MARKOV_MICRO, "b": _MARKOV_MICRO}
+    for _ in range(_MARKOV_ITERS):
+        raw = {}
+        for (i, j), c in trans.items():
+            raw[j] = raw.get(j, 0) + pi[i] * c // rowsum[i]
+        tot = sum(raw.values())
+        pi = {s: (raw.get(s, 0) * _MARKOV_MICRO // tot if tot else 0) for s in ("a", "b")}
+    assert got2 == pi

@@ -1410,3 +1410,19 @@ def test_jsonl_gzip_readback_plans_json_scan(spark):
     assert re.search(r"\(\d+\) Scan json", plan)
     assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
     assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+
+
+def test_silhouette_broadcast_centroids_and_markov_checkpointed(spark):
+    """sim_silhouette_centroid: centroids broadcast, corpus never
+    sort-merge-joins, the top-2 cut rides a WindowGroupLimit.
+    events_markov_stationary: the returned relation reads the
+    checkpointed final iterate (ExistingRDD) with broadcast joins —
+    the corpus-sized window lives before the first lineage cut."""
+    plan = plan_of(spark, "sim_silhouette_centroid")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+    plan2 = plan_of(spark, "events_markov_stationary")
+    assert "ExistingRDD" in plan2
+    assert "SortMergeJoin" not in plan2

@@ -383,6 +383,8 @@ _HEADLINE_R14 = (
     "graph_hits_scores",
     "sim_silhouette_centroid",
     "events_markov_stationary",
+    "agg_welch_ttest",
+    "sample_ab_allocation",
 )
 
 HEADLINE = (

@@ -815,3 +815,84 @@ def sample_bootstrap_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_chars_micro"),
         )
     )
+
+
+# Experiment-allocation contract: salt isolates experiments (the same
+# user lands independently across experiments), buckets are permille,
+# ramp thresholds are cumulative permille cuts.
+_AB_SALT = "exp1"
+_AB_CONTROL_P, _AB_TREAT_P = 500, 900  # 50% control, 40% treatment, 10% holdout
+
+
+@query(
+    "sample_ab_allocation",
+    oracle=f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        b AS (
+            SELECT user_id,
+                   CAST(('0x' || substr(md5('{_AB_SALT}|'
+                        || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000 AS bucket
+            FROM u
+        )
+        SELECT CASE WHEN bucket < {_AB_CONTROL_P} THEN 'control'
+                    WHEN bucket < {_AB_TREAT_P} THEN 'treatment'
+                    ELSE 'holdout' END AS arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(bit_xor(user_id) AS BIGINT) AS users_xor,
+               CAST(min(bucket) AS BIGINT) AS min_bucket,
+               CAST(max(bucket) AS BIGINT) AS max_bucket
+        FROM b GROUP BY arm
+    """,
+    tags=("sampling", "experiment"),
+)
+def sample_ab_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 depth: DETERMINISTIC experiment-arm allocation — the
+    hash-bucket A/B assignment every ramped experiment runs on:
+    bucket = md5(salt|user) mod 1000 (permille), arms cut at
+    cumulative ramp thresholds (50/40/10 here). Hash assignment is
+    the load-bearing property: stable under reprocessing and joins
+    (rand() is neither), per-experiment SALT decorrelates arms across
+    experiments (the same user must land independently in experiment
+    2 — unsalted buckets would reuse experiment 1's split, the
+    classic carryover bug), and ramping UP from 10%→40% keeps every
+    earlier treatment user in treatment (thresholds are cumulative
+    cuts of the same bucket). The xor-of-user-ids checksum makes the
+    EXACT membership hash-attested, not just the counts.
+
+    Plan: distinct user collapse (the one corpus-sized exchange),
+    in-scan md5 bucketing, 3-group map-side-combinable aggregate.
+    Composes with agg_ab_significance, which consumes exactly this
+    assignment's arm sizes."""
+    u = (
+        t(spark, sf_dir, "events", spread=True)
+        .select("user_id")
+        .distinct()
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_AB_SALT + "|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    arm = (
+        F.when(F.col("bucket") < _AB_CONTROL_P, "control")
+        .when(F.col("bucket") < _AB_TREAT_P, "treatment")
+        .otherwise("holdout")
+    )
+    return (
+        u.withColumn("bucket", bucket)
+        .groupBy(arm.alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr("CAST(bit_xor(user_id) AS BIGINT)").alias("users_xor"),
+            F.min("bucket").cast("long").alias("min_bucket"),
+            F.max("bucket").cast("long").alias("max_bucket"),
+        )
+    )

@@ -3264,3 +3264,116 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+_WELCH_ORACLE = """
+    WITH g AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS HUGEINT) AS s1,
+               CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS s2
+        FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+    ),
+    w AS (
+        SELECT max(CASE WHEN lang = 'en' THEN n END) AS n1,
+               max(CASE WHEN lang = 'de' THEN n END) AS n2,
+               max(CASE WHEN lang = 'en' THEN s1 END) AS a1,
+               max(CASE WHEN lang = 'de' THEN s1 END) AS a2,
+               max(CASE WHEN lang = 'en' THEN s2 END) AS b1,
+               max(CASE WHEN lang = 'de' THEN s2 END) AS b2
+        FROM g
+    ),
+    v AS (
+        SELECT n1, n2,
+               (a1 * n2 - a2 * n1) * 1000000 // (CAST(n1 AS HUGEINT) * n2)
+                   AS mean_diff_micro,
+               CAST(n1 * b1 - a1 * a1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS se1,
+               CAST(n2 * b2 - a2 * a2 AS DOUBLE)
+                   / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS se2,
+               CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2 AS md
+        FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n2 AS BIGINT) AS n_de,
+           CAST(mean_diff_micro AS BIGINT) AS mean_diff_micro,
+           round(md / sqrt(se1 + se2), 6) AS t_welch,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
+               AS df_welch
+    FROM v
+"""
+
+
+@query("agg_welch_ttest", oracle=_WELCH_ORACLE, tags=("agg", "stats", "drift"))
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47: WELCH'S t-TEST between the en and de document-length
+    distributions — the unequal-variance two-sample mean comparison
+    that closes the drift shelf's parametric corner (A39's
+    Mann-Whitney is the rank test, A38's KS the shape test; Welch is
+    what you quote when the question is specifically "did the MEAN
+    move, and by how many standard errors"). Exactness split: the
+    mean difference is published as an exact micro-quantized integer
+    ((Σ₁n₂ − Σ₂n₁)·1e6 div n₁n₂ — no float); the t statistic and
+    Welch–Satterthwaite df are IEEE-identical double expressions over
+    exact DECIMAL(38,0)/HUGEINT moment sums (n·Σx² − (Σx)² is the
+    gini-class magnitude — past int64 at scale), with the shared 6-dp
+    rounding. Standard-error terms use the n²(n−1) denominator
+    identity so both engines divide the same exact integers.
+
+    Plan: one map-side-combinable 2-group moment aggregate (count,
+    Σx, Σx² fused in one pass) + a 1-row pivot and projection —
+    corpus-size-independent after the first exchange."""
+    g = (
+        t(spark, sf_dir, "documents", spread=True)
+        .filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+            ).alias("s2"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("lang") == "en", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("lang") == "de", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("lang") == "en", F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("lang") == "de", F.col("s1"))).alias("a2"),
+        F.max(F.when(F.col("lang") == "en", F.col("s2"))).alias("b1"),
+        F.max(F.when(F.col("lang") == "de", F.col("s2"))).alias("b2"),
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_en"),
+        F.col("n2").cast("long").alias("n_de"),
+        F.expr(
+            "CAST(((a1 * n2 - a2 * n1) * 1000000"
+            " - ((a1 * n2 - a2 * n1) * 1000000) % (CAST(n1 AS DECIMAL(38,0)) * n2))"
+            " / (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
+        ).alias("mean_diff_micro"),
+        F.expr(
+            "round((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)"
+            " / sqrt(CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
+            "        / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+            "      + CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
+            "        / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))), 6)"
+        ).alias("t_welch"),
+        F.expr(
+            "round((CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
+            "       / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+            "     + CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
+            "       / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
+            " * (CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
+            "    / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+            "  + CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
+            "    / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
+            " / ((CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
+            "     / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))"
+            "    * (CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
+            "       / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))) / (n1 - 1)"
+            "  + (CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
+            "     / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
+            "    * (CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
+            "       / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) / (n2 - 1)), 6)"
+        ).alias("df_welch"),
+    )

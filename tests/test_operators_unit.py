@@ -5556,3 +5556,90 @@ def test_markov_stationary_constructed(spark, tmp_path):
         tot = sum(raw.values())
         pi = {s: (raw.get(s, 0) * _MARKOV_MICRO // tot if tot else 0) for s in ("a", "b")}
     assert got2 == pi
+
+
+def test_welch_ttest_constructed(spark, tmp_path):
+    """Two small groups with hand-computable moments: t and the
+    Welch–Satterthwaite df must match a pure-Python replica computed
+    from the same exact integer sums; the mean difference is the exact
+    micro integer."""
+    import math
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    en = [100, 102, 104, 106, 118]
+    de = [90, 92, 94, 96]
+    rows = []
+    did = 0
+    for L in en:
+        did += 1
+        rows.append((did, " ".join("a%02d" % j for j in range(15)), "en", "s", L))
+    for L in de:
+        did += 1
+        rows.append((did, " ".join("b%02d" % j for j in range(15)), "de", "s", L))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    r = load_all()["agg_welch_ttest"].fn(spark, str(tmp_path)).collect()[0]
+    n1, n2 = len(en), len(de)
+    a1, a2 = sum(en), sum(de)
+    b1, b2 = sum(x * x for x in en), sum(x * x for x in de)
+    se1 = (n1 * b1 - a1 * a1) / (n1 * n1 * (n1 - 1))
+    se2 = (n2 * b2 - a2 * a2) / (n2 * n2 * (n2 - 1))
+    md = a1 / n1 - a2 / n2
+    assert (r["n_en"], r["n_de"]) == (n1, n2)
+    assert r["mean_diff_micro"] == (a1 * n2 - a2 * n1) * 1_000_000 // (n1 * n2)
+    assert r["t_welch"] == round(md / math.sqrt(se1 + se2), 6)
+    assert r["df_welch"] == round(
+        (se1 + se2) ** 2 / (se1 ** 2 / (n1 - 1) + se2 ** 2 / (n2 - 1)), 6
+    )
+
+
+def test_ab_allocation_replica_and_ramp(spark, tmp_path):
+    """The arm assignment must equal a pure-Python md5 replica user by
+    user (salt included), arms must partition the user set, and every
+    arm's bucket range must sit inside its ramp cut — the cumulative-
+    threshold property that makes ramp-ups sticky."""
+    import datetime as dt
+    import hashlib
+
+    from talkdesk_async_etl_spark.operators.sampling import (
+        _AB_CONTROL_P,
+        _AB_SALT,
+        _AB_TREAT_P,
+    )
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    users = list(range(1, 301))
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), u, "view", 1.0, "{}")
+        for i, u in enumerate(users)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["arm"]: r for r in load_all()["sample_ab_allocation"].fn(spark, str(tmp_path)).collect()}
+
+    def bucket(u: int) -> int:
+        return int(hashlib.md5(f"{_AB_SALT}|{u}".encode()).hexdigest()[:15], 16) % 1000
+
+    arms = {"control": [], "treatment": [], "holdout": []}
+    for u in users:
+        b = bucket(u)
+        arm = "control" if b < _AB_CONTROL_P else ("treatment" if b < _AB_TREAT_P else "holdout")
+        arms[arm].append(u)
+    for arm, members in arms.items():
+        x = 0
+        for u in members:
+            x ^= u
+        assert got[arm]["n_users"] == len(members), arm
+        assert got[arm]["users_xor"] == x, arm
+    assert got["control"]["max_bucket"] < _AB_CONTROL_P
+    assert _AB_CONTROL_P <= got["treatment"]["min_bucket"]
+    assert got["treatment"]["max_bucket"] < _AB_TREAT_P
+    assert got["holdout"]["min_bucket"] >= _AB_TREAT_P
+    assert sum(g["n_users"] for g in got.values()) == len(users)

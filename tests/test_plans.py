@@ -1426,3 +1426,19 @@ def test_silhouette_broadcast_centroids_and_markov_checkpointed(spark):
     plan2 = plan_of(spark, "events_markov_stationary")
     assert "ExistingRDD" in plan2
     assert "SortMergeJoin" not in plan2
+
+
+def test_welch_single_pass_and_ab_single_exchange(spark):
+    """agg_welch_ttest: ONE fused moment aggregate (count/Σx/Σx² in a
+    single two-level HashAggregate pass), join-free.
+    sample_ab_allocation: distinct-user collapse + in-scan md5
+    bucketing, join-free, window-free."""
+    import re
+
+    plan = plan_of(spark, "agg_welch_ttest")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+    plan2 = plan_of(spark, "sample_ab_allocation")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan2) is None
+    assert re.search(r"\(\d+\) Window", plan2) is None

@@ -385,6 +385,8 @@ _HEADLINE_R14 = (
     "events_markov_stationary",
     "agg_welch_ttest",
     "sample_ab_allocation",
+    "text_source_vocab_overlap",
+    "agg_runs_test",
 )
 
 HEADLINE = (

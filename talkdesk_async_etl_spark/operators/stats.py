@@ -3377,3 +3377,141 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "       / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) / (n2 - 1)), 6)"
         ).alias("df_welch"),
     )
+
+
+_RUNS_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY x, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2
+                             OR rn = (n + 2) // 2 THEN x END) AS BIGINT)
+                   * CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END AS m2
+        FROM ranked GROUP BY event_type
+    ),
+    signed AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN 2 * d.x > m.m2 THEN 1 ELSE -1 END AS s
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+        WHERE 2 * d.x <> m.m2
+    ),
+    walked AS (
+        SELECT event_type, s,
+               lag(s) OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+        FROM signed
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(1 + sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM walked GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, n_runs,
+           CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE round((CAST(n_runs AS DOUBLE)
+                            - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                           / sqrt(2.0 * n1 * n2
+                                  * (2.0 * n1 * n2 - n1 - n2)
+                                  / (CAST(n1 + n2 AS DOUBLE)
+                                     * (n1 + n2) * (n1 + n2 - 1))), 6)
+           END AS z_runs
+    FROM stats
+"""
+
+
+@query("agg_runs_test", oracle=_RUNS_ORACLE, tags=("agg", "stats", "drift"))
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48: WALD-WOLFOWITZ RUNS TEST on daily event volume per type —
+    the randomness screen the drift shelf was missing: KS/MWU/Welch
+    ask whether two samples DIFFER, the runs test asks whether ONE
+    series is serially random around its own median (too FEW runs =
+    trending/regime-switching days; too MANY = oscillation, the
+    load-balancer-flapping signature). Exact combinatorics: the
+    median is positional rank arithmetic over integer daily counts
+    (the Tukey device — 2x-scaled so even-n halves never touch a
+    float), days AT the median drop (the standard convention), runs
+    count by one lag over the day order, and z is IEEE-identical
+    double arithmetic over the exact (n1, n2, R) triple with the
+    shared 6-dp rounding; degenerate one-sided series return 0 by
+    guard on both engines.
+
+    Plan: one corpus collapse to (type, day) grain — the only
+    corpus-sized exchange; the rank/median/lag windows all run
+    type-keyed on the day-grain relation (bounded by the calendar),
+    and the median relation broadcasts back (the winsorize/MAD
+    trade). Corpus-size-independent after the collapse."""
+    daily = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w.orderBy("x", "day")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rn = CAST((n + 1) / 2 AS BIGINT)"
+            "           OR rn = CAST((n + 2) / 2 AS BIGINT) THEN x END)"
+            " * CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)"
+        ).alias("m2")
+    )
+    signed = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(2 * F.col("x") != F.col("m2"))
+        .select(
+            "event_type",
+            "day",
+            F.when(2 * F.col("x") > F.col("m2"), F.lit(1)).otherwise(-1).alias("s"),
+        )
+    )
+    walked = signed.select(
+        "event_type",
+        "s",
+        F.lag("s").over(w.orderBy("day")).alias("prev_s"),
+    )
+    stats = walked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    return stats.select(
+        "event_type",
+        "n1",
+        "n2",
+        "n_runs",
+        F.expr(
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE round((CAST(n_runs AS DOUBLE)"
+            "             - (2.0 * n1 * n2 / (n1 + n2) + 1))"
+            "            / sqrt(2.0 * n1 * n2"
+            "                   * (2.0 * n1 * n2 - n1 - n2)"
+            "                   / (CAST(n1 + n2 AS DOUBLE)"
+            "                      * (n1 + n2) * (n1 + n2 - 1))), 6)"
+            " END"
+        ).alias("z_runs"),
+    )

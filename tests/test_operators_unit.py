@@ -5643,3 +5643,78 @@ def test_ab_allocation_replica_and_ramp(spark, tmp_path):
     assert got["treatment"]["max_bucket"] < _AB_TREAT_P
     assert got["holdout"]["min_bucket"] >= _AB_TREAT_P
     assert sum(g["n_users"] for g in got.values()) == len(users)
+
+
+def test_vocab_overlap_constructed(spark, tmp_path):
+    """Three sources with hand-built vocabularies: a near-mirror pair
+    (high Jaccard), a disjoint pair (no row — inner intersection), and
+    exact intersection/union arithmetic including a term shared via
+    MULTIPLE docs counting once (distinct grain)."""
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    rows = [
+        (1, "alpha beta gamma delta", "srcA", "en", 100),
+        (2, "alpha beta gamma delta epsilon", "srcB", "en", 100),
+        (3, "alpha alpha beta", "srcA", "en", 100),      # dups count once
+        (4, "zeta eta theta", "srcC", "en", 100),        # disjoint
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars int"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in load_all()["text_source_vocab_overlap"].fn(spark, str(tmp_path)).collect()
+    }
+    ab = got[("srcA", "srcB")]
+    assert (ab["vocab_a"], ab["vocab_b"], ab["n_common"]) == (4, 5, 4)
+    assert ab["jaccard_micro"] == 4 * 1_000_000 // 5
+    assert ("srcA", "srcC") not in got and ("srcB", "srcC") not in got
+
+
+def test_runs_test_constructed(spark, tmp_path):
+    """Two constructed daily series: a perfectly alternating one
+    (maximum runs -> strongly positive z) and a two-block trending one
+    (minimum runs R=2 -> strongly negative z); values, median drops,
+    and z replicated in pure Python."""
+    import datetime as dt
+    import math
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def day_events(tpe, day_i, k):
+        nonlocal eid
+        for _ in range(k):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime.combine(base + dt.timedelta(days=day_i),
+                                          dt.time(12)), 1, tpe, 1.0, "{}")
+            )
+
+    # alt: 10 days alternating 1/5 events (median 3, no ties) -> R = 10
+    for i in range(10):
+        day_events("alt", i, 1 if i % 2 == 0 else 5)
+    # trend: 5 low days then 5 high days -> R = 2
+    for i in range(10):
+        day_events("trend", i, 1 if i < 5 else 5)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["event_type"]: r for r in load_all()["agg_runs_test"].fn(spark, str(tmp_path)).collect()}
+
+    def z(n1, n2, r):
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+               / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+        return round((r - mu) / math.sqrt(var), 6)
+
+    assert (got["alt"]["n1"], got["alt"]["n2"], got["alt"]["n_runs"]) == (5, 5, 10)
+    assert got["alt"]["z_runs"] == z(5, 5, 10) and got["alt"]["z_runs"] > 2
+    assert (got["trend"]["n1"], got["trend"]["n2"], got["trend"]["n_runs"]) == (5, 5, 2)
+    assert got["trend"]["z_runs"] == z(5, 5, 2) and got["trend"]["z_runs"] < -2

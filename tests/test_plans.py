@@ -1442,3 +1442,22 @@ def test_welch_single_pass_and_ab_single_exchange(spark):
     plan2 = plan_of(spark, "sample_ab_allocation")
     assert re.search(r"\(\d+\) [A-Za-z]*Join", plan2) is None
     assert re.search(r"\(\d+\) Window", plan2) is None
+
+
+def test_vocab_overlap_term_keyed_and_runs_collapsed(spark):
+    """text_source_vocab_overlap: one corpus scan to the distinct
+    (source, term) grain; the self-join is term-keyed (hash join) with
+    |sources|-row broadcast size joins — no NLJ. agg_runs_test: one
+    corpus collapse, type-keyed windows only, the median relation
+    broadcasts back."""
+    import re
+
+    plan = plan_of(spark, "text_source_vocab_overlap")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan2 = plan_of(spark, "agg_runs_test")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) == 1
+    assert "BroadcastHashJoin" in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2

@@ -387,6 +387,7 @@ _HEADLINE_R14 = (
     "sample_ab_allocation",
     "text_source_vocab_overlap",
     "agg_runs_test",
+    "agg_ab_power_mde",
 )
 
 HEADLINE = (

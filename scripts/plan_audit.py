@@ -112,6 +112,8 @@ _BOUNDED_NLJ = {
                         # top-20 terms (the neyman scalar shape)
     "sim_silhouette_centroid",  # k centroid vectors (KB) broadcast —
                                 # the sim_centroid_assign shape
+    "agg_ab_power_mde",  # 1-row arm-count broadcast onto |types| rows
+                         # (the agg_ab_significance scalar shape)
 }
 
 

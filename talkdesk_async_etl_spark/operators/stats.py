@@ -3419,7 +3419,8 @@ _RUNS_ORACLE = """
         FROM walked GROUP BY event_type
     )
     SELECT event_type, n1, n2, n_runs,
-           CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1 THEN CAST(0.0 AS DOUBLE)
+           CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1
+                     OR 2 * n1 * n2 = n1 + n2 THEN CAST(0.0 AS DOUBLE)
                 ELSE round((CAST(n_runs AS DOUBLE)
                             - (2.0 * n1 * n2 / (n1 + n2) + 1))
                            / sqrt(2.0 * n1 * n2
@@ -3444,8 +3445,9 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     float), days AT the median drop (the standard convention), runs
     count by one lag over the day order, and z is IEEE-identical
     double arithmetic over the exact (n1, n2, R) triple with the
-    shared 6-dp rounding; degenerate one-sided series return 0 by
-    guard on both engines.
+    shared 6-dp rounding; degenerate series (one-sided, or the
+    2·n1·n2 = n1+n2 zero-variance case — n1 = n2 = 1, caught by the
+    hypothesis property test) return 0 by guard on both engines.
 
     Plan: one corpus collapse to (type, day) grain — the only
     corpus-sized exchange; the rank/median/lag windows all run
@@ -3505,7 +3507,8 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         "n_runs",
         F.expr(
-            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1 THEN CAST(0.0 AS DOUBLE)"
+            "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 = 1"
+            " OR 2 * n1 * n2 = n1 + n2 THEN CAST(0.0 AS DOUBLE)"
             " ELSE round((CAST(n_runs AS DOUBLE)"
             "             - (2.0 * n1 * n2 / (n1 + n2) + 1))"
             "            / sqrt(2.0 * n1 * n2"
@@ -3514,4 +3517,132 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "                      * (n1 + n2) * (n1 + n2 - 1))), 6)"
             " END"
         ).alias("z_runs"),
+    )
+
+
+_POWER_ORACLE = """
+    WITH u AS (
+        SELECT CAST(('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 1000 AS bucket
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    arms AS (
+        SELECT CAST(sum(CASE WHEN bucket < 500 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               CAST(sum(CASE WHEN bucket >= 500 AND bucket < 900
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+        FROM u
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS HUGEINT)
+                   AS s1,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+                        * CAST(floor(value * 100 + 0.5) AS HUGEINT))
+                    AS HUGEINT) AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, arms.n_c AS n_control, arms.n_t AS n_treatment,
+           round(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                 / (CAST(m.n AS DOUBLE) * (m.n - 1)), 6) AS var_cents,
+           round(CAST(2.8 AS DOUBLE)
+                 * sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) * (m.n - 1))
+                        * (CAST(1 AS DOUBLE) / arms.n_c
+                           + CAST(1 AS DOUBLE) / arms.n_t)), 6)
+               AS mde_cents
+    FROM m CROSS JOIN arms
+    WHERE m.n > 1
+"""
+
+
+@query("agg_ab_power_mde", oracle=_POWER_ORACLE, tags=("agg", "stats", "experiment"))
+def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49: MINIMUM DETECTABLE EFFECT for the experiment the allocation
+    operator set up — the pre-launch power analysis that completes the
+    experimentation trio: sample_ab_allocation assigns the arms,
+    THIS op says what effect size those arm counts can actually detect
+    (MDE = (z_{α/2}+z_β)·σ·sqrt(1/n_c+1/n_t) with the standard frozen
+    2.8 = 1.96+0.84 for 80% power at α=5%), agg_ab_significance judges
+    the outcome. Running it per metric (event type) is the real
+    workflow: the same arm sizes detect a 2-cent move on a
+    high-volume metric and only a 50-cent move on a sparse one.
+
+    Exactness: arm counts replay the ACTUAL md5-bucket allocation (so
+    this op and the allocation can never disagree about n), variance
+    comes from exact HUGEINT/DECIMAL(38,0) cent moments via the
+    n(n−1) identity, and MDE is IEEE-identical double arithmetic over
+    those exact integers with the shared 6-dp rounding. The 2.8
+    literal parses to the same double on both engines.
+
+    Plan: one distinct-user collapse + one per-type moment aggregate
+    (both map-side combinable, sharing the events scan lineage), then
+    a 1-row arms broadcast onto |types| rows — the allowlisted scalar
+    shape. Corpus-size-independent after the two collapses."""
+    from talkdesk_async_etl_spark.operators.sampling import (
+        _AB_CONTROL_P,
+        _AB_SALT,
+        _AB_TREAT_P,
+    )
+
+    ev = t(spark, sf_dir, "events", spread=True)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_AB_SALT + "|"), F.col("user_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .select(bucket.alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("bucket") < _AB_CONTROL_P, 1).otherwise(0))
+            .cast("long")
+            .alias("n_c"),
+            F.sum(
+                F.when(
+                    (F.col("bucket") >= _AB_CONTROL_P)
+                    & (F.col("bucket") < _AB_TREAT_P),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_t"),
+        )
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    return (
+        m.filter(F.col("n") > 1)
+        .crossJoin(F.broadcast(arms))
+        .select(
+            "event_type",
+            F.col("n_c").alias("n_control"),
+            F.col("n_t").alias("n_treatment"),
+            F.expr(
+                "round(CAST(n * s2 - s1 * s1 AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * (n - 1)), 6)"
+            ).alias("var_cents"),
+            F.expr(
+                "round(CAST(2.8 AS DOUBLE)"
+                " * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)"
+                "        / (CAST(n AS DOUBLE) * (n - 1))"
+                "        * (CAST(1 AS DOUBLE) / n_c"
+                "           + CAST(1 AS DOUBLE) / n_t)), 6)"
+            ).alias("mde_cents"),
+        )
     )

@@ -5718,3 +5718,47 @@ def test_runs_test_constructed(spark, tmp_path):
     assert got["alt"]["z_runs"] == z(5, 5, 10) and got["alt"]["z_runs"] > 2
     assert (got["trend"]["n1"], got["trend"]["n2"], got["trend"]["n_runs"]) == (5, 5, 2)
     assert got["trend"]["z_runs"] == z(5, 5, 2) and got["trend"]["z_runs"] < -2
+
+
+def test_ab_power_mde_constructed(spark, tmp_path):
+    """Constructed events with a known variance: arm counts must equal
+    the allocation replica, and var/MDE must match a pure-Python
+    computation from the exact cent moments."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from talkdesk_async_etl_spark.operators.sampling import (
+        _AB_CONTROL_P,
+        _AB_SALT,
+        _AB_TREAT_P,
+    )
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    users = list(range(1, 101))
+    values = [float(v) for v in (1, 2, 3, 4, 5) * 20]  # var known
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), u, "buy", v, "{}")
+        for i, (u, v) in enumerate(zip(users, values))
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    r = load_all()["agg_ab_power_mde"].fn(spark, str(tmp_path)).collect()[0]
+
+    def bucket(u):
+        return int(hashlib.md5(f"{_AB_SALT}|{u}".encode()).hexdigest()[:15], 16) % 1000
+
+    n_c = sum(1 for u in users if bucket(u) < _AB_CONTROL_P)
+    n_t = sum(1 for u in users if _AB_CONTROL_P <= bucket(u) < _AB_TREAT_P)
+    cents = [round(v * 100) for v in values]
+    n = len(cents)
+    s1, s2 = sum(cents), sum(x * x for x in cents)
+    var = (n * s2 - s1 * s1) / (n * (n - 1))
+    mde = 2.8 * math.sqrt(var * (1 / n_c + 1 / n_t))
+    assert (r["n_control"], r["n_treatment"]) == (n_c, n_t)
+    assert r["var_cents"] == round(var, 6)
+    assert abs(r["mde_cents"] - round(mde, 6)) <= 1e-6

@@ -1461,3 +1461,15 @@ def test_vocab_overlap_term_keyed_and_runs_collapsed(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan2)) == 1
     assert "BroadcastHashJoin" in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_ab_power_two_collapses_one_scalar_broadcast(spark):
+    """agg_ab_power_mde: two map-side-combinable collapses (distinct
+    users, per-type moments) + the 1-row arms broadcast — no SMJ, no
+    window."""
+    import re
+
+    plan = plan_of(spark, "agg_ab_power_mde")
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"\(\d+\) Window", plan) is None
+    assert "BroadcastExchange" in plan

@@ -332,3 +332,173 @@ def test_simpson_yule_spectrum_bounds(freqs):
     # k == 0 iff the spectrum is all singletons (f2 == n): any repeat
     # makes (f2-n)*1e10 >= 1e10 > n^2 for every reachable n here.
     assert (k == 0) == (f2 == n)
+
+
+# --- Round-14 kernels ----------------------------------------------------
+
+
+def _ntile_naive(n: int, k: int) -> list[int]:
+    """Reference ntile: deal rows into k buckets, earlier buckets absorb
+    the remainder — one row at a time, no arithmetic shortcuts."""
+    base, rem = divmod(n, k)
+    out, bucket = [], 1
+    cnt = 0
+    for _ in range(n):
+        cap = base + (1 if bucket <= rem else 0)
+        cnt += 1
+        out.append(bucket)
+        if cnt == cap:
+            bucket, cnt = bucket + 1, 0
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, 500), st.integers(1, 40))
+def test_two_pass_ntile_closed_form_matches_naive_deal(n, k):
+    """two_pass_ntile's closed-form remainder formula (the SQL CASE in
+    operators/stats.py) must reproduce the row-at-a-time deal for every
+    (n, k) — including n < k (row-per-bucket) and the exact absorb
+    boundaries."""
+    base, rem = divmod(n, k)
+    cut = rem * (base + 1)
+    want = _ntile_naive(n, k)
+    for r in range(1, n + 1):
+        if r <= cut:
+            got = (r - 1) // (base + 1) + 1
+        else:
+            got = rem + (r - cut - 1) // base + 1
+        assert got == want[r - 1], (n, k, r)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_spearman_integer_comoments_match_float_ranks(pairs):
+    """The 2x-scaled integer midrank co-moment rho (agg_spearman_corr's
+    formulation) must equal the classical float Spearman (Pearson over
+    midranks) on arbitrary tied samples — scale factors cancel
+    exactly."""
+    import math
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+
+    def ranks2x(vals):
+        # 2*midrank as the operator computes it: 2*(cum_before) + ties + 1
+        out = []
+        for v in vals:
+            below = sum(1 for u in vals if u < v)
+            ties = sum(1 for u in vals if u == v)
+            out.append(2 * below + ties + 1)
+        return out
+
+    rx, ry = ranks2x(xs), ranks2x(ys)
+    n = len(pairs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    if d1 == 0 or d2 == 0:
+        return  # the operator's zero-variance guard branch
+    got = (n * sxy - sx * sy) / math.sqrt(d1 * d2)
+
+    def midranks(vals):
+        return [r / 2 for r in ranks2x(vals)]
+
+    fx, fy = midranks(xs), midranks(ys)
+    mx, my = sum(fx) / n, sum(fy) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(fx, fy))
+    den = math.sqrt(
+        sum((a - mx) ** 2 for a in fx) * sum((b - my) ** 2 for b in fy)
+    )
+    assert abs(got - num / den) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from([1, -1]), min_size=2, max_size=100))
+def test_runs_count_equals_segment_count_and_z_antisymmetry(signs):
+    """1 + #sign-changes (the lag walk agg_runs_test sums) must equal
+    the number of maximal constant segments; and the z statistic is
+    invariant under a global sign flip (n1 and n2 swap symmetrically
+    in every term)."""
+    import math
+
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    segs = 1
+    for a, b in zip(signs, signs[1:]):
+        if a != b:
+            segs += 1
+    assert runs == segs
+    n1 = sum(1 for s in signs if s == 1)
+    n2 = len(signs) - n1
+    # the operator's full guard: one-sided OR zero-variance
+    # (2·n1·n2 == n1+n2, i.e. n1 = n2 = 1 — this very test found the
+    # unguarded division)
+    if n1 == 0 or n2 == 0 or n1 + n2 == 1 or 2 * n1 * n2 == n1 + n2:
+        return
+
+    def z(a, b, r):
+        mu = 2 * a * b / (a + b) + 1
+        var = 2 * a * b * (2 * a * b - a - b) / ((a + b) ** 2 * (a + b - 1))
+        return (r - mu) / math.sqrt(var)
+
+    assert abs(z(n1, n2, runs) - z(n2, n1, runs)) < 1e-12
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 5),
+)
+def test_quantized_l1_walk_mass_bounds(edges, iters):
+    """The quantized integer power-iteration step shared by
+    graph_hits_scores and events_markov_stationary: after each
+    truncating renormalization, total L1 mass is <= 1e6 and the floor
+    losses are bounded by the number of occupied states — the
+    deterministic-quantization contract both oracles replay."""
+    M = 1_000_000
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    rowsum = {}
+    for s, d, w in edges:
+        rowsum[s] = rowsum.get(s, 0) + w
+    pi = {v: M for v in nodes}
+    for _ in range(iters):
+        raw = {}
+        for s, d, w in edges:
+            raw[d] = raw.get(d, 0) + pi[s] * w // rowsum[s]
+        tot = sum(raw.values())
+        pi = {v: (raw.get(v, 0) * M // tot if tot else 0) for v in nodes}
+        if tot == 0:
+            assert all(x == 0 for x in pi.values())
+            continue
+        occupied = sum(1 for x in pi.values() if x > 0)
+        assert sum(pi.values()) <= M
+        assert sum(pi.values()) >= M - occupied
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 100), st.integers(0, 100), st.integers(0, 100))
+def test_jaccard_micro_bounds_and_symmetry(common, only_a, only_b):
+    """text_source_vocab_overlap's inclusion-exclusion micro Jaccard:
+    bounded by [0, 1e6], symmetric in (a, b), equal to 1e6 exactly iff
+    the vocabularies coincide (non-empty)."""
+    na, nb = common + only_a, common + only_b
+    union = na + nb - common
+    if union == 0:
+        return
+    j = common * 1_000_000 // union
+    j_sym = common * 1_000_000 // (nb + na - common)
+    assert 0 <= j <= 1_000_000
+    assert j == j_sym
+    assert (j == 1_000_000) == (only_a == 0 and only_b == 0 and common > 0)

@@ -388,6 +388,8 @@ _HEADLINE_R14 = (
     "text_source_vocab_overlap",
     "agg_runs_test",
     "agg_ab_power_mde",
+    "window_streak_days",
+    "join_interval_merge",
 )
 
 HEADLINE = (

@@ -461,3 +461,111 @@ def join_range_bucket_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("p_id").alias("event_id")).agg(
         F.count("v_id").alias("n_nearby_views")
     )
+
+
+_IVM_WIN_MIN = 5  # each event opens a 5-minute activity interval
+
+
+@query(
+    "join_interval_merge",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS s,
+                   CAST(ts AS TIMESTAMP) + INTERVAL {_IVM_WIN_MIN} MINUTE AS e
+            FROM events
+        ),
+        walked AS (
+            SELECT user_id, event_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max_e
+            FROM iv
+        ),
+        flagged AS (
+            SELECT user_id, event_id, s, e,
+                   CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END AS new_island
+            FROM walked
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (PARTITION BY user_id
+                                         ORDER BY s, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS island
+            FROM flagged
+        ),
+        merged AS (
+            SELECT user_id, island,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(date_diff('microseconds', min(s), max(e)) AS BIGINT)
+                       AS covered_us
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum(covered_us) AS BIGINT) AS covered_us,
+               CAST(max(n_events) AS BIGINT) AS densest_interval
+        FROM merged GROUP BY user_id
+    """,
+    tags=("join", "intervals"),
+)
+def join_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6d: INTERVAL COALESCING — merge each user's overlapping
+    5-minute activity windows into maximal covered spans (the
+    union-of-intervals primitive behind "total engaged time", SLA
+    coverage, and on-call overlap math; join_interval_overlap COUNTS
+    pairwise overlaps, this one performs the UNION). The classic
+    sweep: sort each user's intervals by start, a new span opens
+    exactly when a start exceeds the running max of prior ends
+    (touching spans merge — s > prev_max_e, strict), island id = the
+    running sum of those flags, covered time = max(end) − min(start)
+    per island in EXACT microseconds. One user-keyed sort serves the
+    running-max, the flag, and the island id (three frames over the
+    same window spec → one Window exchange).
+
+    Plan: one shuffle on user_id + per-partition sort — the as-of
+    cost envelope; island collapse and the per-user closer are
+    grain-sized aggregates on the same partitioning. Mega-user skew
+    mitigates with the time-bucket salt + carry-in boundary row
+    documented at module head."""
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("s"),
+        (F.col("ts").cast("timestamp") + F.expr(f"INTERVAL {_IVM_WIN_MIN} MINUTE")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    # BOTH running windows share the fully tie-broken (s, event_id)
+    # order — ordering the island sum by (s, e) would tie whenever two
+    # events share a timestamp and let the engines disagree on which
+    # island a tied row joins.
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("timestampdiff(MICROSECOND, min(s), max(e))")
+        .cast("long")
+        .alias("covered_us"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("covered_us").cast("long").alias("covered_us"),
+        F.max("n_events").cast("long").alias("densest_interval"),
+    )

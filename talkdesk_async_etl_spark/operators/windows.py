@@ -1121,3 +1121,83 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rs"), F.lit(0)).cast("long").alias("n_out"),
         )
     )
+
+
+_STREAK_ORACLE = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               CAST(day - CAST(row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY day)
+                               AS INTEGER) AS DATE) AS anchor
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, anchor,
+               CAST(count(*) AS BIGINT) AS len,
+               min(day) AS start_day
+        FROM isl GROUP BY user_id, anchor
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY len DESC, start_day DESC) AS rn
+        FROM runs
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           max(CASE WHEN rn = 1 THEN start_day END) AS best_start,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM ranked GROUP BY user_id
+"""
+
+
+@query("window_streak_days", oracle=_STREAK_ORACLE, tags=("window", "events"))
+def window_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-depth: LONGEST ACTIVE-DAY STREAK per user — the consecutive-
+    day engagement metric (gaps-and-islands' canonical exercise, and
+    the retention team's favorite number) that the sessionize operator
+    cannot answer: islands here are runs of CALENDAR days, not
+    event-gap sessions. The classic anchor trick: day − row_number()
+    is CONSTANT within a consecutive run and unique across runs, so
+    one (user)-keyed window + one aggregate finds every streak with
+    no self-join. Deterministic tie-break: among equal-length streaks
+    the LATEST start wins, pinned by the rank-gated-max device (the
+    cusum pattern) so neither engine's max_by tie semantics is in
+    play.
+
+    Plan: collapse to the DISTINCT (user, day) grain first (the only
+    corpus-sized exchange — multiple events per day collapse before
+    any window), one user-keyed window over the calendar-bounded day
+    grain sharing that exchange's partitioning, two grain-sized
+    aggregates. At 100 TB the day grain is |users|×|days| at worst —
+    the collapse IS the scale story."""
+    days = (
+        t(spark, sf_dir, "events", spread=True)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    ranked = runs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("len").desc(), F.col("start_day").desc()
+            )
+        ),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.max(F.when(F.col("rn") == 1, F.col("start_day"))).alias("best_start"),
+        F.sum("len").cast("long").alias("active_days"),
+    )

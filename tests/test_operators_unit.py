@@ -5762,3 +5762,74 @@ def test_ab_power_mde_constructed(spark, tmp_path):
     assert (r["n_control"], r["n_treatment"]) == (n_c, n_t)
     assert r["var_cents"] == round(var, 6)
     assert abs(r["mde_cents"] - round(mde, 6)) <= 1e-6
+
+
+def test_streak_days_constructed(spark, tmp_path):
+    """Hand-built calendars: a 4-day run beats two 2-day runs; equal
+    longest streaks resolve to the LATEST start; multiple events on
+    one day collapse before the walk."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    base = dt.date(2024, 3, 1)
+    rows, eid = [], 0
+
+    def on(u, day_i, times=1):
+        nonlocal eid
+        for k in range(times):
+            eid += 1
+            rows.append((eid, dt.datetime.combine(base + dt.timedelta(days=day_i),
+                                                  dt.time(10 + k)), u, "view", 1.0, "{}"))
+
+    # user 1: days 0-3 (len 4, two events day 0), gap, days 6-7 (len 2)
+    for d in range(4):
+        on(1, d, times=2 if d == 0 else 1)
+    on(1, 6); on(1, 7)
+    # user 2: two equal 2-day streaks -> best_start = the LATER one
+    on(2, 0); on(2, 1); on(2, 5); on(2, 6)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["user_id"]: r for r in load_all()["window_streak_days"].fn(spark, str(tmp_path)).collect()}
+    u1 = got[1]
+    assert (u1["n_streaks"], u1["longest_streak"], u1["active_days"]) == (2, 4, 6)
+    assert u1["best_start"] == base
+    u2 = got[2]
+    assert (u2["n_streaks"], u2["longest_streak"]) == (2, 2)
+    assert u2["best_start"] == base + dt.timedelta(days=5)
+
+
+def test_interval_merge_constructed(spark, tmp_path):
+    """Three regimes per the sweep's contract: overlapping intervals
+    merge (covered = span, not sum), TOUCHING intervals merge (strict
+    s > prev_end), and a gap opens a new interval; exact microsecond
+    coverage replicated by hand."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1: events at 0 and 3 min (overlap -> one 8-min span),
+        # then at 8 min (touches the 0-5..3-8 span end -> still merges),
+        # then at 30 min (gap -> new span)
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=3), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=8), 1, "view", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=30), 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = load_all()["join_interval_merge"].fn(spark, str(tmp_path)).collect()[0]
+    # span 1: [0, 13) minutes (0..5, 3..8 overlap; 8..13 touches) = 13 min
+    # span 2: [30, 35) = 5 min
+    assert (r["n_events"], r["n_intervals"]) == (4, 2)
+    assert r["covered_us"] == (13 + 5) * 60 * 1_000_000
+    assert r["densest_interval"] == 3

@@ -1473,3 +1473,19 @@ def test_ab_power_two_collapses_one_scalar_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert re.search(r"\(\d+\) Window", plan) is None
     assert "BroadcastExchange" in plan
+
+
+def test_streak_and_interval_merge_single_user_exchange(spark):
+    """window_streak_days: distinct (user,day) collapse first, then
+    user-keyed windows — no join. join_interval_merge: the running-max,
+    flag, and island windows all share ONE user-keyed sort (a single
+    Window exchange), then grain-sized aggregates — no join."""
+    import re
+
+    plan = plan_of(spark, "window_streak_days")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+    plan2 = plan_of(spark, "join_interval_merge")
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan2) is None
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan2)) <= 1

@@ -529,22 +529,65 @@ def _prior_detail(repo_dir: str, stamp: int) -> tuple[int, dict, str] | None:
         return None
 
 
+# Spread-aware regression gate knobs (VERDICT r14 task 3). Calibrated
+# on the two adjudicated precedents:
+#   - REAL (window_rfm_scores, r14): 0.59 -> 2.20 s with a TIGHT
+#     0.32 s spread (0.15x its min) on a run whose run-wide median
+#     ratio was ~1.0 — a deliberate re-plan re-times consistently.
+#   - NOISE (the r14 driver close's 8 flags): 2.0-2.9x ratios riding
+#     a 1.22x run-wide median with BLOWN spreads (e.g.
+#     pipeline_curation_e2e 29.9 s, spread 19.5 — 0.65x its min) —
+#     a co-tenant burst inflates some repeats, not all, so min-of-3
+#     keeps a loose max-min on the slow side.
+_REGRESSION_RATIO = 2.0  # min_new vs median-normalized min_old
+_REGRESSION_SPREAD_REL = 0.4  # spread_new <= 0.4 * min_new = tight
+_REGRESSION_SPREAD_ABS = 0.3  # ...or <= 0.3 s (sub-second queries)
+
+
 def _find_regressions(
     timings: dict[str, float],
     spreads: dict[str, float],
     prior: dict | None,
     sf_val,
-) -> tuple[list[str], dict[str, dict]]:
-    """Per-query round-over-round regression gate (VERDICT r9 task 3):
-    flag ``name`` when min_new exceeds the prior round's noise band
-    (min_old + spread_old) AND has at least doubled — a delta inside
-    either bound is host noise / normal drift, not a plan regression.
+) -> tuple[list[str], dict[str, dict], float | None]:
+    """Per-query round-over-round regression gate (VERDICT r9 task 3,
+    spread-aware per VERDICT r14 task 3): flag ``name`` only when ALL
+    of
+
+    1. min_new exceeds the prior round's noise band
+       (min_old + spread_old);
+    2. min_new at least doubled AFTER dividing out the run-wide
+       median ratio over every common query — a contended sweep
+       inflates everything, and the median captures that
+       session-level multiplier (the r14 driver close's noise flags
+       rode a 1.22x run-wide median);
+    3. the slow side's own spread is TIGHT — spread_new within
+       ``max(0.4*min_new, 0.3 s)``. A real plan regression re-times
+       consistently; a co-tenant burst blows the spread, and a blown
+       spread means min-of-3 itself is contention-suspect.
+
     Only queries present in both rounds at the SAME sf compare; the
-    summary carries the flagged names, the detail file the numbers."""
+    summary carries the flagged names + the median ratio, the detail
+    file the per-query numbers. Returns (flagged, detail,
+    median_ratio)."""
     if not prior or prior.get("sf") != sf_val:
-        return [], {}
+        return [], {}, None
     old_t = prior.get("queries", {})
     old_s = prior.get("spread", {})
+    ratios = sorted(
+        new / old_t[n]
+        for n, new in timings.items()
+        if n in old_t and new == new and old_t[n] == old_t[n] and old_t[n] > 0.05
+    )
+    if not ratios:
+        return [], {}, None
+    mid = len(ratios) // 2
+    median_ratio = (
+        ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    # The median only DISCOUNTS (contended run); a faster-than-prior
+    # run must not amplify deltas into flags.
+    norm = max(1.0, median_ratio)
     flagged: list[str] = []
     detail: dict[str, dict] = {}
     for name, new_min in timings.items():
@@ -552,15 +595,24 @@ def _find_regressions(
         if old_min is None or new_min != new_min or old_min != old_min:
             continue
         band = old_min + old_s.get(name, 0.0)
-        if new_min > band and new_min > 2 * old_min:
+        spread_new = spreads.get(name, 0.0)
+        tight = spread_new <= max(
+            _REGRESSION_SPREAD_REL * new_min, _REGRESSION_SPREAD_ABS
+        )
+        if (
+            new_min > band
+            and new_min > _REGRESSION_RATIO * old_min * norm
+            and tight
+        ):
             flagged.append(name)
             detail[name] = {
                 "min_old": old_min,
                 "spread_old": old_s.get(name, 0.0),
                 "min_new": new_min,
-                "spread_new": spreads.get(name, 0.0),
+                "spread_new": spread_new,
+                "run_median_ratio": round(median_ratio, 3),
             }
-    return sorted(flagged), detail
+    return sorted(flagged), detail, round(median_ratio, 3)
 
 
 def main() -> None:
@@ -642,7 +694,7 @@ def main() -> None:
     stamp = _round_stamp(repo_dir)
     prior = _prior_detail(repo_dir, stamp)
     comparable = prior is not None and prior[1].get("sf") == sf_val
-    regressions, regression_detail = _find_regressions(
+    regressions, regression_detail, median_ratio = _find_regressions(
         timings, spreads, prior[1] if comparable else None, sf_val
     )
     summary = {
@@ -654,9 +706,14 @@ def main() -> None:
         "failed": failed,
         # Per-query regression gate vs the newest prior stamped detail
         # (non-empty = named queries whose min exceeded the prior noise
-        # band AND doubled; adjudicate against `host` before believing
-        # it — a contended sweep flags noise).
+        # band AND doubled after dividing out the run-wide median ratio
+        # AND re-timed with a tight spread — the spread-aware gate of
+        # VERDICT r14 task 3; `host` still adjudicates).
         "regressions": regressions,
+        # Run-wide median(min_new/min_old) over all common queries: the
+        # session-level contention multiplier the gate divides out
+        # (1.22 on the r14 driver's noisy close, ~1.0 on quiet sweeps).
+        "regressions_median_ratio": median_ratio,
         "regressions_vs_round": prior[0] if comparable else None,
         # ... and WHICH stamped file that round number refers to — the
         # r10 close left two sweeps both claiming "round 10", so a bare

@@ -1155,10 +1155,13 @@ def hits_from_edges(edges_raw: DataFrame, iters: int = _HITS_ITERS) -> DataFrame
 
     Scale shape: per round, two node-sized join+aggregate passes over
     the once-persisted edge relation, each followed by a 1-row total
-    broadcast; below the broadcast threshold the score relation ships
-    to the edge partitions (the pagerank small-graph fast path),
-    above it both sides shuffle on the node key. Lineage cut per
-    round via localCheckpoint (the pagerank 2.4x lesson)."""
+    broadcast (that hint stays — a scalar is always broadcastable).
+    The node-sized score relation carries NO broadcast hint: AQE
+    picks broadcast below the threshold (the pagerank small-graph
+    fast path) and a node-key shuffle above it, so a web-scale node
+    domain can never OOM the driver on a forced hint (ADVICE r14).
+    Lineage cut per round via localCheckpoint (the pagerank 2.4x
+    lesson)."""
     n_edges = edges_raw.count()
     n_parts = max(1, n_edges // 100_000 + 1)
     edges = scoped_persist(edges_raw.repartition(n_parts, "src"))
@@ -1172,9 +1175,7 @@ def hits_from_edges(edges_raw: DataFrame, iters: int = _HITS_ITERS) -> DataFrame
     def norm(raw: DataFrame, key: str, out: str) -> DataFrame:
         tot = raw.agg(F.sum("raw").alias("tot"))
         return (
-            nodes.join(
-                F.broadcast(raw.withColumnRenamed(key, "node")), "node", "left"
-            )
+            nodes.join(raw.withColumnRenamed(key, "node"), "node", "left")
             .crossJoin(F.broadcast(tot))
             .select(
                 "node",

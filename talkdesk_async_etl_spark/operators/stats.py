@@ -23,6 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from talkdesk_async_etl_spark.operators.sampling import (
+    _AB_CONTROL_P,
+    _AB_SALT,
+    _AB_TREAT_P,
+)
 from talkdesk_async_etl_spark.plans.cache import scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
 from talkdesk_async_etl_spark.sources.io import read_table as t
@@ -3296,10 +3301,14 @@ _WELCH_ORACLE = """
     )
     SELECT CAST(n1 AS BIGINT) AS n_en, CAST(n2 AS BIGINT) AS n_de,
            CAST(mean_diff_micro AS BIGINT) AS mean_diff_micro,
-           round(md / sqrt(se1 + se2), 6) AS t_welch,
-           round((se1 + se2) * (se1 + se2)
-                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 6)
-               AS df_welch
+           CASE WHEN n1 > 1 AND n2 > 1 AND se1 + se2 > 0
+                THEN round(md / sqrt(se1 + se2), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS t_welch,
+           CASE WHEN n1 > 1 AND n2 > 1 AND se1 + se2 > 0
+                THEN round((se1 + se2) * (se1 + se2)
+                           / (se1 * se1 / (n1 - 1)
+                              + se2 * se2 / (n2 - 1)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS df_welch
     FROM v
 """
 
@@ -3319,6 +3328,11 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gini-class magnitude — past int64 at scale), with the shared 6-dp
     rounding. Standard-error terms use the n²(n−1) denominator
     identity so both engines divide the same exact integers.
+    Degenerate inputs (a single-doc group or zero pooled variance)
+    pin t/df to 0.0 identically on both engines — Spark doubles would
+    otherwise yield Inf/NaN where DuckDB yields NULL (the same
+    engine-divergence seam guarded in agg_ks_source_drift,
+    agg_spearman_corr and agg_runs_test).
 
     Plan: one map-side-combinable 2-group moment aggregate (count,
     Σx, Σx² fused in one pass) + a 1-row pivot and projection —
@@ -3343,7 +3357,26 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("lang") == "en", F.col("s2"))).alias("b1"),
         F.max(F.when(F.col("lang") == "de", F.col("s2"))).alias("b2"),
     )
-    return w.select(
+    # se/md factored once so the degenerate-input guard (a single-doc
+    # group or zero pooled variance — ADVICE r14) can gate t/df the
+    # same way on both engines: Spark doubles would yield Inf/NaN,
+    # DuckDB NULL, so both pin to 0.0 when n≤1 or se1+se2 ≤ 0.
+    v = w.select(
+        "n1",
+        "n2",
+        "a1",
+        "a2",
+        F.expr(
+            "CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
+            " / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
+        ).alias("se1"),
+        F.expr(
+            "CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
+            " / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))"
+        ).alias("se2"),
+        F.expr("CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2").alias("md"),
+    )
+    return v.select(
         F.col("n1").cast("long").alias("n_en"),
         F.col("n2").cast("long").alias("n_de"),
         F.expr(
@@ -3352,29 +3385,16 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"
         ).alias("mean_diff_micro"),
         F.expr(
-            "round((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)"
-            " / sqrt(CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
-            "        / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
-            "      + CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
-            "        / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))), 6)"
+            "CASE WHEN n1 > 1 AND n2 > 1 AND se1 + se2 > 0"
+            " THEN round(md / sqrt(se1 + se2), 6)"
+            " ELSE CAST(0.0 AS DOUBLE) END"
         ).alias("t_welch"),
         F.expr(
-            "round((CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
-            "       / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
-            "     + CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
-            "       / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
-            " * (CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
-            "    / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))"
-            "  + CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
-            "    / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
-            " / ((CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
-            "     / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))"
-            "    * (CAST(n1 * b1 - a1 * a1 AS DOUBLE)"
-            "       / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))) / (n1 - 1)"
-            "  + (CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
-            "     / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))"
-            "    * (CAST(n2 * b2 - a2 * a2 AS DOUBLE)"
-            "       / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) / (n2 - 1)), 6)"
+            "CASE WHEN n1 > 1 AND n2 > 1 AND se1 + se2 > 0"
+            " THEN round((se1 + se2) * (se1 + se2)"
+            "            / (se1 * se1 / (n1 - 1)"
+            "               + se2 * se2 / (n2 - 1)), 6)"
+            " ELSE CAST(0.0 AS DOUBLE) END"
         ).alias("df_welch"),
     )
 
@@ -3520,16 +3540,23 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POWER_ORACLE = """
+# f-string over the SAME constants the Spark side uses
+# (sampling._AB_SALT/_AB_CONTROL_P/_AB_TREAT_P) so a change to the
+# allocation contract can never silently desync oracle from
+# implementation (ADVICE r14).
+_POWER_ORACLE = f"""
     WITH u AS (
-        SELECT CAST(('0x' || substr(md5('exp1|' || CAST(user_id AS VARCHAR)),
+        SELECT CAST(('0x' || substr(md5('{_AB_SALT}|'
+                     || CAST(user_id AS VARCHAR)),
                      1, 15)) AS BIGINT) % 1000 AS bucket
         FROM (SELECT DISTINCT user_id FROM events)
     ),
     arms AS (
-        SELECT CAST(sum(CASE WHEN bucket < 500 THEN 1 ELSE 0 END) AS BIGINT)
+        SELECT CAST(sum(CASE WHEN bucket < {_AB_CONTROL_P}
+                             THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_c,
-               CAST(sum(CASE WHEN bucket >= 500 AND bucket < 900
+               CAST(sum(CASE WHEN bucket >= {_AB_CONTROL_P}
+                             AND bucket < {_AB_TREAT_P}
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_t
         FROM u
     ),
@@ -3580,12 +3607,6 @@ def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both map-side combinable, sharing the events scan lineage), then
     a 1-row arms broadcast onto |types| rows — the allowlisted scalar
     shape. Corpus-size-independent after the two collapses."""
-    from talkdesk_async_etl_spark.operators.sampling import (
-        _AB_CONTROL_P,
-        _AB_SALT,
-        _AB_TREAT_P,
-    )
-
     ev = t(spark, sf_dir, "events", spread=True)
     bucket = F.pmod(
         F.conv(

@@ -81,82 +81,80 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-14 window, in priority order (executes ROUND_NOTES' committed
-# round-14 rotation pre-plan VERBATIM, per VERDICT r13 task 1):
-#   1. The 10 round-13 additions that registered AFTER the r13 window
-#      froze (judge-parity-verified 10/10 by the r13 judge's own
+# Round-15 window, in priority order (executes ROUND_NOTES' committed
+# round-15 rotation pre-plan VERBATIM, per VERDICT r14 task 1):
+#   1. The 19 round-14 additions that registered AFTER the r14 window
+#      froze (judge-parity-verified 19/19 by the r14 judge's own
 #      check_parity run but still without a formal driver CORRECTNESS
 #      row), in registration order per the pre-plan.
-#   2. The 18 remaining r7-tier ids (alphabetical within the tier) —
-#      retires the oldest half of the attestation tail; includes the
-#      five ids displaced from the r13 window (sim_topk_cosine,
-#      sim_topk_ivf, sink_clustered_layout_ok, sink_zorder_layout_ok,
-#      sort_topk_global) as the pre-plan ordered them.  sim_topk_ivf
-#      (rows-only) re-attests here one round after its sim_ivf_recall
-#      twin went hash-green at r13 position 48 (VERDICT task 5's
-#      adjacency ask lands the remaining pairs in the r15 pre-plan).
-#   3. The 22 oldest r8-tier ids (alphabetical) fill the remaining
-#      slots.  The remaining 28 r8-tier ids and the r9+ tiers rotate
-#      r15+ (r8 first).
+#   2. The three remaining aging rows-only/twin pairs ADJACENT
+#      (VERDICT r14 task-5 pattern): sim_topk_ivf/sim_ivf_recall,
+#      sim_topk_pq/sim_pq_recall_ok,
+#      multimodal_image_features/multimodal_features_ok — each
+#      rows-only candidate generator re-attests in the same window
+#      position block as its hash-attested recall/invariant twin.
+#   3. The 25 oldest remaining r8-tier ids (alphabetical) fill the
+#      remaining slots.  window_sessionize_gap and the r9+ tiers
+#      rotate r16+ (r8 first).
 # Any id registered but absent here appends in registration order, so
 # new operators are never silently dropped — and the first-50
 # meta-test in tests/test_driver_profile.py fails on typos/miscounts.
-# Round-14 additions registered after THIS window freezes lead the
-# r15 window per the standing precedent.
+# Round-15 additions registered after THIS window freezes lead the
+# r16 window per the standing precedent.
 _PRIORITY = (
-    # --- tier 1: the 10 round-13 ids without a formal driver row ---
-    "text_dispersion_dp",
-    "text_rake_keywords",
-    "text_lexical_richness",
-    "agg_ks_source_drift",
-    "agg_mann_whitney_auc",
-    "events_autocorr_lag",
-    "agg_tukey_outlier_fences",
-    "agg_chi2_independence",
-    "sample_bootstrap_replicates",
-    "scan_binary_files",
-    # --- tier 2: the 18 remaining r7-tier ids (alphabetical) ---
-    "sim_topk_cosine",
+    # --- tier 1: the 19 round-14 ids without a formal driver row ---
+    "events_markov_stationary",
+    "window_streak_days",
+    "join_range_bucket_equi",
+    "join_interval_merge",
+    "sim_silhouette_centroid",
+    "text_heaps_law",
+    "text_burstiness",
+    "text_source_vocab_overlap",
+    "agg_spearman_corr",
+    "agg_contingency_residuals",
+    "agg_weighted_percentile",
+    "agg_log2_histogram",
+    "agg_welch_ttest",
+    "agg_runs_test",
+    "agg_ab_power_mde",
+    "graph_hits_scores",
+    "sample_ab_allocation",
+    "scan_jsonl_gzip",
+    "pipeline_training_export_e2e",
+    # --- tier 2: rows-only/twin pairs adjacent (VERDICT r14 task 5) ---
     "sim_topk_ivf",
-    "sink_clustered_layout_ok",
-    "sink_zorder_layout_ok",
-    "sort_topk_global",
-    "text_dominant_term",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_filter",
-    "text_split_assign",
-    "text_token_count_regex",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q3",
-    "udaf_ewma_timeseries",
-    "udtf_word_chunks",
-    "window_row_number",
-    "window_topk_per_group",
-    # --- tier 3: the 22 oldest r8-tier ids (alphabetical) ---
-    "agg_approx_top_k_exact_domain",
-    "agg_bitmap_distinct",
-    "agg_bool_family",
-    "agg_entropy_per_group",
-    "agg_listagg_ordered",
-    "agg_max_by_mode",
-    "agg_rolling_wau",
-    "dedup_components_star",
-    "graph_bfs_distance",
-    "graph_kcore",
-    "join_asof_forward_tol",
-    "join_asof_nearest",
-    "join_band_nonequi",
-    "join_dpp_prune_ok",
-    "join_interval_overlap",
-    "join_null_safe",
-    "join_scd2_point_in_time",
-    "multimodal_ppm_real",
-    "sample_stratified_exact",
-    "scalar_collation_ci",
-    "scalar_map_ops",
-    "scalar_try_arithmetic",
+    "sim_ivf_recall",
+    "sim_topk_pq",
+    "sim_pq_recall_ok",
+    "multimodal_image_features",
+    "multimodal_features_ok",
+    # --- tier 3: the 25 oldest remaining r8-tier ids (alphabetical) ---
+    "scalar_xml_roundtrip",
+    "scan_python_datasource",
+    "scan_transpose",
+    "sink_jsonl_export_ok",
+    "sql_execute_immediate",
+    "sql_named_params",
+    "sql_pipe_syntax",
+    "sql_text_api",
+    "sql_udf_scalar",
+    "sql_udf_table",
+    "text_feature_hashing",
+    "text_segment_dedup",
+    "text_vocab_oov",
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q9",
+    "udaf_apply_in_arrow",
+    "udaf_cogroup_asof",
+    "udf_map_in_arrow",
+    "window_fill_forward",
+    "window_match_pattern",
+    "window_range_time",
 )
 
 

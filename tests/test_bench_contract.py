@@ -172,3 +172,53 @@ def test_finals_load_gate(monkeypatch):
     with pytest.raises(SystemExit) as exc:
         bench._finals_load_gate()
     assert exc.value.code == 3
+
+
+def test_regression_gate_is_spread_aware():
+    """VERDICT r14 task 3: a flag requires min-doubling (after
+    dividing out the run-wide median ratio), the prior noise band,
+    AND a tight spread on the slow side. Stubbed timings replay the
+    two adjudicated precedents: window_rfm_scores (real re-plan,
+    tight spread, quiet run) must flag; the driver-close noise shape
+    (2-3x ratios riding a 1.22x run-wide median with blown spreads)
+    must not. Pure-Python check, no Spark session."""
+    import bench
+
+    # Quiet run: 20 stable queries + one genuine re-plan regression.
+    prior = {
+        "sf": 0.1,
+        "queries": {f"q{i}": 1.0 for i in range(20)} | {"rfm": 0.59},
+        "spread": {f"q{i}": 0.05 for i in range(20)} | {"rfm": 0.05},
+    }
+    timings = {f"q{i}": 1.02 for i in range(20)} | {"rfm": 2.20}
+    spreads = {f"q{i}": 0.05 for i in range(20)} | {"rfm": 0.32}
+    flagged, detail, ratio = bench._find_regressions(timings, spreads, prior, 0.1)
+    assert flagged == ["rfm"], (flagged, ratio)
+    assert detail["rfm"]["min_new"] == 2.20
+    assert ratio is not None and 0.9 < ratio < 1.1
+
+    # Contended run: every query ~1.22x, a few 2-3x with BLOWN
+    # spreads (the burst inflates some repeats, not all) — no flags.
+    timings_noisy = {f"q{i}": 1.22 for i in range(20)} | {"rfm": 0.72}
+    spreads_noisy = {f"q{i}": 0.6 for i in range(20)} | {"rfm": 0.3}
+    for burst in ("q3", "q7", "q11"):
+        timings_noisy[burst] = 2.8
+        spreads_noisy[burst] = 1.9  # 0.68x its min — blown
+    flagged, _, ratio = bench._find_regressions(
+        timings_noisy, spreads_noisy, prior, 0.1
+    )
+    assert flagged == [], (flagged, ratio)
+
+    # Same burst ratios but with tight spreads AND a quiet run-wide
+    # median: now they are real and must flag.
+    timings_real = {f"q{i}": 1.0 for i in range(20)} | {"rfm": 0.6}
+    spreads_real = {f"q{i}": 0.05 for i in range(20)} | {"rfm": 0.05}
+    timings_real["q3"] = 2.8
+    spreads_real["q3"] = 0.1
+    flagged, _, _ = bench._find_regressions(timings_real, spreads_real, prior, 0.1)
+    assert flagged == ["q3"]
+
+    # A faster-than-prior run must not amplify deltas (norm floor 1.0)
+    # and sf mismatch / missing prior return the null result.
+    assert bench._find_regressions(timings, spreads, prior, 0.01) == ([], {}, None)
+    assert bench._find_regressions(timings, spreads, None, 0.1) == ([], {}, None)

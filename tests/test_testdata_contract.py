@@ -112,3 +112,36 @@ def test_pinned_date_predicates_are_inside_fixture_span():
         hi_name = lo_name.replace("_LO", "_HI")
         if getattr(tpch, hi_name, None) or getattr(tpch_deep, hi_name, None):
             assert _pin(lo_name) < _pin(hi_name), lo_name
+
+
+# Several DuckDB oracles enumerate token positions via range(1, 2000)
+# (curation._texp_oracle's decontamination stage, the dedup shingle
+# oracles, the text unigram oracles) while the Spark sides enumerate
+# with an unbounded F.sequence over ALL positions — a document with
+# >= 2000 whitespace tokens would make oracle and implementation
+# silently disagree on n-gram hits (ADVICE r14). Pin the fixture
+# contract so the cap can never silently bind.
+_ORACLE_POSITION_ENUM_BOUND = 2000
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    sorted({SF_SMALL, SF_ORACLE, "/root/testdata/sf0.01", "/root/testdata/sf0.1"}),
+)
+def test_document_token_count_below_oracle_enum_bound(sf_dir):
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not generated")
+    (mx,) = duckdb.sql(
+        f"SELECT max(len(string_split(text, ' '))) FROM read_parquet('{path}')"
+    ).fetchone()
+    assert mx < _ORACLE_POSITION_ENUM_BOUND, (
+        f"max documents token count {mx} at {sf_dir} reaches the"
+        " range(1, 2000) oracle position-enumeration bound — the"
+        " oracles would silently drop n-gram positions; raise the"
+        " bound in every oracle before regenerating docs this long"
+    )

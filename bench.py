@@ -392,6 +392,11 @@ _HEADLINE_R14 = (
     "join_interval_merge",
 )
 
+# Round-15 additions.
+_HEADLINE_R15 = (
+    "ml_eval_pr_curve",
+)
+
 HEADLINE = (
     _HEADLINE_CORE
     + _HEADLINE_RELATIONAL
@@ -405,6 +410,7 @@ HEADLINE = (
     + _HEADLINE_R12
     + _HEADLINE_R13
     + _HEADLINE_R14
+    + _HEADLINE_R15
 )
 
 

@@ -114,6 +114,9 @@ _BOUNDED_NLJ = {
                                 # the sim_centroid_assign shape
     "agg_ab_power_mde",  # 1-row arm-count broadcast onto |types| rows
                          # (the agg_ab_significance scalar shape)
+    # audited round 15:
+    "ml_eval_pr_curve",  # 1-row PR-AUC broadcast onto the 21-row
+                         # threshold grid (the neyman scalar shape)
 }
 
 

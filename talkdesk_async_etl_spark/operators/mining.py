@@ -268,3 +268,188 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("impurity_micro", "dim", "threshold_micro")
     return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# PR-curve threshold grid: 21 frozen micro-cuts spanning the whole
+# probability domain (data-independent literals, the agg_ab /
+# decision-stump grid pattern — reproducible across engines, batches
+# and corpus sizes).
+_PR_THR_STEP = 50_000
+_PR_THRESHOLDS = tuple(range(0, 1_000_001, _PR_THR_STEP))
+
+
+def _pr_oracle() -> str:
+    thr_values = ", ".join(f"({v})" for v in _PR_THRESHOLDS)
+    return f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS f_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+                   AS f_spaces
+        FROM documents
+    ),
+    scored AS (
+        SELECT CAST(floor(1 / (1 + exp(-({_W0} + f_chars * {_W_CHARS}
+                                        + f_spaces * {_W_SPACES})))
+                          * 1000000 + 0.5) AS BIGINT) AS p_micro,
+               CAST(e.label % 2 AS BIGINT) AS y
+        FROM feat f JOIN embeddings e ON e.vec_id = f.doc_id
+    ),
+    thr(thr_micro) AS (VALUES {thr_values}),
+    conf AS (
+        SELECT t.thr_micro,
+               CAST(sum(CASE WHEN s.p_micro >= t.thr_micro AND s.y = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.p_micro >= t.thr_micro AND s.y = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(s.y) AS BIGINT) AS pos,
+               CAST(sum(1 - s.y) AS BIGINT) AS neg
+        FROM scored s CROSS JOIN thr t
+        GROUP BY t.thr_micro
+    ),
+    m AS (
+        SELECT thr_micro, tp, fp, pos - tp AS fn, neg - fp AS tn,
+               CASE WHEN tp + fp = 0 THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fp)
+                              AS BIGINT)
+               END AS precision_micro,
+               CASE WHEN pos = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // pos AS BIGINT)
+               END AS recall_micro,
+               CASE WHEN tp + fp + pos = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(CAST(tp AS HUGEINT) * 2000000
+                              // (tp + fp + pos) AS BIGINT)
+               END AS f1_micro
+        FROM conf
+    ),
+    auc AS (
+        SELECT CAST(sum((a.recall_micro - b.recall_micro)
+                        * (a.precision_micro + b.precision_micro))
+                    // 2000000 AS BIGINT) AS pr_auc_micro
+        FROM m a JOIN m b ON b.thr_micro = a.thr_micro + {_PR_THR_STEP}
+    )
+    SELECT CAST(m.thr_micro AS BIGINT) AS thr_micro,
+           m.tp, m.fp, m.fn, m.tn,
+           m.precision_micro, m.recall_micro, m.f1_micro,
+           auc.pr_auc_micro
+    FROM m CROSS JOIN auc
+    """
+
+
+@query("ml_eval_pr_curve", oracle=_pr_oracle(), tags=("mining", "ml", "eval"))
+def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 evaluation (VERDICT r14 task 5): threshold-sweep
+    precision/recall/F1 + PR-AUC for the in-scan quality classifier —
+    the eval half the ML shelf lacked: ml_decision_stump trains,
+    ml_logreg_score scores, THIS op says how good the scores are
+    against ground truth (embeddings.label parity, the stump's
+    target), per cut and overall. Running the sweep over a frozen
+    21-point micro-threshold grid is the real workflow: the curve
+    picks the deployment threshold, PR-AUC compares classifier
+    versions.
+
+    Exactness contract: confusion counts are exact BIGINTs from ONE
+    conditional aggregate (tp/fp per cut; fn/tn derived from the
+    constant pos/neg totals, so the four always sum to n);
+    precision/recall/F1 are micro-quantized truncating integer
+    divisions over DECIMAL(38,0)/HUGEINT products (tp·1e6 is past
+    int64 by ~1e13 rows; zero-prediction cuts pin precision to the
+    conventional 1e6, an empty positive class pins recall/F1 to 0 —
+    spelled identically on both engines); PR-AUC is the trapezoid
+    over the micro-quantized polyline, Σ(Δrecall·Σprecision) in exact
+    BIGINTs (≤4e13 — quantization bounds it at ANY corpus size) with
+    one truncating division at the end. Recall is non-increasing in
+    the threshold, so every term is nonnegative and truncation ≡
+    floor ≡ DuckDB ``//``.
+
+    Plan: one documents scan + one equi-join to labels, collapsed by
+    a single map-side-combinable conditional aggregate (44 sums, one
+    exchange) into ONE row; stack() fans the row to the 21-row grid;
+    the trapezoid is a 21x20 broadcast equi-join on the shifted cut
+    key and the final PR-AUC is the allowlisted 1-row scalar
+    broadcast. Corpus-size-independent after the first exchange —
+    the grid, not the data, sizes everything downstream."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    e = t(spark, sf_dir, "embeddings", spread=True).select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    f_chars = F.col("n_chars").cast("double")
+    f_spaces = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ).cast("double")
+    z = F.lit(_W0) + f_chars * _W_CHARS + f_spaces * _W_SPACES
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = d.select(
+        "doc_id",
+        F.floor(p * 1_000_000 + F.lit(0.5)).cast("bigint").alias("p_micro"),
+    ).join(e, "doc_id")
+    aggs = [
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    ]
+    for thr in _PR_THRESHOLDS:
+        hit = F.col("p_micro") >= thr
+        aggs.append(
+            F.sum(F.when(hit & (F.col("y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"tp_{thr}")
+        )
+        aggs.append(
+            F.sum(F.when(hit & (F.col("y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias(f"fp_{thr}")
+        )
+    one = scored.agg(*aggs)
+    stack = "stack({n}, {args}) AS (thr_micro, tp, fp)".format(
+        n=len(_PR_THRESHOLDS),
+        args=", ".join(
+            f"CAST({thr} AS BIGINT), tp_{thr}, fp_{thr}" for thr in _PR_THRESHOLDS
+        ),
+    )
+    from talkdesk_async_etl_spark.plans.cache import scoped_persist
+
+    m = scoped_persist(
+        one.select("pos", "neg", F.expr(stack)).select(
+            "thr_micro",
+            "tp",
+            "fp",
+            (F.col("pos") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("neg") - F.col("fp")).cast("long").alias("tn"),
+            F.expr(
+                "CASE WHEN tp + fp = 0 THEN CAST(1000000 AS BIGINT)"
+                " ELSE CAST((CAST(tp AS DECIMAL(38,0)) * 1000000"
+                "            - (CAST(tp AS DECIMAL(38,0)) * 1000000) % (tp + fp))"
+                "           / (tp + fp) AS BIGINT) END"
+            ).alias("precision_micro"),
+            F.expr(
+                "CASE WHEN pos = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((CAST(tp AS DECIMAL(38,0)) * 1000000"
+                "            - (CAST(tp AS DECIMAL(38,0)) * 1000000) % pos)"
+                "           / pos AS BIGINT) END"
+            ).alias("recall_micro"),
+            F.expr(
+                "CASE WHEN tp + fp + pos = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((CAST(tp AS DECIMAL(38,0)) * 2000000"
+                "            - (CAST(tp AS DECIMAL(38,0)) * 2000000)"
+                "              % (tp + fp + pos))"
+                "           / (tp + fp + pos) AS BIGINT) END"
+            ).alias("f1_micro"),
+        )
+    )
+    nxt = m.select(
+        (F.col("thr_micro") - _PR_THR_STEP).alias("thr_micro"),
+        F.col("precision_micro").alias("prec_next"),
+        F.col("recall_micro").alias("rec_next"),
+    )
+    auc = (
+        m.join(nxt, "thr_micro")
+        .agg(
+            F.sum(
+                (F.col("recall_micro") - F.col("rec_next"))
+                * (F.col("precision_micro") + F.col("prec_next"))
+            ).alias("s")
+        )
+        .select(F.expr("CAST(s DIV 2000000 AS BIGINT)").alias("pr_auc_micro"))
+    )
+    return m.crossJoin(F.broadcast(auc))

@@ -5833,3 +5833,95 @@ def test_interval_merge_constructed(spark, tmp_path):
     assert (r["n_events"], r["n_intervals"]) == (4, 2)
     assert r["covered_us"] == (13 + 5) * 60 * 1_000_000
     assert r["densest_interval"] == 3
+
+
+def test_pr_curve_constructed_fixture_and_replica(spark):
+    """ml_eval_pr_curve on a constructed 6-doc fixture whose scores
+    land mid-bucket (no threshold-boundary ulp risk): confusion
+    counts, precision/recall/F1 and the trapezoid PR-AUC must equal a
+    pure-Python integer replica at every cut; a document without a
+    label row and an orphan label are both excluded by the join; the
+    fixture is non-vacuous (tp sweeps 3..0 across the grid)."""
+    import math
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.mining import (
+        _PR_THR_STEP,
+        _PR_THRESHOLDS,
+        _W0,
+        _W_CHARS,
+        _W_SPACES,
+    )
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    # (doc_id, plain_chars, spaces, label): z = w0 + 0.004*n + 0.01*sp
+    # -> p = 0.858/0.858/0.574/0.354/0.198/0.168 — all >4e3 micro from
+    # the nearest 50e3 cut, so a JVM-vs-CPython exp() ulp cannot flip
+    # bucket membership.
+    specs = [
+        (0, 900, 0, 1),
+        (1, 900, 0, 0),
+        (2, 490, 10, 1),
+        (3, 300, 0, 0),
+        (4, 100, 0, 1),
+        (5, 50, 0, 0),
+        (6, 700, 0, None),  # no embedding row -> dropped by the join
+    ]
+    docs, embs = [], [(7, [0.0] * 4, 3)]  # orphan label -> dropped
+    for did, chars, spaces, label in specs:
+        text = "a" * chars + " " * spaces
+        docs.append((did, text, "en", "src", len(text)))
+        if label is not None:
+            embs.append((did, [0.0] * 4, label))
+    ddf = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    edf = spark.createDataFrame(embs, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as d:
+        ddf.write.parquet(d + "/documents.parquet")
+        edf.write.parquet(d + "/embeddings.parquet")
+        got = {
+            r["thr_micro"]: r
+            for r in QUERIES["ml_eval_pr_curve"].fn(spark, d).collect()
+        }
+
+    scored = []
+    for _, chars, spaces, label in specs:
+        if label is None:
+            continue
+        n_chars = chars + spaces
+        z = _W0 + n_chars * _W_CHARS + spaces * _W_SPACES
+        scored.append(
+            (math.floor(1 / (1 + math.exp(-z)) * 1_000_000 + 0.5), label % 2)
+        )
+    pos = sum(y for _, y in scored)
+    neg = len(scored) - pos
+    exp_rows = {}
+    for thr in _PR_THRESHOLDS:
+        tp = sum(1 for p, y in scored if p >= thr and y == 1)
+        fp = sum(1 for p, y in scored if p >= thr and y == 0)
+        prec = 1_000_000 if tp + fp == 0 else tp * 1_000_000 // (tp + fp)
+        rec = 0 if pos == 0 else tp * 1_000_000 // pos
+        f1 = 0 if tp + fp + pos == 0 else 2 * tp * 1_000_000 // (tp + fp + pos)
+        exp_rows[thr] = (tp, fp, pos - tp, neg - fp, prec, rec, f1)
+    auc = (
+        sum(
+            (exp_rows[t][5] - exp_rows[t + _PR_THR_STEP][5])
+            * (exp_rows[t][4] + exp_rows[t + _PR_THR_STEP][4])
+            for t in _PR_THRESHOLDS[:-1]
+        )
+        // 2_000_000
+    )
+
+    assert len(got) == len(_PR_THRESHOLDS)
+    for thr, (tp, fp, fn, tn, prec, rec, f1) in exp_rows.items():
+        r = got[thr]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), thr
+        assert (r["precision_micro"], r["recall_micro"], r["f1_micro"]) == (
+            prec,
+            rec,
+            f1,
+        ), thr
+        assert r["pr_auc_micro"] == auc
+    assert {v[0] for v in exp_rows.values()} == {0, 1, 2, 3}

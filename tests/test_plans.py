@@ -1489,3 +1489,19 @@ def test_streak_and_interval_merge_single_user_exchange(spark):
     plan2 = plan_of(spark, "join_interval_merge")
     assert re.search(r"\(\d+\) [A-Za-z]*Join", plan2) is None
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan2)) <= 1
+
+
+def test_pr_curve_one_aggregate_bounded_tail(spark):
+    """ml_eval_pr_curve: the corpus collapses in ONE conditional
+    aggregate — exactly two parquet scans (documents + labels), no
+    sort-merge join anywhere, a stack() Generate fanning the single
+    aggregate row to the 21-cut grid, exactly the one allowlisted
+    1-row PR-AUC nested-loop broadcast, and no Python."""
+    import re
+
+    plan = plan_of(spark, "ml_eval_pr_curve")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "Generate" in plan
+    assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None

@@ -395,6 +395,16 @@ _HEADLINE_R14 = (
 # Round-15 additions.
 _HEADLINE_R15 = (
     "ml_eval_pr_curve",
+    "ml_eval_roc_auc",
+    "ml_calibration_bins",
+    "events_ols_trend",
+    "agg_ab_cuped",
+    "agg_assoc_rules",
+    "graph_adamic_adar",
+    "window_conversion_latency",
+    "text_zipf_slope",
+    "events_funnel_steps",
+    "events_wow_change",
 )
 
 HEADLINE = (

@@ -117,6 +117,13 @@ _BOUNDED_NLJ = {
     # audited round 15:
     "ml_eval_pr_curve",  # 1-row PR-AUC broadcast onto the 21-row
                          # threshold grid (the neyman scalar shape)
+    "ml_calibration_bins",  # 1-row ECE broadcast onto the <=10-row
+                            # bin relation (the neyman scalar shape)
+    "agg_ab_cuped",  # 1-row pooled theta/mean broadcast onto the
+                     # 2-row arm rollup (the ab_significance shape)
+    "agg_assoc_rules",  # 1-row distinct-user total broadcast onto the
+                        # |domain|²-bounded rule relation (lift
+                        # denominator — the pmi_collocations shape)
 }
 
 

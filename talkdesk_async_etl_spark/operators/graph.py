@@ -1316,3 +1316,135 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("auth").cast("long").alias("auth_micro"),
             )
         )
+
+
+def _oracle_adamic_adar() -> str:
+    return """
+    WITH base AS (
+        SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (
+        SELECT a, b FROM (
+            SELECT a, b, count(*) AS n_trades
+            FROM base GROUP BY a, b
+        ) ORDER BY n_trades DESC, a, b LIMIT 60
+    ),
+    adj AS (
+        SELECT a AS n, b AS x FROM und
+        UNION ALL
+        SELECT b AS n, a AS x FROM und
+    ),
+    deg AS (
+        SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM adj GROUP BY n
+    ),
+    wedge AS (
+        SELECT p.x AS a, q.x AS b, p.n AS center
+        FROM adj p JOIN adj q ON p.n = q.n AND p.x < q.x
+    ),
+    scored AS (
+        SELECT w.a, w.b,
+               CAST(count(*) AS BIGINT) AS n_common,
+               CAST(sum(CAST(floor(1000000 / ln(CAST(d.deg AS DOUBLE)))
+                             AS BIGINT)) AS BIGINT) AS aa_micro
+        FROM wedge w JOIN deg d ON d.node = w.center
+        GROUP BY w.a, w.b
+    )
+    SELECT CAST(s.a AS INT) AS a, CAST(s.b AS INT) AS b,
+           s.n_common, s.aa_micro
+    FROM scored s LEFT JOIN und u ON u.a = s.a AND u.b = s.b
+    WHERE u.a IS NULL
+    """
+
+
+@query("graph_adamic_adar", oracle=_oracle_adamic_adar(), tags=("graph",))
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 depth: ADAMIC-ADAR link prediction over the same sparsified
+    undirected nation trade graph as graph_common_neighbors — the
+    score that fixed raw common-neighbor counting's hub problem: each
+    shared neighbor w contributes 1/ln(deg(w)), so a promiscuous hub
+    certifies a missing edge far less than a selective mutual friend
+    (Adamic & Adar 2003, the strongest classical unsupervised link
+    predictor on most graphs).
+
+    Exactness: the ONLY transcendental is ln(deg) over small integer
+    degrees, and each term quantizes to micro-units BEFORE summing —
+    floor(1e6/ln(deg)) — so the published score is an exact BIGINT
+    sum of integers and aggregation order cannot perturb it. Every
+    wedge center is adjacent to both endpoints, so deg ≥ 2 and
+    ln > 0 by construction (no zero-division branch needed). The
+    unit-test boundary audit proves 1e6/ln(k) sits ≥1e-4 from every
+    integer for all k ≤ 4096 — a 2-ulp cross-engine ln difference
+    (~3e-10 here) can never flip a floor.
+
+    Scale shape: identical to common-neighbors (the wedge relation is
+    inherently Σdeg² — cap per-center lists or block candidates at
+    power-law scale); the center-degree lookup is one |nodes|-row
+    broadcast join on the wedge stream, and the non-adjacency filter
+    one anti-join on the pair key."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    with cache_scope():
+        und = scoped_persist(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .where(F.col("s_nationkey") != F.col("c_nationkey"))
+            .select(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_trades"))
+            .orderBy(F.desc("n_trades"), "a", "b")
+            .limit(_CN_TOP_EDGES)
+            .select("a", "b")
+        )
+        return collect_release(adamic_adar_from(und))
+
+
+def adamic_adar_from(und: DataFrame) -> DataFrame:
+    """Scoring core behind :func:`graph_adamic_adar` over an
+    undirected ``(a, b)`` edge list with a < b — factored out like
+    :func:`common_neighbors_from` so the constructed-graph unit test
+    can drive it on hand-built edges. Caller holds the cache scope."""
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("x")).union(
+        und.select(F.col("b").alias("n"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy(F.col("n").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    p, q = adj.alias("p"), adj.alias("q")
+    wedge = (
+        p.join(q, "n")
+        .where(F.col("p.x") < F.col("q.x"))
+        .select(F.col("p.x").alias("a"), F.col("q.x").alias("b"), F.col("n"))
+    )
+    scored = (
+        wedge.join(F.broadcast(deg), wedge.n == deg.node)
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(1000000 / ln(CAST(deg AS DOUBLE))) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("aa_micro"),
+        )
+    )
+    return scored.join(und, ["a", "b"], "left_anti").select(
+        F.col("a").cast("int").alias("a"),
+        F.col("b").cast("int").alias("b"),
+        "n_common",
+        "aa_micro",
+    )

@@ -277,11 +277,14 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_THR_STEP = 50_000
 _PR_THRESHOLDS = tuple(range(0, 1_000_001, _PR_THR_STEP))
 
-
-def _pr_oracle() -> str:
-    thr_values = ", ".join(f"({v})" for v in _PR_THRESHOLDS)
-    return f"""
-    WITH feat AS (
+# Shared eval input: every classifier-evaluation operator scores the
+# corpus with the SAME in-scan logreg expression ml_logreg_score ships
+# (identical IEEE expression order, identical micro-quantization) and
+# joins ground truth (embeddings.label parity — the stump's target)
+# on the doc key. Factored once so the eval family can never drift
+# from the scorer or from each other.
+_SCORED_CTE = f"""
+    feat AS (
         SELECT doc_id,
                CAST(n_chars AS DOUBLE) AS f_chars,
                CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
@@ -294,7 +297,34 @@ def _pr_oracle() -> str:
                           * 1000000 + 0.5) AS BIGINT) AS p_micro,
                CAST(e.label % 2 AS BIGINT) AS y
         FROM feat f JOIN embeddings e ON e.vec_id = f.doc_id
-    ),
+    )"""
+
+
+def _scored_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_micro, y) over every labeled document — the Spark twin of
+    ``_SCORED_CTE``: one documents scan projecting the logreg score,
+    one equi-join to the label parity bit."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    e = t(spark, sf_dir, "embeddings", spread=True).select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    f_chars = F.col("n_chars").cast("double")
+    f_spaces = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ).cast("double")
+    z = F.lit(_W0) + f_chars * _W_CHARS + f_spaces * _W_SPACES
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.floor(p * 1_000_000 + F.lit(0.5)).cast("bigint").alias("p_micro"),
+    ).join(e, "doc_id")
+
+
+def _pr_oracle() -> str:
+    thr_values = ", ".join(f"({v})" for v in _PR_THRESHOLDS)
+    return f"""
+    WITH {_SCORED_CTE},
     thr(thr_micro) AS (VALUES {thr_values}),
     conf AS (
         SELECT t.thr_micro,
@@ -369,21 +399,7 @@ def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and the final PR-AUC is the allowlisted 1-row scalar
     broadcast. Corpus-size-independent after the first exchange —
     the grid, not the data, sizes everything downstream."""
-    d = t(spark, sf_dir, "documents", spread=True)
-    e = t(spark, sf_dir, "embeddings", spread=True).select(
-        F.col("vec_id").alias("doc_id"),
-        (F.col("label") % 2).cast("long").alias("y"),
-    )
-    f_chars = F.col("n_chars").cast("double")
-    f_spaces = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-    ).cast("double")
-    z = F.lit(_W0) + f_chars * _W_CHARS + f_spaces * _W_SPACES
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    scored = d.select(
-        "doc_id",
-        F.floor(p * 1_000_000 + F.lit(0.5)).cast("bigint").alias("p_micro"),
-    ).join(e, "doc_id")
+    scored = _scored_labels(spark, sf_dir)
     aggs = [
         F.sum("y").cast("long").alias("pos"),
         F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
@@ -453,3 +469,343 @@ def ml_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr("CAST(s DIV 2000000 AS BIGINT)").alias("pr_auc_micro"))
     )
     return m.crossJoin(F.broadcast(auc))
+
+
+_ROC_ORACLE = f"""
+    WITH {_SCORED_CTE},
+    hist AS (
+        SELECT p_micro,
+               CAST(sum(y) AS HUGEINT) AS pos_b,
+               CAST(sum(1 - y) AS HUGEINT) AS neg_b
+        FROM scored GROUP BY p_micro
+    ),
+    cum AS (
+        SELECT pos_b, neg_b,
+               COALESCE(sum(neg_b) OVER (ORDER BY p_micro
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS neg_below
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(sum(pos_b) AS HUGEINT) AS p,
+               CAST(sum(neg_b) AS HUGEINT) AS n,
+               CAST(sum(2 * pos_b * neg_below + pos_b * neg_b) AS HUGEINT)
+                   AS num2
+        FROM cum
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+           CASE WHEN p = 0 OR n = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(num2 * 1000000 // (2 * p * n) AS BIGINT)
+           END AS auc_micro,
+           CASE WHEN p = 0 OR n = 0 THEN CAST(-1000000 AS BIGINT)
+                ELSE CAST(2 * (num2 * 1000000 // (2 * p * n)) - 1000000
+                          AS BIGINT)
+           END AS gini_micro
+    FROM tot
+"""
+
+
+@query("ml_eval_roc_auc", oracle=_ROC_ORACLE, tags=("mining", "ml", "eval"))
+def ml_eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 evaluation depth: EXACT ROC-AUC for the in-scan quality
+    classifier — the threshold-free companion to ml_eval_pr_curve's
+    21-cut sweep, via the pair-counting identity AUC = P(score_pos >
+    score_neg) + ½·P(tie). No grid, no approximation: every one of
+    the P·N positive-negative pairs is counted exactly through the
+    score histogram (Σ_b pos_b·neg_below_b concordant + pos_b·neg_b
+    tied at b, doubled so the tie half-credit stays integer), and
+    AUC quantizes once at the end — num2·1e6 div (2·P·N), truncating
+    ≡ floor on both engines since every term is nonnegative.
+    Gini/Somers' D = 2·AUC − 1 derives from the quantized AUC so the
+    two can never disagree. P·N is ~1e26 at 1e13 rows — accumulation
+    runs in DECIMAL(38,0)/HUGEINT throughout.
+
+    Plan: the corpus collapses to the per-score histogram in one
+    map-side-combinable aggregate; micro-quantization bounds that
+    relation at ≤1e6+1 rows AT ANY CORPUS SIZE, so the cumulative
+    window and final 1-row rollup run over a domain-bounded relation
+    (the ml_decision_stump bounded-window precedent), never the
+    data."""
+    hist = (
+        _scored_labels(spark, sf_dir)
+        .groupBy("p_micro")
+        .agg(
+            F.sum("y").cast("decimal(38,0)").alias("pos_b"),
+            F.sum(F.lit(1) - F.col("y")).cast("decimal(38,0)").alias("neg_b"),
+        )
+    )
+    w = (
+        Window.orderBy("p_micro")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "pos_b",
+        "neg_b",
+        F.coalesce(F.sum("neg_b").over(w), F.lit(0).cast("decimal(38,0)")).alias(
+            "neg_below"
+        ),
+    )
+    tot = cum.agg(
+        F.sum("pos_b").alias("p"),
+        F.sum("neg_b").alias("n"),
+        F.sum(
+            2 * F.col("pos_b") * F.col("neg_below") + F.col("pos_b") * F.col("neg_b")
+        ).alias("num2"),
+    )
+    return tot.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.expr(
+            "CASE WHEN p = 0 OR n = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((num2 * 1000000 - (num2 * 1000000) % (2 * p * n))"
+            "           / (2 * p * n) AS BIGINT) END"
+        ).alias("auc_micro"),
+        F.expr(
+            "CASE WHEN p = 0 OR n = 0 THEN CAST(-1000000 AS BIGINT)"
+            " ELSE CAST(2 * CAST((num2 * 1000000 - (num2 * 1000000)"
+            "                     % (2 * p * n)) / (2 * p * n) AS BIGINT)"
+            "           - 1000000 AS BIGINT) END"
+        ).alias("gini_micro"),
+    )
+
+
+# Calibration: 10 fixed decile bins over the predicted probability.
+_CAL_BIN_MICRO = 100_000
+
+_CAL_ORACLE = f"""
+    WITH {_SCORED_CTE},
+    binned AS (
+        SELECT least(p_micro // {_CAL_BIN_MICRO}, 9) AS bin, p_micro, y
+        FROM scored
+    ),
+    bins AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos,
+               CAST(sum(CAST(p_micro AS HUGEINT)) AS HUGEINT) AS sum_p
+        FROM binned GROUP BY bin
+    ),
+    m AS (
+        SELECT bin, n, pos,
+               CAST(sum_p // n AS BIGINT) AS mean_pred_micro,
+               CAST(CAST(pos AS HUGEINT) * 1000000 // n AS BIGINT)
+                   AS obs_rate_micro
+        FROM bins
+    ),
+    e AS (
+        SELECT CAST(sum(CAST(n AS HUGEINT)
+                        * abs(mean_pred_micro - obs_rate_micro))
+                    // sum(CAST(n AS HUGEINT)) AS BIGINT) AS ece_micro
+        FROM m
+    )
+    SELECT CAST(m.bin AS BIGINT) AS bin,
+           CAST(m.bin * {_CAL_BIN_MICRO} AS BIGINT) AS bin_lo_micro,
+           m.n, m.pos, m.mean_pred_micro, m.obs_rate_micro,
+           CAST(abs(m.mean_pred_micro - m.obs_rate_micro) AS BIGINT)
+               AS gap_micro,
+           e.ece_micro
+    FROM m CROSS JOIN e
+"""
+
+
+@query("ml_calibration_bins", oracle=_CAL_ORACLE, tags=("mining", "ml", "eval"))
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 evaluation: RELIABILITY DIAGRAM + expected calibration
+    error for the in-scan quality classifier — ranking quality
+    (PR/ROC) says whether scores ORDER documents correctly;
+    calibration says whether 0.8 MEANS 80%, which is what a curation
+    pipeline needs before using scores as sampling weights or
+    mixture temperatures. Ten fixed decile bins over the predicted
+    probability (bin = min(p_micro div 1e5, 9) — exact integer
+    bucketing, the top bin closed so p=1.0 cannot escape the grid);
+    per bin the mean predicted probability (Σp_micro div n — exact,
+    no float mean) vs the observed positive rate (pos·1e6 div n),
+    their absolute gap, and the n-weighted ECE = Σ n_b·gap_b div N
+    as one exact integer — every division truncating ≡ floor ≡
+    DuckDB ``//`` on nonnegative integers, Σp_micro in
+    HUGEINT/DECIMAL(38,0) (1e6 · 1e13 rows is past int64).
+
+    Plan: the corpus collapses in one map-side-combinable ≤10-group
+    aggregate (bin derives in-scan); the ECE rollup and its 1-row
+    broadcast back onto the bin rows are the allowlisted scalar
+    shape over a ≤10-row relation. Empty bins are absent, which is
+    exact: they contribute 0 to ECE."""
+    from talkdesk_async_etl_spark.plans.cache import scoped_persist
+
+    bins = scoped_persist(
+        _scored_labels(spark, sf_dir)
+        .select(
+            F.least(F.col("p_micro") / F.lit(_CAL_BIN_MICRO), F.lit(9))
+            .cast("long")
+            .alias("bin"),
+            "p_micro",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.col("p_micro").cast("decimal(38,0)")).alias("sum_p"),
+        )
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr(
+                "CAST((sum_p - sum_p % n) / n AS BIGINT)"
+            ).alias("mean_pred_micro"),
+            F.expr(
+                "CAST((CAST(pos AS DECIMAL(38,0)) * 1000000"
+                "      - (CAST(pos AS DECIMAL(38,0)) * 1000000) % n) / n"
+                "     AS BIGINT)"
+            ).alias("obs_rate_micro"),
+        )
+    )
+    ece = bins.agg(
+        F.sum(
+            F.col("n").cast("decimal(38,0)")
+            * F.abs(F.col("mean_pred_micro") - F.col("obs_rate_micro"))
+        ).alias("g"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("tot"),
+    ).select(
+        F.expr("CAST((g - g % tot) / tot AS BIGINT)").alias("ece_micro")
+    )
+    return bins.select(
+        "bin",
+        (F.col("bin") * _CAL_BIN_MICRO).cast("long").alias("bin_lo_micro"),
+        "n",
+        "pos",
+        "mean_pred_micro",
+        "obs_rate_micro",
+        F.abs(F.col("mean_pred_micro") - F.col("obs_rate_micro"))
+        .cast("long")
+        .alias("gap_micro"),
+    ).crossJoin(F.broadcast(ece))
+
+
+_RULES_ORACLE = f"""
+    WITH grain AS (SELECT DISTINCT user_id, event_type FROM events),
+    supports AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS s
+        FROM grain GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM grain
+    ),
+    pairs AS (
+        SELECT a.event_type AS x, b.event_type AS y,
+               CAST(count(*) AS BIGINT) AS s_xy
+        FROM grain a
+        JOIN grain b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        HAVING count(*) >= {_MIN_SUPPORT}
+    ),
+    directed AS (
+        SELECT x AS antecedent, y AS consequent, s_xy FROM pairs
+        UNION ALL
+        SELECT y AS antecedent, x AS consequent, s_xy FROM pairs
+    )
+    SELECT d.antecedent, d.consequent,
+           d.s_xy AS n_both, sa.s AS n_antecedent, sc.s AS n_consequent,
+           CAST(CAST(d.s_xy AS HUGEINT) * 1000000 // sa.s AS BIGINT)
+               AS confidence_micro,
+           CAST(CAST(d.s_xy AS HUGEINT) * t.n_users * 1000000
+                // (CAST(sa.s AS HUGEINT) * sc.s) AS BIGINT) AS lift_micro
+    FROM directed d
+    JOIN supports sa ON sa.event_type = d.antecedent
+    JOIN supports sc ON sc.event_type = d.consequent
+    CROSS JOIN tot t
+"""
+
+
+@query("agg_assoc_rules", oracle=_RULES_ORACLE, tags=("mining", "agg"))
+def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 depth: ASSOCIATION RULES from the co-occurrence supports —
+    the scoring pass market-basket mining runs after
+    agg_cooccurrence_pairs counts supports: per directed rule A→B,
+    confidence = s(A,B)/s(A) (how often A-users also do B) and
+    lift = s(A,B)·N / (s(A)·s(B)) (how far above independence) — the
+    two numbers that turn raw pair counts into "users who X also Y"
+    recommendations and feature-cross candidates. Both publish as
+    exact micro-units via truncating HUGEINT/DECIMAL(38,0) division
+    (s·N·1e6 is past int64 at ~1e9 users; all terms nonnegative so
+    truncation ≡ floor ≡ DuckDB ``//``); antecedent support can
+    never be 0 (every surviving pair's items have support ≥ pair
+    support ≥ {_MIN_SUPPORT}).
+
+    Plan: ONE corpus collapse to the (user, item) grain feeds all
+    three relations (persisted; at 100 TB a staged table): item
+    supports and the distinct-user total are map-side-combinable
+    aggregates, pairs explode from per-user sorted item sets bounded
+    by the item DOMAIN (the cooccurrence shape), and the final scoring
+    join touches |domain|²-bounded rules against a |domain|-row
+    broadcast + the allowlisted 1-row total."""
+    from talkdesk_async_etl_spark.plans.cache import scoped_persist
+
+    grain = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    supports = grain.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    tot = grain.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    sets = grain.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ets")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ets, (a, i) ->"
+                    " transform(slice(ets, i + 2, size(ets)), b ->"
+                    " struct(a AS x, b AS y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("s_xy"))
+        .filter(F.col("s_xy") >= _MIN_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "s_xy"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "s_xy"
+        )
+    )
+    sa = supports.select(
+        F.col("event_type").alias("antecedent"), F.col("s").alias("n_antecedent")
+    )
+    sc = supports.select(
+        F.col("event_type").alias("consequent"), F.col("s").alias("n_consequent")
+    )
+    return (
+        directed.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_xy").alias("n_both"),
+            "n_antecedent",
+            "n_consequent",
+            F.expr(
+                "CAST((CAST(s_xy AS DECIMAL(38,0)) * 1000000"
+                "      - (CAST(s_xy AS DECIMAL(38,0)) * 1000000) % n_antecedent)"
+                "     / n_antecedent AS BIGINT)"
+            ).alias("confidence_micro"),
+            F.expr(
+                "CAST((CAST(s_xy AS DECIMAL(38,0)) * n_users * 1000000"
+                "      - (CAST(s_xy AS DECIMAL(38,0)) * n_users * 1000000)"
+                "        % (CAST(n_antecedent AS DECIMAL(38,0)) * n_consequent))"
+                "     / (CAST(n_antecedent AS DECIMAL(38,0)) * n_consequent)"
+                "     AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )

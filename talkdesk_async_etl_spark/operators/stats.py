@@ -3667,3 +3667,390 @@ def agg_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mde_cents"),
         )
     )
+
+
+_OLS_EPOCH = "2024-01-01"
+
+_OLS_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM daily GROUP BY event_type
+    ),
+    c AS (
+        SELECT event_type, n, sy,
+               n * sxx - sx * sx AS sxx_c,
+               n * sxy - sx * sy AS sxy_c,
+               n * syy - sy * sy AS syy_c
+        FROM m
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(sy AS BIGINT) AS total_events,
+           CASE WHEN sxx_c = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(sxy_c * 1000000000 // sxx_c AS BIGINT)
+           END AS slope_nano,
+           CASE WHEN sxx_c = 0 OR syy_c = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(sxy_c * sxy_c * 1000000 // (sxx_c * syy_c)
+                          AS BIGINT)
+           END AS r2_micro
+    FROM c
+"""
+
+
+@query("events_ols_trend", oracle=_OLS_ORACLE, tags=("stats", "events"))
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51: per-metric DAILY TREND — ordinary-least-squares slope and
+    R² of daily event counts against the day index, the "is this
+    metric growing and how confidently" screen that pairs with the
+    drift shelf (CUSUM says WHEN a level shifted; OLS says the rate
+    and fit of a monotone drift). INTEGER-EXACT end to end — the only
+    operator-family member with no doubles at all: x is a day index
+    from a frozen epoch (slope is shift-invariant; the epoch only
+    keeps x small), the five co-moment sums accumulate in
+    DECIMAL(38,0)/HUGEINT (n·Σxy − ΣxΣy is the gini-class magnitude),
+    slope publishes as nano-units per day via truncating division
+    (signed: BOTH engines truncate toward zero — Spark's
+    (a − a%b)/b and DuckDB's ``//`` agree on negatives), and
+    R² = (nΣxy−ΣxΣy)²·1e6 div ((nΣx²−(Σx)²)(nΣy²−(Σy)²)) is a
+    nonnegative exact rational. Degenerate groups (single day) pin
+    slope/R² to 0 identically.
+
+    Plan: day-grain collapse (map-side combinable, the ONLY
+    corpus-sized pass) then a |types|-group co-moment aggregate over
+    ≤ types×days rows — the agg_corr_regr fused-moment shape, one
+    exchange each."""
+    daily = (
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    c = m.select(
+        "event_type",
+        "n",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("sxx_c"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("sxy_c"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("syy_c"),
+    )
+    return c.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total_events"),
+        F.expr(
+            "CASE WHEN sxx_c = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((sxy_c * 1000000000"
+            "            - (sxy_c * 1000000000) % sxx_c) / sxx_c AS BIGINT)"
+            " END"
+        ).alias("slope_nano"),
+        F.expr(
+            "CASE WHEN sxx_c = 0 OR syy_c = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((sxy_c * sxy_c * 1000000"
+            "            - (sxy_c * sxy_c * 1000000) % (sxx_c * syy_c))"
+            "           / (sxx_c * syy_c) AS BIGINT) END"
+        ).alias("r2_micro"),
+    )
+
+
+# CUPED pre-period cut: pre = [fixture start, cut), post = [cut, end].
+# Frozen literal inside the events span (contract-tested like the
+# tpch date pins).
+_CUPED_CUT = "2024-01-16"
+
+_CUPED_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '{_CUPED_CUT}'
+                             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS HUGEINT) AS pre_c,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '{_CUPED_CUT}'
+                             THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS HUGEINT) AS post_c
+        FROM events GROUP BY user_id
+    ),
+    armed AS (
+        SELECT CASE WHEN bucket < {_AB_CONTROL_P} THEN 'control'
+                    ELSE 'treatment' END AS arm,
+               pre_c, post_c
+        FROM (
+            SELECT CAST(('0x' || substr(md5('{_AB_SALT}|'
+                         || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000 AS bucket,
+                   pre_c, post_c
+            FROM per_user
+        )
+        WHERE bucket < {_AB_TREAT_P}
+    ),
+    pooled AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(pre_c) AS HUGEINT) AS sp,
+               CAST(sum(post_c) AS HUGEINT) AS so,
+               CAST(sum(pre_c * pre_c) AS HUGEINT) AS spp,
+               CAST(sum(pre_c * post_c) AS HUGEINT) AS spo
+        FROM armed
+    ),
+    th AS (
+        SELECT n, sp,
+               CASE WHEN n * spp - sp * sp <= 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(n * spo - sp * so AS DOUBLE)
+                         / CAST(n * spp - sp * sp AS DOUBLE)
+               END AS theta,
+               CAST(sp AS DOUBLE) / n AS mean_pre_all
+        FROM pooled
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(pre_c) AS HUGEINT) AS a_pre,
+               CAST(sum(post_c) AS HUGEINT) AS a_post
+        FROM armed GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           CAST(a.a_pre AS BIGINT) AS sum_pre_cents,
+           CAST(a.a_post AS BIGINT) AS sum_post_cents,
+           round(CAST(a.a_post AS DOUBLE) / a.n_users, 6) AS mean_post_cents,
+           round(CAST(a.a_post AS DOUBLE) / a.n_users
+                 - t.theta * (CAST(a.a_pre AS DOUBLE) / a.n_users
+                              - t.mean_pre_all), 6) AS cuped_mean_cents,
+           round(t.theta, 6) AS theta
+    FROM arms a CROSS JOIN th t
+"""
+
+
+@query("agg_ab_cuped", oracle=_CUPED_ORACLE, tags=("agg", "stats", "experiment"))
+def agg_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52: CUPED variance reduction for the experiment the allocation
+    operator set up — the fourth experimentation op: allocate
+    (sample_ab_allocation) → power (agg_ab_power_mde) → THIS
+    (pre-period covariate adjustment of the post-period metric) →
+    significance (agg_ab_significance). CUPED subtracts
+    θ·(pre − mean(pre)) from each arm's post-period mean, with
+    θ = cov(pre, post)/var(pre) pooled over both arms (assignment is
+    independent of the pre period, so pooling is unbiased and halves
+    the estimator noise) — the standard industry lever that makes the
+    same arm sizes detect effects 2-3x smaller when the metric is
+    sticky per user.
+
+    Exactness: per-user pre/post cent totals are exact conditional
+    sums split at a frozen date cut (contract-tested inside the
+    fixture span); arm assignment replays the ACTUAL md5-bucket
+    allocation (same salt/cuts as the allocator, interpolated from
+    sampling.py so they can never desync); θ and the adjusted means
+    are IEEE-identical doubles over exact HUGEINT/DECIMAL(38,0)
+    co-moments with the shared 6-dp rounding; zero pre-period
+    variance pins θ to 0 on both engines (the welch guard class) —
+    CUPED then degenerates to the plain mean, which is correct.
+
+    Plan: ONE corpus pass to the user grain (conditional sums fused,
+    map-side combinable), bucket assignment in-scan on the collapsed
+    relation, then a 1-row pooled-moment broadcast onto the 2-row arm
+    rollup — the allowlisted scalar shape."""
+    per_user = (
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "user_id",
+            F.when(
+                F.col("ts").cast("date") < F.lit(_CUPED_CUT).cast("date"),
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("pre_raw"),
+            F.when(
+                F.col("ts").cast("date") >= F.lit(_CUPED_CUT).cast("date"),
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(0)
+            .alias("post_raw"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("pre_raw").cast("decimal(38,0)")).alias("pre_c"),
+            F.sum(F.col("post_raw").cast("decimal(38,0)")).alias("post_c"),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_AB_SALT + "|"), F.col("user_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    from talkdesk_async_etl_spark.plans.cache import scoped_persist
+
+    armed = scoped_persist(
+        per_user.select(bucket.alias("bucket"), "pre_c", "post_c")
+        .filter(F.col("bucket") < _AB_TREAT_P)
+        .select(
+            F.when(F.col("bucket") < _AB_CONTROL_P, "control")
+            .otherwise("treatment")
+            .alias("arm"),
+            "pre_c",
+            "post_c",
+        )
+    )
+    th = (
+        armed.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("pre_c").alias("sp"),
+            F.sum("post_c").alias("so"),
+            F.sum(F.col("pre_c") * F.col("pre_c")).alias("spp"),
+            F.sum(F.col("pre_c") * F.col("post_c")).alias("spo"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN n * spp - sp * sp <= 0 THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(n * spo - sp * so AS DOUBLE)"
+                "      / CAST(n * spp - sp * sp AS DOUBLE) END"
+            ).alias("theta"),
+            F.expr("CAST(sp AS DOUBLE) / n").alias("mean_pre_all"),
+        )
+    )
+    arms = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre_c").alias("a_pre"),
+        F.sum("post_c").alias("a_post"),
+    )
+    return arms.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "n_users",
+        F.col("a_pre").cast("long").alias("sum_pre_cents"),
+        F.col("a_post").cast("long").alias("sum_post_cents"),
+        F.expr("round(CAST(a_post AS DOUBLE) / n_users, 6)").alias(
+            "mean_post_cents"
+        ),
+        F.expr(
+            "round(CAST(a_post AS DOUBLE) / n_users"
+            " - theta * (CAST(a_pre AS DOUBLE) / n_users - mean_pre_all), 6)"
+        ).alias("cuped_mean_cents"),
+        F.expr("round(theta, 6)").alias("theta"),
+    )
+
+
+_WOW_ORACLE = """
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT w.event_type, w.week, w.n, w.cents,
+               p.n AS prev_n, p.cents AS prev_cents
+        FROM weekly w
+        LEFT JOIN weekly p ON p.event_type = w.event_type
+                          AND p.week = w.week - INTERVAL 7 DAY
+    )
+    SELECT event_type, week, n, cents,
+           COALESCE(prev_n, 0) AS prev_n,
+           CASE WHEN prev_n IS NULL OR prev_n = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((n - prev_n) * CAST(1000000 AS HUGEINT) // prev_n
+                          AS BIGINT) END AS n_wow_micro,
+           CASE WHEN prev_cents IS NULL OR prev_cents = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST((cents - prev_cents) * CAST(1000000 AS HUGEINT)
+                          // prev_cents AS BIGINT) END AS cents_wow_micro
+    FROM lagged
+"""
+
+
+@query("events_wow_change", oracle=_WOW_ORACLE, tags=("stats", "events"))
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53: WEEK-OVER-WEEK movers per metric — weekly event counts and
+    cent totals with their exact relative change vs the prior
+    calendar week, the top-movers table behind every ops dashboard
+    (the seasonal shelf's missing grain: dow_baseline reads WITHIN-
+    week shape, cusum/ols read the daily trend; THIS reads the
+    week-to-week step). Weeks are ISO date_trunc boundaries so both
+    engines bucket identically; the change publishes as a SIGNED
+    exact micro rational ((n−prev)·1e6 div prev — both engines
+    truncate toward zero on negatives, the OLS-slope device);
+    missing or zero prior weeks pin the change to 0 with prev_n made
+    explicit so a reader can tell "new metric" from "flat".
+
+    Plan: one corpus collapse to the (type, week) grain (count and
+    cent sum fused, map-side combinable), then a self-equi-join on
+    the shifted week key over the calendar-bounded weekly relation —
+    the join carries types×weeks rows at any corpus size. A lag
+    window over the same grain would also work; the equi-join keeps
+    the grain free of single-partition sorts when |types| is tiny."""
+    weekly = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_type",
+            F.date_trunc("week", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("week"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("cents"),
+        )
+    )
+    prev = weekly.select(
+        "event_type",
+        F.date_add(F.col("week"), 7).alias("week"),
+        F.col("n").alias("prev_n_raw"),
+        F.col("cents").alias("prev_cents"),
+    )
+    return (
+        weekly.join(prev, ["event_type", "week"], "left")
+        .select(
+            "event_type",
+            "week",
+            "n",
+            "cents",
+            F.coalesce(F.col("prev_n_raw"), F.lit(0)).cast("long").alias("prev_n"),
+            F.expr(
+                "CASE WHEN prev_n_raw IS NULL OR prev_n_raw = 0"
+                " THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(((n - prev_n_raw) * CAST(1000000 AS DECIMAL(38,0))"
+                "            - ((n - prev_n_raw) * CAST(1000000 AS DECIMAL(38,0)))"
+                "              % prev_n_raw) / prev_n_raw AS BIGINT) END"
+            ).alias("n_wow_micro"),
+            F.expr(
+                "CASE WHEN prev_cents IS NULL OR prev_cents = 0"
+                " THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(((cents - prev_cents) * CAST(1000000 AS DECIMAL(38,0))"
+                "            - ((cents - prev_cents)"
+                "               * CAST(1000000 AS DECIMAL(38,0))) % prev_cents)"
+                "           / prev_cents AS BIGINT) END"
+            ).alias("cents_wow_micro"),
+        )
+    )

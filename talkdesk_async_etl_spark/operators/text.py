@@ -2178,3 +2178,128 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_micro"),
         )
     )
+
+
+_ZIPF_TOP_K = 100
+
+_ZIPF_ORACLE = f"""
+    WITH tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    top AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        FROM tf ORDER BY cnt DESC, term LIMIT {_ZIPF_TOP_K}
+    ),
+    q AS (
+        SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM top
+    ),
+    m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM q
+    ),
+    c AS (
+        SELECT n,
+               n * sxx - sx * sx AS sxx_c,
+               n * sxy - sx * sy AS sxy_c,
+               n * syy - sy * sy AS syy_c
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN sxx_c = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(sxy_c * 1000000000 // sxx_c AS BIGINT)
+           END AS slope_nano,
+           CASE WHEN sxx_c = 0 OR syy_c = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(CAST(sxy_c AS DOUBLE) * CAST(sxy_c AS DOUBLE)
+                           / (CAST(sxx_c AS DOUBLE) * CAST(syy_c AS DOUBLE)), 6)
+           END AS r2
+    FROM c
+"""
+
+
+@query("text_zipf_slope", oracle=_ZIPF_ORACLE, tags=("text", "vocabulary"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-depth: ZIPF'S-LAW EXPONENT of the corpus — the least-squares
+    slope of log-frequency against log-rank over the top-{_ZIPF_TOP_K}
+    terms, the companion diagnostic to text_heaps_law (Heaps reads
+    vocabulary GROWTH, Zipf reads the frequency SHAPE): natural text
+    sits near slope −1; scraped boilerplate flattens the head,
+    template spam steepens it — a one-number corpus-mix fingerprint
+    worth tracking per ingest batch.
+
+    Exactness: the only transcendental is ln over positive integers
+    (ranks 1..{_ZIPF_TOP_K} and term counts), and each log quantizes
+    to micro-units BEFORE any arithmetic — floor(1e6·ln(k)) — so
+    every co-moment sum is an exact DECIMAL(38,0)/HUGEINT integer
+    and aggregation order cannot perturb anything (the adamic-adar
+    per-term device; the unit-test audit proves 1e6·ln(k) sits far
+    from every integer for all audited k, so a 2-ulp cross-engine ln
+    difference cannot flip a floor). The slope publishes as an exact
+    nano rational (signed — both engines truncate toward zero); R²
+    alone is a rounded double over the exact co-moments (its exact
+    numerator squares past DECIMAL(38,0)).
+
+    Plan: one term explode collapsing to term grain (map-side
+    combinable — the only corpus-sized pass), a TakeOrdered
+    top-{_ZIPF_TOP_K}, then rank/fit over the {_ZIPF_TOP_K}-row
+    bounded relation (the decision-stump bounded-window
+    precedent)."""
+    tf = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = tf.orderBy(F.desc("cnt"), "term").limit(_ZIPF_TOP_K)
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "term"))
+        .alias("rnk"),
+    )
+    q = ranked.select(
+        F.expr("CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT)").alias(
+            "x"
+        ),
+        F.expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("sxx_c"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("sxy_c"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("syy_c"),
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "CASE WHEN sxx_c = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((sxy_c * 1000000000"
+            "            - (sxy_c * 1000000000) % sxx_c) / sxx_c AS BIGINT)"
+            " END"
+        ).alias("slope_nano"),
+        F.expr(
+            "CASE WHEN sxx_c = 0 OR syy_c = 0 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE round(CAST(sxy_c AS DOUBLE) * CAST(sxy_c AS DOUBLE)"
+            "            / (CAST(sxx_c AS DOUBLE) * CAST(syy_c AS DOUBLE)), 6)"
+            " END"
+        ).alias("r2"),
+    )

@@ -1201,3 +1201,268 @@ def window_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("start_day"))).alias("best_start"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+_CONVLAT_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN CAST(ts AS TIMESTAMP) END) AS s_ts,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS p_ts
+        FROM events GROUP BY user_id
+    ),
+    signed AS (
+        SELECT CAST(s_ts AS DATE) AS cohort_day,
+               user_id,
+               CASE WHEN p_ts IS NOT NULL AND p_ts >= s_ts
+                    THEN 1 ELSE 0 END AS converted,
+               CASE WHEN p_ts IS NOT NULL AND p_ts >= s_ts
+                    THEN CAST(date_diff('microseconds', s_ts, p_ts) AS BIGINT)
+               END AS latency_us
+        FROM per_user WHERE s_ts IS NOT NULL
+    ),
+    counts AS (
+        SELECT cohort_day,
+               CAST(count(*) AS BIGINT) AS n_signups,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM signed GROUP BY cohort_day
+    ),
+    ranked AS (
+        SELECT cohort_day, latency_us,
+               row_number() OVER (PARTITION BY cohort_day
+                                  ORDER BY latency_us, user_id) AS rn,
+               count(*) OVER (PARTITION BY cohort_day) AS n
+        FROM signed WHERE converted = 1
+    ),
+    med AS (
+        SELECT cohort_day,
+               CAST(sum(CASE WHEN rn = (n + 1) // 2
+                             OR rn = (n + 2) // 2 THEN latency_us END)
+                    * CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END
+                    AS BIGINT) AS median_latency_us_x2
+        FROM ranked GROUP BY cohort_day
+    )
+    SELECT c.cohort_day, c.n_signups, c.n_converted,
+           CAST(CAST(c.n_converted AS HUGEINT) * 1000000 // c.n_signups
+                AS BIGINT) AS conv_rate_micro,
+           COALESCE(m.median_latency_us_x2, 0) AS median_latency_us_x2
+    FROM counts c LEFT JOIN med m ON m.cohort_day = c.cohort_day
+"""
+
+
+@query(
+    "window_conversion_latency",
+    oracle=_CONVLAT_ORACLE,
+    tags=("window", "events", "funnel"),
+)
+def window_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-depth: SIGNUP→PURCHASE conversion latency per signup-day
+    cohort — the funnel-timing complement to window_time_to_event
+    (which measures one user's gaps) and stream_funnel_state (which
+    counts stage arrivals): per cohort, how many signups convert and
+    how fast the median converter moves. First-touch semantics,
+    single-pass-safe: a user converts iff their FIRST purchase is at
+    or after their FIRST signup (users whose only purchases predate
+    signup are deliberately non-converted — the contract that needs
+    no second corpus pass), latency is the exact microsecond gap
+    between those two firsts.
+
+    Exactness: latency is integer microseconds; the median uses the
+    positional 2x-integer device (runs-test/Tukey precedent — odd
+    cohorts double the middle value, even cohorts sum the two, so no
+    float average exists); conversion rate is a truncating micro
+    division; empty-converter cohorts pin the median to 0 via the
+    same COALESCE on both engines.
+
+    Plan: ONE corpus pass to the user grain (two conditional mins
+    fused, map-side combinable); everything after runs on user- then
+    day-grain relations — the rank window is cohort-PARTITIONED
+    (never single-partition), and the counts/median join is
+    day-grain-bounded."""
+    per_user = (
+        t(spark, sf_dir, "events", spread=True)
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.col("ts").cast("timestamp"),
+                )
+            ).alias("s_ts"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("ts").cast("timestamp"),
+                )
+            ).alias("p_ts"),
+        )
+        .filter(F.col("s_ts").isNotNull())
+    )
+    converted_cond = F.col("p_ts").isNotNull() & (F.col("p_ts") >= F.col("s_ts"))
+    signed = scoped_persist(
+        per_user.select(
+            F.col("s_ts").cast("date").alias("cohort_day"),
+            "user_id",
+            F.when(converted_cond, 1).otherwise(0).alias("converted"),
+            F.when(
+                converted_cond,
+                F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts")),
+            ).alias("latency_us"),
+        )
+    )
+    counts = signed.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = Window.partitionBy("cohort_day")
+    ranked = signed.filter(F.col("converted") == 1).select(
+        "cohort_day",
+        "latency_us",
+        F.row_number().over(w.orderBy("latency_us", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    med = ranked.groupBy("cohort_day").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN rn = CAST((n + 1) / 2 AS BIGINT)"
+            "           OR rn = CAST((n + 2) / 2 AS BIGINT) THEN latency_us END)"
+            " * CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)"
+        ).alias("median_latency_us_x2")
+    )
+    return counts.join(med, "cohort_day", "left").select(
+        "cohort_day",
+        "n_signups",
+        "n_converted",
+        F.expr(
+            "CAST((CAST(n_converted AS DECIMAL(38,0)) * 1000000"
+            "      - (CAST(n_converted AS DECIMAL(38,0)) * 1000000) % n_signups)"
+            "     / n_signups AS BIGINT)"
+        ).alias("conv_rate_micro"),
+        F.coalesce(F.col("median_latency_us_x2"), F.lit(0))
+        .cast("long")
+        .alias("median_latency_us_x2"),
+    )
+
+
+# Ordered funnel steps (first-touch, non-decreasing first-timestamps).
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = '{_FUNNEL_STEPS[0]}'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t1,
+               min(CASE WHEN event_type = '{_FUNNEL_STEPS[1]}'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t2,
+               min(CASE WHEN event_type = '{_FUNNEL_STEPS[2]}'
+                        THEN CAST(ts AS TIMESTAMP) END) AS t3
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS r1,
+               CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+                    THEN 1 ELSE 0 END AS r2,
+               CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 >= t1
+                     AND t3 IS NOT NULL AND t3 >= t2
+                    THEN 1 ELSE 0 END AS r3
+        FROM per_user
+    ),
+    tot AS (
+        SELECT CAST(sum(r1) AS BIGINT) AS n1,
+               CAST(sum(r2) AS BIGINT) AS n2,
+               CAST(sum(r3) AS BIGINT) AS n3
+        FROM flags
+    ),
+    steps AS (
+        SELECT 1 AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+               n1 AS n_users, n1 AS prev_n, n1 AS first_n FROM tot
+        UNION ALL
+        SELECT 2, '{_FUNNEL_STEPS[1]}', n2, n1, n1 FROM tot
+        UNION ALL
+        SELECT 3, '{_FUNNEL_STEPS[2]}', n3, n2, n1 FROM tot
+    )
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+           n_users,
+           CASE WHEN prev_n = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(n_users AS HUGEINT) * 1000000 // prev_n
+                          AS BIGINT) END AS conv_from_prev_micro,
+           CASE WHEN first_n = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(n_users AS HUGEINT) * 1000000 // first_n
+                          AS BIGINT) END AS conv_from_first_micro
+    FROM steps
+"""
+
+
+@query(
+    "events_funnel_steps",
+    oracle=_FUNNEL_ORACLE,
+    tags=("window", "events", "funnel"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-depth: BATCH FUNNEL over the ordered view→click→purchase
+    journey — the step-retention table every product dashboard leads
+    with, and the batch twin of stream_funnel_state's streaming stage
+    counter. First-touch ordered semantics, single-pass-safe: a user
+    reaches step k iff the FIRST timestamps of the first k steps are
+    non-decreasing (the window_conversion_latency contract extended
+    to a chain), so one corpus pass of fused conditional mins decides
+    every stage with no per-step rescan and no event-sequence window.
+
+    Exactness: stage counts are exact BIGINT sums of 0/1 flags whose
+    timestamp comparisons are exact (micros); step-over-step and
+    end-to-end conversion rates are truncating micro divisions with
+    an empty-stage guard — all spelled identically on both engines.
+
+    Plan: ONE corpus pass to the user grain (three conditional mins
+    fused, map-side combinable), one 1-row flag rollup, and a 3-row
+    literal fan-out projection — nothing downstream of the first
+    exchange scales with the corpus."""
+    p = (
+        t(spark, sf_dir, "events", spread=True)
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("event_type") == step,
+                        F.col("ts").cast("timestamp"),
+                    )
+                ).alias(f"t{i + 1}")
+                for i, step in enumerate(_FUNNEL_STEPS)
+            ]
+        )
+    )
+    r1 = F.col("t1").isNotNull()
+    r2 = r1 & F.col("t2").isNotNull() & (F.col("t2") >= F.col("t1"))
+    r3 = r2 & F.col("t3").isNotNull() & (F.col("t3") >= F.col("t2"))
+    tot = p.agg(
+        F.sum(r1.cast("long")).cast("long").alias("n1"),
+        F.sum(r2.cast("long")).cast("long").alias("n2"),
+        F.sum(r3.cast("long")).cast("long").alias("n3"),
+    )
+    steps = tot.select(
+        F.expr(
+            "stack(3,"
+            f" CAST(1 AS BIGINT), '{_FUNNEL_STEPS[0]}', n1, n1, n1,"
+            f" CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}', n2, n1, n1,"
+            f" CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}', n3, n2, n1)"
+            " AS (step, step_name, n_users, prev_n, first_n)"
+        )
+    )
+    return steps.select(
+        "step",
+        "step_name",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr(
+            "CASE WHEN prev_n = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((CAST(n_users AS DECIMAL(38,0)) * 1000000"
+            "            - (CAST(n_users AS DECIMAL(38,0)) * 1000000) % prev_n)"
+            "           / prev_n AS BIGINT) END"
+        ).alias("conv_from_prev_micro"),
+        F.expr(
+            "CASE WHEN first_n = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((CAST(n_users AS DECIMAL(38,0)) * 1000000"
+            "            - (CAST(n_users AS DECIMAL(38,0)) * 1000000) % first_n)"
+            "           / first_n AS BIGINT) END"
+        ).alias("conv_from_first_micro"),
+    )

@@ -5925,3 +5925,618 @@ def test_pr_curve_constructed_fixture_and_replica(spark):
         ), thr
         assert r["pr_auc_micro"] == auc
     assert {v[0] for v in exp_rows.values()} == {0, 1, 2, 3}
+
+
+def _eval_fixture_dir(spark, tmpdir, specs):
+    """Write the constructed documents+embeddings eval fixture shared
+    by the classifier-evaluation tests: specs = (doc_id, plain_chars,
+    spaces, label-or-None)."""
+    docs, embs = [], []
+    for did, chars, spaces, label in specs:
+        text = "a" * chars + " " * spaces
+        docs.append((did, text, "en", "src", len(text)))
+        if label is not None:
+            embs.append((did, [0.0] * 4, label))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(tmpdir + "/documents.parquet")
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(tmpdir + "/embeddings.parquet")
+
+
+def _eval_fixture_scores(specs):
+    """Pure-Python replica of the shared scorer: (p_micro, y) pairs."""
+    import math
+
+    from talkdesk_async_etl_spark.operators.mining import _W0, _W_CHARS, _W_SPACES
+
+    out = []
+    for _, chars, spaces, label in specs:
+        if label is None:
+            continue
+        z = _W0 + (chars + spaces) * _W_CHARS + spaces * _W_SPACES
+        out.append(
+            (math.floor(1 / (1 + math.exp(-z)) * 1_000_000 + 0.5), label % 2)
+        )
+    return out
+
+
+def test_roc_auc_constructed_and_replica(spark):
+    """ml_eval_roc_auc on constructed fixtures: a perfectly-ordered
+    set pins AUC to exactly 1e6 (and Gini to 1e6); a tie pair gets
+    exact half-credit; the general case equals a pure-Python
+    pair-counting replica."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+
+    def run(specs):
+        with tempfile.TemporaryDirectory() as d:
+            _eval_fixture_dir(spark, d, specs)
+            return QUERIES["ml_eval_roc_auc"].fn(spark, d).collect()[0]
+
+    def replica(specs):
+        scored = _eval_fixture_scores(specs)
+        pos = [p for p, y in scored if y == 1]
+        neg = [p for p, y in scored if y == 0]
+        num2 = sum(
+            2 if pp > pn else (1 if pp == pn else 0) for pp in pos for pn in neg
+        )
+        return num2 * 1_000_000 // (2 * len(pos) * len(neg))
+
+    # Perfect ordering: every positive above every negative.
+    perfect = [(0, 900, 0, 1), (1, 800, 0, 1), (2, 300, 0, 0), (3, 100, 0, 0)]
+    r = run(perfect)
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc_micro"] == 1_000_000 == replica(perfect)
+    assert r["gini_micro"] == 1_000_000
+
+    # One tied (pos, neg) pair, one concordant pair each way:
+    # pairs = tie(1) + 2 wins(4) + 1 loss(0) -> AUC = 5/8.
+    tied = [(0, 900, 0, 1), (1, 900, 0, 0), (2, 500, 0, 1), (3, 100, 0, 0)]
+    r = run(tied)
+    assert r["auc_micro"] == replica(tied) == 5 * 1_000_000 // 8
+    assert r["gini_micro"] == 2 * r["auc_micro"] - 1_000_000
+
+    # Inverted ordering: AUC 0, Gini -1e6.
+    inverted = [(0, 100, 0, 1), (1, 900, 0, 0)]
+    r = run(inverted)
+    assert r["auc_micro"] == 0 and r["gini_micro"] == -1_000_000
+
+
+def test_calibration_bins_constructed_and_replica(spark):
+    """ml_calibration_bins on a constructed fixture: exact bin
+    membership (top bin closed), exact integer mean-predicted vs
+    observed rate per bin, and the n-weighted ECE replica; empty bins
+    are absent and contribute zero."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.mining import _CAL_BIN_MICRO
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    specs = [
+        (0, 900, 0, 1),  # p=0.858 -> bin 8
+        (1, 900, 0, 0),  # bin 8
+        (2, 490, 10, 1),  # p=0.574 -> bin 5
+        (3, 300, 0, 0),  # p=0.354 -> bin 3
+        (4, 100, 0, 1),  # p=0.198 -> bin 1
+        (5, 50, 0, 0),  # p=0.168 -> bin 1
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _eval_fixture_dir(spark, d, specs)
+        got = {
+            r["bin"]: r for r in QUERIES["ml_calibration_bins"].fn(spark, d).collect()
+        }
+
+    scored = _eval_fixture_scores(specs)
+    bins: dict[int, list] = {}
+    for p, y in scored:
+        bins.setdefault(min(p // _CAL_BIN_MICRO, 9), []).append((p, y))
+    exp = {}
+    for b, rows in bins.items():
+        n = len(rows)
+        pos = sum(y for _, y in rows)
+        mean_pred = sum(p for p, _ in rows) // n
+        obs = pos * 1_000_000 // n
+        exp[b] = (n, pos, mean_pred, obs, abs(mean_pred - obs))
+    ece = sum(n * gap for n, _, _, _, gap in exp.values()) // sum(
+        n for n, *_ in exp.values()
+    )
+    assert set(got) == set(exp) == {1, 3, 5, 8}
+    for b, (n, pos, mean_pred, obs, gap) in exp.items():
+        r = got[b]
+        assert (r["n"], r["pos"]) == (n, pos), b
+        assert r["mean_pred_micro"] == mean_pred, b
+        assert r["obs_rate_micro"] == obs, b
+        assert r["gap_micro"] == gap and r["ece_micro"] == ece, b
+        assert r["bin_lo_micro"] == b * _CAL_BIN_MICRO
+
+
+def test_ols_trend_exact_line_flat_and_replica(spark):
+    """events_ols_trend on constructed daily counts: an exact line
+    y = 2x + 3 pins slope_nano to exactly 2e9 and R² to exactly 1e6;
+    a flat series pins both to 0 (zero y-variance guard); a single-day
+    type pins both to 0 (zero x-variance guard); a noisy series
+    equals the pure-Python exact-rational replica including the
+    signed truncation direction."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.stats import _OLS_EPOCH
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    epoch = dt.date.fromisoformat(_OLS_EPOCH)
+    series = {
+        "line": {x: 2 * x + 3 for x in range(10)},
+        "flat": {x: 7 for x in range(10)},
+        "oneday": {4: 5},
+        "noisy": {0: 9, 1: 4, 2: 7, 3: 1, 5: 2},  # negative slope, gap day
+    }
+    rows = []
+    eid = 0
+    for et, days in series.items():
+        for x, count in days.items():
+            for _ in range(count):
+                ts = dt.datetime.combine(epoch + dt.timedelta(days=x), dt.time(12))
+                rows.append((eid, ts, eid % 7, et, 1.0))
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["events_ols_trend"].fn(spark, d).collect()
+        }
+
+    def replica(days):
+        n = len(days)
+        sx = sum(days)
+        sy = sum(days.values())
+        sxx = sum(x * x for x in days)
+        sxy = sum(x * y for x, y in days.items())
+        syy = sum(y * y for y in days.values())
+        sxx_c, sxy_c, syy_c = n * sxx - sx * sx, n * sxy - sx * sy, n * syy - sy * sy
+        if sxx_c == 0:
+            return 0, 0
+        # int() truncates toward zero — both engines' division does.
+        slope = int(sxy_c * 1_000_000_000 / sxx_c) if sxx_c else 0
+        slope = (
+            abs(sxy_c) * 1_000_000_000 // sxx_c * (1 if sxy_c >= 0 else -1)
+        )
+        r2 = 0 if syy_c == 0 else sxy_c * sxy_c * 1_000_000 // (sxx_c * syy_c)
+        return slope, r2
+
+    assert got["line"]["slope_nano"] == 2_000_000_000
+    assert got["line"]["r2_micro"] == 1_000_000
+    assert got["flat"]["slope_nano"] == 0 and got["flat"]["r2_micro"] == 0
+    assert got["oneday"]["slope_nano"] == 0 and got["oneday"]["r2_micro"] == 0
+    s, r2 = replica(series["noisy"])
+    assert s < 0 and (got["noisy"]["slope_nano"], got["noisy"]["r2_micro"]) == (s, r2)
+    assert got["noisy"]["n_days"] == 5 and got["noisy"]["total_events"] == 23
+
+
+def test_cuped_constructed_sticky_metric_and_replica(spark):
+    """agg_ab_cuped on a constructed sticky metric (post ≈ pre per
+    user): theta and the adjusted means must equal the pure-Python
+    replica (same md5 buckets, same pooled co-moments), holdout users
+    must be excluded, and CUPED must shrink the control-vs-treatment
+    gap on a fixture whose arms differ only through their pre-period
+    mix (no true treatment effect)."""
+    import datetime as dt
+    import hashlib
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.sampling import (
+        _AB_CONTROL_P,
+        _AB_SALT,
+        _AB_TREAT_P,
+    )
+    from talkdesk_async_etl_spark.operators.stats import _CUPED_CUT
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    cut = dt.date.fromisoformat(_CUPED_CUT)
+    pre_ts = dt.datetime.combine(cut - dt.timedelta(days=5), dt.time(9))
+    post_ts = dt.datetime.combine(cut + dt.timedelta(days=5), dt.time(9))
+
+    def bucket(uid):
+        return int(
+            hashlib.md5(f"{_AB_SALT}|{uid}".encode()).hexdigest()[:15], 16
+        ) % 1000
+
+    rows, eid = [], 0
+    per_user = {}
+    for uid in range(400):
+        pre_cents = (uid % 50 + 1) * 100
+        post_cents = pre_cents + 40  # sticky: post = pre + constant
+        per_user[uid] = (pre_cents, post_cents)
+        rows.append((eid, pre_ts, uid, "view", pre_cents / 100.0))
+        eid += 1
+        rows.append((eid, post_ts, uid, "purchase", post_cents / 100.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        got = {r["arm"]: r for r in QUERIES["agg_ab_cuped"].fn(spark, d).collect()}
+
+    armed = {
+        uid: pc
+        for uid, pc in per_user.items()
+        if bucket(uid) < _AB_TREAT_P
+    }
+    n = len(armed)
+    sp = sum(p for p, _ in armed.values())
+    so = sum(o for _, o in armed.values())
+    spp = sum(p * p for p, _ in armed.values())
+    spo = sum(p * o for p, o in armed.values())
+    theta = (n * spo - sp * so) / (n * spp - sp * sp)
+    mean_pre_all = sp / n
+    assert round(theta, 6) == got["control"]["theta"] == got["treatment"]["theta"]
+    # post = pre + 40 exactly -> theta is exactly 1 up to rounding.
+    assert abs(theta - 1.0) < 1e-9
+
+    raw_gap = 0.0
+    adj_gap = 0.0
+    for arm_name, pick in (
+        ("control", lambda b: b < _AB_CONTROL_P),
+        ("treatment", lambda b: _AB_CONTROL_P <= b < _AB_TREAT_P),
+    ):
+        members = [pc for uid, pc in armed.items() if pick(bucket(uid))]
+        n_a = len(members)
+        a_pre = sum(p for p, _ in members)
+        a_post = sum(o for _, o in members)
+        r = got[arm_name]
+        assert (r["n_users"], r["sum_pre_cents"], r["sum_post_cents"]) == (
+            n_a,
+            a_pre,
+            a_post,
+        )
+        assert r["mean_post_cents"] == round(a_post / n_a, 6)
+        adj = a_post / n_a - theta * (a_pre / n_a - mean_pre_all)
+        assert r["cuped_mean_cents"] == round(adj, 6)
+        raw_gap = abs(raw_gap - a_post / n_a)
+        adj_gap = abs(adj_gap - adj)
+    # No true effect + sticky metric: CUPED shrinks the arm gap.
+    assert adj_gap < raw_gap
+    # Holdout exclusion: armed users < all users.
+    assert got["control"]["n_users"] + got["treatment"]["n_users"] < 400
+
+
+def test_assoc_rules_constructed_and_replica(spark):
+    """agg_assoc_rules on a constructed basket fixture: perfect
+    containment pins confidence to exactly 1e6, lift is the exact
+    independence ratio (sub-support pairs are absent), and every
+    surviving rule matches a pure-Python integer replica."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.mining import _MIN_SUPPORT
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    # 12 users: all do A; users 0-5 do B; users 0-4 do C; users 0-3 do
+    # D (support 4 < MIN_SUPPORT -> no D rules survive).
+    baskets = {u: {"A"} for u in range(12)}
+    for u in range(6):
+        baskets[u].add("B")
+    for u in range(5):
+        baskets[u].add("C")
+    for u in range(4):
+        baskets[u].add("D")
+    rows, eid = [], 0
+    ts = dt.datetime(2024, 1, 5, 12)
+    for u, items in baskets.items():
+        for it in sorted(items):
+            rows.append((eid, ts, u, it, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        got = {
+            (r["antecedent"], r["consequent"]): r
+            for r in QUERIES["agg_assoc_rules"].fn(spark, d).collect()
+        }
+
+    n_users = len(baskets)
+    supp: dict = {}
+    pair: dict = {}
+    for items in baskets.values():
+        for a in items:
+            supp[a] = supp.get(a, 0) + 1
+        for a in items:
+            for b in items:
+                if a < b:
+                    pair[(a, b)] = pair.get((a, b), 0) + 1
+    exp = {}
+    for (a, b), s_ab in pair.items():
+        if s_ab < _MIN_SUPPORT:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            exp[(ant, con)] = (
+                s_ab,
+                supp[ant],
+                supp[con],
+                s_ab * 1_000_000 // supp[ant],
+                s_ab * n_users * 1_000_000 // (supp[ant] * supp[con]),
+            )
+    assert set(got) == set(exp)
+    assert not any("D" in k for k in got)  # sub-support pair absent
+    for key, (s_ab, sa, sc, conf, lift) in exp.items():
+        r = got[key]
+        assert (r["n_both"], r["n_antecedent"], r["n_consequent"]) == (s_ab, sa, sc)
+        assert (r["confidence_micro"], r["lift_micro"]) == (conf, lift), key
+    # Spot values: B -> A containment = certainty; C -> B enrichment.
+    assert got[("B", "A")]["confidence_micro"] == 1_000_000
+    assert got[("B", "A")]["lift_micro"] == 1_000_000  # P(A)=1 -> lift 1
+    assert got[("C", "B")]["confidence_micro"] == 1_000_000
+    assert got[("C", "B")]["lift_micro"] == 5 * 12 * 1_000_000 // (5 * 6)
+
+
+def test_adamic_adar_constructed_and_boundary_audit(spark):
+    """adamic_adar_from on hand-built graphs vs a pure-Python replica
+    (path -> single 1/ln(2) term; shared-hub star vs tight pair), and
+    the floor-boundary audit: 1e6/ln(k) sits >= 5e-5 from every
+    integer for all k <= 4096, so a 2-ulp cross-engine ln difference
+    (~3e-10 here) can never flip a per-term floor."""
+    import math
+
+    from talkdesk_async_etl_spark.operators.graph import adamic_adar_from
+    from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
+
+    def run(edges):
+        with cache_scope():
+            und = scoped_persist(
+                spark.createDataFrame(sorted(edges), "a int, b int")
+            )
+            return {
+                (r["a"], r["b"]): (r["n_common"], r["aa_micro"])
+                for r in adamic_adar_from(und).collect()
+            }
+
+    def term(deg):
+        return math.floor(1_000_000 / math.log(deg))
+
+    # Path 1-2-3: non-adjacent (1,3) share center 2 with deg 2.
+    assert run([(1, 2), (2, 3)]) == {(1, 3): (1, term(2))}
+
+    # Hub 0 connected to 1..4 (deg 4), plus selective center 5 joining
+    # 1 and 2 (deg 2): pair (1,2) scores hub term + selective term and
+    # the selective term dominates the hub's.
+    star = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (2, 5)]
+    got = run(star)
+    assert got[(1, 2)] == (2, term(4) + term(2))
+    assert got[(3, 4)] == (1, term(4))
+    assert term(2) > term(4)  # the Adamic-Adar point: hubs certify less
+    # adjacent pairs never appear
+    assert (0, 1) not in got
+
+    worst = min(
+        abs(1_000_000 / math.log(k) - round(1_000_000 / math.log(k)))
+        for k in range(2, 4097)
+    )
+    assert worst > 5e-5, worst
+
+
+def test_conversion_latency_constructed(spark):
+    """window_conversion_latency on a hand-built funnel: exact
+    microsecond latencies, odd cohort doubles the middle value, even
+    cohort sums the two middles, purchase-before-signup users count
+    as signups but never converters, and purchase-only users are
+    excluded entirely."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    d1 = dt.datetime(2024, 1, 10, 10)
+    d2 = dt.datetime(2024, 1, 11, 10)
+    rows = [
+        # cohort d1: u1 converts in 30 min; u2 purchased BEFORE signup
+        # (excluded from converters); u3 never purchases.
+        (0, d1, 1, "signup", 1.0),
+        (1, d1 + dt.timedelta(minutes=30), 1, "purchase", 1.0),
+        (2, d1, 2, "signup", 1.0),
+        (3, d1 - dt.timedelta(minutes=5), 2, "purchase", 1.0),
+        (4, d1, 3, "signup", 1.0),
+        # cohort d2: u4 converts in 10 s, u5 in 20 s (even median).
+        (5, d2, 4, "signup", 1.0),
+        (6, d2 + dt.timedelta(seconds=10), 4, "purchase", 1.0),
+        (7, d2, 5, "signup", 1.0),
+        (8, d2 + dt.timedelta(seconds=20), 5, "purchase", 1.0),
+        # u6 purchases but never signs up: not in any cohort.
+        (9, d2, 6, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(tmp + "/events.parquet")
+        got = {
+            str(r["cohort_day"]): r
+            for r in QUERIES["window_conversion_latency"].fn(spark, tmp).collect()
+        }
+    assert set(got) == {"2024-01-10", "2024-01-11"}
+    r1 = got["2024-01-10"]
+    assert (r1["n_signups"], r1["n_converted"]) == (3, 1)
+    assert r1["conv_rate_micro"] == 1_000_000 // 3
+    assert r1["median_latency_us_x2"] == 2 * 30 * 60 * 1_000_000  # odd: 2x mid
+    r2 = got["2024-01-11"]
+    assert (r2["n_signups"], r2["n_converted"]) == (2, 2)
+    assert r2["conv_rate_micro"] == 1_000_000
+    assert r2["median_latency_us_x2"] == (10 + 20) * 1_000_000  # even: sum
+
+
+def test_zipf_slope_power_law_and_replica(spark):
+    """text_zipf_slope on a constructed power-law corpus (count(r) =
+    6000//r over 40 terms): the result equals a pure-Python replica
+    of the quantized-log integer OLS exactly, the slope lands within
+    1e-3 of −1, and the 1e6·ln(k) floor-boundary audit holds for
+    every audited k (ranks and the constructed counts)."""
+    import math
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.text import _ZIPF_TOP_K
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    counts = {f"w{r:03d}": 6000 // r for r in range(1, 41)}
+    # one doc per token occurrence keeps every count exact
+    texts, bag = [], []
+    for term, c in counts.items():
+        bag.extend([term] * c)
+    chunk = 500
+    for i in range(0, len(bag), chunk):
+        texts.append(" ".join(bag[i : i + chunk]))
+    df = spark.createDataFrame(
+        [(i, txt, "en", "src", len(txt)) for i, txt in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/documents.parquet")
+        r = QUERIES["text_zipf_slope"].fn(spark, d).collect()[0]
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP_K]
+    pts = [
+        (
+            math.floor(math.log(i + 1) * 1_000_000),
+            math.floor(math.log(c) * 1_000_000),
+        )
+        for i, (_, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    sxx_c, sxy_c, syy_c = n * sxx - sx * sx, n * sxy - sx * sy, n * syy - sy * sy
+    slope = abs(sxy_c) * 1_000_000_000 // sxx_c * (1 if sxy_c >= 0 else -1)
+    r2 = round(sxy_c * sxy_c / (sxx_c * syy_c), 6)
+    assert r["n_terms"] == n == 40
+    assert r["slope_nano"] == slope
+    assert abs(r["slope_nano"] + 1_000_000_000) < 5_000_000  # within 5e-3 of -1
+    assert r["r2"] == r2 and r["r2"] > 0.99
+    audited = set(range(1, n + 1)) | set(counts.values())
+    worst = min(
+        abs(math.log(k) * 1_000_000 - round(math.log(k) * 1_000_000))
+        for k in audited
+        if k > 1
+    )
+    assert worst > 1e-6, worst
+
+
+def test_funnel_steps_constructed(spark):
+    """events_funnel_steps on a hand-built journey set: ordered users
+    advance, out-of-order firsts stop at the violated step, repeat
+    events only count through their FIRST timestamp, and the two
+    conversion-rate columns are the exact truncating ratios."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    t0 = dt.datetime(2024, 1, 10, 9)
+
+    def ev(uid, offsets):
+        return [
+            (uid * 10 + i, t0 + dt.timedelta(minutes=m), uid, et, 1.0)
+            for i, (et, m) in enumerate(offsets)
+        ]
+
+    rows = []
+    # u1: full ordered funnel. u2: view+click ordered, no purchase.
+    # u3: click BEFORE first view -> stops at step 1. u4: full funnel
+    # but purchase before click -> stops at step 2. u5: never views
+    # (click+purchase only) -> contributes to NO step. u6: view only.
+    rows += ev(1, [("view", 0), ("click", 5), ("purchase", 10)])
+    rows += ev(2, [("view", 0), ("click", 5)])
+    rows += ev(3, [("click", 0), ("view", 5), ("purchase", 10)])
+    rows += ev(4, [("view", 0), ("purchase", 3), ("click", 6)])
+    rows += ev(5, [("click", 0), ("purchase", 5)])
+    rows += ev(6, [("view", 0)])
+    # u1 also re-views later: firsts are what count.
+    rows += ev(7, [("view", 0), ("view", 20), ("click", 5), ("purchase", 10)])
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        got = {
+            r["step"]: r for r in QUERIES["events_funnel_steps"].fn(spark, d).collect()
+        }
+    # viewers: u1,u2,u3,u4,u6,u7 = 6; clicked-after-view: u1,u2,u4,u7 = 4
+    # (u3's first click precedes its first view); purchased-after-click:
+    # u1,u7 = 2 (u4's first purchase precedes its first click).
+    assert (got[1]["n_users"], got[2]["n_users"], got[3]["n_users"]) == (6, 4, 2)
+    assert got[1]["conv_from_prev_micro"] == 1_000_000
+    assert got[2]["conv_from_prev_micro"] == 4 * 1_000_000 // 6
+    assert got[3]["conv_from_prev_micro"] == 2 * 1_000_000 // 4
+    assert got[3]["conv_from_first_micro"] == 2 * 1_000_000 // 6
+    assert [got[i]["step_name"] for i in (1, 2, 3)] == ["view", "click", "purchase"]
+
+
+def test_wow_change_constructed(spark):
+    """events_wow_change on hand-built weekly volumes: exact signed
+    micro ratios (growth, decline — truncation toward zero), the
+    first week pins 0 with prev_n = 0, and weeks bucket on ISO Monday
+    boundaries identically to the oracle's date_trunc."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    # Mondays: 2024-01-01, 01-08, 01-15. Counts 4 -> 6 -> 3.
+    weeks = {dt.date(2024, 1, 1): 4, dt.date(2024, 1, 8): 6, dt.date(2024, 1, 15): 3}
+    rows, eid = [], 0
+    for monday, count in weeks.items():
+        for i in range(count):
+            ts = dt.datetime.combine(
+                monday + dt.timedelta(days=i % 7), dt.time(8)
+            )
+            rows.append((eid, ts, eid % 5, "view", 2.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        got = {
+            str(r["week"]): r
+            for r in QUERIES["events_wow_change"].fn(spark, d).collect()
+        }
+    assert set(got) == {"2024-01-01", "2024-01-08", "2024-01-15"}
+    w1, w2, w3 = got["2024-01-01"], got["2024-01-08"], got["2024-01-15"]
+    assert (w1["n"], w1["prev_n"], w1["n_wow_micro"]) == (4, 0, 0)
+    assert (w2["n"], w2["prev_n"]) == (6, 4)
+    assert w2["n_wow_micro"] == 2 * 1_000_000 // 4  # +50%
+    assert (w3["n"], w3["prev_n"]) == (3, 6)
+    # -50% exactly; truncation toward zero on both engines.
+    assert w3["n_wow_micro"] == -500_000
+    # cents = 200 per event -> same ratios on the cents column.
+    assert w2["cents_wow_micro"] == 500_000 and w3["cents_wow_micro"] == -500_000

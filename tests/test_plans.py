@@ -1505,3 +1505,55 @@ def test_pr_curve_one_aggregate_bounded_tail(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
     assert "Generate" in plan
     assert re.search(r"\(\d+\) BatchEvalPython\b", plan) is None
+
+
+def test_round15_eval_stats_plan_shapes(spark):
+    """Round-15 wave shapes: ROC collapses to the quantization-bounded
+    histogram with no nested loop and no sort-merge; calibration and
+    CUPED carry exactly their one allowlisted scalar broadcast;
+    OLS trend is join-free — two stacked hash aggregates over one
+    scan, not even a window."""
+    import re
+
+    plan = plan_of(spark, "ml_eval_roc_auc")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 0
+
+    plan = plan_of(spark, "ml_calibration_bins")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "events_ols_trend")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert re.search(r"\(\d+\) Window", plan) is None
+
+    plan = plan_of(spark, "agg_ab_cuped")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_round15_wave_c_plan_shapes(spark):
+    """Round-15 wave C: assoc rules carry exactly the one allowlisted
+    1-row total broadcast over a single persisted grain scan;
+    conversion latency is one corpus scan with cohort-partitioned
+    windows and no sort-merge join; zipf is one corpus scan with no
+    nested loop (the fit runs on the 100-row bounded relation)."""
+    import re
+
+    plan = plan_of(spark, "agg_assoc_rules")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "window_conversion_latency")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 0
+
+    plan = plan_of(spark, "text_zipf_slope")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 0

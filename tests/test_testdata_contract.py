@@ -145,3 +145,20 @@ def test_document_token_count_below_oracle_enum_bound(sf_dir):
         " oracles would silently drop n-gram positions; raise the"
         " bound in every oracle before regenerating docs this long"
     )
+
+
+def test_cuped_cut_inside_events_span():
+    """agg_ab_cuped splits pre/post at a frozen date literal; if a
+    fixture regeneration moves the events span off the cut, one
+    period goes empty and theta silently pins to 0 — fail here by
+    name instead (the tpch date-pin pattern)."""
+    import datetime as dt
+
+    from talkdesk_async_etl_spark.operators.stats import _CUPED_CUT
+
+    lo, hi = _column_span("events", "ts")
+    as_date = lambda v: v.date() if isinstance(v, dt.datetime) else v
+    cut = dt.date.fromisoformat(_CUPED_CUT)
+    assert as_date(lo) < cut <= as_date(hi), (
+        f"CUPED cut {cut} outside events span [{lo}, {hi}]"
+    )

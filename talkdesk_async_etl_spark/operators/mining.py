@@ -734,29 +734,32 @@ def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     never be 0 (every surviving pair's items have support ≥ pair
     support ≥ {_MIN_SUPPORT}).
 
-    Plan: ONE corpus collapse to the (user, item) grain feeds all
-    three relations (persisted; at 100 TB a staged table): item
-    supports and the distinct-user total are map-side-combinable
-    aggregates, pairs explode from per-user sorted item sets bounded
-    by the item DOMAIN (the cooccurrence shape), and the final scoring
+    Plan: ONE corpus exchange total — no pre-distinct (collect_set IS
+    the dedup, the agg_cooccurrence_pairs trick) and no second
+    corpus-sized pass for the denominators: the persisted user-sized
+    SETS relation (at 100 TB a staged table) feeds item supports (one
+    domain-bounded explode + count), the distinct-user total (a plain
+    row count — each user is one row by construction, so no
+    countDistinct Expand), and the pair explode; the final scoring
     join touches |domain|²-bounded rules against a |domain|-row
-    broadcast + the allowlisted 1-row total."""
+    broadcast + the allowlisted 1-row total. (The first cut of this
+    operator pre-distinct'd the grain and countDistinct'd users —
+    three corpus-sized exchanges; measured 3.2 s -> this shape at
+    sf0.1.)"""
     from talkdesk_async_etl_spark.plans.cache import scoped_persist
 
-    grain = scoped_persist(
+    sets = scoped_persist(
         t(spark, sf_dir, "events", spread=True)
         .select("user_id", "event_type")
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ets"))
     )
-    supports = grain.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("s")
+    supports = (
+        sets.select(F.explode("ets").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
     )
-    tot = grain.agg(
-        F.countDistinct("user_id").cast("long").alias("n_users")
-    )
-    sets = grain.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("ets")
-    )
+    tot = sets.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     pairs = (
         sets.select(
             F.explode(

@@ -502,3 +502,145 @@ def test_jaccard_micro_bounds_and_symmetry(common, only_a, only_b):
     assert 0 <= j <= 1_000_000
     assert j == j_sym
     assert (j == 1_000_000) == (only_a == 0 and only_b == 0 and common > 0)
+
+
+# --- round-15 kernels: pure-Python replicas of the eval math ---------
+
+
+def _pr_points(scored, thresholds):
+    pos = sum(y for _, y in scored)
+    pts = []
+    for thr in thresholds:
+        tp = sum(1 for p, y in scored if p >= thr and y == 1)
+        fp = sum(1 for p, y in scored if p >= thr and y == 0)
+        prec = 1_000_000 if tp + fp == 0 else tp * 1_000_000 // (tp + fp)
+        rec = 0 if pos == 0 else tp * 1_000_000 // pos
+        pts.append((rec, prec))
+    return pts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(0, 1)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_pr_trapezoid_bounds_and_monotonicity(scored):
+    """ml_eval_pr_curve's quantized trapezoid for ARBITRARY score
+    sets: recall is non-increasing along the threshold grid (so every
+    trapezoid term is nonnegative — the truncation ≡ floor
+    precondition), and the AUC stays inside [0, 1e6]."""
+    from talkdesk_async_etl_spark.operators.mining import _PR_THRESHOLDS
+
+    pts = _pr_points(scored, _PR_THRESHOLDS)
+    recalls = [r for r, _ in pts]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    s = sum(
+        (pts[i][0] - pts[i + 1][0]) * (pts[i][1] + pts[i + 1][1])
+        for i in range(len(pts) - 1)
+    )
+    assert s >= 0
+    auc = s // 2_000_000
+    assert 0 <= auc <= 1_000_000
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000_000), st.integers(0, 1)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_roc_histogram_identity_equals_pair_loop(scored):
+    """ml_eval_roc_auc's histogram identity — Σ_b (2·pos_b·neg_below
+    + pos_b·neg_b) — must equal the brute-force pair loop (2·wins +
+    ties) for ARBITRARY score multisets, and label inversion
+    reflects AUC around 1/2 when both classes are present."""
+    pos = [p for p, y in scored if y == 1]
+    neg = [p for p, y in scored if y == 0]
+    hist: dict[int, list[int]] = {}
+    for p, y in scored:
+        c = hist.setdefault(p, [0, 0])
+        c[y] += 1
+    num2_hist = 0
+    cum_neg = 0
+    for p in sorted(hist):
+        nb, pb = hist[p][0], hist[p][1]
+        num2_hist += 2 * pb * cum_neg + pb * nb
+        cum_neg += nb
+    num2_loop = sum(
+        2 if pp > pn else (1 if pp == pn else 0) for pp in pos for pn in neg
+    )
+    assert num2_hist == num2_loop
+    if pos and neg:
+        auc = num2_loop * 1_000_000 // (2 * len(pos) * len(neg))
+        inv = sum(
+            2 if pn > pp else (1 if pp == pn else 0) for pp in pos for pn in neg
+        )
+        assert num2_loop + inv == 2 * len(pos) * len(neg)
+        assert 0 <= auc <= 1_000_000
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 400), st.integers(0, 10_000), min_size=1, max_size=40
+    )
+)
+def test_ols_closed_form_equals_residual_minimum(days):
+    """events_ols_trend's integer closed form: the exact rational
+    slope sxy_c/sxx_c must minimize the sum of squared residuals —
+    perturbing the slope by ±1 nano never improves the fit — and the
+    published slope_nano is the truncation-toward-zero of that
+    rational (both engines' division)."""
+    from fractions import Fraction
+
+    n = len(days)
+    sx = sum(days)
+    sy = sum(days.values())
+    sxx = sum(x * x for x in days)
+    sxy = sum(x * y for x, y in days.items())
+    sxx_c = n * sxx - sx * sx
+    sxy_c = n * sxy - sx * sy
+    if sxx_c == 0:
+        return
+    slope = Fraction(sxy_c, sxx_c)
+
+    def rss(b):
+        a = (Fraction(sy) - b * sx) / n
+        return sum((Fraction(y) - (a + b * x)) ** 2 for x, y in days.items())
+
+    eps = Fraction(1, 1_000_000_000)
+    best = rss(slope)
+    assert best <= rss(slope + eps) and best <= rss(slope - eps)
+    published = abs(sxy_c) * 1_000_000_000 // sxx_c * (1 if sxy_c >= 0 else -1)
+    assert published == int(slope * 1_000_000_000)  # int() truncates to zero
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),  # has view first
+            st.booleans(),  # click after view
+            st.booleans(),  # purchase after click
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_funnel_stage_counts_are_monotone(users):
+    """events_funnel_steps' stage flags: n1 >= n2 >= n3 for every
+    population (reaching step k implies reaching step k-1 under the
+    chained first-touch contract), and conversion ratios stay in
+    [0, 1e6]."""
+    n1 = sum(1 for v, _, _ in users if v)
+    n2 = sum(1 for v, c, _ in users if v and c)
+    n3 = sum(1 for v, c, p in users if v and c and p)
+    assert n1 >= n2 >= n3
+    for num, den in ((n2, n1), (n3, n2), (n3, n1)):
+        rate = 0 if den == 0 else num * 1_000_000 // den
+        assert 0 <= rate <= 1_000_000

@@ -405,6 +405,15 @@ _HEADLINE_R15 = (
     "text_zipf_slope",
     "events_funnel_steps",
     "events_wow_change",
+    # wave D
+    "agg_kendall_tau",
+    "events_changepoint_binary",
+    "events_ewma_smooth",
+    "events_seasonal_decompose",
+    "ml_eval_confusion_multiclass",
+    "ml_eval_ndcg",
+    "graph_jaccard_link_pred",
+    "sample_kfold_assign",
 )
 
 HEADLINE = (

@@ -124,6 +124,10 @@ _BOUNDED_NLJ = {
     "agg_assoc_rules",  # 1-row distinct-user total broadcast onto the
                         # |domain|²-bounded rule relation (lift
                         # denominator — the pmi_collocations shape)
+    # audited round 15, wave D:
+    "ml_eval_ndcg",  # the exact_topk_neighbors core: 5-row query side
+                     # broadcast into the corpus scan with a !=
+                     # condition (the sim_topk_cosine shape)
 }
 
 

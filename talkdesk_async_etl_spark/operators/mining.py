@@ -17,6 +17,9 @@ dedup/similarity families already covered:
 
 from __future__ import annotations
 
+import math as _math
+from itertools import accumulate as _accumulate
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -811,4 +814,299 @@ def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "     AS BIGINT)"
             ).alias("lift_micro"),
         )
+    )
+
+
+# --- round-15 wave D: multiclass + ranking evaluation ----------------
+
+_CONFUSION_ORACLE = """
+    WITH cnt AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    prior AS (
+        SELECT source, lang AS pred_lang FROM (
+            SELECT source, lang,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n DESC, lang ASC) AS rk
+            FROM cnt
+        ) WHERE rk = 1
+    ),
+    cm AS (
+        SELECT c.lang AS actual, p.pred_lang AS predicted,
+               CAST(sum(c.n) AS BIGINT) AS n
+        FROM cnt c JOIN prior p ON c.source = p.source
+        GROUP BY 1, 2
+    ),
+    am AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS n_actual
+           FROM cm GROUP BY 1),
+    pm AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS n_predicted
+           FROM cm GROUP BY 1),
+    tpt AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS tp
+            FROM cm WHERE actual = predicted GROUP BY 1),
+    cls AS (SELECT cls FROM am UNION SELECT cls FROM pm)
+    SELECT c.cls AS class,
+           coalesce(a.n_actual, 0) AS n_actual,
+           coalesce(p.n_predicted, 0) AS n_predicted,
+           coalesce(t.tp, 0) AS tp,
+           coalesce(p.n_predicted, 0) - coalesce(t.tp, 0) AS fp,
+           coalesce(a.n_actual, 0) - coalesce(t.tp, 0) AS fn,
+           CASE WHEN coalesce(p.n_predicted, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(coalesce(t.tp, 0) * 1000000 // p.n_predicted
+                          AS BIGINT) END AS prec_micro,
+           CASE WHEN coalesce(a.n_actual, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(coalesce(t.tp, 0) * 1000000 // a.n_actual
+                          AS BIGINT) END AS rec_micro,
+           CAST(2 * coalesce(t.tp, 0) * 1000000
+                // (coalesce(a.n_actual, 0) + coalesce(p.n_predicted, 0))
+                AS BIGINT) AS f1_micro
+    FROM cls c
+    LEFT JOIN am a ON a.cls = c.cls
+    LEFT JOIN pm p ON p.cls = c.cls
+    LEFT JOIN tpt t ON t.cls = c.cls
+"""
+
+
+@query(
+    "ml_eval_confusion_multiclass",
+    oracle=_CONFUSION_ORACLE,
+    tags=("mining", "ml", "eval"),
+)
+def ml_eval_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 eval depth: MULTICLASS confusion-matrix evaluation — train
+    a per-source majority-class language prior (the standard
+    baseline every real classifier must beat), score the corpus, and
+    publish per-class tp/fp/fn with precision/recall/F1. Extends the
+    binary eval shelf (pr_curve/roc_auc/calibration) to the
+    multiclass regime — macro-F1 is one trivial reduction over this
+    output, and swapping a real model for the prior changes the
+    ``predicted`` column's provenance, not the eval.
+
+    The entire train+score+eval runs on ONE sufficient statistic:
+    the (source, lang, count) contingency relation. The prior is an
+    argmax over it (count desc, lang asc tie-break), and the
+    confusion matrix is cnt ⋈ prior re-aggregated — so after the one
+    corpus exchange that builds cnt, every later relation is bounded
+    by |sources| × |langs|, and NO per-document scoring pass exists
+    at all. At 100 TB that's the difference between an eval that
+    rescans the corpus and one that reads 100 rows.
+
+    INTEGER-EXACT: counts are exact BIGINTs; precision/recall/F1
+    publish as truncating micro divisions (F1 = 2·tp/(n_actual +
+    n_predicted) — the harmonic identity over integer counts, no
+    intermediate float P/R). Zero-support guards pin to 0 (a class
+    in the matrix has n_actual + n_predicted > 0, so the F1
+    denominator never vanishes)."""
+    from talkdesk_async_etl_spark.plans.cache import scoped_persist
+
+    cnt = scoped_persist(
+        t(spark, sf_dir, "documents", spread=True)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    prior = (
+        cnt.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("pred_lang"))
+    )
+    cm = scoped_persist(
+        cnt.join(F.broadcast(prior), "source")
+        .groupBy(F.col("lang").alias("actual"), F.col("pred_lang").alias("predicted"))
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    am = cm.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_actual")
+    )
+    pm = cm.groupBy(F.col("predicted").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_predicted")
+    )
+    tpt = (
+        cm.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("n").cast("long").alias("tp"))
+    )
+    cls = am.select("cls").union(pm.select("cls")).distinct()
+    out = (
+        cls.join(F.broadcast(am), "cls", "left")
+        .join(F.broadcast(pm), "cls", "left")
+        .join(F.broadcast(tpt), "cls", "left")
+        .select(
+            F.col("cls").alias("class"),
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+            F.coalesce("n_predicted", F.lit(0)).cast("long").alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return out.select(
+        "class",
+        "n_actual",
+        "n_predicted",
+        "tp",
+        (F.col("n_predicted") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_actual") - F.col("tp")).cast("long").alias("fn"),
+        F.expr(
+            "CASE WHEN n_predicted = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((tp * 1000000 - (tp * 1000000) % n_predicted)"
+            "           / n_predicted AS BIGINT) END"
+        ).alias("prec_micro"),
+        F.expr(
+            "CASE WHEN n_actual = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((tp * 1000000 - (tp * 1000000) % n_actual)"
+            "           / n_actual AS BIGINT) END"
+        ).alias("rec_micro"),
+        F.expr(
+            "CAST((2 * tp * 1000000 - (2 * tp * 1000000)"
+            "      % (n_actual + n_predicted))"
+            "     / (n_actual + n_predicted) AS BIGINT)"
+        ).alias("f1_micro"),
+    )
+
+
+# NDCG@10: log2 rank discounts are frozen ONCE in the driver as exact
+# integer literals — D[r] = floor(1e9 / log2(r+1)) — and both engines
+# consume the SAME table, so the transcendental never runs per row or
+# per engine (the adamic-adar / EWMA quantization device).
+_NDCG_K = 10
+_NDCG_D = tuple(int(10**9 / _math.log2(r + 1)) for r in range(1, _NDCG_K + 1))
+_NDCG_P = tuple(_accumulate(_NDCG_D))
+_N_NDCG_QUERIES = 5  # the sim_topk_cosine query set: vec_id < 5
+
+_NDCG_ORACLE = f"""
+    WITH ranked AS (
+        SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_NDCG_QUERIES}
+    ),
+    dcg AS (
+        SELECT q_id, q_label,
+               CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rel_topk,
+               CAST(sum(CASE WHEN n_label = q_label
+                             THEN list_extract(
+                                 [{", ".join(str(d) for d in _NDCG_D)}], rank)
+                             ELSE 0 END) AS BIGINT) AS dcg_nano
+        FROM ranked WHERE rank <= {_NDCG_K}
+        GROUP BY 1, 2
+    ),
+    lc AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS c
+        FROM embeddings GROUP BY 1
+    ),
+    scored AS (
+        SELECT d.q_id, d.q_label, d.n_rel_topk,
+               lc.c - 1 AS n_rel_corpus, d.dcg_nano,
+               CASE WHEN lc.c - 1 < 1 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(list_extract(
+                        [{", ".join(str(p) for p in _NDCG_P)}],
+                        CAST(least(lc.c - 1, {_NDCG_K}) AS INTEGER))
+                        AS BIGINT) END AS idcg_nano
+        FROM dcg d JOIN lc ON lc.label = d.q_label
+    )
+    SELECT q_id, q_label, n_rel_topk, n_rel_corpus, dcg_nano, idcg_nano,
+           CASE WHEN idcg_nano = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(dcg_nano * 1000000 // idcg_nano AS BIGINT)
+           END AS ndcg_micro
+    FROM scored
+"""
+
+
+@query("ml_eval_ndcg", oracle=_NDCG_ORACLE, tags=("mining", "ml", "eval", "similarity"))
+def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10/D3 eval depth: NDCG@10 for the exact cosine retriever —
+    the standard graded-ranking metric for similarity search, scored
+    against same-label relevance (a neighbor is relevant iff it
+    shares the query's cluster label). Completes the retrieval eval
+    story: sim_ivf_recall measures overlap with the exact top-k;
+    THIS measures whether the exact top-k itself ranks genuinely
+    related items first, with position-weighted credit.
+
+    INTEGER-EXACT given the attested ranking: rank discounts are
+    frozen driver-side integer literals (floor(1e9/log2(r+1)) — the
+    adamic-adar device, so neither engine evaluates a transcendental),
+    DCG is an exact BIGINT sum of table lookups, ideal DCG is a
+    prefix-sum lookup at min(n_relevant, 10), and NDCG publishes as
+    one truncating micro division. The cosine RANKING itself is the
+    sim_topk_cosine contract (double scores, vec_id tie-break) —
+    hash-attested there and reused verbatim here.
+
+    Plan: the exact_topk_neighbors core (query side broadcast into
+    one corpus scan — the allowlisted bounded NLJ), then label joins
+    AGAINST THE 50-ROW topk relation (corpus side column-pruned to
+    (vec_id, label)), a ≤|labels|-row count rollup for the ideal, and
+    domain-bounded final arithmetic. One corpus-sized exchange total
+    (the label rollup); everything after is ≤ 50 rows."""
+    from talkdesk_async_etl_spark.operators.similarity import (
+        _as_double,
+        exact_topk_neighbors,
+    )
+
+    emb = t(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    labels = emb.select("vec_id", F.col("label").alias("lab"))
+    topk = exact_topk_neighbors(vecs)
+    dlit = F.array(*[F.lit(d).cast("long") for d in _NDCG_D])
+    plit = F.array(*[F.lit(p).cast("long") for p in _NDCG_P])
+    j = (
+        topk.join(
+            labels.select(F.col("vec_id").alias("q_id"), F.col("lab").alias("q_label")),
+            "q_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("lab").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+    )
+    rel = F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+    dcg = j.groupBy("q_id", "q_label").agg(
+        F.sum(rel).cast("long").alias("n_rel_topk"),
+        F.sum(
+            F.when(
+                F.col("n_label") == F.col("q_label"),
+                F.element_at(dlit, F.col("rank")),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("dcg_nano"),
+    )
+    lc = labels.groupBy(F.col("lab").alias("q_label")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    scored = dcg.join(lc, "q_label").select(
+        "q_id",
+        "q_label",
+        "n_rel_topk",
+        (F.col("c") - 1).cast("long").alias("n_rel_corpus"),
+        "dcg_nano",
+        F.when(F.col("c") - 1 < 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.element_at(plit, F.least(F.col("c") - 1, F.lit(_NDCG_K)).cast("int"))
+        )
+        .cast("long")
+        .alias("idcg_nano"),
+    )
+    return scored.select(
+        "q_id",
+        "q_label",
+        "n_rel_topk",
+        "n_rel_corpus",
+        "dcg_nano",
+        "idcg_nano",
+        F.expr(
+            "CASE WHEN idcg_nano = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((dcg_nano * 1000000 - (dcg_nano * 1000000) % idcg_nano)"
+            "           / idcg_nano AS BIGINT) END"
+        ).alias("ndcg_micro"),
     )

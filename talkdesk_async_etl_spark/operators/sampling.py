@@ -896,3 +896,89 @@ def sample_ab_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("bucket").cast("long").alias("max_bucket"),
         )
     )
+
+
+# k-fold cross-validation assignment contract: salted md5 permille-free
+# direct mod-k bucketing (the ab_allocation device with a 'fold' salt
+# so CV folds decorrelate from any experiment's arms).
+_KFOLD_SALT = "fold"
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+    WITH assigned AS (
+        SELECT CAST(('0x' || substr(md5('{_KFOLD_SALT}|'
+                    || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % {_KFOLD_K} AS fold,
+               lang, doc_id
+        FROM documents
+    ),
+    per AS (
+        SELECT fold, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(bit_xor(doc_id) AS BIGINT) AS docs_xor
+        FROM assigned GROUP BY 1, 2
+    ),
+    lt AS (
+        SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+        FROM per GROUP BY 1
+    )
+    SELECT p.fold, p.lang, p.n_docs, p.docs_xor, l.lang_total,
+           CAST(p.n_docs * 1000000 // l.lang_total AS BIGINT) AS fold_share_micro
+    FROM per p JOIN lt l ON p.lang = l.lang
+"""
+
+
+@query("sample_kfold_assign", oracle=_KFOLD_ORACLE, tags=("sampling", "ml"))
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D10 depth: DETERMINISTIC k-fold cross-validation assignment
+    with a stratification audit — the split every honest offline eval
+    of the D10 shelf (logreg/stump scoring, PR/ROC/calibration) needs
+    before its metrics mean anything. fold = md5('fold'|doc) mod k:
+    stable under reprocessing (rand() is neither), salted so folds
+    decorrelate from the A/B allocation and the train/val/test split
+    (same device, different salt ⇒ independent assignment — the
+    sample_ab_allocation carryover argument), and the per-(fold, lang)
+    xor-of-doc-ids checksum attests the EXACT membership, not just
+    counts. The published fold_share_micro per language IS the
+    stratification audit: a fold whose share of a class strays from
+    1/k flags skew before it biases a CV estimate.
+
+    Plan: one in-scan md5 bucketing + one (fold × lang)-key map-side
+    combinable aggregate (the single corpus exchange); the language
+    totals re-aggregate the |k|·|langs| relation and equi-join back —
+    domain-bounded at any corpus size."""
+    d = t(spark, sf_dir, "documents", spread=True)
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_KFOLD_SALT + "|"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_KFOLD_K),
+    )
+    per = scoped_persist(
+        d.select(fold.alias("fold"), "lang", "doc_id")
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("docs_xor"),
+        )
+    )
+    lt = per.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_total"))
+    return per.join(lt, "lang").select(
+        "fold",
+        "lang",
+        "n_docs",
+        "docs_xor",
+        "lang_total",
+        F.expr(
+            "CAST((n_docs * 1000000 - (n_docs * 1000000) % lang_total)"
+            " / lang_total AS BIGINT)"
+        ).alias("fold_share_micro"),
+    )

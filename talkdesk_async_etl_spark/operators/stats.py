@@ -4054,3 +4054,444 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents_wow_micro"),
         )
     )
+
+
+# --- round-15 wave D: trend robustness + seasonal structure ---------
+
+_KENDALL_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_statistic,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+        GROUP BY 1
+    ),
+    nd AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    )
+    SELECT p.event_type, n.n_days, p.n_pairs, p.s_statistic,
+           CAST(p.s_statistic * 1000000 // p.n_pairs AS BIGINT) AS tau_micro
+    FROM pairs p JOIN nd n ON p.event_type = n.event_type
+"""
+
+
+@query("agg_kendall_tau", oracle=_KENDALL_ORACLE, tags=("stats", "events"))
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54: KENDALL'S TAU-a rank correlation of daily event counts
+    against time — whose numerator S is exactly the MANN-KENDALL
+    trend statistic, the standard nonparametric "is this metric
+    monotonically trending" test. Complements events_ols_trend: OLS
+    measures the RATE of a linear drift (and a single outlier day can
+    swing the slope); Mann-Kendall only asks whether later days tend
+    to exceed earlier ones, so it survives heavy tails and level
+    spikes unchanged.
+
+    INTEGER-EXACT end to end: S = Σ_{{i<j}} sign(y_j − y_i) is a sum
+    of {{-1,0,1}} (ties contribute 0 — tau-a), n_pairs = C(n,2), and
+    tau publishes as micro-units via the signed truncating-division
+    device (both engines truncate toward zero). Types with a single
+    active day drop out (no pair exists), so the division is always
+    defined.
+
+    Plan: ONE corpus exchange builds the persisted (type, day, count)
+    grain; the pair enumeration is a self-join of that DOMAIN-BOUNDED
+    relation on the type key (|days|² per type ≤ 435 pairs here —
+    never corpus-sized; at a multi-year retention the day grain is
+    still ~10³ rows per metric, and the O(n log n) inversion-count
+    rewrite is the escape hatch long before the grain ever matters)."""
+    daily = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_statistic"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return pairs.join(nd, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_statistic",
+        F.expr(
+            "CAST((s_statistic * 1000000"
+            "      - (s_statistic * 1000000) % n_pairs) / n_pairs AS BIGINT)"
+        ).alias("tau_micro"),
+    )
+
+
+_CHANGEPOINT_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS s
+        FROM daily GROUP BY 1
+    ),
+    pre AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER w AS HUGEINT) AS nl,
+               CAST(sum(y) OVER w AS HUGEINT) AS sl
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cand AS (
+        SELECT p.event_type, p.x AS split_day_x, t.n, p.nl, t.n - p.nl AS nr,
+               p.sl, t.s - p.sl AS sr,
+               p.sl * (t.n - p.nl) - (t.s - p.sl) * p.nl AS d
+        FROM pre p JOIN tot t ON p.event_type = t.event_type
+        WHERE p.nl < t.n
+    ),
+    scored AS (
+        SELECT event_type, split_day_x, n, nl, nr, sl, sr,
+               (d * d) // (nl * nr * n) AS gain
+        FROM cand
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gain DESC, split_day_x ASC) AS rk
+        FROM scored
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(split_day_x AS BIGINT) AS split_day_x,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           CAST(gain AS BIGINT) AS gain,
+           CAST(sl * 1000000 // nl AS BIGINT) AS mean_left_micro,
+           CAST(sr * 1000000 // nr AS BIGINT) AS mean_right_micro
+    FROM best WHERE rk = 1
+"""
+
+
+@query(
+    "events_changepoint_binary",
+    oracle=_CHANGEPOINT_ORACLE,
+    tags=("stats", "events", "monitoring"),
+)
+def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55: BINARY CHANGEPOINT detection — per metric, the single
+    split day that maximizes the between-segment sum of squares, i.e.
+    the first recursion step of binary segmentation (the classical
+    changepoint algorithm CUSUM alerting graduates into). Answers
+    "WHEN did the level shift, and by how much" where
+    events_cusum_drift only flags THAT a drift crossed its threshold.
+
+    INTEGER-EXACT argmax: for a split after nl of n days with prefix
+    sum sl, the between-group SS gain is (sl·nr − sr·nl)² / (nl·nr·n)
+    — evaluated as HUGEINT/DECIMAL(38,0) integers with one truncating
+    division (nonnegative, so truncation ≡ floor on both engines); the
+    published means are exact micro-units. Tie-break: earliest split
+    day. Headroom: |d| ≤ S·n, so d² at a 1e13-event metric with 10
+    years of days is ~1e33 — inside DECIMAL(38,0) because gain stays
+    unscaled (events² units; no 1e6 multiplier on purpose).
+
+    Plan: ONE corpus exchange to the (type, day, count) grain; the
+    prefix window, candidate scoring, and argmax all run on that
+    domain-bounded relation (days × types rows), partitioned by type —
+    never a single-partition window, never a corpus-sized sort."""
+    daily = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.select(
+        "event_type",
+        F.col("x").alias("split_day_x"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("x"))
+        .cast("decimal(38,0)")
+        .alias("nl"),
+        F.sum("y").over(w).cast("decimal(38,0)").alias("sl"),
+    )
+    cand = (
+        pre.join(tot, "event_type")
+        .filter(F.col("nl") < F.col("n"))
+        .select(
+            "event_type",
+            "split_day_x",
+            "n",
+            "nl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            "sl",
+            (F.col("s") - F.col("sl")).alias("sr"),
+            (
+                F.col("sl") * (F.col("n") - F.col("nl"))
+                - (F.col("s") - F.col("sl")) * F.col("nl")
+            ).alias("d"),
+        )
+    )
+    scored = cand.withColumn(
+        "gain",
+        F.expr(
+            "CAST((d * d - (d * d) % (nl * nr * n)) / (nl * nr * n) AS BIGINT)"
+        ),
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("gain"), F.asc("split_day_x")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("split_day_x").cast("long").alias("split_day_x"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        "gain",
+        F.expr(
+            "CAST((sl * 1000000 - (sl * 1000000) % nl) / nl AS BIGINT)"
+        ).alias("mean_left_micro"),
+        F.expr(
+            "CAST((sr * 1000000 - (sr * 1000000) % nr) / nr AS BIGINT)"
+        ).alias("mean_right_micro"),
+    )
+
+
+# EWMA smoothing: alpha = 3/10, 28-day lookback. The weight table is
+# computed ONCE in exact Python integer arithmetic — w_j =
+# floor(1e9 · alpha · (1−alpha)^j) = (1e9·3·7^j) div 10^(j+1) — and
+# embedded as the SAME literal array in both engines, so the
+# geometric decay never touches floating point anywhere.
+_EWMA_LOOKBACK = 28
+_EWMA_W = tuple((10**9 * 3 * 7**j) // 10 ** (j + 1) for j in range(_EWMA_LOOKBACK))
+
+_EWMA_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT a.event_type, a.x,
+               b.y AS yh,
+               list_extract([{", ".join(str(w) for w in _EWMA_W)}],
+                            CAST(a.x - b.x AS INTEGER) + 1) AS w
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type
+         AND b.x <= a.x AND b.x > a.x - {_EWMA_LOOKBACK}
+    )
+    SELECT event_type, x AS day_x,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(sum(CAST(yh AS HUGEINT) * w) * 1000000
+                // sum(CAST(w AS HUGEINT)) AS BIGINT) AS ewma_micro
+    FROM hist GROUP BY 1, 2
+"""
+
+
+@query("events_ewma_smooth", oracle=_EWMA_ORACLE, tags=("stats", "events"))
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56: EXPONENTIALLY-WEIGHTED moving average of daily event
+    counts — the smoother behind every EWMA control chart and the
+    denominator of anomaly z-scores on bursty metrics (recent days
+    dominate; a level shift decays in ~1/alpha days instead of
+    polluting a boxcar window for its whole width). Missing days are
+    handled by renormalizing over the weights actually PRESENT in the
+    lookback (the standard irregular-series EWMA), so gaps neither
+    zero-fill nor bias the level.
+
+    INTEGER-EXACT: the geometric weights are frozen Python-integer
+    literals (exact floor of 1e9·α(1−α)^gap — see _EWMA_W), the
+    weighted sum and weight total accumulate in HUGEINT/DECIMAL(38,0),
+    and the published level is one truncating micro division
+    (nonnegative ⇒ floor on both engines). The weight table is the
+    adamic-adar device generalized: quantize the transcendental ONCE,
+    per bounded domain value, in the driver — never per row, never in
+    either engine.
+
+    Plan: ONE corpus exchange to the (type, day, count) grain, then a
+    bounded-fan-out range self-join of that domain-sized relation on
+    the type key (≤ 28 history rows per anchor day by construction) —
+    the join_range_bucket_equi shape without the bucketing, because
+    the grain is already domain-bounded at any corpus size."""
+    daily = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    wlit = F.array(*[F.lit(w).cast("long") for w in _EWMA_W])
+    hist = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.x") <= F.col("a.x"))
+        & (F.col("b.x") > F.col("a.x") - _EWMA_LOOKBACK),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("day_x"),
+        F.col("b.y").alias("yh"),
+        F.element_at(
+            wlit, (F.col("a.x") - F.col("b.x")).cast("int") + F.lit(1)
+        ).alias("w"),
+    )
+    return hist.groupBy("event_type", "day_x").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.expr(
+            "CAST((sum(CAST(yh AS DECIMAL(38,0)) * w) * 1000000"
+            "      - (sum(CAST(yh AS DECIMAL(38,0)) * w) * 1000000)"
+            "        % sum(CAST(w AS DECIMAL(38,0))))"
+            "     / sum(CAST(w AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ewma_micro"),
+    )
+
+
+# Weekday index as pure integer math: day-index mod 7 from the frozen
+# epoch (2024-01-01 is a Monday, so 0 = Monday). Spark `dayofweek` and
+# DuckDB `dayofweek` number weekdays differently (1-7 vs 0-6) — the
+# mod-7 form sidesteps the seam entirely (cf. events_dow_chi2, which
+# instead proves its statistic invariant to the numbering).
+_SEASONAL_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    per_dow AS (
+        SELECT event_type, CAST(x % 7 AS INTEGER) AS dow,
+               CAST(count(*) AS HUGEINT) AS nd,
+               CAST(sum(y) AS HUGEINT) AS sd
+        FROM daily GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS s
+        FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.dow,
+           CAST(d.nd AS BIGINT) AS n_days,
+           CAST(d.sd AS BIGINT) AS dow_events,
+           CAST(d.sd * 1000000 // d.nd AS BIGINT) AS mean_micro,
+           CAST((d.sd * t.n - t.s * d.nd) * 1000000
+                // (d.nd * t.n) AS BIGINT) AS seasonal_idx_micro
+    FROM per_dow d JOIN per_type t ON d.event_type = t.event_type
+"""
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle=_SEASONAL_ORACLE,
+    tags=("stats", "events"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57: WEEKDAY SEASONAL DECOMPOSITION — per (metric, weekday),
+    the additive seasonal index (weekday mean minus the metric's
+    grand daily mean), i.e. the seasonal component of a classical
+    decomposition at the day-of-week period. Downstream of
+    events_dow_chi2 (which gates WHETHER seasonality exists) and the
+    input window_seasonal_dow_baseline needs: "Mondays run +340
+    events above trend" is the adjustment a seasonal-naive forecast
+    subtracts before comparing days.
+
+    Weekday = day-index mod 7 from the frozen epoch (a Monday) — pure
+    integer arithmetic, immune to the Spark-vs-DuckDB ``dayofweek``
+    numbering seam. INTEGER-EXACT: the index is the exact rational
+    mean difference (sd·n − s·nd)/(nd·n) in micro-units via the
+    signed truncating-division device, co-moments in
+    HUGEINT/DECIMAL(38,0).
+
+    Plan: ONE corpus exchange to the day grain; both rollups and the
+    5-row-to-35-row equi-join run on domain-bounded relations."""
+    daily = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    per_dow = daily.groupBy(
+        "event_type", F.pmod(F.col("x"), F.lit(7)).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+        F.sum("y").cast("decimal(38,0)").alias("sd"),
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+    )
+    return per_dow.join(per_type, "event_type").select(
+        "event_type",
+        "dow",
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("sd").cast("long").alias("dow_events"),
+        F.expr(
+            "CAST((sd * 1000000 - (sd * 1000000) % nd) / nd AS BIGINT)"
+        ).alias("mean_micro"),
+        F.expr(
+            "CAST(((sd * n - s * nd) * 1000000"
+            "      - ((sd * n - s * nd) * 1000000) % (nd * n))"
+            "     / (nd * n) AS BIGINT)"
+        ).alias("seasonal_idx_micro"),
+    )

@@ -6540,3 +6540,430 @@ def test_wow_change_constructed(spark):
     assert w3["n_wow_micro"] == -500_000
     # cents = 200 per event -> same ratios on the cents column.
     assert w2["cents_wow_micro"] == 500_000 and w3["cents_wow_micro"] == -500_000
+
+
+# --- round-15 wave D ------------------------------------------------
+
+
+def _write_events(spark, tmp, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).write.parquet(tmp + "/events.parquet")
+
+
+def test_kendall_tau_constructed(spark):
+    """agg_kendall_tau on hand-built daily counts: a strictly rising
+    metric pins tau to +1e6, strictly falling to -1e6, constant to 0
+    (ties contribute nothing under tau-a), and a mixed series matches
+    the pure-Python pair loop exactly, including the signed
+    truncation toward zero."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    base = dt.datetime(2024, 1, 10, 12)
+    counts = {
+        "up": [1, 2, 3, 4],
+        "down": [4, 3, 2, 1],
+        "flat": [2, 2, 2, 2],
+        "mixed": [3, 1, 4, 1, 5],
+    }
+    rows, eid = [], 0
+    for et, ys in counts.items():
+        for day, y in enumerate(ys):
+            for _ in range(y):
+                rows.append((eid, base + dt.timedelta(days=day), 1, et, 1.0))
+                eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["agg_kendall_tau"].fn(spark, tmp).collect()
+        }
+    for et, ys in counts.items():
+        n = len(ys)
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        s = sum((ys[j] > ys[i]) - (ys[j] < ys[i]) for i, j in pairs)
+        r = got[et]
+        assert (r["n_days"], r["n_pairs"], r["s_statistic"]) == (
+            n,
+            len(pairs),
+            s,
+        )
+        q, rem = divmod(abs(s) * 1_000_000, len(pairs))
+        assert r["tau_micro"] == (q if s >= 0 else -q)
+    assert got["up"]["tau_micro"] == 1_000_000
+    assert got["down"]["tau_micro"] == -1_000_000
+    assert got["flat"]["tau_micro"] == 0
+
+
+def test_changepoint_binary_constructed(spark):
+    """events_changepoint_binary on a hand-built level shift: the
+    argmax split lands exactly at the shift (verified against a
+    brute-force Python scan of every candidate split), the earliest
+    day wins gain ties, and the published segment means are the exact
+    micro floors."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    base = dt.datetime(2024, 1, 10, 12)
+    series = {
+        "shift": [10, 10, 10, 100, 100, 100],
+        "flat": [7, 7, 7, 7],  # d = 0 at every split: tie -> earliest day
+    }
+    rows, eid = [], 0
+    for et, ys in series.items():
+        for day, y in enumerate(ys):
+            for _ in range(y):
+                rows.append((eid, base + dt.timedelta(days=day), 1, et, 1.0))
+                eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["events_changepoint_binary"].fn(spark, tmp).collect()
+        }
+
+    def brute(ys):
+        n, s = len(ys), sum(ys)
+        best = None
+        for nl in range(1, n):
+            sl = sum(ys[:nl])
+            d = sl * (n - nl) - (s - sl) * nl
+            gain = (d * d) // (nl * (n - nl) * n)
+            if best is None or gain > best[0]:
+                best = (gain, nl)
+        return best
+
+    x0 = 9  # 2024-01-10 is day-index 9 from the 2024-01-01 epoch
+    for et, ys in series.items():
+        gain, nl = brute(ys)
+        r = got[et]
+        assert r["n_days"] == len(ys)
+        assert (r["gain"], r["n_left"]) == (gain, nl)
+        assert r["split_day_x"] == x0 + nl - 1
+        sl, sr = sum(ys[:nl]), sum(ys[nl:])
+        assert r["mean_left_micro"] == sl * 1_000_000 // nl
+        assert r["mean_right_micro"] == sr * 1_000_000 // (len(ys) - nl)
+    assert got["shift"]["n_left"] == 3
+    assert got["flat"]["n_left"] == 1  # all-tie: earliest split day
+
+
+def test_ewma_smooth_weights_and_replica(spark):
+    """events_ewma_smooth: the frozen weight table equals the exact
+    integer floor of 1e9·α(1−α)^j (Fraction audit, strictly
+    decreasing), and on a gappy constructed series every published
+    level equals the pure-Python present-weight renormalized floor."""
+    import datetime as dt
+    import tempfile
+    from fractions import Fraction
+
+    from talkdesk_async_etl_spark.operators.stats import _EWMA_LOOKBACK, _EWMA_W
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    for j, w in enumerate(_EWMA_W):
+        exact = Fraction(3, 10) * Fraction(7, 10) ** j * 10**9
+        assert w == exact.numerator // exact.denominator
+    assert len(_EWMA_W) == _EWMA_LOOKBACK == 28
+    assert all(a > b for a, b in zip(_EWMA_W, _EWMA_W[1:]))
+    assert _EWMA_W[0] == 300_000_000
+
+    QUERIES = load_all()
+    base = dt.datetime(2024, 1, 10, 12)
+    days_counts = [(0, 5), (1, 8), (3, 2), (31, 4)]  # gap at 2, far tail
+    rows, eid = [], 0
+    for day, y in days_counts:
+        for _ in range(y):
+            rows.append((eid, base + dt.timedelta(days=day), 1, "m", 1.0))
+            eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r["day_x"]: r
+            for r in QUERIES["events_ewma_smooth"].fn(spark, tmp).collect()
+        }
+    x0 = 9
+    present = {x0 + d: y for d, y in days_counts}
+    for x, r in got.items():
+        num = den = 0
+        for xb, yb in present.items():
+            gap = x - xb
+            if 0 <= gap < _EWMA_LOOKBACK:
+                num += yb * _EWMA_W[gap]
+                den += _EWMA_W[gap]
+        assert r["ewma_micro"] == num * 1_000_000 // den
+        assert r["n_present"] == sum(
+            1 for xb in present if 0 <= x - xb < _EWMA_LOOKBACK
+        )
+    # the far-tail day sits outside every earlier day's lookback
+    assert got[x0 + 31]["n_present"] == 1
+    assert got[x0 + 31]["ewma_micro"] == 4_000_000
+
+
+def test_seasonal_decompose_constructed(spark):
+    """events_seasonal_decompose on two constructed weeks with a
+    Monday spike: dow is the engine-neutral day-index mod 7 (the
+    2024-01-01 epoch is a Monday, so 2024-01-08 maps to dow 0), the
+    Monday index is positive, every other active dow is negative, and
+    every value matches the exact rational replica."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    monday = dt.datetime(2024, 1, 8, 12)  # day-index 7 -> dow 0
+    per_day = {0: 90, 1: 10, 2: 10, 7: 70, 8: 10, 9: 10}  # two Mondays spike
+    rows, eid = [], 0
+    for d, y in per_day.items():
+        for _ in range(y):
+            rows.append((eid, monday + dt.timedelta(days=d), 1, "m", 1.0))
+            eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r["dow"]: r
+            for r in QUERIES["events_seasonal_decompose"].fn(spark, tmp).collect()
+        }
+    assert set(got) == {0, 1, 2}
+    n, s = 6, sum(per_day.values())
+    by_dow = {0: (2, 160), 1: (2, 20), 2: (2, 20)}
+    for dow, (nd, sd) in by_dow.items():
+        r = got[dow]
+        assert (r["n_days"], r["dow_events"]) == (nd, sd)
+        assert r["mean_micro"] == sd * 1_000_000 // nd
+        num = (sd * n - s * nd) * 1_000_000
+        den = nd * n
+        q, rem = divmod(abs(num), den)
+        assert r["seasonal_idx_micro"] == (q if num >= 0 else -q)
+    assert got[0]["seasonal_idx_micro"] > 0 > got[1]["seasonal_idx_micro"]
+
+
+def test_confusion_multiclass_constructed(spark):
+    """ml_eval_confusion_multiclass on a hand-built corpus: the
+    per-source majority prior (alphabetical tie-break), a class that
+    is never predicted (recall 0, fp 0), and every published count
+    and micro metric matching the pure-Python replica."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    # srcA: 3 en + 1 fr -> predicts en; srcB: 2 fr + 2 de (tie) ->
+    # alphabetical min 'de'; srcC: 1 zh -> zh.  'fr' never predicted.
+    docs = (
+        [("srcA", "en")] * 3
+        + [("srcA", "fr")]
+        + [("srcB", "fr")] * 2
+        + [("srcB", "de")] * 2
+        + [("srcC", "zh")]
+    )
+    rows = [(i, "t", lang, src, 1) for i, (src, lang) in enumerate(docs)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(tmp + "/documents.parquet")
+        got = {
+            r["class"]: r
+            for r in QUERIES["ml_eval_confusion_multiclass"].fn(spark, tmp).collect()
+        }
+    pred_by_src = {"srcA": "en", "srcB": "de", "srcC": "zh"}
+    pairs = [(lang, pred_by_src[src]) for src, lang in docs]
+    classes = {a for a, _ in pairs} | {p for _, p in pairs}
+    assert set(got) == classes
+    for cls in classes:
+        n_a = sum(1 for a, _ in pairs if a == cls)
+        n_p = sum(1 for _, p in pairs if p == cls)
+        tp = sum(1 for a, p in pairs if a == p == cls)
+        r = got[cls]
+        assert (r["n_actual"], r["n_predicted"], r["tp"]) == (n_a, n_p, tp)
+        assert (r["fp"], r["fn"]) == (n_p - tp, n_a - tp)
+        assert r["prec_micro"] == (tp * 1_000_000 // n_p if n_p else 0)
+        assert r["rec_micro"] == (tp * 1_000_000 // n_a if n_a else 0)
+        assert r["f1_micro"] == 2 * tp * 1_000_000 // (n_a + n_p)
+    assert got["fr"]["n_predicted"] == 0 and got["fr"]["rec_micro"] == 0
+    assert got["zh"]["f1_micro"] == 1_000_000  # the singleton source is exact
+
+
+def test_ndcg_constructed_and_discount_table(spark):
+    """ml_eval_ndcg: the frozen discount table is the exact floor of
+    1e9/log2(r+1) with its prefix sums, and on a constructed
+    embedding set where query 0's same-label vectors occupy exactly
+    the top ranks the score pins to 1e6, while an interleaved query
+    matches the pure-Python replica."""
+    import math
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.mining import _NDCG_D, _NDCG_K, _NDCG_P
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    assert len(_NDCG_D) == _NDCG_K == 10
+    for r, d in enumerate(_NDCG_D, start=1):
+        assert d == int(10**9 / math.log2(r + 1))
+    assert list(_NDCG_P) == [sum(_NDCG_D[: k + 1]) for k in range(10)]
+    assert _NDCG_D[0] == 10**9
+
+    QUERIES = load_all()
+    # 2-d vectors on distinct angles: cosine to q decreases with index
+    # distance. Queries are vec_id < 5; give label 1 to {0 (q), 5, 6}
+    # so q0's two relevant vectors sit at ranks 1-2 (angles nearest).
+    import math as m
+
+    def vec(deg):
+        return [float(m.cos(m.radians(deg))), float(m.sin(m.radians(deg)))]
+
+    rows = [
+        (0, vec(0), 1),    # query
+        (5, vec(2), 1),    # nearest
+        (6, vec(4), 1),    # second
+        (7, vec(30), 0),
+        (8, vec(40), 0),
+        (1, vec(90), 2),   # query: its only twin (9) is NOT nearest
+        (9, vec(160), 2),
+        (10, vec(95), 0),
+        (2, vec(200), 3), (3, vec(230), 4), (4, vec(260), 5),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(tmp + "/embeddings.parquet")
+        got = {
+            r["q_id"]: r for r in QUERIES["ml_eval_ndcg"].fn(spark, tmp).collect()
+        }
+
+    r0 = got[0]
+    assert (r0["n_rel_corpus"], r0["n_rel_topk"]) == (2, 2)
+    assert r0["dcg_nano"] == _NDCG_D[0] + _NDCG_D[1]
+    assert r0["idcg_nano"] == _NDCG_P[1]
+    assert r0["ndcg_micro"] == 1_000_000  # perfect ranking
+
+    # replica for q1: rank all others by cosine to vec(90), tie-free.
+    def cos(u, v):
+        dot = u[0] * v[0] + u[1] * v[1]
+        nu = m.hypot(*u) * m.hypot(*v)
+        return dot / nu
+
+    by_id = {vid: v for vid, v, _ in rows}
+    labs = {vid: lab for vid, _, lab in rows}
+    order = sorted(
+        (vid for vid in by_id if vid != 1),
+        key=lambda vid: (-cos(by_id[1], by_id[vid]), vid),
+    )
+    dcg = sum(
+        _NDCG_D[r]
+        for r, vid in enumerate(order[:10])
+        if labs[vid] == labs[1]
+    )
+    r1 = got[1]
+    assert r1["n_rel_corpus"] == 1 and r1["idcg_nano"] == _NDCG_P[0]
+    assert r1["dcg_nano"] == dcg
+    assert r1["ndcg_micro"] == dcg * 1_000_000 // _NDCG_P[0]
+    assert 0 < r1["ndcg_micro"] < 1_000_000  # twin present but misranked
+
+
+def test_jaccard_linkpred_constructed(spark):
+    """jaccard_linkpred_from on hand-built graphs vs the set replica:
+    a path endpoints pair with identical singleton neighborhoods pins
+    to 1e6; on the star-plus-pair graph hub endpoints dilute the
+    union exactly as |union| says; adjacent pairs never appear."""
+    from talkdesk_async_etl_spark.operators.graph import jaccard_linkpred_from
+    from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
+
+    def run(edges):
+        with cache_scope():
+            und = scoped_persist(
+                spark.createDataFrame(sorted(edges), "a int, b int")
+            )
+            return {
+                (r["a"], r["b"]): r for r in jaccard_linkpred_from(und).collect()
+            }
+
+    def replica(edges):
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        out = {}
+        for a in nbr:
+            for b in nbr:
+                if a < b and b not in nbr[a]:
+                    inter = len(nbr[a] & nbr[b])
+                    if inter:
+                        un = len(nbr[a] | nbr[b])
+                        out[(a, b)] = (inter, un)
+        return out
+
+    path = [(1, 2), (2, 3)]
+    got = run(path)
+    assert set(got) == {(1, 3)}
+    assert got[(1, 3)]["jaccard_micro"] == 1_000_000
+
+    star = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (2, 5)]
+    got = run(star)
+    rep = replica(star)
+    assert set(got) == set(rep)
+    for (a, b), (inter, un) in rep.items():
+        r = got[(a, b)]
+        assert r["n_common"] == inter
+        assert r["jaccard_micro"] == inter * 1_000_000 // un
+    # (1,2) share their whole neighborhoods {0,5} -> 1e6; a mixed pair
+    # like (1,3) shares 1 of union 2 -> exactly half.
+    assert got[(1, 2)]["jaccard_micro"] == 1_000_000
+    assert got[(1, 3)]["jaccard_micro"] == 500_000
+    assert (0, 1) not in got  # adjacent
+
+
+def test_kfold_assign_determinism_and_replica(spark):
+    """sample_kfold_assign: the fold of every document equals the
+    Python hashlib replica of the salted-md5 contract, xor checksums
+    attest exact membership, per-language shares sum back to the
+    language totals, and a re-run is bit-identical (determinism)."""
+    import hashlib
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.sampling import _KFOLD_K, _KFOLD_SALT
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+
+    def fold_of(doc_id):
+        h = hashlib.md5(f"{_KFOLD_SALT}|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % _KFOLD_K
+
+    rows = [(i, "t", ["en", "fr"][i % 2], "s", 1) for i in range(40)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(tmp + "/documents.parquet")
+        got1 = sorted(
+            tuple(r) for r in QUERIES["sample_kfold_assign"].fn(spark, tmp).collect()
+        )
+        got2 = sorted(
+            tuple(r) for r in QUERIES["sample_kfold_assign"].fn(spark, tmp).collect()
+        )
+    assert got1 == got2  # deterministic under reprocessing
+
+    exp = {}
+    for i, _, lang, _, _ in rows:
+        f = fold_of(i)
+        n, x = exp.get((f, lang), (0, 0))
+        exp[(f, lang)] = (n + 1, x ^ i)
+    by_key = {(r[0], r[1]): r for r in got1}
+    assert set(by_key) == set(exp)
+    lang_tot = {}
+    for (_, lang), (n, _) in exp.items():
+        lang_tot[lang] = lang_tot.get(lang, 0) + n
+    for (f, lang), (n, x) in exp.items():
+        r = by_key[(f, lang)]
+        # (fold, lang, n_docs, docs_xor, lang_total, fold_share_micro)
+        assert (r[2], r[3], r[4]) == (n, x, lang_tot[lang])
+        assert r[5] == n * 1_000_000 // lang_tot[lang]

@@ -1557,3 +1557,49 @@ def test_round15_wave_c_plan_shapes(spark):
     plan = plan_of(spark, "text_zipf_slope")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 0
+
+
+def test_round15_wave_d_plan_shapes(spark):
+    """Round-15 wave D: every events-family kernel is ONE parquet scan
+    with all later work on the persisted day grain (no sort-merge, no
+    nested loop; changepoint's windows are type-partitioned); the
+    multiclass confusion eval is one scan + four broadcast hash joins
+    over domain-bounded relations (no SMJ after the explicit
+    broadcasts); NDCG carries exactly the one allowlisted bounded NLJ
+    (the sim_topk_cosine query-broadcast shape); kfold is one scan
+    with a single broadcast join back."""
+    import re
+
+    for name in (
+        "agg_kendall_tau",
+        "events_ewma_smooth",
+        "events_seasonal_decompose",
+    ):
+        plan = plan_of(spark, name)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert re.search(r"\(\d+\) Window", plan) is None, name
+
+    plan = plan_of(spark, "events_changepoint_binary")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # windows exist but are type-partitioned (the day grain), never
+    # a single-partition global sort
+    assert "Window" in plan
+
+    plan = plan_of(spark, "ml_eval_confusion_multiclass")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(spark, "ml_eval_ndcg")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "sample_kfold_assign")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -414,6 +414,15 @@ _HEADLINE_R15 = (
     "ml_eval_ndcg",
     "graph_jaccard_link_pred",
     "sample_kfold_assign",
+    # wave E
+    "ml_eval_brier",
+    "ml_eval_mrr",
+    "agg_hhi_concentration",
+    "events_seasonality_strength",
+    "events_user_churn_weekly",
+    "text_tv_distance_sources",
+    "text_hapax_share",
+    "graph_two_hop_reach",
 )
 
 HEADLINE = (

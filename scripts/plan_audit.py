@@ -128,6 +128,11 @@ _BOUNDED_NLJ = {
     "ml_eval_ndcg",  # the exact_topk_neighbors core: 5-row query side
                      # broadcast into the corpus scan with a !=
                      # condition (the sim_topk_cosine shape)
+    # audited round 15, wave E:
+    "ml_eval_mrr",  # same exact_topk_neighbors bounded query broadcast
+    "text_tv_distance_sources",  # 1-row corpus token-total broadcast
+                                 # into the vocabulary-bounded grain
+                                 # (the pmi_collocations scalar shape)
 }
 
 

@@ -1586,3 +1586,114 @@ def jaccard_linkpred_from(und: DataFrame) -> DataFrame:
             "CAST((n_common * 1000000 - (n_common * 1000000) % u) / u AS BIGINT)"
         ).alias("jaccard_micro"),
     )
+
+
+def _oracle_two_hop_reach() -> str:
+    # adj MATERIALIZED for the same reason as the jaccard oracle —
+    # inlining re-executes the 4-table base build per reference.
+    return """
+    WITH base AS (
+        SELECT least(s.s_nationkey, c.c_nationkey) AS a,
+               greatest(s.s_nationkey, c.c_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS MATERIALIZED (
+        SELECT a, b FROM (
+            SELECT a, b, count(*) AS n_trades
+            FROM base GROUP BY a, b
+        ) ORDER BY n_trades DESC, a, b LIMIT 60
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS n, b AS x FROM und
+        UNION ALL
+        SELECT b AS n, a AS x FROM und
+    ),
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n
+    ),
+    reach AS (
+        SELECT DISTINCT n, x FROM (
+            SELECT n, x FROM adj
+            UNION ALL
+            SELECT p.n, q.x
+            FROM adj p JOIN adj q ON q.n = p.x
+            WHERE q.x <> p.n
+        )
+    ),
+    cnt AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS n_reach2 FROM reach GROUP BY n
+    )
+    SELECT CAST(d.n AS INT) AS node, d.deg, c.n_reach2
+    FROM deg d JOIN cnt c ON c.n = d.n
+    """
+
+
+@query("graph_two_hop_reach", oracle=_oracle_two_hop_reach(), tags=("graph",))
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 depth: TWO-HOP REACH per node — how many distinct nodes sit
+    within ≤ 2 hops, the neighborhood-growth statistic behind
+    friend-of-friend recommendation candidate pools, ANF/effective-
+    diameter estimation (this is the exact N(v, 2) that sketch
+    methods approximate), and gossip/propagation fan-out bounds.
+    Complements the link-prediction family, which scores individual
+    non-adjacent PAIRS — this sizes each node's whole 2-ball.
+
+    Exact by construction: the 2-ball is the distinct union of direct
+    neighbors and wedge endpoints (self excluded); counts are plain
+    BIGINTs — no division, no transcendental, nothing to quantize.
+
+    Scale shape: the wedge expansion is the family's Σdeg² relation
+    (hot-node cap at power-law scale, documented on the common-
+    neighbors kernel); the distinct collapse shuffles on the node key
+    and at web scale is exactly the workload the ANF/HyperBall sketch
+    family (rows-only territory) would replace — this operator IS
+    their exactness oracle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    with cache_scope():
+        und = scoped_persist(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .where(F.col("s_nationkey") != F.col("c_nationkey"))
+            .select(
+                F.least("s_nationkey", "c_nationkey").alias("a"),
+                F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_trades"))
+            .orderBy(F.desc("n_trades"), "a", "b")
+            .limit(_CN_TOP_EDGES)
+            .select("a", "b")
+        )
+        return collect_release(two_hop_reach_from(und))
+
+
+def two_hop_reach_from(und: DataFrame) -> DataFrame:
+    """Counting core behind :func:`graph_two_hop_reach` over an
+    undirected ``(a, b)`` edge list with a < b — factored out like
+    :func:`jaccard_linkpred_from` for constructed-graph unit tests.
+    Caller holds the cache scope."""
+    adj = scoped_persist(
+        und.select(F.col("a").alias("n"), F.col("b").alias("x")).union(
+            und.select(F.col("b").alias("n"), F.col("a").alias("x"))
+        )
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    p, q = adj.alias("p"), adj.alias("q")
+    hop2 = (
+        p.join(q, F.col("q.n") == F.col("p.x"))
+        .where(F.col("q.x") != F.col("p.n"))
+        .select(F.col("p.n").alias("n"), F.col("q.x").alias("x"))
+    )
+    reach = adj.select("n", "x").union(hop2).distinct()
+    cnt = reach.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("n_reach2"))
+    return deg.join(cnt, "n").select(
+        F.col("n").cast("int").alias("node"), "deg", "n_reach2"
+    )

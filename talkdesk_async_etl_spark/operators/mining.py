@@ -1110,3 +1110,138 @@ def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "           / idcg_nano AS BIGINT) END"
         ).alias("ndcg_micro"),
     )
+
+
+# --- round-15 wave E: probabilistic + retrieval eval ------------------
+
+_BRIER_ORACLE = f"""
+    WITH {_SCORED_CTE}
+    SELECT y,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p_micro) // count(*) AS BIGINT) AS mean_p_micro,
+           CAST(sum((p_micro - y * 1000000) * (p_micro - y * 1000000))
+                // count(*) AS BIGINT) AS brier_micro2
+    FROM scored GROUP BY y
+"""
+
+
+@query("ml_eval_brier", oracle=_BRIER_ORACLE, tags=("mining", "ml", "eval"))
+def ml_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 eval depth: per-class BRIER SCORE for the logreg scorer —
+    the mean squared error of the published probability against the
+    outcome, the strictly proper scoring rule that rewards
+    calibration AND sharpness together (ml_calibration_bins shows
+    WHERE probabilities drift; the Brier score is the single number
+    that gets worse when they do). Split by outcome class, the pair
+    of rows separates over-confidence on negatives from
+    under-confidence on positives (the two halves of the Murphy
+    decomposition's reliability term).
+
+    INTEGER-EXACT over the same (p_micro, y) relation as the
+    PR/ROC/calibration shelf: p is the micro-quantized score, so
+    (p − y·1e6)² is an exact BIGINT ≤ 1e12 per row, accumulated in
+    HUGEINT/DECIMAL(38,0), and the published per-class mean is one
+    truncating division (micro² units). Mean predicted per class
+    rides along — Brier − calibration in one glance.
+
+    Plan: the _scored_labels tree (documents scan projecting the
+    codegen'd score, one equi-join to the label parity bit) + one
+    2-group map-side-combinable aggregate. No extra exchange beyond
+    the score join at any corpus size."""
+    s = _scored_labels(spark, sf_dir)
+    dev = (F.col("p_micro") - F.col("y") * 1_000_000).cast("decimal(38,0)")
+    return (
+        s.groupBy("y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("p_micro").cast("decimal(38,0)")).alias("sp"),
+            F.sum(dev * dev).alias("sd2"),
+        )
+        .select(
+            "y",
+            "n",
+            F.expr("CAST((sp - sp % n) / n AS BIGINT)").alias("mean_p_micro"),
+            F.expr("CAST((sd2 - sd2 % n) / n AS BIGINT)").alias("brier_micro2"),
+        )
+    )
+
+
+_MRR_ORACLE = f"""
+    WITH ranked AS (
+        SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS n_label,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS INTEGER) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_NDCG_QUERIES}
+    )
+    SELECT q_id, q_label,
+           CAST(coalesce(min(CASE WHEN n_label = q_label THEN rank END), 0)
+                AS BIGINT) AS first_rel_rank,
+           CAST(CASE WHEN min(CASE WHEN n_label = q_label THEN rank END)
+                          IS NULL THEN 0
+                     ELSE 1000000 // min(CASE WHEN n_label = q_label
+                                              THEN rank END) END
+                AS BIGINT) AS rr_micro
+    FROM ranked WHERE rank <= {_NDCG_K}
+    GROUP BY q_id, q_label
+"""
+
+
+@query("ml_eval_mrr", oracle=_MRR_ORACLE, tags=("mining", "ml", "eval", "similarity"))
+def ml_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10/D3 eval depth: RECIPROCAL RANK of the first same-label
+    neighbor within the exact cosine top-10 — the metric for "the
+    user takes the FIRST relevant result" retrieval (known-item
+    search, dedup candidate lookup), complementing NDCG's graded
+    position credit. Mean reciprocal rank is one trivial average
+    over this per-query output.
+
+    INTEGER-EXACT with no quantization at all: the reciprocal of an
+    integer rank publishes as 1e6 div rank — an exact truncating
+    division — and queries with NO relevant neighbor in the top-k pin
+    both the rank and the reciprocal to 0 (distinguishable from a
+    rank-1e6 hit by the published first_rel_rank). The ranking is
+    the hash-attested sim_topk_cosine contract reused verbatim.
+
+    Plan: the exact_topk_neighbors core (allowlisted bounded NLJ) +
+    label joins against the 50-row topk relation + a ≤|queries|-group
+    aggregate — one corpus-sized pass, everything after ≤ 50 rows."""
+    from talkdesk_async_etl_spark.operators.similarity import (
+        _as_double,
+        exact_topk_neighbors,
+    )
+
+    emb = t(spark, sf_dir, "embeddings", spread=True)
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    labels = emb.select("vec_id", F.col("label").alias("lab"))
+    topk = exact_topk_neighbors(vecs)
+    j = (
+        topk.join(
+            labels.select(F.col("vec_id").alias("q_id"), F.col("lab").alias("q_label")),
+            "q_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("lab").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+    )
+    first = j.groupBy("q_id", "q_label").agg(
+        F.min(
+            F.when(F.col("n_label") == F.col("q_label"), F.col("rank"))
+        ).alias("fr")
+    )
+    return first.select(
+        "q_id",
+        "q_label",
+        F.coalesce("fr", F.lit(0)).cast("long").alias("first_rel_rank"),
+        F.expr(
+            "CAST(CASE WHEN fr IS NULL THEN 0"
+            " ELSE (1000000 - 1000000 % fr) / fr END AS BIGINT)"
+        ).alias("rr_micro"),
+    )

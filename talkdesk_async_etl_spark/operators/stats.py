@@ -4495,3 +4495,313 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     / (nd * n) AS BIGINT)"
         ).alias("seasonal_idx_micro"),
     )
+
+
+# --- round-15 wave E: concentration, seasonality strength, churn -----
+
+_HHI_ORACLE = """
+    WITH grain AS (
+        SELECT event_type, user_id, CAST(count(*) AS HUGEINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS HUGEINT) AS n_users,
+               CAST(sum(c) AS HUGEINT) AS s,
+               CAST(sum(c * c) AS HUGEINT) AS s2
+        FROM grain GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(s AS BIGINT) AS n_events,
+           CAST(s2 * 1000000 // (s * s) AS BIGINT) AS hhi_micro,
+           CASE WHEN n_users <= 1 THEN CAST(0 AS BIGINT)
+                ELSE CAST(((s2 * 1000000 // (s * s)) * n_users - 1000000)
+                          // (n_users - 1) AS BIGINT)
+           END AS hhi_norm_micro
+    FROM m
+"""
+
+
+@query("agg_hhi_concentration", oracle=_HHI_ORACLE, tags=("agg", "stats"))
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58: HERFINDAHL-HIRSCHMAN concentration of per-metric volume
+    across users — Σ share_u², the "is this metric three whales or a
+    crowd" number that complements agg_gini_concentration (Gini reads
+    inequality of the distribution's SHAPE; HHI reads effective
+    participant count — 1/HHI is the equivalent-equal-users measure,
+    and a single dominating user drives HHI → 1 long before Gini
+    saturates). The normalized variant rescales [1/n, 1] → [0, 1] so
+    metrics with different audience sizes compare.
+
+    INTEGER-EXACT: HHI = Σc²·1e6 div S² over HUGEINT/DECIMAL(38,0)
+    sums (c² at a 1e10-event whale is 1e20 — far past int64), and
+    the normalization (HHI·n − 1)/(n − 1) is computed FROM the
+    quantized micro value in plain BIGINT range (never a 1e41
+    intermediate), identically on both engines; single-user metrics
+    pin the normalization to 0.
+
+    Plan: one (type, user)-grain exchange (map-side combinable), one
+    |types|-group moment rollup — the agg_corr_regr shape; the
+    shuffled relation is O(users), never O(events)."""
+    grain = (
+        t(spark, sf_dir, "events", spread=True)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    m = grain.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_users"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("s").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((s2 * 1000000 - (s2 * 1000000) % (s * s)) / (s * s)"
+            " AS BIGINT)"
+        ).alias("hhi_micro"),
+        F.expr(
+            "CASE WHEN n_users <= 1 THEN CAST(0 AS BIGINT) ELSE"
+            " CAST((CAST((s2 * 1000000 - (s2 * 1000000) % (s * s)) / (s * s)"
+            "            AS BIGINT) * n_users - 1000000"
+            "       - (CAST((s2 * 1000000 - (s2 * 1000000) % (s * s)) / (s * s)"
+            "               AS BIGINT) * n_users - 1000000) % (n_users - 1))"
+            "      / (n_users - 1) AS BIGINT) END"
+        ).alias("hhi_norm_micro"),
+    )
+
+
+_SEASTR_ORACLE = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '{_OLS_EPOCH}', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    per_dow AS (
+        SELECT event_type, CAST(x % 7 AS INTEGER) AS dow,
+               CAST(count(*) AS HUGEINT) AS nd,
+               CAST(sum(y) AS HUGEINT) AS sd
+        FROM daily GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS s,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM daily GROUP BY 1
+    ),
+    ssb AS (
+        SELECT d.event_type,
+               CAST(sum((d.sd * t.n - t.s * d.nd) * (d.sd * t.n - t.s * d.nd)
+                        // (d.nd * t.n * t.n)) AS HUGEINT) AS ssb
+        FROM per_dow d JOIN per_type t ON d.event_type = t.event_type
+        GROUP BY 1
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n_days,
+           CAST(b.ssb AS BIGINT) AS ssb,
+           CAST((t.n * t.syy - t.s * t.s) // t.n AS BIGINT) AS sst,
+           CASE WHEN (t.n * t.syy - t.s * t.s) // t.n = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(b.ssb * 1000000
+                          // ((t.n * t.syy - t.s * t.s) // t.n) AS BIGINT)
+           END AS strength_micro
+    FROM per_type t JOIN ssb b ON b.event_type = t.event_type
+"""
+
+
+@query(
+    "events_seasonality_strength",
+    oracle=_SEASTR_ORACLE,
+    tags=("stats", "events"),
+)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A59: SEASONALITY STRENGTH per metric — the share of daily-count
+    variance explained by the weekday (between-dow sum of squares over
+    total), the one-number effect size that orders metrics by HOW
+    seasonal they are where events_dow_chi2 only tests WHETHER the
+    effect exists (at 1e13 events chi-square rejects on trivia; this
+    stays a bounded fraction) and events_seasonal_decompose publishes
+    the per-weekday shape.
+
+    Integer-exact via PER-TERM quantization: each weekday's
+    between-group term (sd·n − s·nd)²/(nd·n²) and the total SS
+    (n·Σy² − s²)/n floor to UNSCALED integers (events² units — the
+    changepoint headroom device: no 1e6 multiplier on the ~1e33
+    numerators, so DECIMAL(38,0) holds at a 1e13-event metric), then
+    strength = ssb·1e6 div sst over the two quantized sums —
+    deterministic on both engines; the ≤7-term floors can nudge the
+    published ratio by at most 7/sst around the true value (and a
+    hair past 1e6 only when SSB ≈ SST exactly). Zero-variance
+    metrics pin 0.
+
+    Plan: ONE corpus exchange to the day grain; the dow rollup, type
+    moments, and their equi-join all run on domain-bounded relations."""
+    daily = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_OLS_EPOCH).cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    per_dow = daily.groupBy(
+        "event_type", F.pmod(F.col("x"), F.lit(7)).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nd"),
+        F.sum("y").cast("decimal(38,0)").alias("sd"),
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    term = F.expr(
+        "CAST(((sd * n - s * nd) * (sd * n - s * nd)"
+        "      - ((sd * n - s * nd) * (sd * n - s * nd)) % (nd * n * n))"
+        "     / (nd * n * n) AS DECIMAL(38,0))"
+    )
+    ssb = (
+        per_dow.join(per_type, "event_type")
+        .select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(F.sum("term").alias("ssb"))
+    )
+    sst = F.expr(
+        "CAST(((n * syy - s * s) - (n * syy - s * s) % n) / n AS DECIMAL(38,0))"
+    )
+    return (
+        per_type.withColumn("sst", sst)
+        .join(ssb, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("ssb").cast("long").alias("ssb"),
+            F.col("sst").cast("long").alias("sst"),
+            F.expr(
+                "CASE WHEN sst = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST((ssb * 1000000 - (ssb * 1000000) % sst) / sst"
+                "           AS BIGINT) END"
+            ).alias("strength_micro"),
+        )
+    )
+
+
+_CHURN_ORACLE = """
+    WITH grain AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+        FROM events
+    ),
+    shifted AS (
+        SELECT user_id, week + INTERVAL 7 DAY AS week FROM grain
+    ),
+    flags AS (
+        SELECT coalesce(g.user_id, s.user_id) AS user_id,
+               coalesce(g.week, s.week) AS week,
+               CASE WHEN g.user_id IS NOT NULL THEN 1 ELSE 0 END AS cur,
+               CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END AS prev
+        FROM grain g
+        FULL OUTER JOIN shifted s
+          ON s.user_id = g.user_id AND s.week = g.week
+    ),
+    weekly AS (
+        SELECT CAST(week AS DATE) AS week,
+               CAST(sum(cur) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN cur = 1 AND prev = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN cur = 1 AND prev = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN cur = 0 AND prev = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_churned,
+               CAST(sum(prev) AS BIGINT) AS n_prev_active
+        FROM flags GROUP BY 1
+    )
+    SELECT week, n_active, n_new, n_retained, n_churned,
+           CASE WHEN n_prev_active = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(n_churned * 1000000 // n_prev_active AS BIGINT)
+           END AS churn_rate_micro
+    FROM weekly
+"""
+
+
+@query(
+    "events_user_churn_weekly",
+    oracle=_CHURN_ORACLE,
+    tags=("stats", "events", "monitoring"),
+)
+def events_user_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60: WEEKLY USER CHURN — per calendar week, how many active
+    users are new, retained from last week, or churned (active last
+    week, silent this week), with the churn rate against the prior
+    week's active base. The missing grain between agg_rolling_wau
+    (a smoothed level that hides WHO left) and agg_cohort_retention
+    (signup-cohort survival — this is period-over-period flow). The
+    week AFTER the last active week appears with n_active = 0 and
+    its churn row: the users who went silent at the data's edge are
+    reported, not dropped — the semantics a live monitoring feed
+    needs.
+
+    Exact integers throughout: the user-week grain is a distinct
+    collapse, the prior-week presence is the same grain shifted
+    forward 7 days and full-outer-joined on (user, week), flow
+    counts are plain sums of indicator flags, and the rate is one
+    truncating micro division (n_prev = 0 ⇒ n_churned = 0, pinned 0).
+
+    Plan: ONE corpus exchange to the distinct (user, week) grain;
+    the shifted self-join shuffles only that grain on its natural
+    key (O(active users × weeks), never O(events)); the weekly
+    rollup is map-side combinable on ≤ |weeks|+1 groups."""
+    grain = scoped_persist(
+        t(spark, sf_dir, "events", spread=True)
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    shifted = grain.select(
+        "user_id", F.date_add(F.col("week"), 7).alias("week")
+    )
+    g, s = grain.alias("g"), shifted.alias("s")
+    flags = g.join(
+        s,
+        (F.col("g.user_id") == F.col("s.user_id"))
+        & (F.col("g.week") == F.col("s.week")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("g.week"), F.col("s.week")).alias("week"),
+        F.when(F.col("g.user_id").isNotNull(), 1).otherwise(0).alias("cur"),
+        F.when(F.col("s.user_id").isNotNull(), 1).otherwise(0).alias("prev"),
+    )
+    weekly = flags.groupBy("week").agg(
+        F.sum("cur").cast("long").alias("n_active"),
+        F.sum(F.when((F.col("cur") == 1) & (F.col("prev") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when((F.col("cur") == 1) & (F.col("prev") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when((F.col("cur") == 0) & (F.col("prev") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+        F.sum("prev").cast("long").alias("n_prev_active"),
+    )
+    return weekly.select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_churned",
+        F.expr(
+            "CASE WHEN n_prev_active = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((n_churned * 1000000 - (n_churned * 1000000)"
+            "            % n_prev_active) / n_prev_active AS BIGINT) END"
+        ).alias("churn_rate_micro"),
+    )

@@ -2303,3 +2303,193 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("r2"),
     )
+
+
+# --- round-15 wave E: distributional drift + lexical richness ---------
+
+_TV_ORACLE = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per AS (
+        SELECT source, w, CAST(count(*) AS HUGEINT) AS f
+        FROM tok WHERE w <> '' GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT source, CAST(sum(f) AS HUGEINT) AS ns,
+               CAST(count(*) AS BIGINT) AS nterms
+        FROM per GROUP BY 1
+    ),
+    wt AS (
+        SELECT w, CAST(sum(f) AS HUGEINT) AS cw FROM per GROUP BY 1
+    ),
+    g AS (SELECT CAST(sum(f) AS HUGEINT) AS n FROM per),
+    pres AS (
+        SELECT p.source,
+               CAST(sum(abs(p.f * g.n - wt.cw * st.ns)) AS HUGEINT) AS sum_abs,
+               CAST(sum(wt.cw) AS HUGEINT) AS cov,
+               max(g.n) AS n
+        FROM per p
+        JOIN wt ON wt.w = p.w
+        JOIN st ON st.source = p.source
+        CROSS JOIN g
+        GROUP BY 1
+    )
+    SELECT st.source,
+           CAST(st.ns AS BIGINT) AS n_tokens,
+           st.nterms AS n_terms,
+           CAST((pres.sum_abs + (pres.n - pres.cov) * st.ns) * 1000000
+                // (2 * st.ns * pres.n) AS BIGINT) AS tv_micro
+    FROM st JOIN pres ON pres.source = st.source
+"""
+
+
+@query(
+    "text_tv_distance_sources",
+    oracle=_TV_ORACLE,
+    tags=("text", "drift", "vocabulary"),
+)
+def text_tv_distance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 depth: TOTAL-VARIATION DISTANCE between each source's term
+    distribution and the corpus — the strongest f-divergence bound on
+    "how differently would anything trained on this source alone
+    behave", completing the drift shelf along the third axis:
+    agg_ks_source_drift reads numeric VALUE drift,
+    text_source_vocab_overlap reads vocabulary SET overlap, THIS
+    reads usage-frequency drift (two sources can share every word
+    and still use them at wildly different rates).
+
+    INTEGER-EXACT: TV = ½·Σ_t |p_s(t) − p(t)| has the common
+    denominator n_s·N, so the numerator Σ_t |f·N − C_t·n_s| is an
+    exact HUGEINT/DECIMAL(38,0) sum; terms ABSENT from the source
+    contribute C_t·n_s and collapse in closed form to (N − cov_s)·n_s
+    where cov_s = Σ_{t∈s} C_t — so the full-vocabulary grid is never
+    materialized. One truncating micro division publishes the
+    distance. Headroom: f·N at a 1e13-token corpus with a 1e10-count
+    term is ~1e23 per cell, ~1e30 summed — inside DECIMAL(38,0)
+    (per-term quantization is the escape hatch three orders later).
+
+    Plan: ONE corpus token pass to the persisted (source, term)
+    grain; the term-total join, source rollup, and the 1-row
+    corpus-total broadcast (the allowlisted neyman scalar shape) all
+    run on vocabulary-bounded relations."""
+    tok = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per = scoped_persist(
+        tok.groupBy("source", "w").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("f")
+        )
+    )
+    st = per.groupBy("source").agg(
+        F.sum("f").alias("ns"), F.count(F.lit(1)).cast("long").alias("nterms")
+    )
+    wt = per.groupBy("w").agg(F.sum("f").alias("cw"))
+    grand = per.agg(F.sum("f").alias("n"))
+    pres = (
+        per.join(wt, "w")
+        .join(st.select("source", "ns"), "source")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.sum(F.abs(F.col("f") * F.col("n") - F.col("cw") * F.col("ns"))).alias(
+                "sum_abs"
+            ),
+            F.sum("cw").alias("cov"),
+            F.max("n").alias("n"),
+        )
+    )
+    return st.join(pres, "source").select(
+        "source",
+        F.col("ns").cast("long").alias("n_tokens"),
+        F.col("nterms").alias("n_terms"),
+        F.expr(
+            "CAST(((sum_abs + (n - cov) * ns) * 1000000"
+            "      - ((sum_abs + (n - cov) * ns) * 1000000) % (2 * ns * n))"
+            "     / (2 * ns * n) AS BIGINT)"
+        ).alias("tv_micro"),
+    )
+
+
+_HAPAX_ORACLE = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    per AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS f
+        FROM tok WHERE w <> '' GROUP BY 1, 2
+    ),
+    wt AS (
+        SELECT w, CAST(sum(f) AS BIGINT) AS cw FROM per GROUP BY 1
+    ),
+    st AS (
+        SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM per GROUP BY 1
+    ),
+    hx AS (
+        SELECT p.source, CAST(count(*) AS BIGINT) AS n_hapax
+        FROM per p JOIN wt ON wt.w = p.w
+        WHERE wt.cw = 1
+        GROUP BY 1
+    )
+    SELECT st.source, st.n_tokens, st.n_terms,
+           coalesce(hx.n_hapax, 0) AS n_hapax,
+           CAST(coalesce(hx.n_hapax, 0) * 1000000 // st.n_tokens AS BIGINT)
+               AS hapax_share_micro
+    FROM st LEFT JOIN hx ON hx.source = st.source
+"""
+
+
+@query("text_hapax_share", oracle=_HAPAX_ORACLE, tags=("text", "vocabulary"))
+def text_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 depth: CORPUS-HAPAX share per source — what fraction of a
+    source's tokens are words that appear EXACTLY ONCE in the whole
+    corpus. The classical lexical-richness statistic, and in curation
+    practice the cheapest OCR-garbage/typo-mill detector: clean prose
+    sources run a low, stable hapax share while corrupted extractions
+    spike it (every mangled word is globally unique). Complements
+    text_heaps_law (vocabulary GROWTH) and text_zipf_slope (frequency
+    SHAPE) with the singleton tail's mass.
+
+    Exact integers end to end: a corpus-hapax has count 1, so its
+    single occurrence lies in exactly one source and per-source hapax
+    counts are a plain filtered count over the (source, term) grain
+    joined to term totals; the share is one truncating micro division
+    over token counts (n_tokens ≥ 1 for a source that exists).
+
+    Plan: ONE corpus token pass to the persisted (source, term)
+    grain; the term-total rollup and its equi-join back run on
+    vocabulary-bounded relations — no corpus rescan, no grid."""
+    tok = (
+        t(spark, sf_dir, "documents", spread=True)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per = scoped_persist(
+        tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    wt = per.groupBy("w").agg(F.sum("f").cast("long").alias("cw"))
+    st = per.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    hx = (
+        per.join(wt, "w")
+        .filter(F.col("cw") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hapax"))
+    )
+    return st.join(hx, "source", "left").select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+        F.expr(
+            "CAST((coalesce(n_hapax, 0) * 1000000"
+            "      - (coalesce(n_hapax, 0) * 1000000) % n_tokens) / n_tokens"
+            " AS BIGINT)"
+        ).alias("hapax_share_micro"),
+    )

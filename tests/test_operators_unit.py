@@ -6967,3 +6967,317 @@ def test_kfold_assign_determinism_and_replica(spark):
         # (fold, lang, n_docs, docs_xor, lang_total, fold_share_micro)
         assert (r[2], r[3], r[4]) == (n, x, lang_tot[lang])
         assert r[5] == n * 1_000_000 // lang_tot[lang]
+
+
+# --- round-15 wave E ------------------------------------------------
+
+
+def test_brier_constructed(spark):
+    """ml_eval_brier on a constructed corpus where the logreg score is
+    solvable by hand is overkill (the weights are calibrated for the
+    fixture corpus) — instead pin the CONTRACT on real sf0.001 data:
+    per-class rows exist for both outcomes, every value matches a
+    pure-Python replica over the (p_micro, y) relation, and the class
+    Brier is the exact truncated mean of (p − y·1e6)²."""
+    from talkdesk_async_etl_spark.operators.mining import _scored_labels
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    sf = "/root/testdata/sf0.001"
+    scored = [
+        (r["p_micro"], r["y"]) for r in _scored_labels(spark, sf).collect()
+    ]
+    got = {r["y"]: r for r in QUERIES["ml_eval_brier"].fn(spark, sf).collect()}
+    assert set(got) == {0, 1}
+    for y in (0, 1):
+        ps = [p for p, yy in scored if yy == y]
+        assert got[y]["n"] == len(ps)
+        assert got[y]["mean_p_micro"] == sum(ps) // len(ps)
+        assert got[y]["brier_micro2"] == sum(
+            (p - y * 1_000_000) ** 2 for p in ps
+        ) // len(ps)
+    # a useful scorer: positives predicted higher on average
+    assert got[1]["mean_p_micro"] != got[0]["mean_p_micro"]
+
+
+def test_mrr_constructed(spark):
+    """ml_eval_mrr on the wave-D NDCG fixture: a query whose twin
+    ranks first pins rr to 1e6, a query whose only twin is misranked
+    publishes the exact 1e6 div rank, and a query with no same-label
+    vector in the top-k pins both fields to 0."""
+    import math as m
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+
+    def vec(deg):
+        return [float(m.cos(m.radians(deg))), float(m.sin(m.radians(deg)))]
+
+    rows = [
+        (0, vec(0), 1), (5, vec(2), 1), (6, vec(4), 1),
+        (7, vec(30), 0), (8, vec(40), 0),
+        (1, vec(90), 2), (9, vec(160), 2), (10, vec(95), 0),
+        (2, vec(200), 3),  # label 3 appears once: no relevant neighbor
+        (3, vec(230), 4), (4, vec(260), 5),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(tmp + "/embeddings.parquet")
+        got = {r["q_id"]: r for r in QUERIES["ml_eval_mrr"].fn(spark, tmp).collect()}
+
+    assert got[0]["first_rel_rank"] == 1 and got[0]["rr_micro"] == 1_000_000
+
+    def cos(u, v):
+        return (u[0] * v[0] + u[1] * v[1]) / (m.hypot(*u) * m.hypot(*v))
+
+    by_id = {vid: v for vid, v, _ in rows}
+    order = sorted(
+        (vid for vid in by_id if vid != 1),
+        key=lambda vid: (-cos(by_id[1], by_id[vid]), vid),
+    )
+    r9 = order.index(9) + 1
+    assert got[1]["first_rel_rank"] == r9
+    assert got[1]["rr_micro"] == 1_000_000 // r9
+
+    assert got[2]["first_rel_rank"] == 0 and got[2]["rr_micro"] == 0
+
+
+def test_hhi_concentration_constructed(spark):
+    """agg_hhi_concentration on hand-built volumes: a monopoly metric
+    pins HHI and its normalization to 1e6, perfectly equal users pin
+    HHI to 1e6/n and the normalization to 0, and a skewed metric
+    matches the exact replica including the quantized-normalization
+    contract (norm computed FROM the published micro value)."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    ts = dt.datetime(2024, 1, 10, 12)
+    per_user = {
+        "mono": {1: 7},
+        "equal": {1: 3, 2: 3, 3: 3, 4: 3},
+        "skew": {1: 8, 2: 1, 3: 1},
+    }
+    rows, eid = [], 0
+    for et, users in per_user.items():
+        for u, k in users.items():
+            for _ in range(k):
+                rows.append((eid, ts, u, et, 1.0))
+                eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["agg_hhi_concentration"].fn(spark, tmp).collect()
+        }
+    for et, users in per_user.items():
+        s = sum(users.values())
+        s2 = sum(c * c for c in users.values())
+        n = len(users)
+        hhi = s2 * 1_000_000 // (s * s)
+        r = got[et]
+        assert (r["n_users"], r["n_events"], r["hhi_micro"]) == (n, s, hhi)
+        exp_norm = 0 if n <= 1 else (hhi * n - 1_000_000) // (n - 1)
+        assert r["hhi_norm_micro"] == exp_norm
+    assert got["mono"]["hhi_micro"] == 1_000_000
+    assert got["mono"]["hhi_norm_micro"] == 0  # single user: pinned
+    assert got["equal"]["hhi_micro"] == 250_000
+    assert got["equal"]["hhi_norm_micro"] == 0
+    assert got["skew"]["hhi_micro"] > 250_000
+
+
+def test_seasonality_strength_constructed(spark):
+    """events_seasonality_strength on constructed series: a purely
+    weekday-driven metric (two identical weeks) scores ~1e6, a
+    constant metric scores 0 with sst = 0, and the quantized
+    per-term replica matches exactly."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    monday = dt.datetime(2024, 1, 8, 12)  # day-index 7, dow 0
+    series = {
+        "seasonal": [50, 10, 20, 30, 40, 5, 15] * 2,  # exact weekly repeat
+        "flat": [9] * 14,
+    }
+    rows, eid = [], 0
+    for et, ys in series.items():
+        for d, y in enumerate(ys):
+            for _ in range(y):
+                rows.append((eid, monday + dt.timedelta(days=d), 1, et, 1.0))
+                eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["events_seasonality_strength"].fn(spark, tmp).collect()
+        }
+
+    def replica(ys):
+        n, s = len(ys), sum(ys)
+        syy = sum(y * y for y in ys)
+        by_dow = {}
+        for d, y in enumerate(ys):
+            nd, sd = by_dow.get((7 + d) % 7, (0, 0))
+            by_dow[(7 + d) % 7] = (nd + 1, sd + y)
+        ssb = sum(
+            (sd * n - s * nd) ** 2 // (nd * n * n) for nd, sd in by_dow.values()
+        )
+        sst = (n * syy - s * s) // n
+        return ssb, sst, (0 if sst == 0 else ssb * 1_000_000 // sst)
+
+    for et, ys in series.items():
+        ssb, sst, strength = replica(ys)
+        r = got[et]
+        assert (r["ssb"], r["sst"], r["strength_micro"]) == (ssb, sst, strength)
+    assert got["flat"]["strength_micro"] == 0
+    assert got["seasonal"]["strength_micro"] >= 990_000  # ~all variance is dow
+
+
+def test_user_churn_weekly_constructed(spark):
+    """events_user_churn_weekly on a three-week hand-built population:
+    week 1 is all-new, week 2 splits retained/new with the churned
+    user counted against week 1's base, and the post-data week
+    reports the users who went silent at the edge."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    w1 = dt.datetime(2024, 1, 8, 12)  # a Monday
+    w2, w3 = w1 + dt.timedelta(days=7), dt.timedelta(days=14) + w1
+    acts = [
+        (1, w1), (2, w1), (3, w1),       # week 1: users 1-3
+        (1, w2), (2, w2), (4, w2),       # week 2: 3 churns, 4 is new
+        (1, w3),                          # week 3: only 1 stays
+    ]
+    rows = [
+        (i, ts, u, "click", 1.0) for i, (u, ts) in enumerate(acts)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            str(r["week"]): r
+            for r in QUERIES["events_user_churn_weekly"].fn(spark, tmp).collect()
+        }
+    assert set(got) == {"2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29"}
+    r = got["2024-01-08"]
+    assert (r["n_active"], r["n_new"], r["n_retained"], r["n_churned"]) == (3, 3, 0, 0)
+    assert r["churn_rate_micro"] == 0
+    r = got["2024-01-15"]
+    assert (r["n_active"], r["n_new"], r["n_retained"], r["n_churned"]) == (3, 1, 2, 1)
+    assert r["churn_rate_micro"] == 1_000_000 // 3
+    r = got["2024-01-22"]
+    assert (r["n_active"], r["n_new"], r["n_retained"], r["n_churned"]) == (1, 0, 1, 2)
+    assert r["churn_rate_micro"] == 2 * 1_000_000 // 3
+    r = got["2024-01-29"]  # the edge week: 1 went silent, nobody active
+    assert (r["n_active"], r["n_churned"]) == (0, 1)
+    assert r["churn_rate_micro"] == 1_000_000
+
+
+def test_tv_distance_and_hapax_constructed(spark):
+    """text_tv_distance_sources + text_hapax_share on a hand-built
+    two-source corpus: a source distributed exactly like the corpus
+    scores TV 0 against itself-dominated mixtures per the replica,
+    the disjoint-vocabulary source approaches its closed form, and
+    hapax counting matches the singleton tail exactly."""
+    import tempfile
+    from collections import Counter
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    src_text = {
+        "sA": "a a a b b c",      # 6 tokens
+        "sB": "a b x y z z",      # 6 tokens, 3 unique-to-B terms
+    }
+    rows = [
+        (i, txt, "en", src, len(txt))
+        for i, (src, txt) in enumerate(src_text.items())
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(tmp + "/documents.parquet")
+        tv = {
+            r["source"]: r
+            for r in QUERIES["text_tv_distance_sources"].fn(spark, tmp).collect()
+        }
+        hx = {
+            r["source"]: r
+            for r in QUERIES["text_hapax_share"].fn(spark, tmp).collect()
+        }
+
+    corpus = Counter()
+    per_src = {}
+    for src, txt in src_text.items():
+        c = Counter(txt.split())
+        per_src[src] = c
+        corpus.update(c)
+    n = sum(corpus.values())
+    for src, c in per_src.items():
+        ns = sum(c.values())
+        num = sum(
+            abs(c.get(w, 0) * n - corpus[w] * ns) for w in corpus
+        )
+        exp = num * 1_000_000 // (2 * ns * n)
+        r = tv[src]
+        assert (r["n_tokens"], r["n_terms"]) == (ns, len(c))
+        assert r["tv_micro"] == exp
+        hapax = [w for w in c if corpus[w] == 1]
+        h = hx[src]
+        assert h["n_hapax"] == len(hapax)
+        assert h["hapax_share_micro"] == len(hapax) * 1_000_000 // ns
+    assert hx["sA"]["n_hapax"] == 1  # 'c'
+    assert hx["sB"]["n_hapax"] == 2  # 'x', 'y' ('z' repeats)
+    # two equal-mass sources sit symmetrically around their mixture:
+    # |p_A − p| = |p_A − p_B|/2 = |p_B − p| termwise, so TV must agree
+    assert tv["sA"]["tv_micro"] == tv["sB"]["tv_micro"] == 333_333
+
+
+def test_two_hop_reach_constructed(spark):
+    """two_hop_reach_from on hand-built graphs vs the BFS replica:
+    path, star (hub reaches everyone in 1, leaves reach all in 2),
+    and two triangles sharing a vertex."""
+    from talkdesk_async_etl_spark.operators.graph import two_hop_reach_from
+    from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
+
+    def run(edges):
+        with cache_scope():
+            und = scoped_persist(
+                spark.createDataFrame(sorted(edges), "a int, b int")
+            )
+            return {
+                r["node"]: (r["deg"], r["n_reach2"])
+                for r in two_hop_reach_from(und).collect()
+            }
+
+    def replica(edges):
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        out = {}
+        for v in nbr:
+            ball = set(nbr[v])
+            for u in nbr[v]:
+                ball |= nbr[u]
+            ball.discard(v)
+            out[v] = (len(nbr[v]), len(ball))
+        return out
+
+    for edges in (
+        [(1, 2), (2, 3), (3, 4), (4, 5)],          # path
+        [(0, 1), (0, 2), (0, 3), (0, 4)],          # star
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)],  # bowtie
+    ):
+        assert run(edges) == replica(edges)

@@ -1603,3 +1603,48 @@ def test_round15_wave_d_plan_shapes(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round15_wave_e_plan_shapes(spark):
+    """Round-15 wave E: HHI is join-free (two stacked hash aggregates
+    over one scan); seasonality strength and hapax run on the one
+    persisted grain with broadcast equi-joins only; churn's single
+    sort-merge join is the full-outer self-join of the user-week
+    grain on its natural key (full outer cannot broadcast — and at
+    scale SMJ on the grain key is the right plan); TV distance and
+    MRR carry exactly their one allowlisted bounded NLJ (the 1-row
+    corpus-total / query-broadcast shapes); Brier is the scored-labels
+    tree plus one 2-group aggregate."""
+    import re
+
+    plan = plan_of(spark, "agg_hhi_concentration")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert re.search(r"\(\d+\) [A-Za-z]*Join", plan) is None
+    assert re.search(r"\(\d+\) Window", plan) is None
+
+    for name in ("events_seasonality_strength", "text_hapax_share"):
+        plan = plan_of(spark, name)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    plan = plan_of(spark, "events_user_churn_weekly")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1  # full outer
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"\(\d+\) Window", plan) is None
+
+    plan = plan_of(spark, "text_tv_distance_sources")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "ml_eval_mrr")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "ml_eval_brier")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"\(\d+\) Window", plan) is None

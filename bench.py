@@ -423,6 +423,12 @@ _HEADLINE_R15 = (
     "text_tv_distance_sources",
     "text_hapax_share",
     "graph_two_hop_reach",
+    # wave F
+    "dedup_levenshtein_verify",
+    "text_length_quartiles",
+    "sample_negative_pairs",
+    "ml_eval_lift_table",
+    "events_hour_profile",
 )
 
 HEADLINE = (

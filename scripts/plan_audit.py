@@ -133,6 +133,14 @@ _BOUNDED_NLJ = {
     "text_tv_distance_sources",  # 1-row corpus token-total broadcast
                                  # into the vocabulary-bounded grain
                                  # (the pmi_collocations scalar shape)
+    # audited round 15, wave F:
+    "sample_negative_pairs",  # 1-row corpus-count broadcast into the
+                              # anchor scan (the neyman scalar shape)
+    "ml_eval_lift_table",  # two_pass_ntile's |partitions|² offset
+                           # theta-joins + the 10-row Lorenz cumulative
+                           # + 1-row totals broadcast (the
+                           # window_rfm_scores / agg_decile_shares
+                           # shapes combined)
 }
 
 

@@ -1067,3 +1067,82 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= 0.6).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+# --- round-15 wave F: edit-distance verification ---------------------
+
+_LEV_ORACLE = f"""
+    WITH {_JACCARD_CTES},
+    tx AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS ln
+        FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           ta.ln AS len_a, tb.ln AS len_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev_distance,
+           CASE WHEN greatest(ta.ln, tb.ln) = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE CAST((greatest(ta.ln, tb.ln)
+                           - levenshtein(ta.text, tb.text)) * 1000000
+                          // greatest(ta.ln, tb.ln) AS BIGINT)
+           END AS lev_sim_micro
+    FROM jpairs p
+    JOIN tx ta ON ta.doc_id = p.doc_a
+    JOIN tx tb ON tb.doc_id = p.doc_b
+"""
+
+
+@query("dedup_levenshtein_verify", oracle=_LEV_ORACLE, tags=("dedup",))
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 depth: EDIT-DISTANCE VERIFICATION of the near-dup candidate
+    set — exact Levenshtein distance and normalized similarity for
+    every pair the 3-shingle Jaccard stage surfaced. The classical
+    two-stage dedup architecture: a cheap set-similarity RECALL stage
+    proposes, a character-exact PRECISION stage disposes (shingle
+    Jaccard is blind to within-shingle edits and word-order swaps
+    that edit distance sees, and vice versa — a pair passing both is
+    a near-dup with high confidence).
+
+    Exact integers: both engines implement standard Wagner-Fischer
+    Levenshtein over the same strings, and the normalized similarity
+    (maxlen − lev)·1e6 div maxlen is one truncating division
+    (equal empty strings pin 1e6 by convention).
+
+    Scale shape: the O(len²)-per-pair dynamic program runs ONLY on
+    the candidate pairs (bounded by the near-dup density, never
+    |docs|²) — that asymmetry IS the two-stage design; the text
+    lookups are two equi-joins of the tiny pair relation against the
+    column-pruned (doc_id, text) scan. At 100 TB the candidate
+    relation is the LSH banding output instead (dedup_minhash_lsh),
+    same verify stage unchanged."""
+    docs = t(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    pairs = near_jaccard_pairs(docs).select("doc_a", "doc_b")
+    tx = docs.select(
+        "doc_id", "text", F.length("text").cast("long").alias("ln")
+    )
+    ta = tx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("ln").alias("len_a"),
+    )
+    tb = tx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("ln").alias("len_b"),
+    )
+    j = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "len_a",
+        "len_b",
+        F.levenshtein("text_a", "text_b").cast("long").alias("lev_distance"),
+        F.expr(
+            "CASE WHEN greatest(len_a, len_b) = 0 THEN CAST(1000000 AS BIGINT)"
+            " ELSE CAST(((greatest(len_a, len_b)"
+            "             - levenshtein(text_a, text_b)) * 1000000"
+            "            - ((greatest(len_a, len_b)"
+            "                - levenshtein(text_a, text_b)) * 1000000)"
+            "              % greatest(len_a, len_b))"
+            "           / greatest(len_a, len_b) AS BIGINT) END"
+        ).alias("lev_sim_micro"),
+    )

@@ -1245,3 +1245,114 @@ def ml_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (1000000 - 1000000 % fr) / fr END AS BIGINT)"
         ).alias("rr_micro"),
     )
+
+
+_LIFT_ORACLE = f"""
+    WITH {_SCORED_CTE},
+    keyed AS (
+        SELECT f.doc_id, s2.p_micro, s2.y FROM feat f
+        JOIN (SELECT CAST(floor(1 / (1 + exp(-({_W0} + f2.f_chars * {_W_CHARS}
+                                              + f2.f_spaces * {_W_SPACES})))
+                            * 1000000 + 0.5) AS BIGINT) AS p_micro,
+                     CAST(e.label % 2 AS BIGINT) AS y, e.vec_id
+              FROM feat f2 JOIN embeddings e ON e.vec_id = f2.doc_id) s2
+          ON s2.vec_id = f.doc_id
+    ),
+    tiled AS (
+        SELECT p_micro, y,
+               CAST(ntile(10) OVER (ORDER BY p_micro DESC, doc_id)
+                    AS INTEGER) AS decile
+        FROM keyed
+    ),
+    per AS (
+        SELECT decile, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(y) AS HUGEINT) AS pos
+        FROM tiled GROUP BY 1
+    ),
+    cum AS (
+        SELECT a.decile, CAST(a.n AS BIGINT) AS n, CAST(a.pos AS BIGINT) AS n_pos,
+               CAST(sum(b.n) AS HUGEINT) AS cum_n,
+               CAST(sum(b.pos) AS HUGEINT) AS cum_pos
+        FROM per a JOIN per b ON b.decile <= a.decile
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS HUGEINT) AS big_n,
+               CAST(sum(pos) AS HUGEINT) AS big_p
+        FROM per
+    )
+    SELECT c.decile, c.n, c.n_pos,
+           CAST(c.cum_n AS BIGINT) AS cum_n,
+           CAST(c.cum_pos AS BIGINT) AS cum_pos,
+           CAST(c.cum_pos * 1000000 // t.big_p AS BIGINT) AS gain_micro,
+           CAST(c.cum_pos * t.big_n * 1000000
+                // (c.cum_n * t.big_p) AS BIGINT) AS lift_micro
+    FROM cum c CROSS JOIN tot t
+"""
+
+
+@query("ml_eval_lift_table", oracle=_LIFT_ORACLE, tags=("mining", "ml", "eval"))
+def ml_eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 eval depth: DECILE LIFT / CUMULATIVE-GAINS table for the
+    logreg scorer — rank the population by score, cut into ten
+    equal-count deciles, and report how concentrated the positives
+    are in the top cuts. The triage-budget eval: "reviewing the top
+    20% of documents catches X% of the bad ones at Y× random" is
+    THE question a human-review or compute-budgeted curation queue
+    asks, and neither ROC (threshold-free pairs) nor calibration
+    (probability meaning) answers it.
+
+    INTEGER-EXACT: the decile cut is two_pass_ntile over
+    (p_micro DESC, doc_id) — hash-identical to ntile by the r14
+    equivalence proof, range-partitioned, NO single-partition
+    window; per-decile counts are BIGINTs; cumulatives come from the
+    10-row broadcast theta-join (the agg_decile_shares Lorenz
+    device, not a window); gain and lift publish as truncating
+    divisions over HUGEINT/DECIMAL(38,0) cross products
+    (cum_pos·N·1e6 is ~1e32 at 1e13 docs).
+
+    Plan: the scored-labels tree, ONE range exchange for the exact
+    global cut (the price of rank-based bucketing), then everything
+    is 10-row relations plus the allowlisted 1-row totals broadcast."""
+    from talkdesk_async_etl_spark.operators.stats import two_pass_ntile
+
+    s = _scored_labels(spark, sf_dir)
+    tiled = two_pass_ntile(
+        s, [F.col("p_micro").desc(), F.col("doc_id")], 10, "decile"
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("pos"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n").alias("n_d"),
+            F.col("a.pos").alias("pos_d"),
+        )
+        .agg(
+            F.sum("b.n").alias("cum_n"),
+            F.sum("b.pos").alias("cum_pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").alias("big_n"), F.sum("pos").alias("big_p")
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_d").cast("long").alias("n"),
+        F.col("pos_d").cast("long").alias("n_pos"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.expr(
+            "CAST((cum_pos * 1000000 - (cum_pos * 1000000) % big_p) / big_p"
+            " AS BIGINT)"
+        ).alias("gain_micro"),
+        F.expr(
+            "CAST((cum_pos * big_n * 1000000"
+            "      - (cum_pos * big_n * 1000000) % (cum_n * big_p))"
+            "     / (cum_n * big_p) AS BIGINT)"
+        ).alias("lift_micro"),
+    )

@@ -982,3 +982,105 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / lang_total AS BIGINT)"
         ).alias("fold_share_micro"),
     )
+
+
+# Contrastive negative-sampling contract: salted md5 fold on
+# (anchor | slot) mod corpus size — same family as the k-fold /
+# bootstrap devices, independent salt.
+_NEG_SALT = "neg"
+_NEG_K = 4
+
+_NEG_ORACLE = f"""
+    WITH n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    anchors AS (
+        SELECT e.vec_id, e.label AS anchor_label, s.slot, n_.n
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(1, {_NEG_K} + 1)) AS slot) s
+        CROSS JOIN n_
+    ),
+    drawn AS (
+        SELECT vec_id, anchor_label, CAST(slot AS INTEGER) AS slot,
+               CAST(('0x' || substr(md5('{_NEG_SALT}|'
+                    || CAST(vec_id AS VARCHAR) || '|'
+                    || CAST(slot AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % n AS neg_id
+        FROM anchors
+    )
+    SELECT d.vec_id, d.slot, d.neg_id,
+           CAST(d.neg_id = d.vec_id AS INTEGER) AS is_self,
+           CAST(e.label = d.anchor_label AS INTEGER) AS label_collision
+    FROM drawn d JOIN embeddings e ON e.vec_id = d.neg_id
+"""
+
+
+@query("sample_negative_pairs", oracle=_NEG_ORACLE, tags=("sampling", "ml"))
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D10 depth: DETERMINISTIC NEGATIVE SAMPLING for contrastive
+    training — k pseudo-random negatives per anchor embedding, drawn
+    by the family's salted md5 fold (neg = md5('neg'|anchor|slot) mod
+    N) so the pairing is stable under reprocessing, reproducible
+    across engines, and decorrelated from every other md5-device
+    assignment by its salt. The published flags are the quality
+    audit in-batch samplers need: is_self marks the hash landing on
+    the anchor itself, label_collision marks FALSE negatives (the
+    drawn negative shares the anchor's class — the known bias of
+    uniform negative sampling that debiased-contrastive corrections
+    estimate from exactly this rate).
+
+    Exact: the 60-bit hex fold, the mod-N draw, and both flags are
+    pure integer functions of ids; the inner join on neg_id keeps
+    the output deterministic even against sparse id spaces.
+
+    Plan: one in-scan slot explode (k rows per anchor), the
+    allowlisted 1-row corpus-count broadcast, and ONE shuffle — the
+    neg_id equi-join that gathers each negative's label; at 100 TB
+    that join is the unavoidable gather and everything else is
+    row-local."""
+    e = t(spark, sf_dir, "embeddings", spread=True)
+    n1 = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    anchors = (
+        e.select("vec_id", F.col("label").alias("anchor_label"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "vec_id",
+            "anchor_label",
+            "n",
+            F.explode(F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])).alias(
+                "slot"
+            ),
+        )
+    )
+    drawn = anchors.select(
+        "vec_id",
+        "anchor_label",
+        F.col("slot").cast("int").alias("slot"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(_NEG_SALT + "|"),
+                            F.col("vec_id").cast("string"),
+                            F.lit("|"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.col("n"),
+        ).alias("neg_id"),
+    )
+    lab = e.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
+    return drawn.join(lab, "neg_id").select(
+        "vec_id",
+        "slot",
+        "neg_id",
+        (F.col("neg_id") == F.col("vec_id")).cast("int").alias("is_self"),
+        (F.col("neg_label") == F.col("anchor_label"))
+        .cast("int")
+        .alias("label_collision"),
+    )

@@ -4805,3 +4805,79 @@ def events_user_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "            % n_prev_active) / n_prev_active AS BIGINT) END"
         ).alias("churn_rate_micro"),
     )
+
+
+# Hour-of-day as pure integer math on epoch microseconds — immune to
+# session-timezone and engine hour() seams (the dow mod-7 argument at
+# hour grain; both engines store the same UTC instant).
+_HOURPROF_ORACLE = """
+    WITH per AS (
+        SELECT event_type,
+               CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                    AS INTEGER) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS tn FROM per GROUP BY 1
+    ),
+    flagged AS (
+        SELECT p.event_type, p.hour, p.n, t.tn,
+               row_number() OVER (PARTITION BY p.event_type
+                                  ORDER BY p.n DESC, p.hour ASC) AS rk
+        FROM per p JOIN tot t ON t.event_type = p.event_type
+    )
+    SELECT event_type, hour, n,
+           CAST(n * 1000000 // tn AS BIGINT) AS share_micro,
+           CAST(rk = 1 AS INTEGER) AS is_peak
+    FROM flagged
+"""
+
+
+@query(
+    "events_hour_profile", oracle=_HOURPROF_ORACLE, tags=("stats", "events")
+)
+def events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61: HOUR-OF-DAY load profile per metric — each active hour's
+    exact share of the metric's volume with the peak hour flagged,
+    the within-day shape that pairs with the weekday shelf (A57/A59
+    read the week's shape; capacity planning, rate-limit sizing, and
+    maintenance-window placement read the day's). Hour = epoch-micros
+    div 3600000000 mod 24 — pure integer arithmetic on the stored UTC
+    instant, immune to session-timezone and engine hour() numbering
+    seams (the dow mod-7 device at hour grain).
+
+    Exact: shares are one truncating micro division over BIGINT
+    counts; the peak is a deterministic argmax (count desc, hour asc)
+    over the ≤24-row per-type relation.
+
+    Plan: ONE corpus exchange to the (type, hour) grain (map-side
+    combinable, ≤ 24·|types| groups); the total rollup, equi-join,
+    and peak window all run on that domain-bounded relation."""
+    per = (
+        t(spark, sf_dir, "events", spread=True)
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24"
+                " AS INT)"
+            ).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = per.groupBy("event_type").agg(F.sum("n").cast("long").alias("tn"))
+    flagged = per.join(tot, "event_type").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hour"))
+        ),
+    )
+    return flagged.select(
+        "event_type",
+        "hour",
+        "n",
+        F.expr(
+            "CAST((n * 1000000 - (n * 1000000) % tn) / tn AS BIGINT)"
+        ).alias("share_micro"),
+        (F.col("rk") == 1).cast("int").alias("is_peak"),
+    )

@@ -2493,3 +2493,84 @@ def text_hapax_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("hapax_share_micro"),
     )
+
+
+_LENQ_ORACLE = """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS r
+        FROM documents
+    ),
+    sz AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM ranked GROUP BY 1
+    )
+    SELECT r.source, max(s.n) AS n_docs,
+           CAST(sum(CASE WHEN r.r - 1 = (s.n - 1) // 4 THEN r.n_chars
+                         ELSE 0 END
+                    + CASE WHEN r.r - 1 = (s.n + 2) // 4 THEN r.n_chars
+                           ELSE 0 END) AS BIGINT) AS q1_x2,
+           CAST(sum(CASE WHEN r.r - 1 = (s.n - 1) // 2 THEN r.n_chars
+                         ELSE 0 END
+                    + CASE WHEN r.r - 1 = s.n // 2 THEN r.n_chars
+                           ELSE 0 END) AS BIGINT) AS median_x2,
+           CAST(sum(CASE WHEN r.r - 1 = (3 * s.n - 3) // 4 THEN r.n_chars
+                         ELSE 0 END
+                    + CASE WHEN r.r - 1 = (3 * s.n) // 4 THEN r.n_chars
+                           ELSE 0 END) AS BIGINT) AS q3_x2
+    FROM ranked r JOIN sz s ON s.source = r.source
+    GROUP BY r.source
+"""
+
+
+@query("text_length_quartiles", oracle=_LENQ_ORACLE, tags=("text", "quality"))
+def text_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 depth: EXACT per-source document-length quartiles — the
+    three numbers a curation pipeline sets its length filters from
+    (min-length floors and truncation ceilings are per-source
+    decisions: a tweet source and a book source need different
+    cuts), published in the family's 2x-integer convention so
+    even-count midpoints stay exact without a single float.
+
+    Positional contract: with ranks sorted by (n_chars, doc_id) —
+    the doc_id tie-break makes the total order engine-identical —
+    quartile q at 0-based positions floor((n−1)q) and ceil((n−1)q),
+    published as the SUM of the two position values (equal positions
+    count twice), the window_rolling_median / conversion_latency
+    device.
+
+    Plan: one rank window PARTITIONED by source (never global), a
+    |sources|-row count broadcast back, and one conditional-sum
+    aggregate — the quartile pick reads exactly 6 rows per source
+    out of the scan, everything else folds map-side."""
+    d = t(spark, sf_dir, "documents", spread=True).select(
+        "source", "n_chars", "doc_id"
+    )
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("r"),
+    )
+    sz = r.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = r.join(F.broadcast(sz), "source")
+
+    def pick(lo_expr: str, hi_expr: str, name: str) -> F.Column:
+        return (
+            F.expr(
+                f"sum(CASE WHEN r - 1 = {lo_expr} THEN n_chars ELSE 0 END"
+                f"    + CASE WHEN r - 1 = {hi_expr} THEN n_chars ELSE 0 END)"
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    return j.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        pick("(n - 1) div 4", "(n + 2) div 4", "q1_x2"),
+        pick("(n - 1) div 2", "n div 2", "median_x2"),
+        pick("(3 * n - 3) div 4", "(3 * n) div 4", "q3_x2"),
+    )

@@ -7281,3 +7281,217 @@ def test_two_hop_reach_constructed(spark):
         [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)],  # bowtie
     ):
         assert run(edges) == replica(edges)
+
+
+# --- round-15 wave F ------------------------------------------------
+
+
+def test_levenshtein_verify_constructed(spark):
+    """dedup_levenshtein_verify on hand-built near-dups: a one-word
+    substitution passes the shingle stage and its edit distance +
+    normalized similarity match the pure-Python Wagner-Fischer
+    replica; an unrelated doc never reaches the verify stage."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the calm cat"
+        " naps near the warm stove and the old owl watches from the tall"
+        " oak tree until dawn arrives"
+    )
+    near = base.replace("lazy", "hazy")
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, near, "en", "s", len(near)),
+        (3, "completely different text with no shared shingles at all x y z",
+         "en", "s", 60),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(tmp + "/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in QUERIES["dedup_levenshtein_verify"].fn(spark, tmp).collect()
+        }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    d = lev(base, near)
+    assert r["lev_distance"] == d == 1
+    ml = max(len(base), len(near))
+    assert (r["len_a"], r["len_b"]) == (len(base), len(near))
+    assert r["lev_sim_micro"] == (ml - d) * 1_000_000 // ml
+
+
+def test_length_quartiles_constructed(spark):
+    """text_length_quartiles on odd/even/singleton sources vs the
+    positional replica: odd counts double the middle, even counts sum
+    the two positions, a singleton pins all three to 2x its value."""
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    lengths = {
+        "odd": [10, 20, 30, 40, 50],
+        "even": [1, 2, 3, 4],
+        "one": [77],
+    }
+    rows, did = [], 0
+    for src, ls in lengths.items():
+        for ln in ls:
+            rows.append((did, "t", "en", src, ln))
+            did += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        ).write.parquet(tmp + "/documents.parquet")
+        got = {
+            r["source"]: r
+            for r in QUERIES["text_length_quartiles"].fn(spark, tmp).collect()
+        }
+
+    def q_x2(vals, num, den):
+        s, n = sorted(vals), len(vals)
+        lo = (n - 1) * num // den
+        hi = -((-(n - 1) * num) // den)  # ceil
+        return s[lo] + s[hi]
+
+    for src, ls in lengths.items():
+        r = got[src]
+        assert r["n_docs"] == len(ls)
+        assert r["q1_x2"] == q_x2(ls, 1, 4)
+        assert r["median_x2"] == q_x2(ls, 1, 2)
+        assert r["q3_x2"] == q_x2(ls, 3, 4)
+    assert got["odd"]["median_x2"] == 60  # 2 x 30
+    assert got["even"]["median_x2"] == 5  # 2 + 3
+    assert got["one"]["q1_x2"] == got["one"]["q3_x2"] == 154
+
+
+def test_negative_pairs_replica(spark):
+    """sample_negative_pairs on a dense constructed id space: every
+    draw equals the hashlib fold replica, each anchor emits exactly k
+    slots, and the collision flags match the label table."""
+    import hashlib
+    import tempfile
+
+    from talkdesk_async_etl_spark.operators.sampling import _NEG_K, _NEG_SALT
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    n = 12
+    rows = [(i, [float(i), 1.0], i % 3) for i in range(n)]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(tmp + "/embeddings.parquet")
+        got = {
+            (r["vec_id"], r["slot"]): r
+            for r in QUERIES["sample_negative_pairs"].fn(spark, tmp).collect()
+        }
+
+    def draw(vid, slot):
+        h = hashlib.md5(f"{_NEG_SALT}|{vid}|{slot}".encode()).hexdigest()
+        return int(h[:15], 16) % n
+
+    assert len(got) == n * _NEG_K
+    for vid in range(n):
+        for slot in range(1, _NEG_K + 1):
+            neg = draw(vid, slot)
+            r = got[(vid, slot)]
+            assert r["neg_id"] == neg
+            assert r["is_self"] == int(neg == vid)
+            assert r["label_collision"] == int(neg % 3 == vid % 3)
+
+
+def test_lift_table_replica(spark):
+    """ml_eval_lift_table vs a pure-Python replica of the ntile
+    convention over the real sf0.001 scored relation: deciles are
+    population-equal with the first n%10 absorbing one extra, the
+    cumulative gains are monotone to 1e6, and the final decile's
+    lift is exactly 1e6 (the whole population is 1x random)."""
+    from talkdesk_async_etl_spark.operators.mining import _scored_labels
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    sf = "/root/testdata/sf0.001"
+    scored = sorted(
+        ((r["p_micro"], r["doc_id"], r["y"])
+         for r in _scored_labels(spark, sf).collect()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = {
+        r["decile"]: r
+        for r in QUERIES["ml_eval_lift_table"].fn(spark, sf).collect()
+    }
+    n, k = len(scored), 10
+    base, rem = divmod(n, k)
+    bounds, start = [], 0
+    for d in range(1, k + 1):
+        size = base + (1 if d <= rem else 0)
+        bounds.append((d, start, start + size))
+        start += size
+    big_p = sum(y for _, _, y in scored)
+    cum_n = cum_pos = 0
+    for d, lo, hi in bounds:
+        rows = scored[lo:hi]
+        pos = sum(y for _, _, y in rows)
+        cum_n += len(rows)
+        cum_pos += pos
+        r = got[d]
+        assert (r["n"], r["n_pos"], r["cum_n"], r["cum_pos"]) == (
+            len(rows), pos, cum_n, cum_pos,
+        )
+        assert r["gain_micro"] == cum_pos * 1_000_000 // big_p
+        assert r["lift_micro"] == cum_pos * n * 1_000_000 // (cum_n * big_p)
+    assert got[10]["gain_micro"] == 1_000_000
+    assert got[10]["lift_micro"] == 1_000_000
+    gains = [got[d]["gain_micro"] for d in range(1, 11)]
+    assert gains == sorted(gains)
+
+
+def test_hour_profile_constructed(spark):
+    """events_hour_profile on hand-placed UTC hours: integer shares,
+    the peak argmax with the hour-ascending tie-break, and the
+    epoch-micros device mapping midnight UTC to hour 0."""
+    import datetime as dt
+    import tempfile
+
+    from talkdesk_async_etl_spark.plans.registry import load_all
+
+    QUERIES = load_all()
+    day = dt.datetime(2024, 1, 10)
+    per_hour = {0: 5, 9: 3, 17: 3, 23: 1}  # 9 and 17 tie below the peak
+    rows, eid = [], 0
+    for h, k in per_hour.items():
+        for _ in range(k):
+            rows.append((eid, day + dt.timedelta(hours=h), 1, "m", 1.0))
+            eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r["hour"]: r
+            for r in QUERIES["events_hour_profile"].fn(spark, tmp).collect()
+        }
+    assert set(got) == set(per_hour)
+    total = sum(per_hour.values())
+    for h, k in per_hour.items():
+        assert got[h]["n"] == k
+        assert got[h]["share_micro"] == k * 1_000_000 // total
+    assert got[0]["is_peak"] == 1  # midnight UTC -> hour 0, the max
+    assert got[9]["is_peak"] == got[17]["is_peak"] == got[23]["is_peak"] == 0

@@ -1648,3 +1648,38 @@ def test_round15_wave_e_plan_shapes(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"\(\d+\) Window", plan) is None
+
+
+def test_round15_wave_f_plan_shapes(spark):
+    """Round-15 wave F: the levenshtein verify stage is broadcast
+    equi-joins only (the DP runs on the bounded candidate pairs, no
+    NLJ, no sort-merge); length quartiles is one source-partitioned
+    rank window + a |sources|-row broadcast; negative sampling
+    carries exactly its allowlisted 1-row count broadcast and ONE
+    shuffle join; the lift table's nested loops are all the
+    allowlisted two_pass_ntile offset/Lorenz/totals shapes; the hour
+    profile is one corpus exchange with a 24-row-per-type window."""
+    import re
+
+    plan = plan_of(spark, "dedup_levenshtein_verify")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "text_length_quartiles")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "partitionBy=\\[source" in plan.replace("PartitionBy", "partitionBy") or "source" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "sample_negative_pairs")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+    plan = plan_of(spark, "ml_eval_lift_table")
+    assert "SortMergeJoin" not in plan  # everything broadcasts
+
+    plan = plan_of(spark, "events_hour_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan

@@ -31,6 +31,7 @@ from talkdesk_async_etl_spark.plans.cache import (
     scoped_persist,
 )
 from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.session import single_partition_loop
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
 _COMPONENTS_ORACLE = f"""
@@ -70,36 +71,40 @@ def propagate_min_labels(pairs: DataFrame) -> DataFrame:
     # hundred label rows makes every round
     # scheduling-overhead-dominated).
     n_parts = max(1, pairs.count() // 100_000 + 1)
-    edges = scoped_persist(
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .repartition(n_parts, "doc_b")
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
-    ).localCheckpoint()
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nmin"))
+    # Same size-derived rule, applied to the round exchanges: when the
+    # graph fits one partition, AQE re-planning per round is pure
+    # overhead (session.single_partition_loop; no-op when n_parts > 1).
+    with single_partition_loop(pairs.sparkSession, n_parts):
+        edges = scoped_persist(
+            pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+            .repartition(n_parts, "doc_b")
         )
-        # ONE job per round: the convergence flag rides the label
-        # row, the checkpoint is lazy, and the count() both
-        # materializes the checkpointed round and returns how many
-        # labels moved — no second labels-vs-labels join/action.
-        flagged = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-                F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("chg"),
+        labels = (
+            edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn("label", F.col("doc_id"))
+        ).localCheckpoint()
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy("doc_a")
+                .agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint(eager=False)
-        )
-        changed = flagged.filter("chg").count()
-        labels = flagged.drop("chg")
-        if changed == 0:
-            break
+            # ONE job per round: the convergence flag rides the label
+            # row, the checkpoint is lazy, and the count() both
+            # materializes the checkpointed round and returns how many
+            # labels moved — no second labels-vs-labels join/action.
+            flagged = (
+                labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                    F.coalesce(F.col("nmin") < F.col("label"), F.lit(False)).alias("chg"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = flagged.filter("chg").count()
+            labels = flagged.drop("chg")
+            if changed == 0:
+                break
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
@@ -493,6 +498,17 @@ def components_large_small_star(pairs: DataFrame) -> DataFrame:
     )
     nodes = scoped_persist(sym.select(F.col("u").alias("doc_id")).distinct())
     n_parts = max(1, nodes.count() // 100_000 + 1)
+    # Size-derived round-exchange rule (see session.single_partition_loop):
+    # a single-partition contraction round has nothing for AQE to
+    # coalesce/skew-split; no-op when the graph spans real partitions.
+    with single_partition_loop(pairs.sparkSession, n_parts):
+        return _star_rounds(pairs, sym, nodes, n_parts)
+
+
+def _star_rounds(pairs: DataFrame, sym: DataFrame, nodes: DataFrame, n_parts: int) -> DataFrame:
+    """The alternating contraction rounds of
+    :func:`components_large_small_star` (split out so the whole loop
+    runs under the caller's execution-conf window)."""
     # Canonical orientation (hi → lo) between rounds.
     edges = (
         sym.filter(F.col("u") > F.col("v"))

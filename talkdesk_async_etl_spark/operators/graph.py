@@ -42,6 +42,7 @@ from talkdesk_async_etl_spark.plans.cache import (
     scoped_persist,
 )
 from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.session import single_partition_loop
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
 _PR_DAMPING = 0.85
@@ -140,34 +141,41 @@ def pagerank_from_edges(
         .distinct()
         .repartition(n_parts, "node")
     )
+    # nodes.count() materializes BOTH scoped persists (nodes scans
+    # edges) before the conf window below: the corpus-sized edge build
+    # runs under the session's normal AQE profile — only the node-sized
+    # rounds belong inside the window.
     n_nodes = nodes.count()
     small = n_nodes <= broadcast_nodes
 
     def j(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df.repartition(n_parts, df.columns[0])
 
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("pr")
-    ).localCheckpoint()
-    for k in range(1, iters + 1):
-        contrib = (
-            j(ranks.withColumnRenamed("node", "src"))
-            .join(edges, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("s"))
-        )
-        ranks = nodes.join(
-            j(contrib.withColumnRenamed("dst", "node")), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit((1 - damping) / n_nodes)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("pr"),
-        )
-        if k % _PR_CHECKPOINT_EVERY == 0 and k < iters:
-            ranks = ranks.localCheckpoint()
-    return ranks.localCheckpoint()
+    # Size-derived round-exchange rule (session.single_partition_loop):
+    # no-op when the edge graph spans real partitions.
+    with single_partition_loop(edges_raw.sparkSession, n_parts):
+        ranks = nodes.select(
+            "node", F.lit(1.0 / n_nodes).alias("pr")
+        ).localCheckpoint()
+        for k in range(1, iters + 1):
+            contrib = (
+                j(ranks.withColumnRenamed("node", "src"))
+                .join(edges, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") * F.col("p")).alias("s"))
+            )
+            ranks = nodes.join(
+                j(contrib.withColumnRenamed("dst", "node")), "node", "left"
+            ).select(
+                "node",
+                (
+                    F.lit((1 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            if k % _PR_CHECKPOINT_EVERY == 0 and k < iters:
+                ranks = ranks.localCheckpoint()
+        return ranks.localCheckpoint()
 
 
 def _oracle_triangles() -> str:
@@ -426,23 +434,25 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         frontier = dist
-        for rnd in range(1, _BFS_MAX_ROUNDS + 1):
-            # The frontier is node-sized — broadcast it onto the
-            # persisted edges (below ~10^5 nodes; at web scale drop the
-            # hint and both sides shuffle on the node key, the
-            # pagerank_from_edges switch).
-            nxt = (
-                F.broadcast(frontier)
-                .join(edges, frontier.node == edges.src)
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .withColumn("dist", F.lit(rnd))
-            )
-            new = scoped_persist(nxt.join(F.broadcast(dist), "node", "left_anti"))
-            if new.isEmpty():
-                break
-            dist = scoped_persist(dist.union(new))
-            frontier = new
+        # Size-derived round-exchange rule (session.single_partition_loop).
+        with single_partition_loop(spark, n_parts):
+            for rnd in range(1, _BFS_MAX_ROUNDS + 1):
+                # The frontier is node-sized — broadcast it onto the
+                # persisted edges (below ~10^5 nodes; at web scale drop
+                # the hint and both sides shuffle on the node key, the
+                # pagerank_from_edges switch).
+                nxt = (
+                    F.broadcast(frontier)
+                    .join(edges, frontier.node == edges.src)
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .withColumn("dist", F.lit(rnd))
+                )
+                new = scoped_persist(nxt.join(F.broadcast(dist), "node", "left_anti"))
+                if new.isEmpty():
+                    break
+                dist = scoped_persist(dist.union(new))
+                frontier = new
         return collect_release(
             dist.join(F.broadcast(n), dist.node == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"))
@@ -544,24 +554,29 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = edges.count()
-    for _ in range(_KCORE_MAX_ROUNDS):
-        deg = (
-            edges.select(F.col("a").alias("node"))
-            .union(edges.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        keep = F.broadcast(deg.filter(F.col("deg") >= _KCORE_K).select("node"))
-        pruned = (
-            edges.join(keep, edges.a == keep.node, "left_semi")
-            .join(keep, edges.b == keep.node, "left_semi")
-            .localCheckpoint()
-        )
-        n_pruned = pruned.count()
-        edges, stable = pruned, n_pruned == n_edges
-        n_edges = n_pruned
-        if stable:
-            break
+    # Size-derived round-exchange rule (session.single_partition_loop);
+    # the lazy checkpoint + count fuse each peel round into ONE job
+    # (the propagate_min_labels pattern: count materializes the
+    # checkpointed round AND probes convergence).
+    with single_partition_loop(spark, max(1, n_edges // 100_000 + 1)):
+        for _ in range(_KCORE_MAX_ROUNDS):
+            deg = (
+                edges.select(F.col("a").alias("node"))
+                .union(edges.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            keep = F.broadcast(deg.filter(F.col("deg") >= _KCORE_K).select("node"))
+            pruned = (
+                edges.join(keep, edges.a == keep.node, "left_semi")
+                .join(keep, edges.b == keep.node, "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            n_pruned = pruned.count()
+            edges, stable = pruned, n_pruned == n_edges
+            n_edges = n_pruned
+            if stable:
+                break
     final_deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -656,18 +671,23 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.createDataFrame(
         [(_SSSP_SRC, 0)], "node bigint, dist bigint"
     ).localCheckpoint()
-    for k in range(1, _SSSP_ROUNDS + 1):
-        relaxed = (
-            dist.join(edges, dist.node == edges.src)
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        if k % 2 == 0 and k < _SSSP_ROUNDS:
-            dist = dist.localCheckpoint()
+    # Size-derived round-exchange rule (session.single_partition_loop):
+    # the tiny signal is the materialized edge relation's own partition
+    # count (node²-bounded; no extra job).
+    with single_partition_loop(spark, edges.rdd.getNumPartitions()):
+        for k in range(1, _SSSP_ROUNDS + 1):
+            relaxed = (
+                dist.join(edges, dist.node == edges.src)
+                .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if k % 2 == 0 and k < _SSSP_ROUNDS:
+                dist = dist.localCheckpoint()
+        dist = dist.localCheckpoint()
     return dist.join(F.broadcast(n), dist.node == n.n_nationkey).select(
         F.col("n_name").alias("nation"), "dist"
     )
@@ -1156,12 +1176,17 @@ def hits_from_edges(edges_raw: DataFrame, iters: int = _HITS_ITERS) -> DataFrame
     Scale shape: per round, two node-sized join+aggregate passes over
     the once-persisted edge relation, each followed by a 1-row total
     broadcast (that hint stays — a scalar is always broadcastable).
-    The node-sized score relation carries NO broadcast hint: AQE
-    picks broadcast below the threshold (the pagerank small-graph
-    fast path) and a node-key shuffle above it, so a web-scale node
-    domain can never OOM the driver on a forced hint (ADVICE r14).
-    Lineage cut per round via localCheckpoint (the pagerank 2.4x
-    lesson)."""
+    The node-sized score relation broadcasts only under a SIZE-DERIVED
+    switch (n_nodes <= the pagerank broadcast threshold, from the same
+    count the partitioning already pays — never an unconditional hint,
+    so a web-scale node domain cannot OOM the driver; ADVICE r14);
+    above the threshold both sides shuffle on the node key. The
+    conditional matters inside the AQE-off loop window below: the
+    round relations are localCheckpointed LogicalRDDs whose size
+    statistics are unknown, so without the switch every round join
+    plans as sort-merge even for a 25-node graph (measured ~+0.8 s
+    over the 4 rounds at sf0.1). Lineage cut per round via
+    localCheckpoint (the pagerank 2.4x lesson)."""
     n_edges = edges_raw.count()
     n_parts = max(1, n_edges // 100_000 + 1)
     edges = scoped_persist(edges_raw.repartition(n_parts, "src"))
@@ -1171,11 +1196,20 @@ def hits_from_edges(edges_raw: DataFrame, iters: int = _HITS_ITERS) -> DataFrame
         .distinct()
         .repartition(n_parts, "node")
     )
+    # Materialize both scoped persists BEFORE the conf window below
+    # (nodes scans edges): the corpus-sized edge build runs under the
+    # session's normal AQE profile — only the node-sized rounds belong
+    # inside the window.
+    n_nodes = nodes.count()
+    small = n_nodes <= _PR_BROADCAST_NODES
 
-    def norm(raw: DataFrame, key: str, out: str) -> DataFrame:
+    def j(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df.repartition(n_parts, df.columns[0])
+
+    def norm(raw: DataFrame, key: str, out: str, checkpoint: bool) -> DataFrame:
         tot = raw.agg(F.sum("raw").alias("tot"))
-        return (
-            nodes.join(raw.withColumnRenamed(key, "node"), "node", "left")
+        res = (
+            nodes.join(j(raw.withColumnRenamed(key, "node")), "node", "left")
             .crossJoin(F.broadcast(tot))
             .select(
                 "node",
@@ -1185,28 +1219,39 @@ def hits_from_edges(edges_raw: DataFrame, iters: int = _HITS_ITERS) -> DataFrame
                     " END AS BIGINT)"
                 ).alias(out),
             )
-            .localCheckpoint()
         )
+        return res.localCheckpoint() if checkpoint else res
 
-    h = nodes.select(
-        "node", F.lit(_HITS_MICRO).cast("long").alias("hub")
-    ).localCheckpoint()
-    a = None
-    for _ in range(iters):
-        a_raw = (
-            h.withColumnRenamed("node", "src")
-            .join(edges, "src")
-            .groupBy(F.col("dst"))
-            .agg(F.sum(F.col("hub").cast("decimal(38,0)") * F.col("w")).alias("raw"))
-        )
-        a = norm(a_raw, "dst", "auth")
-        h_raw = (
-            a.withColumnRenamed("node", "dst")
-            .join(edges, "dst")
-            .groupBy(F.col("src"))
-            .agg(F.sum(F.col("auth").cast("decimal(38,0)") * F.col("w")).alias("raw"))
-        )
-        h = norm(h_raw, "src", "hub")
+    # Size-derived round-exchange rule (session.single_partition_loop) +
+    # the pagerank checkpoint cadence: lineage is cut once per FULL
+    # hub/auth round (the half-round auth relation stays lazy inside
+    # its round — its one-join subtree re-derives from the checkpointed
+    # hub, which is cheaper than an extra eager materialization per
+    # half-round; identical outputs, numbers in OPTIMIZATION_r15.md).
+    with single_partition_loop(edges_raw.sparkSession, n_parts):
+        h = nodes.select(
+            "node", F.lit(_HITS_MICRO).cast("long").alias("hub")
+        ).localCheckpoint()
+        a = None
+        for _ in range(iters):
+            a_raw = (
+                j(h.withColumnRenamed("node", "src"))
+                .join(edges, "src")
+                .groupBy(F.col("dst"))
+                .agg(F.sum(F.col("hub").cast("decimal(38,0)") * F.col("w")).alias("raw"))
+            )
+            a = norm(a_raw, "dst", "auth", checkpoint=False)
+            h_raw = (
+                j(a.withColumnRenamed("node", "dst"))
+                .join(edges, "dst")
+                .groupBy(F.col("src"))
+                .agg(F.sum(F.col("auth").cast("decimal(38,0)") * F.col("w")).alias("raw"))
+            )
+            h = norm(h_raw, "src", "hub", checkpoint=True)
+        # Materialize the LAST auth once so the caller's join reads a
+        # checkpointed relation instead of re-deriving the final
+        # half-round at every downstream action.
+        a = a.localCheckpoint()
     return h.join(a, "node")
 
 

@@ -48,6 +48,7 @@ from talkdesk_async_etl_spark.plans.cache import (
     scoped_persist,
 )
 from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.session import single_partition_loop
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
 # Stage constants are IMPORTED from the standalone operators, so the
@@ -444,8 +445,14 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materializing wrapper around :func:`curation_audit_plan` (the
     lazy core the plan test pins — the keyed_table_diff precedent):
     the audit is 6 rows by construction, so collect_release frees
-    every stage cache on the way out."""
-    return collect_release(curation_audit_plan(spark, sf_dir))
+    every stage cache on the way out. Same size-derived conf window
+    as pipeline_incremental_e2e: every post-scan stage relation is
+    survivor-/language-/pair-sized, so when the corpus fits one
+    partition the per-stage AQE re-planning is pure overhead (no-op
+    at cluster scale)."""
+    n_docs = t(spark, sf_dir, "documents").count()  # metadata count
+    with single_partition_loop(spark, max(1, n_docs // 100_000 + 1)):
+        return collect_release(curation_audit_plan(spark, sf_dir))
 
 
 # --- Entity-resolution composition (round 12) ---------------------------
@@ -557,7 +564,11 @@ def pipeline_entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     p = t(spark, sf_dir, "part", spread=True)
-    with cache_scope():
+    # Size-derived conf window (pipeline_incremental_e2e's rule; no-op
+    # at cluster scale): every stage past the scan is vocabulary- or
+    # block-pair-sized, so derive from the part table's metadata count.
+    n_recs = t(spark, sf_dir, "part").count()  # metadata count
+    with single_partition_loop(spark, max(1, n_recs // 100_000 + 1)), cache_scope():
         norm = scoped_persist(
             p.select(
                 "p_partkey",
@@ -1051,9 +1062,19 @@ def pipeline_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materializing wrapper around :func:`incremental_audit_plan` (the
     lazy core the plan test pins): the audit is 5 rows by
     construction, so collect_release frees every stage cache on the
-    way out."""
-    with cache_scope():
-        return collect_release(incremental_audit_plan(spark, sf_dir))
+    way out.
+
+    Like the fixpoint loops, the composed audit is ~30 SMALL stages
+    (every post-landing relation is file-count-, source-count- or
+    pair-graph-sized); when the corpus itself fits one partition the
+    per-stage AQE re-planning across all of them is pure overhead, so
+    the same size-derived conf window applies — derived from the
+    parquet metadata row count, no-op at cluster scale
+    (session.single_partition_loop)."""
+    n_docs = t(spark, sf_dir, "documents").count()  # metadata count
+    with single_partition_loop(spark, max(1, n_docs // 100_000 + 1)):
+        with cache_scope():
+            return collect_release(incremental_audit_plan(spark, sf_dir))
 
 
 # --- Training-export composition (round 14, VERDICT r13 task 4) --------
@@ -1468,6 +1489,9 @@ def pipeline_training_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materializing wrapper around :func:`training_export_audit_plan`
     (the lazy core the plan test pins): the audit is 6 rows by
     construction, so collect_release frees every stage cache on the
-    way out."""
-    with cache_scope():
-        return collect_release(training_export_audit_plan(spark, sf_dir))
+    way out. Same size-derived conf window as
+    pipeline_incremental_e2e (no-op at cluster scale)."""
+    n_docs = t(spark, sf_dir, "documents").count()  # metadata count
+    with single_partition_loop(spark, max(1, n_docs // 100_000 + 1)):
+        with cache_scope():
+            return collect_release(training_export_audit_plan(spark, sf_dir))

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from talkdesk_async_etl_spark.operators.dedup import _duck_hex15, _hex15_col
 from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.session import single_partition_loop
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
 # Knuth's multiplicative-hash constant (2^32 / phi). doc_id * K mod 100
@@ -436,11 +437,15 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", qv_expr.alias("qv")
     )
-    with cache_scope():
+    # Size-derived round-exchange rule (session.single_partition_loop):
+    # when the quantized corpus fits one cache partition, the k
+    # scan+argmax rounds have nothing for AQE to re-plan; no-op at scale.
+    n_parts = max(1, n_vecs // 100_000)
+    with single_partition_loop(emb.sparkSession, n_parts), cache_scope():
         # cache right-sized to the projected corpus (the bpe_train
         # rule): k rounds of scan+argmax over near-empty partitions are
         # scheduling-dominated; ~64 B x 64 dims -> ~500 KB per 1k vecs
-        q = scoped_persist(emb.repartition(max(1, n_vecs // 100_000)))
+        q = scoped_persist(emb.repartition(n_parts))
         seed_rows = q.filter(F.col("vec_id") == 0).collect()
         if not seed_rows:
             raise ValueError("kcenter: seed vec_id 0 missing from embeddings")

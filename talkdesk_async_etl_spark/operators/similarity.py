@@ -1395,12 +1395,14 @@ def sim_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — no float linear algebra anywhere. Sign follows the
     all-ones start deterministically.
 
-    Scale shape: the mean vector S (64 values) and N are bounded
-    driver fetches (the bloom-literal precedent) re-entered as plan
-    literals, so centering is in-scan arithmetic; the scatter builds
-    from ONE corpus scan via two nested posexplodes (64² products per
-    vector, map-side partials collapse to the 4096-cell C before the
-    only corpus-sized exchange). C is dim²-bounded no matter the
+    Scale shape: ONE corpus scan total — the homogeneous raw scatter
+    G = Σ(q++[1])(q++[1])ᵀ carries the column sums and row count in
+    its last row/column, and C = n²·G − n·S·Sᵀ is exact integer
+    algebra on the collected cells, so no separate stats pass exists;
+    two nested posexplodes generate only the upper triangle (65·66/2
+    products per vector), map-side partials collapse to the
+    2145-cell G before the only corpus-sized exchange, and the
+    centering runs driver-side. C is dim²-bounded no matter the
     corpus, so the eigensolve itself is a driver-side constant-size
     computation — distributing a 64×64 matvec is pure scheduling
     overhead (measured: 7.2 s as 17 tiny cluster jobs vs ~1.5 s
@@ -1412,34 +1414,31 @@ def sim_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(_as_double("embedding"), lambda x: F.floor(x * _PCA_Q).cast("long")).alias("q"),
     )
-    # bounded literal fetches: N and the 64 column sums
-    stats = emb.select(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.sum(F.element_at("q", d + 1)).cast("long").alias(f"s{d}")
-            for d in range(_PCA_DIM)
-        ],
-    ).collect()[0]
-    n_rows = int(stats["n"])
-    s = [int(stats[f"s{d}"]) for d in range(_PCA_DIM)]
-    y_arr = F.expr(
-        "transform(q, (x, j) -> CAST({n} AS BIGINT) * x - element_at(array({s}), j + 1))".format(
-            n=n_rows, s=", ".join(f"CAST({v} AS BIGINT)" for v in s)
+    # ONE corpus scan in homogeneous coordinates: z = q ++ [1] makes
+    # G = Σ z·zᵀ carry the raw scatter (a,b < dim), the column sums S
+    # (b = dim) and the row count n (a = b = dim) in a single
+    # aggregate, and the centered scatter expands EXACTLY as
+    #   C_ab = n²·G_ab − n·S_a·S_b   (substitute y = n·q − S),
+    # so the 64×64 integer matrix the rounds consume is bit-identical
+    # to the former two-pass (stats collect + centered product) build
+    # while the stats pass and its full extra corpus scan disappear.
+    # Only the upper triangle is generated (b ≥ a via a per-row
+    # slice) — G is symmetric, the mirror is driver-side bookkeeping —
+    # which also halves the per-row product count (2145 vs 4096).
+    hdim = _PCA_DIM + 1
+    za = emb.select(F.expr("concat(q, array(1L))").alias("z")).select(
+        F.posexplode("z").alias("a", "za"), F.col("z")
+    )
+    gm = (
+        za.select(
+            "a",
+            "za",
+            F.posexplode(F.expr(f"slice(z, a + 1, {hdim} - a)")).alias("db", "zb"),
         )
+        .groupBy("a", (F.col("a") + F.col("db")).alias("b"))
+        .agg(F.sum((F.col("za") * F.col("zb")).cast("decimal(38,0)")).alias("gab"))
     )
-    ya = emb.select(y_arr.alias("y")).select(
-        F.posexplode("y").alias("a", "ya"), F.col("y")
-    )
-    cm = (
-        ya.select("a", "ya", F.posexplode("y").alias("b", "yb"))
-        .groupBy("a", "b")
-        .agg(
-            F.sum(
-                (F.col("ya") * F.col("yb")).cast("decimal(38,0)")
-            ).alias("cab")
-        )
-    )
-    # The scatter matrix is dim²-bounded (4096 cells) regardless of
+    # G is dim²-bounded (2145 upper-triangle cells) regardless of
     # corpus size — collect it (a bounded-literal fetch, the
     # bloom/kcenter rule) and run the 8 matvec rounds driver-side in
     # exact Python integers: distributing a 64×64 matvec would be
@@ -1447,7 +1446,16 @@ def sim_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jobs vs ~1.5 s this way), and production systems do exactly
     # this split — the corpus-sized reduction is the cluster's job,
     # the constant-size eigensolve is the driver's.
-    cells = {(r["a"], r["b"]): int(r["cab"]) for r in cm.collect()}
+    g: dict[tuple[int, int], int] = {}
+    for r in gm.collect():
+        g[(int(r["a"]), int(r["b"]))] = g[(int(r["b"]), int(r["a"]))] = int(r["gab"])
+    n_rows = g.get((_PCA_DIM, _PCA_DIM), 0)
+    s = [g.get((d, _PCA_DIM), 0) for d in range(_PCA_DIM)]
+    cells = {
+        (a, b): n_rows * n_rows * g.get((a, b), 0) - n_rows * s[a] * s[b]
+        for a in range(_PCA_DIM)
+        for b in range(_PCA_DIM)
+    }
 
     def tdiv(a: int, b: int) -> int:
         """SQL div / DuckDB // semantics: truncation toward zero

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.cache import cache_scope, scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.session import single_partition_loop
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
 # Tiny per-language marker lexicons for the n-gram/keyword language-ID
@@ -779,7 +780,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = t(spark, sf_dir, "documents").count()  # parquet metadata count
     n_parts = max(1, n_docs // 500_000)
     learned: list[tuple[int, str, str, int]] = []
-    with cache_scope():
+    # Size-derived round-exchange rule (session.single_partition_loop):
+    # the cache is already right-sized to n_parts, so when the encoded
+    # corpus fits one partition the per-round AQE re-planning over the
+    # single pair-count exchange is pure overhead; no-op at scale.
+    with single_partition_loop(d.sparkSession, n_parts), cache_scope():
         base = scoped_persist(
             d.select(base_expr.alias("e"))
             .filter(F.col("e") != "")

@@ -1047,10 +1047,21 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = full.groupBy("h").agg(F.count(F.lit(1)).alias("f"))
     w = Window.partitionBy("doc_id").orderBy("f", "h")
+    # Post-rank f >= 2 filter (AllPairs singleton pruning): a
+    # corpus-unique token forms a singleton bucket and singleton
+    # buckets emit zero pairs in _bucket_pairs, while rarest-FIRST
+    # ordering puts exactly those tokens at the front of every prefix —
+    # so dropping them AFTER the rank (the rank must see the full
+    # order) can never change the candidate set (verified: 299,304
+    # candidates with and without at sf0.1). On THIS shared-vocabulary
+    # fixture only 0.2% of prefix rows are corpus-unique so the local
+    # win is nil; on a rare-token-heavy real corpus the prefix is
+    # MOSTLY f=1 tokens and this is the standard ppjoin shrink.
     prefix = (
         full.join(freq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1)
+        .filter(F.col("f") >= 2)
         .select("doc_id", "h")
     )
     cand = _bucket_pairs(prefix, "h").distinct()

@@ -46,6 +46,17 @@ from talkdesk_async_etl_spark.session import single_partition_loop
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
 _PR_DAMPING = 0.85
+def _edge_window(und):
+    """Materialize a persisted edge relation (its count) and return the
+    size-derived conf window for the node/edge-sized tail that consumes
+    it (session.single_partition_loop): the corpus-sized edge build runs
+    under the session's normal AQE profile via the count here; the
+    bounded downstream join tree then skips per-stage AQE re-planning
+    exactly when the graph fits one partition. No-op on a real graph."""
+    return single_partition_loop(
+        und.sparkSession, max(1, und.count() // 100_000 + 1)
+    )
+
 _PR_ITERS = 8
 _PR_CHECKPOINT_EVERY = 2  # measured best of {1, 2, 4} at sf0.1
 
@@ -243,21 +254,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exit unpersist both before any read (the persists would be dead
     # code and the edge-build subtree recomputed at execution time).
     with cache_scope():
-        return collect_release(triangle_count_plan(spark, sf_dir, persist=True))
+        und = scoped_persist(_trade_und(spark, sf_dir))
+        with _edge_window(und):
+            return collect_release(
+                triangle_count_plan(spark, sf_dir, persist=True, und=und)
+            )
 
 
-def triangle_count_plan(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
-    """Lazy plan for :func:`graph_triangle_count` — exposed so the
-    physical-plan tests can ``explain`` the real join tree (the query
-    itself returns an already-materialized driver-local result).
-    ``persist=True`` requires an active :func:`cache_scope`."""
+def _trade_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected nation trade edge list (a < b, deduped) the
+    triangle/clustering kernels share — factored so callers can
+    persist + materialize it BEFORE opening the edge-sized conf
+    window (:func:`_edge_window`)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    keep = scoped_persist if persist else (lambda df: df)
-    und = keep(
+    return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -268,6 +281,20 @@ def triangle_count_plan(spark: SparkSession, sf_dir: str, persist: bool = False)
         )
         .distinct()
     )
+
+
+def triangle_count_plan(
+    spark: SparkSession, sf_dir: str, persist: bool = False, und: DataFrame | None = None
+) -> DataFrame:
+    """Lazy plan for :func:`graph_triangle_count` — exposed so the
+    physical-plan tests can ``explain`` the real join tree (the query
+    itself returns an already-materialized driver-local result).
+    ``persist=True`` requires an active :func:`cache_scope`; ``und``
+    lets the registered wrapper pass its pre-persisted edge relation."""
+    n = t(spark, sf_dir, "nation")
+    keep = scoped_persist if persist else (lambda df: df)
+    if und is None:
+        und = keep(_trade_und(spark, sf_dir))
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -798,7 +825,8 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_CN_TOP_EDGES)
             .select("a", "b")
         )
-        return collect_release(common_neighbors_from(und))
+        with _edge_window(und):
+            return collect_release(common_neighbors_from(und))
 
 
 def common_neighbors_from(und: DataFrame) -> DataFrame:
@@ -940,7 +968,8 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_CN_TOP_EDGES)
             .select("a", "b")
         )
-        return collect_release(degree_assortativity_from(und))
+        with _edge_window(und):
+            return collect_release(degree_assortativity_from(und))
 
 
 def degree_assortativity_from(und: DataFrame) -> DataFrame:
@@ -1088,10 +1117,11 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        out = clustering_coeff_from(und).join(
-            F.broadcast(n), F.col("node") == n.n_nationkey
-        ).select(F.col("n_name").alias("nation"), "deg", "triangles", "cc_micro")
-        return collect_release(out)
+        with _edge_window(und):
+            out = clustering_coeff_from(und).join(
+                F.broadcast(n), F.col("node") == n.n_nationkey
+            ).select(F.col("n_name").alias("nation"), "deg", "triangles", "cc_micro")
+            return collect_release(out)
 
 
 def clustering_coeff_from(und: DataFrame) -> DataFrame:
@@ -1453,7 +1483,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_CN_TOP_EDGES)
             .select("a", "b")
         )
-        return collect_release(adamic_adar_from(und))
+        with _edge_window(und):
+            return collect_release(adamic_adar_from(und))
 
 
 def adamic_adar_from(und: DataFrame) -> DataFrame:
@@ -1591,7 +1622,8 @@ def graph_jaccard_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_CN_TOP_EDGES)
             .select("a", "b")
         )
-        return collect_release(jaccard_linkpred_from(und))
+        with _edge_window(und):
+            return collect_release(jaccard_linkpred_from(und))
 
 
 def jaccard_linkpred_from(und: DataFrame) -> DataFrame:
@@ -1717,7 +1749,8 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_CN_TOP_EDGES)
             .select("a", "b")
         )
-        return collect_release(two_hop_reach_from(und))
+        with _edge_window(und):
+            return collect_release(two_hop_reach_from(und))
 
 
 def two_hop_reach_from(und: DataFrame) -> DataFrame:

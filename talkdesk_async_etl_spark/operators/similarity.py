@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from talkdesk_async_etl_spark.plans.cache import cache_scope, collect_release, scoped_persist
 from talkdesk_async_etl_spark.plans.registry import query
+from talkdesk_async_etl_spark.session import single_partition_loop
 from talkdesk_async_etl_spark.sources.io import read_table as t
 
 _N_QUERIES = 5  # query set: vec_id < 5
@@ -748,28 +749,35 @@ def pq_train_codebooks(emb: DataFrame) -> list[list[list[float]]]:
             )
         ).alias("s", "subv"),
     )
+    # The count materializes the caller's emb persist under the normal
+    # AQE profile and sizes the round-exchange window: each Lloyd round
+    # is one scan + one S·K·DS-cell aggregate, nothing for AQE to
+    # re-plan when the corpus fits one partition (no-op at scale —
+    # session.single_partition_loop).
+    n_parts = max(1, emb.count() // 100_000 + 1)
     seed = emb.orderBy("vec_id").limit(_PQ_K).select("v").collect()
     cb = [
         [list(r["v"])[s * _PQ_DS : (s + 1) * _PQ_DS] for r in seed]
         for s in range(_PQ_S)
     ]
-    for _ in range(_PQ_ROUNDS):
-        cb_lit = _nested_lit(cb)
-        best = F.expr(
-            f"array_min(transform(sequence(1, {_PQ_K}), k -> struct("
-            f"aggregate(zip_with(subv, element_at(element_at({cb_lit}, s+1), k),"
-            f" (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d) AS d,"
-            f" k - 1 AS cid)))"
-        )
-        stats = (
-            sub.withColumn("cid", best["cid"])
-            .select("s", "cid", F.posexplode("subv").alias("dim", "x"))
-            .groupBy("s", "cid", "dim")
-            .agg(F.avg("x").alias("mx"))
-            .collect()
-        )
-        for r in stats:
-            cb[r["s"]][r["cid"]][r["dim"]] = r["mx"]
+    with single_partition_loop(emb.sparkSession, n_parts):
+        for _ in range(_PQ_ROUNDS):
+            cb_lit = _nested_lit(cb)
+            best = F.expr(
+                f"array_min(transform(sequence(1, {_PQ_K}), k -> struct("
+                f"aggregate(zip_with(subv, element_at(element_at({cb_lit}, s+1), k),"
+                f" (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d) AS d,"
+                f" k - 1 AS cid)))"
+            )
+            stats = (
+                sub.withColumn("cid", best["cid"])
+                .select("s", "cid", F.posexplode("subv").alias("dim", "x"))
+                .groupBy("s", "cid", "dim")
+                .agg(F.avg("x").alias("mx"))
+                .collect()
+            )
+            for r in stats:
+                cb[r["s"]][r["cid"]][r["dim"]] = r["mx"]
     return cb
 
 
@@ -1016,8 +1024,14 @@ def sim_ivfpq_recall_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-attestable recall invariant for the composed IVF-PQ
     path: recall@10 of sim_topk_ivfpq against sim_topk_cosine must
     clear the 0.7 floor (measured 0.88-0.98) — the same driver evidence the standalone IVF
-    and PQ tiers carry, now for their composition."""
-    with cache_scope():
+    and PQ tiers carry, now for their composition.
+
+    Bounded-output invariant (collect_release), so BOTH pipelines
+    execute inside the size-derived conf window — the pipeline-wrapper
+    rule (no-op at cluster scale), sized from the embeddings metadata
+    count."""
+    n_vecs = t(spark, sf_dir, "embeddings").count()  # metadata count
+    with single_partition_loop(spark, max(1, n_vecs // 100_000 + 1)), cache_scope():
         exact = sim_topk_cosine(spark, sf_dir).select("q_id", "neighbor_id")
         approx = (
             sim_topk_ivfpq(spark, sf_dir)

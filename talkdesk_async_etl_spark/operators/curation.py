@@ -1070,7 +1070,12 @@ def pipeline_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage AQE re-planning across all of them is pure overhead, so
     the same size-derived conf window applies — derived from the
     parquet metadata row count, no-op at cluster scale
-    (session.single_partition_loop)."""
+    (session.single_partition_loop). The window covers construction
+    too — construction executes the landing write, the shingle-pair
+    build and the label loops eagerly, and an opening-after-
+    construction variant measured WORSE (7.26 vs 5.79 s min-of-4:
+    the pair build's lost parallelism at one partition costs less
+    than the construction stages' AQE re-planning)."""
     n_docs = t(spark, sf_dir, "documents").count()  # metadata count
     with single_partition_loop(spark, max(1, n_docs // 100_000 + 1)):
         with cache_scope():

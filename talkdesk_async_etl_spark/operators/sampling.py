@@ -437,14 +437,23 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", qv_expr.alias("qv")
     )
+    # Cache partitioning sized for COMPUTE density, not bytes: each
+    # round's scan folds k·64 multiply-adds per row, so the byte rule
+    # the text caches use (~100k rows/partition) single-threads a
+    # 20k-vector corpus for 8 straight rounds (measured 3.98x for 10x
+    # data at sf1). ~10k vectors/partition keeps per-task work at a
+    # few ms while the defaultParallelism cap stops the rule from
+    # scheduling 100k tasks per round at 10^9 vectors (the scan is
+    # shuffle-free, so extra partitions buy nothing past the core
+    # count).
+    n_parts = min(
+        max(1, n_vecs // 10_000),
+        emb.sparkSession.sparkContext.defaultParallelism,
+    )
     # Size-derived round-exchange rule (session.single_partition_loop):
     # when the quantized corpus fits one cache partition, the k
     # scan+argmax rounds have nothing for AQE to re-plan; no-op at scale.
-    n_parts = max(1, n_vecs // 100_000)
     with single_partition_loop(emb.sparkSession, n_parts), cache_scope():
-        # cache right-sized to the projected corpus (the bpe_train
-        # rule): k rounds of scan+argmax over near-empty partitions are
-        # scheduling-dominated; ~64 B x 64 dims -> ~500 KB per 1k vecs
         q = scoped_persist(emb.repartition(n_parts))
         seed_rows = q.filter(F.col("vec_id") == 0).collect()
         if not seed_rows:

@@ -611,3 +611,44 @@ def test_cluster_conf_shape():
     assert c["spark.sql.files.maxPartitionBytes"].endswith("m")
     # parameterization respected
     assert cluster_conf(8000)["spark.sql.shuffle.partitions"] == "8000"
+
+
+def test_single_partition_loop_window_semantics(spark):
+    """The round-15 optimization primitive: the size-derived conf
+    window must (1) pin AQE off + shuffle.partitions=1 inside exactly
+    when the caller's size signal says one partition, (2) be a NO-OP
+    when the relation spans real partitions (cluster-scale safety),
+    and (3) restore both confs on exit even when the body raises."""
+    import pytest
+
+    from talkdesk_async_etl_spark.session import single_partition_loop
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+
+    with single_partition_loop(spark, 1):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+    with single_partition_loop(spark, 2):  # real graph -> no-op
+        assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with single_partition_loop(spark, 1):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+    # Nesting (the composed pipelines open a window around operators
+    # that open their own): inner exit must not clobber the outer
+    # window's pin.
+    with single_partition_loop(spark, 1):
+        with single_partition_loop(spark, 1):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0

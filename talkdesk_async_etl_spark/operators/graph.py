@@ -47,14 +47,43 @@ from talkdesk_async_etl_spark.sources.io import read_table as t
 
 _PR_DAMPING = 0.85
 def _edge_window(und):
-    """Materialize a persisted edge relation (its count) and return the
-    size-derived conf window for the node/edge-sized tail that consumes
-    it (session.single_partition_loop): the corpus-sized edge build runs
-    under the session's normal AQE profile via the count here; the
-    bounded downstream join tree then skips per-stage AQE re-planning
-    exactly when the graph fits one partition. No-op on a real graph."""
+    """Materialize a persisted edge relation and return the size-derived
+    conf window for the join tree that consumes it
+    (session.single_partition_loop): the corpus-sized edge build runs
+    under the session's normal AQE profile via the aggregate here; the
+    bounded downstream tail then skips per-stage AQE re-planning exactly
+    when it fits one partition. No-op on a real graph.
+
+    The window signal is Σ deg² — a bound on the WEDGE/PAIR relations
+    the consumers expand (triangle wedges, common-neighbor /
+    Adamic-Adar / Jaccard pair enumerations are quadratic in node
+    degree), not the raw edge count: a skewed graph just under a
+    100k-EDGE threshold can push a pair relation orders of magnitude
+    past one partition with AQE skew-split disabled (ADVICE r15). One
+    hub node with 10^4 neighbors alone pushes the bound to 10^8 and
+    keeps AQE on.
+
+    Cost control (a distributed Σ deg² is a 2-exchange aggregate job,
+    measured +0.3-0.5 s per kernel at sf0.1): Σ deg² ≥ Σ deg = 2|E|,
+    so when the count already clears the threshold the window is off
+    with no second look at the data; below it the graph has < 50k
+    edges and the exact bound comes from a BOUNDED driver fetch of the
+    endpoint pairs (≤ 100k longs ≈ 0.8 MB, the audited bounded-collect
+    class) — a single-stage scan of the persisted relation, no
+    exchange, no AQE re-plan. The count doubles as the persist
+    materializer the callers rely on."""
+    n_edges = und.count()
+    if 2 * n_edges >= 100_000:
+        return single_partition_loop(und.sparkSession, 2)  # no-op window
+    from collections import Counter
+
+    deg: Counter = Counter()
+    for row in und.select("a", "b").collect():
+        deg[row[0]] += 1
+        deg[row[1]] += 1
+    wedge_bound = sum(d * d for d in deg.values())
     return single_partition_loop(
-        und.sparkSession, max(1, und.count() // 100_000 + 1)
+        und.sparkSession, max(1, wedge_bound // 100_000 + 1)
     )
 
 _PR_ITERS = 8

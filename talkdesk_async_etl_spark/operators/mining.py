@@ -1317,8 +1317,13 @@ def ml_eval_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from talkdesk_async_etl_spark.operators.stats import two_pass_ntile
 
     s = _scored_labels(spark, sf_dir)
+    # size_hint: doc grain, bounded by the documents metadata count.
     tiled = two_pass_ntile(
-        s, [F.col("p_micro").desc(), F.col("doc_id")], 10, "decile"
+        s,
+        [F.col("p_micro").desc(), F.col("doc_id")],
+        10,
+        "decile",
+        size_hint=t(spark, sf_dir, "documents").count(),
     )
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),

@@ -1281,7 +1281,13 @@ def events_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NTILE_LOCAL_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | row
 
 
-def two_pass_ntile(df: DataFrame, order_cols, n_buckets: int, out_col: str) -> DataFrame:
+def two_pass_ntile(
+    df: DataFrame,
+    order_cols,
+    n_buckets: int,
+    out_col: str,
+    size_hint: int | None = None,
+) -> DataFrame:
     """Global ``ntile(n_buckets)`` over ``order_cols`` WITHOUT the
     single-partition WindowExec Spark plans for an unpartitioned
     window (VERDICT r13 task 3): range-repartition on the sort key,
@@ -1310,8 +1316,27 @@ def two_pass_ntile(df: DataFrame, order_cols, n_buckets: int, out_col: str) -> D
     cached relation, two broadcasts of |partitions|-sized relations,
     zero driver collects. At 100 TB with 10k partitions the theta-join
     is 10k×10k on two broadcast relations — still sub-second — and no
-    single task ever holds more than its range slice."""
-    srt = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    single task ever holds more than its range slice.
+
+    ``size_hint`` is an optional UPPER BOUND on ``df``'s row count
+    that the caller already has for free (a parquet metadata count of
+    the source table, or the FK-domain table the grouping key draws
+    from). When the bound says the relation fits one partition
+    (the same ~100k-row rule as session.single_partition_loop), the
+    range exchange is pinned to ONE partition: the range-bounds
+    sampling pass, the session-default fan of near-empty range
+    partitions, and the |partitions|² offset join all collapse, while
+    the plan SHAPE (rangepartitioning exchange → sort → offset
+    broadcast join → closed-form bucket, no WindowExec) is unchanged —
+    the two-pass construction is partitioning-independent by its
+    equivalence proof, so the output is hash-identical. No hint, or a
+    bound above the threshold, keeps the session-default behavior —
+    at cluster scale the hint is the table row count and the branch
+    never fires."""
+    if size_hint is not None and max(1, size_hint // 100_000 + 1) == 1:
+        srt = df.repartitionByRange(1, *order_cols).sortWithinPartitions(*order_cols)
+    else:
+        srt = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
     mid = scoped_persist(srt.withColumn("_mid", F.monotonically_increasing_id()))
     parts = mid.groupBy(F.shiftright("_mid", 33).alias("_pid")).agg(
         F.count(F.lit(1)).cast("long").alias("_cnt")
@@ -1417,14 +1442,32 @@ def window_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("monetary_cents"),
         )
     )
+    # size_hint: the user-grain relation is bounded by the events row
+    # count — a parquet metadata count, no data scan. (At sf0.1 the
+    # bound is exactly 100k and the hint stays off; there is no
+    # cheaper metadata bound on the user domain, and counting the
+    # aggregate itself was measured and rejected in r15.)
+    n_events = t(spark, sf_dir, "events").count()
     scored = two_pass_ntile(
-        per_user, [F.col("recency_d").desc(), F.col("user_id")], 5, "r_score"
+        per_user,
+        [F.col("recency_d").desc(), F.col("user_id")],
+        5,
+        "r_score",
+        size_hint=n_events,
     )
     scored = two_pass_ntile(
-        scored, [F.col("frequency").asc(), F.col("user_id")], 5, "f_score"
+        scored,
+        [F.col("frequency").asc(), F.col("user_id")],
+        5,
+        "f_score",
+        size_hint=n_events,
     )
     scored = two_pass_ntile(
-        scored, [F.col("monetary_cents").asc(), F.col("user_id")], 5, "m_score"
+        scored,
+        [F.col("monetary_cents").asc(), F.col("user_id")],
+        5,
+        "m_score",
+        size_hint=n_events,
     )
     return scored.select(
         "user_id",
@@ -1877,7 +1920,15 @@ def agg_decile_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    tiled = two_pass_ntile(spend, [F.col("cents"), F.col("custkey")], 10, "decile")
+    # size_hint: the customer-grain relation is bounded by the customer
+    # FK domain — a parquet metadata count, no data scan.
+    tiled = two_pass_ntile(
+        spend,
+        [F.col("cents"), F.col("custkey")],
+        10,
+        "decile",
+        size_hint=t(spark, sf_dir, "customer").count(),
+    )
     agg10 = scoped_persist(
         tiled.groupBy("decile").agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),

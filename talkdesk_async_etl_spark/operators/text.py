@@ -781,10 +781,15 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_parts = max(1, n_docs // 500_000)
     learned: list[tuple[int, str, str, int]] = []
     # Size-derived round-exchange rule (session.single_partition_loop):
-    # the cache is already right-sized to n_parts, so when the encoded
-    # corpus fits one partition the per-round AQE re-planning over the
-    # single pair-count exchange is pure overhead; no-op at scale.
-    with single_partition_loop(d.sparkSession, n_parts), cache_scope():
+    # when the encoded corpus fits one partition the per-round AQE
+    # re-planning over the single pair-count exchange is pure overhead;
+    # no-op at scale. The window signal uses the same ~100k-row
+    # fits-one-partition threshold as every other call site — NOT the
+    # 500k-docs/partition cache-sizing rule above, which is a byte
+    # heuristic 10x looser than the window's contract (ADVICE r15).
+    with single_partition_loop(
+        d.sparkSession, max(1, n_docs // 100_000 + 1)
+    ), cache_scope():
         base = scoped_persist(
             d.select(base_expr.alias("e"))
             .filter(F.col("e") != "")
@@ -1986,7 +1991,14 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("toks"),
     )
     tiled = scoped_persist(
-        two_pass_ntile(d.select("doc_id", "n_tokens"), [F.col("doc_id")], 10, "decile")
+        # size_hint: doc grain, bounded by the documents metadata count.
+        two_pass_ntile(
+            d.select("doc_id", "n_tokens"),
+            [F.col("doc_id")],
+            10,
+            "decile",
+            size_hint=t(spark, sf_dir, "documents").count(),
+        )
     )
     firsts = (
         d.select("doc_id", F.explode("toks").alias("term"))

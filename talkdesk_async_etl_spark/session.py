@@ -18,6 +18,7 @@ same scale-oriented defaults:
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -78,6 +79,14 @@ def get_or_create(spark: SparkSession | None = None) -> SparkSession:
     return active if active is not None else build_session()
 
 
+# Ownership state for single_partition_loop's session-global conf pin:
+# one thread may hold (and nest) the window; any other thread trying to
+# open one while it is held is a contract violation and fails loudly.
+_window_lock = threading.Lock()
+_window_owner: int | None = None
+_window_depth = 0
+
+
 @contextmanager
 def single_partition_loop(spark: SparkSession, n_parts: int):
     """Execution-conf window for fixpoint loops whose per-round
@@ -100,10 +109,34 @@ def single_partition_loop(spark: SparkSession, n_parts: int):
     materializes each round inside the loop (localCheckpoint + count /
     collect); no lazy plan built in the window is executed after it —
     and the harnesses are single-threaded (plans/cache.py contract).
+
+    The conf pin is SESSION-GLOBAL, so the single-threaded assumption
+    is load-bearing: a query submitted from another thread while a
+    window is open would silently inherit AQE-off/1-partition plans
+    (ADVICE r15). The ownership guard below turns that silent
+    inheritance into a loud error for the case it can see — a second
+    thread opening its own window; same-thread nesting (the composed
+    pipelines) stays legal. A harness that gains intra-query
+    concurrency (guide §2.6 thread pools) must scope these confs
+    per-thread instead — e.g. submit the windowed loop and the
+    concurrent queries on separate sessions via ``newSession()``,
+    which shares the SparkContext but isolates SQL conf.
     """
     if n_parts > 1:
         yield
         return
+    me = threading.get_ident()
+    global _window_owner, _window_depth
+    with _window_lock:
+        if _window_owner is not None and _window_owner != me:
+            raise RuntimeError(
+                "single_partition_loop: conf window already held by another"
+                " thread — the AQE/shuffle-partition pin is session-global"
+                " and would leak into that thread's queries (single-"
+                "threaded-harness contract; see docstring)"
+            )
+        _window_owner = me
+        _window_depth += 1
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -113,6 +146,10 @@ def single_partition_loop(spark: SparkSession, n_parts: int):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        with _window_lock:
+            _window_depth -= 1
+            if _window_depth == 0:
+                _window_owner = None
 
 
 def cluster_conf(target_shuffle_partitions: int = 4000) -> dict[str, str]:

@@ -4177,6 +4177,11 @@ def test_decile_shares_constructed(spark):
     )
     with tempfile.TemporaryDirectory() as d:
         df.write.parquet(d + "/orders.parquet")
+        # r16: the operator reads the customer FK-domain table's parquet
+        # METADATA count as the two_pass_ntile size hint.
+        spark.createDataFrame(
+            [(k,) for k in spends], "c_custkey long"
+        ).write.parquet(d + "/customer.parquet")
         got = {r["decile"]: r for r in QUERIES["agg_decile_shares"].fn(spark, d).collect()}
 
     total = sum(spends.values())

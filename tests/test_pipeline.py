@@ -652,3 +652,37 @@ def test_single_partition_loop_window_semantics(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
     assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+
+    # Cross-thread guard (ADVICE r15): the conf pin is session-global,
+    # so a SECOND thread opening a window while one is held must fail
+    # loudly instead of silently sharing/clobbering the pin. A no-op
+    # window (n_parts > 1) from another thread stays legal — it never
+    # touches conf.
+    import threading
+
+    errs: list[BaseException] = []
+
+    def other_thread_window(n_parts):
+        try:
+            with single_partition_loop(spark, n_parts):
+                pass
+        except BaseException as exc:  # noqa: BLE001 — recorded for assert
+            errs.append(exc)
+
+    with single_partition_loop(spark, 1):
+        th = threading.Thread(target=other_thread_window, args=(1,))
+        th.start()
+        th.join()
+        assert len(errs) == 1 and "another thread" in str(errs[0])
+        th2 = threading.Thread(target=other_thread_window, args=(2,))
+        th2.start()
+        th2.join()
+        assert len(errs) == 1  # no-op window from another thread is fine
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0
+    # ... and after release, another thread may take the window.
+    th3 = threading.Thread(target=other_thread_window, args=(1,))
+    th3.start()
+    th3.join()
+    assert len(errs) == 1
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts0

@@ -1288,16 +1288,66 @@ def test_ntile_replans_have_no_window_exec(spark):
     the repo's last two single-partition ntile windows. Re-planned as
     two_pass_ntile (range shuffle -> local sort -> broadcast
     |partitions|-row offset theta-join -> closed-form bucket), the
-    plans must carry NO WindowExec of any kind (partitioned or not)
-    and one rangepartitioning exchange per ordering, with the rank
-    probe a BroadcastHashJoin on the partition id."""
+    plans must carry NO WindowExec of any kind (partitioned or not),
+    one sorted exchange per ordering, with the rank probe a
+    BroadcastHashJoin on the partition id. At this fixture's SF the
+    r16 size_hint fires (events=1000 / customers=150 row bounds), so
+    each ordering's exchange is the degenerate single-partition form
+    Catalyst plans for RangePartitioning(1) — the hint-off range shape
+    is pinned separately in test_two_pass_ntile_size_hint_shapes."""
     import re
 
-    for name, n_range in (("window_rfm_scores", 3), ("agg_decile_shares", 1)):
+    for name, n_sorts in (("window_rfm_scores", 3), ("agg_decile_shares", 1)):
         plan = plan_of(spark, name)
         assert re.search(r"\(\d+\) Window", plan) is None, name
-        assert len(re.findall(r"rangepartitioning", plan)) == n_range, name
+        assert len(re.findall(r"rangepartitioning", plan)) == 0, name
+        assert len(re.findall(r"\(\d+\) Sort\b", plan)) >= n_sorts, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_two_pass_ntile_size_hint_shapes(spark):
+    """two_pass_ntile's r16 size_hint contract: no hint (or a bound
+    above the fits-one-partition rule) keeps the genuine
+    rangepartitioning exchange — the cluster shape; a bound under it
+    degenerates the exchange to SinglePartition (no range-bounds
+    sampling pass, no near-empty partition fan) with the REST of the
+    two-pass machinery unchanged — still no WindowExec either way."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from talkdesk_async_etl_spark.operators.stats import two_pass_ntile
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+
+    def plan_str(out):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        return buf.getvalue()
+
+    with cache_scope():
+        p_range = plan_str(
+            two_pass_ntile(df, [F.col("k"), F.col("id")], 5, "b")
+        )
+        p_big = plan_str(
+            two_pass_ntile(df, [F.col("k"), F.col("id")], 5, "b", size_hint=10**9)
+        )
+        p_one = plan_str(
+            two_pass_ntile(df, [F.col("k"), F.col("id")], 5, "b", size_hint=1000)
+        )
+    assert "rangepartitioning" in p_range
+    assert "rangepartitioning" in p_big
+    assert "rangepartitioning" not in p_one
+    assert "SinglePartition" in p_one
+    for p in (p_range, p_big, p_one):
+        assert re.search(r"\(\d+\) Window", p) is None
 
 
 def test_training_export_pipeline_scans_corpus_once(spark):
@@ -1380,7 +1430,12 @@ def test_wave2_plans_log2_joinfree_heaps_range_burst_takeordered(spark):
 
     plan2 = plan_of(spark, "text_heaps_law")
     assert re.search(r"\(\d+\) Window", plan2) is None
-    assert "rangepartitioning" in plan2
+    # r16 size_hint: at this fixture's 500-doc bound the decile rank's
+    # range exchange degenerates to the single-partition form; the
+    # hint-off range shape is pinned in
+    # test_two_pass_ntile_size_hint_shapes.
+    assert "rangepartitioning" not in plan2
+    assert "SinglePartition" in plan2
 
     plan3 = plan_of(spark, "text_burstiness")
     assert "TakeOrderedAndProject" in plan3

@@ -509,13 +509,14 @@ def _star_rounds(pairs: DataFrame, sym: DataFrame, nodes: DataFrame, n_parts: in
     """The alternating contraction rounds of
     :func:`components_large_small_star` (split out so the whole loop
     runs under the caller's execution-conf window)."""
-    # Canonical orientation (hi → lo) between rounds.
-    edges = (
-        sym.filter(F.col("u") > F.col("v"))
-        .distinct()
-        .repartition(n_parts, "u")
-        .localCheckpoint()
-    )
+    # Canonical orientation (hi → lo) between rounds. The u-key
+    # repartition feeds the round joins at scale; at n_parts == 1 the
+    # distinct already leaves ONE partition (the caller's conf window
+    # pins shuffle.partitions), so the extra exchange is skipped.
+    edges = sym.filter(F.col("u") > F.col("v")).distinct()
+    if n_parts > 1:
+        edges = edges.repartition(n_parts, "u")
+    edges = edges.localCheckpoint()
     # Convergence detection: an order-independent, collision-resistant
     # signature of the edge set — (count, bit_xor(xxhash64(u, v))).
     # The previous (count, sum(u·1000003 + v)) form was commutatively
@@ -539,11 +540,16 @@ def _star_rounds(pairs: DataFrame, sym: DataFrame, nodes: DataFrame, n_parts: in
         )
         mins = s.groupBy("u").agg(F.min("v").alias("mv"))
         m = F.least(F.col("u"), F.col("mv"))
+        # No distinct here (r16): duplicate (v, m) rows — one per
+        # symmetric edge of v — are absorbed by smins' min-aggregate
+        # and by small's final distinct, so the OUTPUT SET is
+        # identical while each round drops one exchange + hash
+        # aggregate; the duplicates that do flow on are collapsed
+        # map-side by small's partial distinct before its exchange.
         large = (
             s.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), m.alias("v"))
-            .distinct()
         )
         # SMALL-STAR: per hi endpoint u over canonical edges,
         # m = min of its lo-neighbors; u AND every other lo-neighbor
@@ -562,9 +568,10 @@ def _star_rounds(pairs: DataFrame, sym: DataFrame, nodes: DataFrame, n_parts: in
             .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
             .filter(F.col("u") > F.col("v"))
             .distinct()
-            .repartition(n_parts, "u")
-            .localCheckpoint(eager=False)
         )
+        if n_parts > 1:
+            small = small.repartition(n_parts, "u")
+        small = small.localCheckpoint(eager=False)
         sig = small.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),

@@ -527,22 +527,27 @@ def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     base = t(spark, sf_dir, "orders", spread=True)
-    v1 = base.select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_orderstatus").alias("status"),
-        F.lit(1).alias("version"),
+    # One scan, not a 2-branch union (r16, guide §2.4): each order row
+    # generates its own log ops via explode over a conditional array —
+    # same merged rows as the former v1 ∪ v2 without the second scan
+    # and spread-repartition (the cdc_tombstone_deletes device).
+    k = F.col("o_orderkey")
+    ops = F.array(
+        F.struct(
+            F.col("o_orderstatus").alias("status"), F.lit(1).alias("version")
+        ),
+        F.when(
+            k % 7 == 0,
+            F.struct(F.lit("U").alias("status"), F.lit(2).alias("version")),
+        ),
     )
-    v2 = (
-        base.filter(F.col("o_orderkey") % 7 == 0)
-        .select(
-            F.col("o_orderkey").alias("key"),
-            F.lit("U").alias("status"),
-            F.lit(2).alias("version"),
-        )
-    )
+    merged = base.select(
+        k.alias("key"),
+        F.explode(F.filter(ops, lambda x: x.isNotNull())).alias("e"),
+    ).select("key", "e.status", "e.version")
     w = Window.partitionBy("key").orderBy(F.col("version").desc())
     latest = (
-        v1.unionAll(v2)
+        merged
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -908,25 +913,48 @@ def cdc_tombstone_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = t(spark, sf_dir, "orders", spread=True)
 
-    def ver(pred, op, status, version):
-        src = base.filter(pred) if pred is not None else base
-        return src.select(
-            F.col("o_orderkey").alias("key"),
-            F.lit(op).alias("op"),
-            (F.col("o_orderstatus") if status is ... else F.lit(status)).alias(
-                "status"
+    # One scan, not a 4-branch union (r16, guide §2.4): each order row
+    # GENERATES its own 1-4 log ops via explode over a conditional
+    # array — the same log rows as the former
+    # union(I, U%5, D%3, I%15) build without re-scanning (and
+    # spread-repartitioning) orders once per branch. Measured 1.65 ->
+    # 0.93 s min-of-5 at sf0.1 with set-identical output.
+    k = F.col("o_orderkey")
+    ops = F.array(
+        F.struct(
+            F.lit("I").alias("op"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(1).alias("version"),
+        ),
+        F.when(
+            k % 5 == 0,
+            F.struct(
+                F.lit("U").alias("op"),
+                F.lit("U2").alias("status"),
+                F.lit(2).alias("version"),
             ),
-            F.lit(version).alias("version"),
-        )
-
-    log = (
-        ver(None, "I", ..., 1)
-        .unionAll(ver(F.col("o_orderkey") % 5 == 0, "U", "U2", 2))
-        .unionAll(
-            ver(F.col("o_orderkey") % 3 == 0, "D", None, 3)
-        )
-        .unionAll(ver(F.col("o_orderkey") % 15 == 0, "I", "R4", 4))
+        ),
+        F.when(
+            k % 3 == 0,
+            F.struct(
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(3).alias("version"),
+            ),
+        ),
+        F.when(
+            k % 15 == 0,
+            F.struct(
+                F.lit("I").alias("op"),
+                F.lit("R4").alias("status"),
+                F.lit(4).alias("version"),
+            ),
+        ),
     )
+    log = base.select(
+        k.alias("key"),
+        F.explode(F.filter(ops, lambda x: x.isNotNull())).alias("e"),
+    ).select("key", "e.op", "e.status", "e.version")
     w = Window.partitionBy("key").orderBy(F.col("version").desc())
     latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     state = F.when(F.col("op") == "D", F.lit("__DELETED__")).otherwise(

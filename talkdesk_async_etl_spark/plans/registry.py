@@ -81,80 +81,74 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 # Driver-facing check order. The driver verifies exactly the first 50
 # registered queries per round, so ordering is budget allocation.
-# Round-15 window, in priority order (executes ROUND_NOTES' committed
-# round-15 rotation pre-plan VERBATIM, per VERDICT r14 task 1):
-#   1. The 19 round-14 additions that registered AFTER the r14 window
-#      froze (judge-parity-verified 19/19 by the r14 judge's own
-#      check_parity run but still without a formal driver CORRECTNESS
-#      row), in registration order per the pre-plan.
-#   2. The three remaining aging rows-only/twin pairs ADJACENT
-#      (VERDICT r14 task-5 pattern): sim_topk_ivf/sim_ivf_recall,
-#      sim_topk_pq/sim_pq_recall_ok,
-#      multimodal_image_features/multimodal_features_ok — each
-#      rows-only candidate generator re-attests in the same window
-#      position block as its hash-attested recall/invariant twin.
-#   3. The 25 oldest remaining r8-tier ids (alphabetical) fill the
-#      remaining slots.  window_sessionize_gap and the r9+ tiers
-#      rotate r16+ (r8 first).
+# Round-16 window, in priority order (executes the r15 window's own
+# committed pre-plan — "Round-15 additions registered after THIS
+# window freezes lead the r16 window", and "window_sessionize_gap and
+# the r9+ tiers rotate r16+ (r8 first)"):
+#   1. The 32 round-15 additions (waves A-F) — the only registered
+#      ids with NO driver CORRECTNESS row in any round — in
+#      registration order.
+#   2. window_sessionize_gap (the last r8-latest id) + the 17 oldest
+#      r9-latest ids (alphabetical) fill the remaining slots. No
+#      rows-only id sits in this window, so CORRECTNESS_r16 can be
+#      50/50 hash-green.
 # Any id registered but absent here appends in registration order, so
 # new operators are never silently dropped — and the first-50
 # meta-test in tests/test_driver_profile.py fails on typos/miscounts.
-# Round-15 additions registered after THIS window freezes lead the
-# r16 window per the standing precedent.
+# The r9-tier remainder and the r10 tier rotate r17+.
 _PRIORITY = (
-    # --- tier 1: the 19 round-14 ids without a formal driver row ---
-    "events_markov_stationary",
-    "window_streak_days",
-    "join_range_bucket_equi",
-    "join_interval_merge",
-    "sim_silhouette_centroid",
-    "text_heaps_law",
-    "text_burstiness",
-    "text_source_vocab_overlap",
-    "agg_spearman_corr",
-    "agg_contingency_residuals",
-    "agg_weighted_percentile",
-    "agg_log2_histogram",
-    "agg_welch_ttest",
-    "agg_runs_test",
-    "agg_ab_power_mde",
-    "graph_hits_scores",
-    "sample_ab_allocation",
-    "scan_jsonl_gzip",
-    "pipeline_training_export_e2e",
-    # --- tier 2: rows-only/twin pairs adjacent (VERDICT r14 task 5) ---
-    "sim_topk_ivf",
-    "sim_ivf_recall",
-    "sim_topk_pq",
-    "sim_pq_recall_ok",
-    "multimodal_image_features",
-    "multimodal_features_ok",
-    # --- tier 3: the 25 oldest remaining r8-tier ids (alphabetical) ---
-    "scalar_xml_roundtrip",
-    "scan_python_datasource",
-    "scan_transpose",
-    "sink_jsonl_export_ok",
-    "sql_execute_immediate",
-    "sql_named_params",
-    "sql_pipe_syntax",
-    "sql_text_api",
-    "sql_udf_scalar",
-    "sql_udf_table",
-    "text_feature_hashing",
-    "text_segment_dedup",
-    "text_vocab_oov",
-    "tpch_q1",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q2",
-    "tpch_q9",
-    "udaf_apply_in_arrow",
-    "udaf_cogroup_asof",
-    "udf_map_in_arrow",
-    "window_fill_forward",
-    "window_match_pattern",
-    "window_range_time",
+    # --- tier 1: the 32 round-15 additions without a driver row ---
+    "window_conversion_latency",
+    "events_funnel_steps",
+    "dedup_levenshtein_verify",
+    "text_zipf_slope",
+    "text_tv_distance_sources",
+    "text_hapax_share",
+    "text_length_quartiles",
+    "sample_kfold_assign",
+    "sample_negative_pairs",
+    "events_ols_trend",
+    "agg_ab_cuped",
+    "events_wow_change",
+    "agg_kendall_tau",
+    "events_changepoint_binary",
+    "events_ewma_smooth",
+    "events_seasonal_decompose",
+    "agg_hhi_concentration",
+    "events_seasonality_strength",
+    "events_user_churn_weekly",
+    "events_hour_profile",
+    "graph_adamic_adar",
+    "graph_jaccard_link_pred",
+    "graph_two_hop_reach",
+    "ml_eval_pr_curve",
+    "ml_eval_roc_auc",
+    "ml_calibration_bins",
+    "agg_assoc_rules",
+    "ml_eval_confusion_multiclass",
+    "ml_eval_ndcg",
+    "ml_eval_brier",
+    "ml_eval_mrr",
+    "ml_eval_lift_table",
+    # --- tier 2: oldest-attested rotation (r8 first, then r9 alpha) ---
+    "window_sessionize_gap",
+    "agg_conditional_sum",
+    "agg_cooccurrence_pairs",
+    "agg_grouping_id",
+    "agg_percentile_approx_tol",
+    "agg_skew_kurtosis",
+    "agg_weighted_median",
+    "cdc_incremental_agg",
+    "csv_quoted_roundtrip",
+    "csv_roundtrip",
+    "ddl_default_columns",
+    "dedup_minhash_jaccard_est",
+    "dedup_simhash",
+    "dedup_simhash_dupes_ok",
+    "dedup_winnow_pairs",
+    "dq_expectations",
+    "graph_sssp_weighted",
+    "join_asof",
 )
 
 

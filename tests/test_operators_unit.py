@@ -232,6 +232,75 @@ def test_blocked_topk_matches_exact(spark):
     assert recall >= 0.9, f"blocked top-k diverged: {recall}"
 
 
+def test_embedding_cosine_block_kernel_bitwise_equals_join_form(spark):
+    """The mapInArrow block kernel behind dedup_embedding_cosine must
+    emit the SAME pair set with bit-for-bit identical cos_sim doubles
+    as the JVM pair-join form — the dimension-order candidate recheck
+    replays the ``aggregate(zip_with(...))`` float sequence exactly
+    (same op order, no reassociation, no FMA), so equality is exact,
+    not approximate. Covers the fixture corpus plus a constructed
+    frame with a zero-norm vector (NaN sim — kept by BOTH forms under
+    Spark's NaN-is-largest ``>=`` semantics) and an orthogonal pair
+    (dropped by both)."""
+    import struct
+
+    from talkdesk_async_etl_spark.operators.dedup import (
+        _cosine_pairs_blocked,
+        _cosine_pairs_joined,
+    )
+    from talkdesk_async_etl_spark.plans.cache import cache_scope
+    from talkdesk_async_etl_spark.sources.io import read_table
+
+    def canon(rows):
+        # bitwise for real doubles; NaN payload bits may legitimately
+        # differ between the JVM's canonical NaN and x86's default
+        # quiet NaN, so NaN collapses to a presence marker
+        return sorted(
+            (
+                r["vec_a"],
+                r["vec_b"],
+                b"nan" if r["cos_sim"] != r["cos_sim"] else struct.pack("<d", r["cos_sim"]),
+            )
+            for r in rows
+        )
+
+    emb = read_table(spark, SF_SMALL, "embeddings", spread=True).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    with cache_scope():
+        assert canon(_cosine_pairs_blocked(emb).collect()) == canon(
+            _cosine_pairs_joined(emb).collect()
+        )
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # ∥ to vec 1 → sim 1.0
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.6, 0.8, 0.0, 0.0]),   # sim 0.6 to vec 0/1 → kept
+        (3, [0.0, 3.0, 0.0, 0.0]),   # ⊥ to vec 0/1 → sim 0.0, dropped
+    ]
+    built = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    with cache_scope():
+        b = canon(_cosine_pairs_blocked(built).collect())
+        j = canon(_cosine_pairs_joined(built).collect())
+    assert b == j
+    pairs = {(x, y) for x, y, _ in b}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+    # Degenerate zero-norm vector: the session runs Spark 4's default
+    # ANSI division, where the join form raises DIVIDE_BY_ZERO — the
+    # block kernel must mirror it, not silently emit NaN pairs.
+    import pytest
+
+    degen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, v array<double>"
+    )
+    if spark.conf.get("spark.sql.ansi.enabled", "true").lower() == "true":
+        with cache_scope():
+            with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+                _cosine_pairs_joined(degen).collect()
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            _cosine_pairs_blocked(degen).collect()
+
+
 def test_shingles_short_docs_yield_empty(spark):
     """Docs shorter than k tokens must produce an EMPTY shingle set —
     not crash slice() or emit bogus short shingles (the oracle's

@@ -52,7 +52,8 @@ SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 # VERDICT r8's anti-pattern sweep).
 _BOUNDED_NLJ = {
     "tpch_q11", "tpch_q22",
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine pruned r16: its pair NLJ became the
+    # mapInArrow block kernel (no join node below the gate)
     "sim_topk_cosine", "sim_knn_label_vote",
     "text_unigram_logprob", "text_bigram_logprob",
     "dq_expectations",

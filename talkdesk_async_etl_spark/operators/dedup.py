@@ -965,6 +965,50 @@ _COSINE_ORACLE = f"""
 _COSINE_BLOCK_MAX = 32_768
 
 
+def _single_threaded_blas():
+    """Pin BLAS to one thread in THIS process — a Spark task already
+    owns exactly one core, so BLAS-internal threading is pure spin-wait
+    contention: 32 concurrent workers each spinning a 2-thread OpenBLAS
+    pool measured 28.5 s wall for GEMM work that takes 2.1 s
+    single-threaded (sf1, 32 procs × 625×20000×64). Two layers because
+    Python workers are REUSED: env vars steer a fresh worker's first
+    numpy import; the ctypes call reconfigures a worker whose numpy
+    (and BLAS pool) is already live from an earlier task."""
+    import os
+
+    for v in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(v, "1")
+    try:
+        import ctypes
+        import glob as _glob
+
+        import numpy as _np
+
+        base = os.path.dirname(_np.__file__)
+        for pat in ("../numpy.libs/*openblas*", ".libs/*openblas*"):
+            for p in _glob.glob(os.path.join(base, pat)):
+                try:
+                    lib = ctypes.CDLL(p)
+                except OSError:
+                    continue
+                for sym in (
+                    "openblas_set_num_threads64_",
+                    "openblas_set_num_threads",
+                ):
+                    try:
+                        getattr(lib, sym)(1)
+                        return
+                    except AttributeError:
+                        continue
+    except Exception:
+        pass
+
+
 def _dim_order_norms(mat):
     """sqrt of the d-order square fold — the exact float sequence of
     ``sqrt(aggregate(transform(v, x*x), 0.0, (s, x) -> s + x))``."""
@@ -1004,6 +1048,7 @@ def _cosine_pairs_blocked(emb: DataFrame) -> DataFrame:
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def blocks(batches):
+        _single_threaded_blas()  # BEFORE the worker's numpy import
         import numpy as np
         import pyarrow as pa
 

@@ -40,6 +40,18 @@ def build_session(
     test data is not over-parallelized (200 empty tasks).
     """
     cpus = cpus or DEFAULT_CPUS
+    # One BLAS thread per Python worker: a Spark task owns one core, so
+    # BLAS-internal threading across 32 concurrent workers is pure
+    # spin-wait contention (measured 14x on the cosine block kernel's
+    # GEMMs). Set BEFORE the JVM launches so pyspark.daemon inherits it;
+    # operators' kernels re-assert it for foreign-session workers.
+    for _v in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(_v, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
